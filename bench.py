@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion via a count-style action so the full
+plan (scan → shuffle → agg/join/window) runs; results are not collected to
+the driver.  A warmup pass on the smallest query amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysqldump_to_parquet_spark.session import get_spark  # noqa: E402
+
+#: Headline queries (a representative slice of SURVEY.md §2.2 — scan-heavy
+#: agg, shuffle join, broadcast join, window, top-k).
+BENCH_QUERY_NAMES = [
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_agg_distinct",
+    "q_sort_limit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(
+        app_name="mtps-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    import __spark_entry__ as entrypoint
+
+    registry = entrypoint.queries()
+    names = [n for n in BENCH_QUERY_NAMES if n in registry]
+
+    # Warmup: run the first query once to pay JVM + codegen startup.
+    registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

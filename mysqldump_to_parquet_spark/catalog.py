@@ -1,0 +1,48 @@
+"""Table catalog over the driver fixture layout.
+
+Fixtures live at ``{sf_dir}/{table}.parquet`` (TESTDATA.md).  Every query
+function takes ``(spark, sf_dir)`` and loads through :func:`load_table`, so
+the scan always goes through ``spark.read.parquet`` — columnar, with
+predicate pushdown and column pruning supplied by Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import configure_for_oracle
+
+#: All fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+SMALL_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; pins the session confs needed for parity."""
+    configure_for_oracle(spark)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for the SQL API."""
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,221 @@
+"""Aggregation operators: hash aggregate, distinct, approx-distinct,
+rollup/cube/grouping-sets, pivot.
+
+The reference implements **no** aggregation (SURVEY.md §2.1 — its only
+"aggregate" is the row→columnar pivot at the Parquet write boundary,
+/root/reference/src/parquet_writer.rs:120–218).  This module is the §2.2
+extension surface, expressed entirely with built-in Catalyst operators:
+
+* ``groupBy().agg()`` compiles to partial (map-side) + final hash
+  aggregation — the two-phase plan you want at 100 TB: the shuffle carries
+  one row per (group × partition), not per input row.
+* ``rollup``/``cube`` compile to a single ``Expand`` + hash aggregate —
+  no per-grouping rescan.
+* ``approx_count_distinct`` is HyperLogLog++ — constant-size sketch per
+  group, mergeable across partitions; the exact ``countDistinct`` variant
+  forces a second shuffle on (group, value), which is precisely why the
+  approximate form is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Flagship filter date — TPC-H Q1 shape on the synthetic lineitem
+#: (l_shipdate spans 1995-01-02 .. 2001-11-04).
+Q1_CUTOFF = "1998-09-02"
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the flagship query).
+
+    Scan → filter (pushed to the Parquet reader) → two-phase hash aggregate
+    on a 6-value group key → tiny sort.  At 100 TB the plan is scan-bound;
+    the shuffle moves ≤ (#groups × #partitions) rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_SQL = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       SUM(l_quantity)                                         AS sum_qty,
+       SUM(l_extendedprice)                                    AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount))                 AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))   AS sum_charge,
+       AVG(l_quantity)                                         AS avg_qty,
+       AVG(l_extendedprice)                                    AS avg_price,
+       AVG(l_discount)                                         AS avg_disc,
+       COUNT(*)                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (expands to a two-shuffle plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*)                  AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100 TB path (single shuffle,
+    constant-size mergeable sketches).  Approximate ⇒ rows-only check."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): one Expand + one aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*)        AS n_rows,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*)        AS n_rows,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Expand-based plan)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*)          AS n_orders,
+               SUM(o_totalprice) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+AGG_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*)          AS n_orders,
+       SUM(o_totalprice) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+#: Pivot needs the value list up front to keep the plan single-pass; these
+#: are the fixture's order statuses (F/O/P).
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on o_orderstatus.  Passing explicit values avoids the extra
+    distinct-collect job Spark otherwise runs to discover them."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ORDER_STATUSES)
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q_agg_groupby": tpch_q1,
+    "q_agg_distinct": agg_distinct,
+    "q_agg_approx_distinct": agg_approx_distinct,
+    "q_agg_rollup": agg_rollup,
+    "q_agg_cube": agg_cube,
+    "q_agg_gsets": agg_grouping_sets,
+    "q_agg_pivot": agg_pivot,
+}
+
+ORACLE = {
+    "q_agg_groupby": TPCH_Q1_SQL,
+    "q_agg_distinct": AGG_DISTINCT_SQL,
+    # q_agg_approx_distinct: approximate — rows-only check (no oracle).
+    "q_agg_rollup": AGG_ROLLUP_SQL,
+    "q_agg_cube": AGG_CUBE_SQL,
+    "q_agg_gsets": AGG_GSETS_SQL,
+    "q_agg_pivot": AGG_PIVOT_SQL,
+}

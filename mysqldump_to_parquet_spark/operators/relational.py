@@ -1,0 +1,419 @@
+"""Projection / filter / join / sort / set operators (SURVEY.md §2.2).
+
+All absent from the reference (its grep-verified only "join" is
+``PathBuf::join``, /root/reference/src/parquet_writer.rs:78); everything here
+is declared through the DataFrame API so Catalyst supplies pushdown, column
+pruning, join selection and AQE.
+
+Scale notes:
+* ``region``/``nation``/``supplier`` are broadcast (`F.broadcast`) — at
+  100 TB the fact side never shuffles for those joins.
+* The theta/range join keeps the *small* side on the build/broadcast side so
+  BroadcastNestedLoopJoin streams the big side once.
+* Top-k per group uses one window (single shuffle on the group key);
+  global sort+limit compiles to TakeOrderedAndProject (per-partition top-k,
+  then a k-row merge on the driver — no global sort at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+# ---------------------------------------------------------------- filters
+
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + comparison/BETWEEN predicates.
+
+    Both the projection and the predicates reach the Parquet scan
+    (ReadSchema / PushedFilters) — verified in tests/test_plans.py.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_quantity") >= 30)
+            & F.col("l_discount").between(0.02, 0.08)
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+PROJECT_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_quantity >= 30
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+"""
+
+
+def filter_null_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IN / LIKE predicate family."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.where(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            & F.col("c_name").like("%1%")
+            & F.col("c_acctbal").isNotNull()
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+FILTER_NULL_IN_LIKE_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+  AND c_name LIKE '%1%'
+  AND c_acctbal IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------- joins
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer (sort-merge / shuffle-hash at scale;
+    AQE may elect broadcast at small SF — both correct)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+JOIN_INNER_SQL = """
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, with order aggregates where present."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey)                AS n_orders,
+       COALESCE(SUM(o_totalprice), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two aggregates over disjoint-ish key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big_orders = o.where(F.col("o_totalprice") > 300000).select("o_orderkey", "o_totalprice")
+    heavy_lines = (
+        l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big_orders.join(heavy_lines, big_orders.o_orderkey == heavy_lines.l_orderkey, "full")
+        .select("o_orderkey", "o_totalprice", "l_orderkey", "total_qty")
+    )
+
+
+JOIN_FULL_SQL = """
+WITH big_orders AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+), heavy_lines AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT o_orderkey, o_totalprice, l_orderkey, total_qty
+FROM big_orders FULL OUTER JOIN heavy_lines ON o_orderkey = l_orderkey
+"""
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with explicit broadcast of the dims.
+
+    The `F.broadcast` hint pins BroadcastHashJoin: at 100 TB the customer
+    side streams through without any shuffle (verified in test_plans.py).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("sum_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT r_name, n_name,
+       COUNT(*)       AS n_customers,
+       SUM(c_acctbal) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having at least one urgent order."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+#: Price bands for the non-equi range join (tiny literal dimension).
+PRICE_BANDS = [
+    ("band_low", 0.0, 100000.0),
+    ("band_mid", 100000.0, 250000.0),
+    ("band_high", 250000.0, 600000.0),
+]
+
+
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: orders banded by price range.
+
+    The band table is 3 rows → broadcast nested-loop; the orders side
+    streams once.  This is the correct 100 TB shape for tiny theta dims;
+    for two *large* range sides the engine path is `asof.py`'s bucketing.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("sum_price"))
+        .orderBy("band")
+    )
+
+
+JOIN_THETA_RANGE_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('band_low', 0.0, 100000.0),
+         ('band_mid', 100000.0, 250000.0),
+         ('band_high', 250000.0, 600000.0)
+)
+SELECT band, COUNT(*) AS n_orders, SUM(o_totalprice) AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two tiny dims (5 × 25 rows)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_regionkey", "r_name", "n_nationkey", "n_name")
+
+
+JOIN_CROSS_SQL = """
+SELECT r_regionkey, r_name, n_nationkey, n_name
+FROM region CROSS JOIN nation
+"""
+
+
+# ---------------------------------------------------------- sort / top-k
+
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — compiles to TakeOrderedAndProject: each
+    partition keeps its top 25, the driver merges 25 × #partitions rows.
+    A unique tiebreaker (o_orderkey) makes the result deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment: one shuffle on the group key, then a
+    per-partition sort — the canonical distributed top-k-per-group."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rk <= 3
+"""
+
+
+# ------------------------------------------------------------- set ops
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL then UNION DISTINCT of two customer-key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.unionByName(big_spenders).distinct()
+
+
+SET_UNION_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(big_spenders)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.subtract(big_spenders)  # EXCEPT DISTINCT semantics
+
+
+SET_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+QUERIES = {
+    "q_project_filter": project_filter,
+    "q_filter_null_in_like": filter_null_in_like,
+    "q_join_inner": join_inner,
+    "q_join_left": join_left,
+    "q_join_full": join_full,
+    "q_join_broadcast": join_broadcast,
+    "q_join_semi": join_semi,
+    "q_join_anti": join_anti,
+    "q_join_theta_range": join_theta_range,
+    "q_join_cross": join_cross,
+    "q_sort_limit": sort_limit,
+    "q_topk_per_group": topk_per_group,
+    "q_set_union": set_union,
+    "q_set_intersect": set_intersect,
+    "q_set_except": set_except,
+}
+
+ORACLE = {
+    "q_project_filter": PROJECT_FILTER_SQL,
+    "q_filter_null_in_like": FILTER_NULL_IN_LIKE_SQL,
+    "q_join_inner": JOIN_INNER_SQL,
+    "q_join_left": JOIN_LEFT_SQL,
+    "q_join_full": JOIN_FULL_SQL,
+    "q_join_broadcast": JOIN_BROADCAST_SQL,
+    "q_join_semi": JOIN_SEMI_SQL,
+    "q_join_anti": JOIN_ANTI_SQL,
+    "q_join_theta_range": JOIN_THETA_RANGE_SQL,
+    "q_join_cross": JOIN_CROSS_SQL,
+    "q_sort_limit": SORT_LIMIT_SQL,
+    "q_topk_per_group": TOPK_PER_GROUP_SQL,
+    "q_set_union": SET_UNION_SQL,
+    "q_set_intersect": SET_INTERSECT_SQL,
+    "q_set_except": SET_EXCEPT_SQL,
+}

@@ -1,0 +1,138 @@
+"""Window-function operators: ranking, analytic (lag/lead), frames.
+
+Absent from the reference (SURVEY.md §2.1 "explicitly absent").  Windows in
+Spark shuffle once on ``partitionBy`` and sort within partitions; all four
+queries below share that single-shuffle shape.  Every ORDER BY carries a
+unique tiebreaker so ranks/offsets are deterministic under the driver's
+value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank over orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+WIN_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         RANK()       OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t
+WHERE rn <= 5
+"""
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history (time series step)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w)).alias("delta_prev"),
+    )
+
+
+WIN_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       LAG(o_totalprice, 1)  OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       o_totalprice - LAG(o_totalprice, 1) OVER w AS delta_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total: ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum("o_totalprice").over(w).alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+WIN_RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       SUM(o_totalprice) OVER w AS running_total,
+       COUNT(*)          OVER w AS running_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average: ROWS BETWEEN 2 PRECEDING AND CURRENT ROW."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.avg("o_totalprice").over(w).alias("moving_avg_3"),
+    )
+
+
+WIN_MOVING_AVG_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       AVG(o_totalprice) OVER w AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES = {
+    "q_win_rank": win_rank,
+    "q_win_lag_lead": win_lag_lead,
+    "q_win_running_sum": win_running_sum,
+    "q_win_moving_avg": win_moving_avg,
+}
+
+ORACLE = {
+    "q_win_rank": WIN_RANK_SQL,
+    "q_win_lag_lead": WIN_LAG_LEAD_SQL,
+    "q_win_running_sum": WIN_RUNNING_SUM_SQL,
+    "q_win_moving_avg": WIN_MOVING_AVG_SQL,
+}
