@@ -18,12 +18,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mysqldump_to_parquet_spark.operators import aggregates, relational, windows
+from mysqldump_to_parquet_spark.sources import mysqldump as mysqldump_source
 
 #: Ordered module registry — every operator module lands here.
 _MODULES = [
     aggregates,
     relational,
     windows,
+    mysqldump_source,
 ]
 
 SF0001 = "/root/testdata/sf0.001"

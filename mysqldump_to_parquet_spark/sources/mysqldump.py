@@ -1,0 +1,648 @@
+"""MySQL logical-dump → Parquet ingest — the reference's entire job,
+re-expressed Spark-first.
+
+Reference behavior being matched (SURVEY.md §2.1, /root/reference/src/):
+
+* statement grammar: lines accumulate until a trailing ``;``; ``--``
+  comments, one-line ``/* … */;`` blocks and blank lines dropped; only
+  ``CREATE TABLE`` / ``INSERT INTO`` statements survive (main.rs:110–145).
+* ``cleanup_key``: MySQL index prefix lengths (``KEY k (col(144))``) are
+  stripped inside CREATE TABLE via a paren-depth scan (main.rs:158–181).
+* DDL type mapping (line_parser.rs:122–174) with the reference's semantic
+  bugs *fixed*, per SURVEY.md §1.2: DECIMAL → DecimalType (reference: lossy
+  Int64), BOOLEAN → BooleanType (reference: panics), DATE → DateType
+  (reference: panics on 10-char literals), TIME → StringType (no Spark
+  time-of-day type on this line).
+* nullability: default nullable; NOT NULL → False; NULL → True; inline or
+  table-level PRIMARY KEY → False (line_parser.rs:176–193).
+* column names lowercased (line_parser.rs:39); timestamps parsed as UTC
+  (parquet_writer.rs:186–191); Integer→Float widening (parquet_writer.rs:162);
+  any other value/column mismatch is an error (C3).
+* sink: one Snappy Parquet dataset per table (parquet_writer.rs:69–91) —
+  a *directory* per table here (multi-part output is the scale story).
+
+Execution model (replaces the reference's 3-thread pipeline, main.rs:88–108):
+
+* ``spark.read.text`` splits on line boundaries, so every ``INSERT`` row of
+  a mysqldump (one statement per line under the default --extended-insert)
+  is a complete record — INSERT parsing is embarrassingly parallel across
+  executors with no cross-partition state.
+* DDL + noise lines (everything that is not an INSERT) are a few KB even in
+  a 100 TB dump; they are collected to the driver once and reassembled with
+  the reference grammar.  This two-pass split also removes the reference's
+  "CREATE TABLE must precede its INSERTs, no interleaving" restriction
+  (README.md:13–17).
+* Per table, INSERT lines are filtered (predicate prunes at the scan),
+  tokenized in ``mapPartitions`` (pure Python, no driver involvement),
+  coerced to carrier types, and written as Parquet.  Gzip dumps are
+  unsplittable → one task per *file*; parallelism at scale comes from many
+  dump files, which is how mysqldump output ships in practice.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# statement grammar (pure Python — no Spark needed, unit-tested directly)
+# --------------------------------------------------------------------------
+
+
+def cleanup_key(line: str) -> str:
+    """Strip MySQL index prefix lengths: ``KEY k (col(144))`` → ``KEY k (col)``.
+
+    Same paren-depth semantics as the reference (main.rs:158–181): content at
+    depth ≥ 2 is dropped, including the depth-2 closing paren.
+    """
+    if "KEY " not in line:
+        return line
+    out: list[str] = []
+    depth = 0
+    for ch in line:
+        if ch == "(":
+            depth += 1
+        if ch == ")":
+            depth -= 1
+            if depth == 1:
+                continue
+        if depth >= 2:
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+def _is_noise(line: str) -> bool:
+    """Comment/blank filter (main.rs:123–128)."""
+    return (
+        not line
+        or line.startswith("--")
+        or (line.startswith("/*") and line.endswith("*/;"))
+    )
+
+
+def iter_statements(lines: Iterable[str]) -> Iterator[str]:
+    """Reassemble trimmed lines into SQL statements; yield only
+    CREATE TABLE / INSERT INTO statements (main.rs:110–145)."""
+    current: list[str] = []
+    in_create = False
+    for raw in lines:
+        line = raw.strip()
+        if _is_noise(line):
+            continue
+        if in_create:
+            current.append(cleanup_key(line))
+        else:
+            current.append(line)
+            if not in_create and line.startswith("CREATE TABLE"):
+                in_create = True
+        if line.endswith(";"):
+            stmt = " ".join(current).strip()
+            if stmt.startswith("CREATE TABLE") or stmt.startswith("INSERT INTO"):
+                yield stmt
+            current.clear()
+            in_create = False
+
+
+# --------------------------------------------------------------------------
+# DDL → StructType
+# --------------------------------------------------------------------------
+
+#: MySQL type name → Spark type factory.  args = the parenthesized ints.
+#: Mapping mirrors line_parser.rs:122–174 with SURVEY §1.2 fixes.
+_STRING_TYPES = {
+    "char", "varchar", "tinytext", "text", "mediumtext", "longtext",
+    "enum", "set", "string", "json",
+}
+_INT_TYPES = {
+    "tinyint", "smallint", "mediumint", "int", "integer", "bigint",
+    "int2", "int4", "int8", "int64", "serial", "year", "bit",
+}
+_FLOAT_TYPES = {"float", "float4", "float8", "float64", "real", "double"}
+_DECIMAL_TYPES = {"decimal", "numeric", "dec", "bignumeric", "bigdecimal", "fixed"}
+_BINARY_TYPES = {
+    "binary", "varbinary", "tinyblob", "blob", "mediumblob", "longblob",
+}
+
+_COL_RE = re.compile(r"^`(?P<q>[^`]+)`|^(?P<b>[A-Za-z_][A-Za-z0-9_]*)")
+_TYPE_RE = re.compile(
+    r"^\s*(?P<name>[A-Za-z][A-Za-z0-9_]*)"
+    r"(?:\s*\(\s*(?P<args>[^)]*)\s*\))?"
+    r"(?P<rest>.*)$",
+    re.S,
+)
+_TABLE_NAME_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(?P<name>[A-Za-z0-9_$]+)[`\"]?\s*\(",
+    re.I,
+)
+_NON_COLUMN_PREFIXES = (
+    "primary key", "unique key", "unique index", "key ", "key(", "index ",
+    "index(", "constraint", "foreign key", "fulltext", "spatial", "check",
+    "unique (",
+)
+
+
+class DumpParseError(ValueError):
+    """Parse failure with table/column context (replaces the reference's
+    bail!/panic, line_parser.rs:170–173)."""
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a CREATE TABLE body on commas at paren depth 0, quote-aware."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    start = 0
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if quote:
+            if ch == "\\" and quote == "'":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = body[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _map_type(table: str, col: str, type_name: str, args: list[int], unsigned: bool):
+    tn = type_name.lower()
+    if tn in _DECIMAL_TYPES:
+        p = args[0] if args else 10
+        s = args[1] if len(args) > 1 else 0
+        return T.DecimalType(min(p, 38), min(s, 37))
+    if tn in ("bool", "boolean"):
+        return T.BooleanType()
+    if tn == "date":
+        return T.DateType()
+    if tn in ("datetime", "timestamp"):
+        return T.TimestampType()
+    if tn == "time":
+        return T.StringType()  # no time-of-day type; documented divergence
+    if tn in _INT_TYPES:
+        return T.LongType()
+    if tn in _FLOAT_TYPES:
+        return T.DoubleType()
+    if tn in _STRING_TYPES:
+        return T.StringType()
+    if tn in _BINARY_TYPES:
+        return T.BinaryType()
+    raise DumpParseError(f"unsupported column type {type_name!r} for {table}.{col}")
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    table: str
+    schema: T.StructType
+
+
+def parse_create_table(stmt: str) -> TableSchema:
+    """CREATE TABLE statement → (table, StructType).
+
+    Nullability rules per line_parser.rs:176–193 (first matching option
+    wins; table-level PRIMARY KEY forces its columns NOT NULL); names
+    lowercased per line_parser.rs:39.
+    """
+    m = _TABLE_NAME_RE.match(stmt)
+    if not m:
+        raise DumpParseError(f"cannot find table name in: {stmt[:120]!r}")
+    table = m.group("name").lower()
+    body_start = m.end() - 1
+    body_end = stmt.rfind(")")
+    if body_end <= body_start:
+        raise DumpParseError(f"unterminated CREATE TABLE body for {table}")
+    body = stmt[body_start + 1 : body_end]
+
+    fields: list[tuple[str, object, bool]] = []
+    pk_cols: set[str] = set()
+    for part in _split_top_level(body):
+        low = part.lower()
+        if any(low.startswith(p) for p in _NON_COLUMN_PREFIXES):
+            if low.startswith("primary key") and "(" in part:
+                cols_blob = re.findall(r"\(([^)]*)\)", part)[0]
+                pk_cols.update(c.strip(" `\"").lower() for c in cols_blob.split(","))
+            continue
+        cm = _COL_RE.match(part)
+        if not cm:
+            raise DumpParseError(f"cannot parse column def in {table}: {part[:80]!r}")
+        col = (cm.group("q") or cm.group("b")).lower()
+        tm = _TYPE_RE.match(part[cm.end() :])
+        if not tm:
+            raise DumpParseError(f"cannot parse type for {table}.{col}")
+        args = [
+            int(a) for a in (tm.group("args") or "").replace("'", "").split(",")
+            if a.strip().isdigit()
+        ]
+        rest = tm.group("rest") or ""
+        rest_low = " " + " ".join(rest.split()).lower() + " "
+        unsigned = " unsigned " in rest_low
+        dtype = _map_type(table, col, tm.group("name"), args, unsigned)
+
+        # first matching option wins (line_parser.rs:176–193)
+        nullable = True
+        for opt_m in re.finditer(r"not\s+null|null|primary\s+key|unique", rest_low):
+            opt = " ".join(opt_m.group(0).split())
+            if opt == "not null" or opt == "primary key":
+                nullable = False
+                break
+            if opt == "null":
+                nullable = True
+                break
+            # bare "unique" alone does not imply NOT NULL
+        fields.append((col, dtype, nullable))
+
+    struct = T.StructType(
+        [
+            T.StructField(name, dtype, nullable and name not in pk_cols)
+            for name, dtype, nullable in fields
+        ]
+    )
+    if not struct.fields:
+        raise DumpParseError(f"CREATE TABLE {table} has no columns")
+    return TableSchema(table, struct)
+
+
+# --------------------------------------------------------------------------
+# INSERT → rows (value tokenizer — the P3 analog, line_parser.rs:200–272)
+# --------------------------------------------------------------------------
+
+_INSERT_TABLE_RE = re.compile(
+    r"^INSERT\s+INTO\s+[`\"]?(?P<name>[A-Za-z0-9_$]+)[`\"]?", re.I
+)
+
+#: MySQL backslash escapes (https://dev.mysql.com/doc/refman/8.0/en/string-literals.html)
+_ESCAPES = {
+    "0": "\0", "'": "'", '"': '"', "b": "\b", "n": "\n", "r": "\r",
+    "t": "\t", "Z": "\x1a", "\\": "\\", "%": "\\%", "_": "\\_",
+}
+
+_NUM_CHARS = set("0123456789+-.eE")
+
+
+def insert_table_name(stmt: str) -> str | None:
+    m = _INSERT_TABLE_RE.match(stmt)
+    return m.group("name").lower() if m else None
+
+
+def parse_insert(stmt: str) -> tuple[str, list[tuple]]:
+    """INSERT INTO t VALUES (...),(...) → (table, rows of Python literals).
+
+    Literal typing matches the reference (line_parser.rs:229–258): numbers
+    are int unless they contain '.'/exponent, strings stay strings,
+    TRUE/FALSE → bool, NULL → None, unary minus folds into the number.
+    """
+    table = insert_table_name(stmt)
+    if table is None:
+        raise DumpParseError(f"cannot find table in INSERT: {stmt[:80]!r}")
+    upper = stmt.upper()
+    vpos = upper.find("VALUES")
+    if vpos < 0:
+        raise DumpParseError(f"INSERT without VALUES for {table}")
+    s = stmt
+    i = vpos + len("VALUES")
+    n = len(s)
+    rows: list[tuple] = []
+    row: list = []
+
+    while i < n:
+        ch = s[i]
+        if ch in " \t\r\n,":
+            i += 1
+            continue
+        if ch == ";":
+            break
+        if ch != "(":
+            raise DumpParseError(f"expected '(' at {i} in INSERT for {table}")
+        i += 1
+        row = []
+        while True:
+            while i < n and s[i] in " \t\r\n":
+                i += 1
+            ch = s[i]
+            if ch == ")":
+                i += 1
+                break
+            if ch == ",":
+                i += 1
+                continue
+            if ch == "'":
+                # string literal: backslash escapes + '' doubling
+                buf: list[str] = []
+                i += 1
+                while i < n:
+                    c = s[i]
+                    if c == "\\" and i + 1 < n:
+                        buf.append(_ESCAPES.get(s[i + 1], s[i + 1]))
+                        i += 2
+                        continue
+                    if c == "'":
+                        if i + 1 < n and s[i + 1] == "'":
+                            buf.append("'")
+                            i += 2
+                            continue
+                        i += 1
+                        break
+                    buf.append(c)
+                    i += 1
+                row.append("".join(buf))
+                continue
+            # unquoted token: number / NULL / TRUE / FALSE
+            j = i
+            while j < n and s[j] not in ",) \t\r\n":
+                j += 1
+            tok = s[i:j]
+            i = j
+            up = tok.upper()
+            if up == "NULL":
+                row.append(None)
+            elif up == "TRUE":
+                row.append(True)
+            elif up == "FALSE":
+                row.append(False)
+            elif tok and set(tok) <= _NUM_CHARS:
+                if "." in tok or "e" in tok or "E" in tok:
+                    row.append(float(tok))
+                else:
+                    row.append(int(tok))
+            elif up.startswith("0X"):
+                row.append(bytes.fromhex(tok[2:]))
+            else:
+                raise DumpParseError(
+                    f"unsupported literal {tok[:40]!r} in INSERT for {table}"
+                )
+        rows.append(tuple(row))
+    return table, rows
+
+
+# --------------------------------------------------------------------------
+# schema-directed coercion (C1–C3 analogs) and the Spark pipeline
+# --------------------------------------------------------------------------
+
+
+def carrier_field(f: T.StructField) -> T.StructField:
+    """Executor-side carrier type for a target field: temporal/decimal ride
+    as strings and are cast JVM-side (C1); the rest carry their own type."""
+    if isinstance(f.dataType, (T.TimestampType, T.DateType, T.DecimalType)):
+        return T.StructField(f.name, T.StringType(), True)
+    return T.StructField(f.name, f.dataType, True)
+
+
+def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
+    """Python-side value coercion mirroring the reference's write-time rules:
+    Integer→Float widening (C2, parquet_writer.rs:162), everything else must
+    already match (C3 — mismatch raises with column context)."""
+    if len(row) != len(target.fields):
+        raise DumpParseError(
+            f"{table}: row has {len(row)} values, schema has {len(target.fields)}"
+        )
+    out = []
+    for v, f in zip(row, target.fields):
+        if v is None:
+            out.append(None)
+        elif isinstance(f.dataType, T.DoubleType):
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise DumpParseError(f"{table}.{f.name}: {v!r} is not numeric")
+            out.append(float(v))  # C2 widening
+        elif isinstance(f.dataType, T.LongType):
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise DumpParseError(f"{table}.{f.name}: {v!r} is not an integer")
+            out.append(v)
+        elif isinstance(f.dataType, T.BooleanType):
+            if isinstance(v, bool):
+                out.append(v)
+            elif isinstance(v, int) and v in (0, 1):
+                out.append(bool(v))  # MySQL dumps booleans as 0/1
+            else:
+                raise DumpParseError(f"{table}.{f.name}: {v!r} is not boolean")
+        elif isinstance(
+            f.dataType, (T.TimestampType, T.DateType, T.DecimalType)
+        ):
+            # ride as string; JVM-side try_to_timestamp/try_cast finishes C1
+            if isinstance(v, (int, float)):
+                v = repr(v)
+            if not isinstance(v, str):
+                raise DumpParseError(f"{table}.{f.name}: {v!r} not castable")
+            out.append(v)
+        elif isinstance(f.dataType, T.BinaryType):
+            out.append(v if isinstance(v, (bytes, bytearray)) else str(v).encode())
+        else:  # StringType
+            if not isinstance(v, str):
+                raise DumpParseError(
+                    f"{table}.{f.name}: expected string, got {v!r}"
+                )
+            out.append(v)
+    return tuple(out)
+
+
+def finish_casts(df: DataFrame, target: T.StructType) -> DataFrame:
+    """JVM-side schema-directed casts from carrier columns to target types.
+
+    Timestamps use the reference's fixed 'YYYY-mm-DD HH:mm:ss' layout under
+    the UTC session zone (C1, parquet_writer.rs:167–197); try_* variants map
+    malformed input to NULL instead of failing the job under ANSI mode.
+    """
+    cols = []
+    for f in target.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            c = F.expr(f"try_to_timestamp(`{f.name}`, 'yyyy-MM-dd HH:mm:ss')")
+        elif isinstance(f.dataType, T.DateType):
+            c = F.expr(f"try_cast(`{f.name}` AS date)")
+        elif isinstance(f.dataType, T.DecimalType):
+            c = F.expr(f"try_cast(`{f.name}` AS {f.dataType.simpleString()})")
+        else:
+            c = F.col(f.name)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructType]:
+    """Pass 1: reassemble DDL from the (tiny) non-INSERT line set."""
+    lines_df = spark.read.text(dump_path)
+    ddl_lines = [
+        r[0]
+        for r in lines_df.where(
+            ~F.col("value").startswith("INSERT INTO")
+        ).collect()
+    ]
+    schemas: dict[str, T.StructType] = {}
+    for stmt in iter_statements(ddl_lines):
+        if stmt.startswith("CREATE TABLE"):
+            ts = parse_create_table(stmt)
+            schemas[ts.table] = ts.schema
+    return schemas
+
+
+def insert_rows_df(
+    spark: SparkSession, dump_path: str, table: str, schema: T.StructType
+) -> DataFrame:
+    """Pass 2 (per table): parallel parse of that table's INSERT lines."""
+    carrier = T.StructType([carrier_field(f) for f in schema.fields])
+    lines_df = spark.read.text(dump_path).where(
+        F.col("value").startswith("INSERT INTO")
+    )
+
+    def parse_partition(rows):
+        for r in rows:
+            stmt = r[0].strip().rstrip(";") + ";"
+            t = insert_table_name(stmt)
+            if t != table:
+                continue
+            _, tuples = parse_insert(stmt)
+            for tup in tuples:
+                yield coerce_row(tup, schema, table)
+
+    rdd = lines_df.rdd.mapPartitions(parse_partition)
+    raw = spark.createDataFrame(rdd, carrier, verifySchema=False)
+    return finish_casts(raw, schema)
+
+
+def convert_dump(
+    spark: SparkSession,
+    dump_path: str,
+    output_dir: str,
+    compression: str = "snappy",
+) -> dict[str, int]:
+    """Full reference pipeline: dump → one Snappy Parquet dataset per table.
+
+    Returns {table: row_count}.  Two-pass: driver-side DDL (bytes), then a
+    parallel INSERT parse per table.  The input is re-scanned once per table
+    — with Parquet-side statement filtering pushed to the text scan; for
+    many-table dumps the lines DF is cached between passes.
+    """
+    schemas = collect_schemas(spark, dump_path)
+    counts: dict[str, int] = {}
+    for table, schema in schemas.items():
+        df = insert_rows_df(spark, dump_path, table, schema)
+        df.write.mode("overwrite").parquet(
+            f"{output_dir}/{table}", compression=compression
+        )
+        counts[table] = spark.read.parquet(f"{output_dir}/{table}").count()
+    return counts
+
+
+# --------------------------------------------------------------------------
+# queries() registrations
+# --------------------------------------------------------------------------
+
+#: A miniature dump exercising the full grammar, incl. the three semantic
+#: fixes (DECIMAL, BOOLEAN, DATE) the reference gets wrong (SURVEY §1.2).
+DEMO_DUMP = """-- MySQL dump 10.13  Distrib 8.0
+/*!40101 SET NAMES utf8mb4 */;
+DROP TABLE IF EXISTS `acct`;
+CREATE TABLE `acct` (
+  `id` bigint NOT NULL,
+  `name` varchar(255) CHARACTER SET utf8mb4 NOT NULL,
+  `balance` decimal(12,2) DEFAULT NULL,
+  `ratio` double DEFAULT NULL,
+  `active` boolean NOT NULL,
+  `created` timestamp NULL DEFAULT NULL,
+  `birthday` date DEFAULT NULL,
+  PRIMARY KEY (`id`),
+  KEY `name_index` (`name`(64))
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+LOCK TABLES `acct` WRITE;
+INSERT INTO `acct` VALUES (1,'alice',120.50,0.25,1,'2024-01-02 03:04:05','1990-05-06'),(2,'bob',NULL,-1.5,0,'2024-02-03 04:05:06',NULL),(3,'carol''s',3.14,2,1,NULL,'2001-12-31');
+UNLOCK TABLES;
+"""
+
+
+def _ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ingest_mysqldump: run the full pipeline on the demo dump in a temp
+    dir, read the Parquet back (side-effecting ⇒ rows-only driver check)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        dump = f"{tmp}/demo.sql"
+        with open(dump, "w") as fh:
+            fh.write(DEMO_DUMP)
+        convert_dump(spark, dump, f"{tmp}/out")
+        out = spark.read.parquet(f"{tmp}/out/acct")
+        out = out.cache()
+        out.count()  # materialize before the tempdir vanishes
+        return out.orderBy("id")
+
+
+def _scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_scan_parquet: projected scan + row count per file-level group —
+    checks the Parquet source end-to-end (pushdown verified in test_plans)."""
+    from ..catalog import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+SCAN_PARQUET_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sink_partitioned: partitioned Parquet write (the 100 TB layout:
+    partition pruning on ship-month) then read one partition back."""
+    import tempfile
+
+    from ..catalog import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    with tempfile.TemporaryDirectory() as tmp:
+        (
+            l.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(f"{tmp}/lineitem_parted")
+        )
+        back = (
+            spark.read.parquet(f"{tmp}/lineitem_parted")
+            .where(F.col("ship_month") == "1996-03")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("l_returnflag")
+        )
+        back = back.cache()
+        back.count()
+        return back
+
+
+SINK_PARTITIONED_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q_ingest_mysqldump": _ingest_demo,
+    "q_scan_parquet": _scan_parquet,
+    "q_sink_partitioned": _sink_partitioned,
+}
+
+ORACLE = {
+    # q_ingest_mysqldump: side-effecting, own-dump input → rows-only check.
+    "q_scan_parquet": SCAN_PARQUET_SQL,
+    "q_sink_partitioned": SINK_PARTITIONED_SQL,
+}

@@ -1,0 +1,157 @@
+"""Ingest unit tests — ports of the reference's three inline test modules
+(FIXTURES.md §A; /root/reference/src/main.rs:183–218,
+src/line_parser.rs:287–397) plus the dump→Parquet→read round-trip the
+reference lacks (its writer path has zero tests, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import types as T
+
+from mysqldump_to_parquet_spark.sources.mysqldump import (
+    DEMO_DUMP,
+    DumpParseError,
+    cleanup_key,
+    convert_dump,
+    iter_statements,
+    parse_create_table,
+    parse_insert,
+)
+
+
+# ---------------------------------------------------------------- cleanup_key
+# Cases from /root/reference/src/main.rs:188–216.
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("KEY `i` (`facebookConnectId`)", "KEY `i` (`facebookConnectId`)"),
+        ("KEY `i` (`facebookConnectId`(144))", "KEY `i` (`facebookConnectId`)"),
+        ("KEY `i` (`c`(144),`plop`)", "KEY `i` (`c`,`plop`)"),
+        ("KEY `i` (`c`(144),`plop`(12))", "KEY `i` (`c`,`plop`)"),
+        ("KEY `i` (`c`,`plop`(12))", "KEY `i` (`c`,`plop`)"),
+        ("FOREIGN KEY (`c`)", "FOREIGN KEY (`c`)"),
+        ("FOREIGN KEY (`c`(144))", "FOREIGN KEY (`c`)"),
+    ],
+)
+def test_cleanup_key(src, expected):
+    assert cleanup_key(src) == expected
+
+
+# ------------------------------------------------------------- INSERT parsing
+# Fixture from /root/reference/src/line_parser.rs:287–329.
+def test_parse_insert_multirow():
+    stmt = (
+        "INSERT INTO `user` VALUES (1, 'foobar', NULL, '2012-01-02 12:55:22', 0),"
+        " (1, 'foobar', NULL, '2012-01-02 12:55:22', 0),"
+        " (1, 'foobar', NULL, '2012-01-02 12:55:22', 0),"
+        " (1, 'foobar', NULL, '2012-01-02 12:55:22', -123);"
+    )
+    table, rows = parse_insert(stmt)
+    assert table == "user"
+    assert len(rows) == 4
+    assert rows[0] == (1, "foobar", None, "2012-01-02 12:55:22", 0)
+    assert rows[3][-1] == -123
+
+
+def test_parse_insert_escapes_and_types():
+    stmt = (
+        "INSERT INTO t VALUES "
+        "(1.5, -2.75, 'it''s', 'a\\'b', 'x\\ny', TRUE, FALSE, NULL, 1e3);"
+    )
+    _, rows = parse_insert(stmt)
+    assert rows[0] == (1.5, -2.75, "it's", "a'b", "x\ny", True, False, None, 1000.0)
+    assert isinstance(rows[0][0], float) and isinstance(rows[0][8], float)
+
+
+def test_parse_insert_rejects_garbage():
+    with pytest.raises(DumpParseError):
+        parse_insert("INSERT INTO t VALUES (NOW());")
+
+
+# ----------------------------------------------------------------- DDL → schema
+# Fixture from /root/reference/src/line_parser.rs:330–397 (FIXTURES.md §A1).
+USER_DDL = """CREATE TABLE `user` (
+  `id` bigint NOT NULL,
+  `shortName` varchar(255) CHARACTER SET utf8mb3 COLLATE utf8mb3_bin NOT NULL,
+  `avatarUuid` varchar(36) CHARACTER SET utf8mb3 COLLATE utf8mb3_bin DEFAULT NULL,
+  `registrationDate` timestamp NOT NULL DEFAULT CURRENT_TIMESTAMP,
+  `premiumExpirationDate` timestamp NULL DEFAULT NULL,
+  `excluded` tinyint(1) NOT NULL DEFAULT '0',
+  `company_lid` bigint DEFAULT NULL,
+  PRIMARY KEY (`lid`),
+  UNIQUE KEY `email_index` (`email`),
+  KEY `name_index` (`shortName`),
+  CONSTRAINT `user_ibfk_1` FOREIGN KEY (`company_lid`) REFERENCES `company` (`lid`)
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb3 COLLATE=utf8mb3_bin;"""
+
+
+def test_parse_create_table_reference_fixture():
+    ts = parse_create_table(" ".join(l.strip() for l in USER_DDL.splitlines()))
+    assert ts.table == "user"
+    expected = [
+        ("id", T.LongType(), False),
+        ("shortname", T.StringType(), False),
+        ("avataruuid", T.StringType(), True),
+        ("registrationdate", T.TimestampType(), False),
+        ("premiumexpirationdate", T.TimestampType(), True),
+        ("excluded", T.LongType(), False),
+        ("company_lid", T.LongType(), True),
+    ]
+    got = [(f.name, f.dataType, f.nullable) for f in ts.schema.fields]
+    assert got == expected
+
+
+def test_parse_create_table_type_fixes():
+    """The three reference bugs we fix (SURVEY.md §1.2 bugs 1–3)."""
+    ts = parse_create_table(
+        "CREATE TABLE `t` (`d` decimal(12,2) DEFAULT NULL, `b` boolean NOT NULL, "
+        "`dt` date DEFAULT NULL, `pk` int NOT NULL, PRIMARY KEY (`pk`));"
+    )
+    types = {f.name: (f.dataType, f.nullable) for f in ts.schema.fields}
+    assert types["d"] == (T.DecimalType(12, 2), True)
+    assert types["b"] == (T.BooleanType(), False)
+    assert types["dt"] == (T.DateType(), True)
+    assert types["pk"] == (T.LongType(), False)  # table-level PK → NOT NULL
+
+
+def test_parse_create_table_unknown_type_errors():
+    with pytest.raises(DumpParseError, match="t.x"):
+        parse_create_table("CREATE TABLE t (`x` geometry);")
+
+
+# ------------------------------------------------------- statement reassembly
+def test_iter_statements_filters_and_reassembles():
+    lines = DEMO_DUMP.splitlines()
+    stmts = list(iter_statements(lines))
+    # DROP/LOCK/UNLOCK/SET/comments all filtered (main.rs:136–142)
+    assert len(stmts) == 2
+    assert stmts[0].startswith("CREATE TABLE `acct`")
+    assert "(`name`)" in stmts[0]  # prefix length (64) stripped by cleanup_key
+    assert stmts[1].startswith("INSERT INTO `acct`")
+
+
+# ------------------------------------------------------------- round-trip (A4)
+def test_dump_roundtrip(spark, tmp_path):
+    dump = tmp_path / "demo.sql"
+    dump.write_text(DEMO_DUMP)
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"acct": 3}
+
+    df = spark.read.parquet(str(tmp_path / "out" / "acct")).orderBy("id")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "decimal(12,2)", "double", "boolean", "timestamp", "date",
+    ]
+    rows = df.collect()
+    assert rows[0].name == "alice"
+    assert rows[0].balance == Decimal("120.50")
+    assert rows[0].active is True
+    assert rows[0].created == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert rows[0].birthday == datetime.date(1990, 5, 6)
+    assert rows[1].balance is None and rows[1].ratio == -1.5 and rows[1].active is False
+    assert rows[2].name == "carol's"
+    # int literal 2 widened to double (C2, parquet_writer.rs:162)
+    assert rows[2].ratio == 2.0 and isinstance(rows[2].ratio, float)
+    assert rows[2].created is None
