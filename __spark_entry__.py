@@ -17,7 +17,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mysqldump_to_parquet_spark.operators import aggregates, relational, windows
+from mysqldump_to_parquet_spark.functions import scalar as fn_scalar
+from mysqldump_to_parquet_spark.functions import udfs as fn_udfs
+from mysqldump_to_parquet_spark.operators import aggregates, asof, relational, windows
 from mysqldump_to_parquet_spark.sources import mysqldump as mysqldump_source
 
 #: Ordered module registry — every operator module lands here.
@@ -25,7 +27,10 @@ _MODULES = [
     aggregates,
     relational,
     windows,
+    asof,
     mysqldump_source,
+    fn_scalar,
+    fn_udfs,
 ]
 
 SF0001 = "/root/testdata/sf0.001"

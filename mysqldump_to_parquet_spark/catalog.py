@@ -37,8 +37,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; pins the session confs needed for parity."""
+    """Load one fixture table; pins the session confs needed for parity.
+
+    ``events.ts`` is Parquet TIMESTAMP(NANOS), which the vectorized Spark
+    reader rejects; it is read as raw nanos (legacy conf) and floored to
+    microsecond TimestampType — matching DuckDB's own ns→µs truncation.
+    """
     configure_for_oracle(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

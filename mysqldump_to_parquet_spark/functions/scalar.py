@@ -1,0 +1,233 @@
+"""Scalar function families (SURVEY.md §2.2 ``q_fn_*``).
+
+All JVM-side ``pyspark.sql.functions`` — these stay inside whole-stage
+codegen; no Python is involved at execution time.  Where Spark and DuckDB
+return different integer widths for the same function (e.g. ``year()`` is
+int32 in Spark, int64 in DuckDB) the Spark side casts up to ``bigint`` so
+the driver's schema comparison sees identical shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat / substring / upper / lower / trim / regexp / split / length."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("first8"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("cust_num"),
+        F.regexp_replace("c_name", "0", "").alias("no_zeros"),
+        F.split("c_name", "#").getItem(1).alias("num_part"),
+        F.trim(F.lit("  padded  ")).alias("trimmed"),
+    )
+
+
+FN_STRING_SQL = """
+SELECT c_custkey,
+       UPPER(c_name)                                    AS name_upper,
+       LOWER(c_mktsegment)                              AS seg_lower,
+       LENGTH(c_name)                                   AS name_len,
+       SUBSTRING(c_name, 1, 8)                          AS first8,
+       CONCAT_WS('|', c_mktsegment, c_name)             AS seg_name,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+       regexp_replace(c_name, '0', '', 'g')             AS no_zeros,
+       string_split(c_name, '#')[2]                     AS num_part,
+       TRIM('  padded  ')                               AS trimmed
+FROM customer
+"""
+
+
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day, date_trunc, datediff, date_add — the C1 cast family
+    (reference parses 'YYYY-mm-DD hh:mm:ss' at fixed offsets,
+    parquet_writer.rs:167–197; these are its queryable descendants)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_95"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+FN_DATE_SQL = """
+SELECT o_orderkey,
+       YEAR(o_orderdate)                                   AS yr,
+       MONTH(o_orderdate)                                  AS mo,
+       DAY(o_orderdate)                                    AS dom,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       CAST(o_orderdate AS DATE) + 30                      AS due_date
+FROM orders
+"""
+
+
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/log10/pow/mod."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round() on a true-integer value — both engines agree; rounding an
+        # arbitrary quotient at .5 boundaries diverges (HALF_UP-on-string vs
+        # binary) and is deliberately avoided.
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.ln(F.col("l_extendedprice") + 1).alias("ln_price"),
+        F.log10(F.col("l_extendedprice") + 1).alias("log10_price"),
+        F.pow("l_tax", 2).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+FN_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_tax * 100) AS BIGINT)       AS tax_pct,
+       ABS(l_discount - 0.05)                   AS disc_dev,
+       CAST(CEIL(l_quantity) AS BIGINT)         AS qty_ceil,
+       CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
+       LN(l_extendedprice + 1)                  AS ln_price,
+       LOG10(l_extendedprice + 1)               AS log10_price,
+       POW(l_tax, 2)                            AS tax_sq,
+       l_orderkey % 7                           AS mod7
+FROM lineitem
+"""
+
+
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order functions on the embedding column: size,
+    element access, transform + aggregate (sequential fold — both engines
+    fold left-to-right, so the double arithmetic matches exactly)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_elem"),
+        F.aggregate(
+            dbl, F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("l2norm_sq"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+FN_ARRAY_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT)                       AS dim,
+       CAST(embedding[1] AS DOUBLE)                         AS first_elem,
+       list_reduce(
+         list_prepend(0.0,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (acc, x) -> acc + x)                               AS l2norm_sq,
+       CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                            x -> x > 0)) AS BIGINT)         AS n_positive
+FROM embeddings
+"""
+
+
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element_at/map_keys, projected to scalars so the
+    oracle stays hash-comparable."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("et"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "et").alias("et_val"),
+        F.element_at(m, "uid").cast("long").alias("uid_val"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+FN_MAP_SQL = """
+SELECT event_id,
+       event_type                 AS et_val,
+       user_id                    AS uid_val,
+       'et,uid'                   AS key_list,
+       CAST(2 AS BIGINT)          AS n_keys
+FROM events
+"""
+
+
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + schema-directed from_json on events.props."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_num"),
+    )
+
+
+FN_JSON_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k')            AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+FROM events
+"""
+
+
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_tier"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("pending"))
+        .alias("status_or_pending"),
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias("prio_or_null"),
+    )
+
+
+FN_COND_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END                                  AS size_tier,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'pending')        AS status_or_pending,
+       NULLIF(o_orderpriority, '4-NOT SPECIFIED')             AS prio_or_null
+FROM orders
+"""
+
+
+QUERIES = {
+    "q_fn_string": fn_string,
+    "q_fn_date": fn_date,
+    "q_fn_math": fn_math,
+    "q_fn_array": fn_array,
+    "q_fn_map": fn_map,
+    "q_fn_json": fn_json,
+    "q_fn_cond": fn_cond,
+}
+
+ORACLE = {
+    "q_fn_string": FN_STRING_SQL,
+    "q_fn_date": FN_DATE_SQL,
+    "q_fn_math": FN_MATH_SQL,
+    "q_fn_array": FN_ARRAY_SQL,
+    "q_fn_map": FN_MAP_SQL,
+    "q_fn_json": FN_JSON_SQL,
+    "q_fn_cond": FN_COND_SQL,
+}
