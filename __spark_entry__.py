@@ -21,6 +21,7 @@ from mysqldump_to_parquet_spark.functions import scalar as fn_scalar
 from mysqldump_to_parquet_spark.functions import udfs as fn_udfs
 from mysqldump_to_parquet_spark.operators import aggregates, asof, relational, windows
 from mysqldump_to_parquet_spark.sources import mysqldump as mysqldump_source
+from mysqldump_to_parquet_spark.streaming import windows as stream_windows
 
 #: Ordered module registry — every operator module lands here.
 _MODULES = [
@@ -31,6 +32,7 @@ _MODULES = [
     mysqldump_source,
     fn_scalar,
     fn_udfs,
+    stream_windows,
 ]
 
 SF0001 = "/root/testdata/sf0.001"

