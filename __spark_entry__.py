@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysqldump_to_parquet_spark.functions import scalar as fn_scalar
 from mysqldump_to_parquet_spark.functions import udfs as fn_udfs
+from mysqldump_to_parquet_spark.llm import dedup as llm_dedup
+from mysqldump_to_parquet_spark.llm import multimodal as llm_multimodal
+from mysqldump_to_parquet_spark.llm import similarity as llm_similarity
+from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
 from mysqldump_to_parquet_spark.operators import aggregates, asof, relational, windows
 from mysqldump_to_parquet_spark.sources import mysqldump as mysqldump_source
 from mysqldump_to_parquet_spark.streaming import windows as stream_windows
@@ -33,6 +37,10 @@ _MODULES = [
     fn_scalar,
     fn_udfs,
     stream_windows,
+    llm_dedup,
+    llm_similarity,
+    llm_textstats,
+    llm_multimodal,
 ]
 
 SF0001 = "/root/testdata/sf0.001"

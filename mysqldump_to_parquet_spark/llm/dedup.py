@@ -1,0 +1,273 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these operators at 100 TB):
+
+* **Exact** is a hash-groupBy — one shuffle on a 64-hex key, map-side
+  partial aggregation; the full text never shuffles (only its SHA-256).
+* **MinHash+LSH** shuffles fixed-size signatures (k hashes per doc) and
+  joins only within LSH bands/buckets — candidate pairs, never the O(n²)
+  cross product.  Uses spark.ml's MinHashLSH (HashingTF shingles →
+  approxSimilarityJoin).
+* **SimHash** reduces each document to a single 64-bit fingerprint via a
+  per-row higher-order-function fold (no explode, no extra shuffle); near
+  duplicates then group by fingerprint bands.
+* **n-gram Jaccard** is the exact verifier run on *candidate pairs only*
+  (here a bounded doc subset) — at scale it post-filters LSH candidates.
+* **Embedding near-dup** is top-1-neighbor by cosine; brute force on a
+  bounded window here, the IVF/LSH path in ``similarity.py`` at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id as the
+    canonical representative (deterministic survivor policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id)  AS keep_id,
+       COUNT(*)     AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH over 3-token shingles.
+
+    shingle → HashingTF sparse vector → MinHash signatures →
+    approxSimilarityJoin (band-bucket join under the hood).  Approximate ⇒
+    rows-only driver check; invariants are pytest-asserted
+    (tests/test_llm.py: self-similarity, symmetry, containment of exact
+    dups).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(tokens) - 3, 0)),"
+            " i -> concat_ws(' ', slice(tokens, i + 1, 3)))"
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(toks).where(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash_expr(tokens_col: str, bits: int = 64):
+    """64-bit SimHash as a single higher-order-function fold: per token,
+    xxhash64 supplies the bit source; each bit position accumulates ±1; the
+    sign vector packs back into one BIGINT.  Entirely JVM-side, no explode,
+    no Python.  (SQL-expression form: the Python DSL's shiftright requires a
+    literal shift count, the SQL one accepts the lambda-bound column.)"""
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform({tokens_col}, t -> xxhash64(t)),
+              array_repeat(CAST(0 AS BIGINT), {bits}),
+              (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                                   (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+            sequence(0, {bits - 1}),
+            (c, b) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc | x)
+        """
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document + 4×16-bit bands for bucketing.
+
+    Engine-specific hash (xxhash64) ⇒ no cross-engine oracle; rows-only
+    check here, invariants in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_expr("tokens")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("tokens"))
+        .select(
+            "doc_id",
+            fp.alias("simhash"),
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            *[
+                (F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)))
+                .alias(f"band{i}")
+                for i in range(4)
+            ],
+        )
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity on candidate pairs (bounded subset
+    stands in for LSH candidates).  Set algebra via array_intersect/union —
+    distinct-element semantics in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sub = d.where(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+        ).alias("shingles"),
+    )
+    a = sub.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") > 0)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH sub AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+           i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+         )) AS shingles
+  FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+         AS jaccard
+FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+"""
+
+
+# ------------------------------------------------ embedding near-dup
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two double-array columns as sequential
+    left-to-right folds — bit-identical across engines that fold the same
+    way, and entirely codegen'd (no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-1 neighbor per query vector (bounded
+    query set × full corpus), the exact verifier of the ANN path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = e.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), dbl.alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), dbl.alias("cv"))
+    from pyspark.sql import Window
+
+    scored = (
+        q.join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", F.col("cand_id").alias("nearest_id"),
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH dbl AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])),
+           (s, x) -> s + x)
+         / (sqrt(list_reduce(list_prepend(0.0,
+               list_transform(q.v, x -> x * x)), (s, x) -> s + x))
+            * sqrt(list_reduce(list_prepend(0.0,
+               list_transform(c.v, x -> x * x)), (s, x) -> s + x)))
+         AS cosine
+  FROM dbl q JOIN dbl c ON q.vec_id < 30 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id AS nearest_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+) t
+WHERE rk = 1
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": dedup_exact,
+    "q_dedup_near": dedup_near_minhash,
+    "q_dedup_simhash": dedup_simhash,
+    "q_dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "q_dedup_embedding": dedup_embedding,
+}
+
+ORACLE = {
+    "q_dedup_exact": DEDUP_EXACT_SQL,
+    # q_dedup_near: LSH is approximate + seeded — rows-only check.
+    # q_dedup_simhash: engine-specific hash fn — rows-only check.
+    "q_dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "q_dedup_embedding": DEDUP_EMBEDDING_SQL,
+}

@@ -1,0 +1,147 @@
+"""Similarity search over the embeddings table.
+
+Two paths, as a real ANN stack is layered:
+
+* **Brute-force cosine top-k** (`q_sim_topk`) — the exact baseline.  The
+  probe is broadcast (a literal); the scan computes one fold per row and
+  TakeOrderedAndProject keeps k rows per partition → k global.  At 100 TB
+  this is a single pass, no shuffle beyond the k-row merge.
+* **LSH-bucketed ANN** (`q_sim_ann_lsh`) — the scale path: random
+  hyperplane signatures (sign of ⟨v, r_i⟩) bucket the corpus; only the
+  probe's bucket (± optional multi-probe) is scanned.  Bucketing is a
+  deterministic literal-matrix product, so the candidate set is stable;
+  recall/latency trades via ``n_planes``.  An IVF variant would replace the
+  hyperplanes with k-means centroids (spark.ml KMeans) — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import cosine_expr
+
+#: Deterministic rational probe vector (exact in binary doubles — no
+#: transcendental functions, so both engines see identical literals).
+PROBE = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _probe_col():
+    return F.array(*[F.lit(v) for v in PROBE])
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 against the fixed probe vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(cosine_expr(dbl, _probe_col()), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _probe_sql_list() -> str:
+    return "[" + ", ".join(repr(v) for v in PROBE) + "]"
+
+
+SIM_TOPK_SQL = f"""
+WITH probe AS (SELECT {_probe_sql_list()}::DOUBLE[] AS p)
+SELECT vec_id, label,
+       ROUND(
+         list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE) * p[i])),
+           (s, x) -> s + x)
+         / (sqrt(list_reduce(list_prepend(0.0,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (s, x) -> s + x))
+            * sqrt(list_reduce(list_prepend(0.0,
+               list_transform(p, x -> x * x)), (s, x) -> s + x)))
+       , 6) AS cosine
+FROM embeddings, probe
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+#: Banded random-hyperplane LSH: OR-construction over N_BANDS bands of
+#: N_PLANES sign bits each — a candidate matches if *any* band's full
+#: signature equals the probe's.  More bands ⇒ higher recall; more planes
+#: per band ⇒ fewer candidates.  Planes are integer-derived rationals
+#: (deterministic across runs and engines).
+N_BANDS = 6
+N_PLANES = 5
+
+
+def _plane(band: int, j: int) -> list[float]:
+    return [
+        (((i * 131 + band * 997 + j * 313 + 7) % 41) - 20) / 20.0 for i in range(64)
+    ]
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: scan only rows sharing ≥1 band signature with the
+    probe, rank candidates by exact cosine.  At 100 TB the corpus would be
+    written partitioned by band signature so the candidate fetch is a
+    partition-pruned read, not a scan.  Approximate ⇒ rows-only driver
+    check; recall vs q_sim_topk is pytest-asserted."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def band_sig(vec_col, band: int):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(v) for v in _plane(band, j)]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+                >= 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(N_PLANES)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    probe_sigs = (
+        spark.range(1)
+        .select(*[band_sig(_probe_col(), b).alias(f"b{b}") for b in range(N_BANDS)])
+        .collect()[0]
+    )
+    match_any = None
+    for b in range(N_BANDS):
+        cond = band_sig(dbl, b) == int(probe_sigs[b])
+        match_any = cond if match_any is None else (match_any | cond)
+    return (
+        e.where(match_any)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_expr(dbl, _probe_col()), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "q_sim_topk": sim_topk,
+    "q_sim_ann_lsh": sim_ann_lsh,
+}
+
+ORACLE = {
+    "q_sim_topk": SIM_TOPK_SQL,
+    # q_sim_ann_lsh: approximate-recall ANN — rows-only check.
+}

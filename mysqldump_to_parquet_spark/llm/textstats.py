@@ -1,0 +1,246 @@
+"""Text analysis over the documents table: corpus stats, language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in-function only (JVM codegen, no Python in the hot
+path): at 100 TB these run as a single scan + one small aggregate shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# --------------------------------------------------------------- corpus stats
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token/char distributions)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT lang,
+       COUNT(*)                                   AS n_docs,
+       SUM(len(string_split(text, ' ')))          AS total_tokens,
+       MIN(len(string_split(text, ' ')))          AS min_tokens,
+       MAX(len(string_split(text, ' ')))          AS max_tokens,
+       SUM(length(text))                          AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------- language ID
+
+#: Tiny per-language marker lexicons (n-gram-heuristic language ID; real
+#: deployments plug in fastText/CLD3 via a pandas UDF — see multimodal.py for
+#: the gated-dependency pattern).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "zh": ["的", "是", "不", "了", "在", "人"],
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score = |tokens ∩ markers| per language,
+    predict the argmax (ties → lexicographic first), 'und' when all zero."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        .cast("long")
+        .alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    scored = d.select("doc_id", "lang", *scores.values())
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best == 0, "und")
+    for l in langs:  # lexicographic-first argmax
+        pred = pred.when(F.col(f"score_{l}") == best, l)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(f"score_{l}") for l in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+_SCORE = (
+    "CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {markers}))"
+    " AS BIGINT)"
+)
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        _SCORE.format(markers=str(LANG_MARKERS[l])) + f" AS score_{l}" for l in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und'\n"
+    for l in langs:
+        case += f"            WHEN score_{l} = {best} THEN '{l}'\n"
+    case += "       END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {", ".join(f"score_{l}" for l in langs)},
+       {case} AS predicted_lang
+FROM scored
+"""
+
+
+# ------------------------------------------------------------- quality score
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, mean token length, punctuation
+    ratio, digit ratio, repetition (distinct/total tokens) — composited into
+    one double score.  Pure per-row arithmetic ⇒ exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""))
+    )
+    n_digit = n_chars - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
+    score = (
+        F.when(n_tok >= 20, 0.25).otherwise(0.0)
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.25).otherwise(0.0)
+        + F.when(n_punct / n_chars <= 0.2, 0.25).otherwise(0.0)
+        + distinct_ratio * 0.25
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_digit / n_chars).alias("digit_ratio"),
+        score.alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE)  AS n_tok,
+         CAST(length(text) AS DOUBLE)                  AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+              AS DOUBLE)                               AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE)                               AS n_digit,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT)        AS n_tokens,
+       n_distinct / n_tok           AS distinct_ratio,
+       n_punct / n_chars            AS punct_ratio,
+       n_digit / n_chars            AS digit_ratio,
+       (CASE WHEN n_tok >= 20 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN (n_chars - (n_tok - 1)) / n_tok BETWEEN 3 AND 12
+               THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_punct / n_chars <= 0.2 THEN 0.25 ELSE 0.0 END
+        + (n_distinct / n_tok) * 0.25) AS quality
+FROM base
+"""
+
+
+# -------------------------------------------------------------- token count
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex segmentation (letter runs, digit
+    runs, individual symbols) — the ~token-budget estimator."""
+    d = load_table(spark, sf_dir, "documents")
+    bpeish = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpeish), 0)).cast("long").alias(
+            "bpeish_tokens"
+        ),
+        F.ceil(F.length("text") / 4).cast("long").alias("chars_div4"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)  AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT)                               AS bpeish_tokens,
+       CAST(CEIL(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS chars_div4
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- fingerprint
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (md5 is identical across engines, unlike xxhash64) — catches
+    token-permuted duplicates that exact hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.md5("text").alias("exact_hash"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fingerprint,
+       md5(text) AS exact_hash
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_text_stats": text_stats,
+    "q_lang_id": lang_id,
+    "q_quality_score": quality_score,
+    "q_token_count": token_count,
+    "q_fingerprint": fingerprint,
+}
+
+ORACLE = {
+    "q_text_stats": TEXT_STATS_SQL,
+    "q_lang_id": _lang_id_sql(),
+    "q_quality_score": QUALITY_SCORE_SQL,
+    "q_token_count": TOKEN_COUNT_SQL,
+    "q_fingerprint": FINGERPRINT_SQL,
+}

@@ -202,11 +202,12 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    """LEFT ANTI (NOT EXISTS): customers with no large order (>350k)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    large = o.where(F.col("o_totalprice") > 350000)
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(large, c.c_custkey == large.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
 
@@ -214,7 +215,8 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
 """
 
 #: Price bands for the non-equi range join (tiny literal dimension).

@@ -1,0 +1,62 @@
+"""Invariant tests for the approximate LLM ops (no SQL oracle possible):
+MinHash-LSH candidate quality, SimHash locality, ANN recall vs the exact
+brute-force top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysqldump_to_parquet_spark.llm.dedup import dedup_near_minhash, dedup_simhash
+from mysqldump_to_parquet_spark.llm.similarity import sim_ann_lsh, sim_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_planted_duplicate(spark, tmp_path):
+    """Plant a near-duplicate pair and check LSH surfaces it."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.limit(50)
+    # duplicate doc 0's text under a new id with one token changed
+    src = base.where(F.col("doc_id") == 0).select("text").collect()[0][0]
+    mutated = " ".join(["ZZZ"] + src.split(" ")[1:])
+    extra = spark.createDataFrame(
+        [(100000, mutated, "en", "srcX", len(mutated))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    planted_dir = str(tmp_path / "docs")
+    base.unionByName(extra).write.parquet(f"{planted_dir}/documents.parquet")
+
+    pairs = dedup_near_minhash(spark, planted_dir).collect()
+    assert any(
+        (r.doc_a == 0 and r.doc_b == 100000) for r in pairs
+    ), f"planted near-dup not found in {len(pairs)} pairs"
+    # no self-pairs, ordered pairs only
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_simhash_locality(spark):
+    """Identical token multisets → identical simhash; the fingerprint is a
+    64-bit value with all bands derived consistently."""
+    out = dedup_simhash(spark, SF).collect()
+    assert len(out) == 500
+    by_id = {r.doc_id: r for r in out}
+    for r in out[:20]:
+        packed = 0
+        for i in range(4):
+            packed |= (getattr(r, f"band{i}") & 0xFFFF) << (16 * i)
+        assert packed == r.simhash & 0xFFFFFFFFFFFFFFFF
+    # determinism: rerun produces identical fingerprints
+    again = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF).collect()}
+    assert all(again[i] == by_id[i].simhash for i in by_id)
+
+
+def test_ann_recall_vs_exact(spark):
+    """LSH-bucketed ANN must return a subset of plausible neighbors with
+    decent recall of the exact top-10 (single-table, 12 planes)."""
+    exact = [r.vec_id for r in sim_topk(spark, SF).collect()]
+    approx = [r.vec_id for r in sim_ann_lsh(spark, SF).collect()]
+    # every ANN result must be a real vector, ordered by cosine desc
+    assert len(approx) <= 10
+    recall = len(set(exact) & set(approx)) / 10
+    # single-probe 12-bit LSH on random data: recall is modest but nonzero
+    assert recall >= 0.1, f"recall {recall} (exact={exact}, approx={approx})"
