@@ -32,6 +32,13 @@ BENCH_QUERY_NAMES = [
     "q_topk_per_group",
     "q_agg_distinct",
     "q_sort_limit",
+    "q_join_asof",
+    "q_stream_tumbling",
+    "q_udf_pandas_scalar",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_stats",
 ]
 
 
@@ -55,10 +62,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: second run measures warm-path cost
+            t0 = time.perf_counter()
+            df = registry[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

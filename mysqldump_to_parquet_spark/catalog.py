@@ -57,3 +57,15 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register fixture tables as temp views for the SQL API."""
     for name in names or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + spread across all cores.  For CPU-heavy per-row work (regex,
+    higher-order folds, vector math) over a corpus that arrives as few
+    input splits: without this the whole computation runs in the scan's
+    single task.  The shuffle it introduces is the price of parallelism on
+    a one-file input; many-file 100 TB inputs split naturally and should
+    use :func:`load_table` instead."""
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )

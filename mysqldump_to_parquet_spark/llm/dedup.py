@@ -52,28 +52,115 @@ GROUP BY sha256(text)
 
 # ------------------------------------------------------- MinHash + LSH
 
+#: MinHash/LSH parameters: K = B bands × R rows per band.  Band-match
+#: probability for Jaccard s is 1 - (1 - s^R)^B — with B=8, R=2 the curve
+#: crosses 50% near s ≈ 0.33, so pairs with s ≥ 0.4 are caught reliably.
+MH_BANDS = 8
+MH_ROWS = 2
+JACCARD_THRESHOLD = 0.4
 
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash LSH over 3-token shingles.
 
-    shingle → HashingTF sparse vector → MinHash signatures →
-    approxSimilarityJoin (band-bucket join under the hood).  Approximate ⇒
-    rows-only driver check; invariants are pytest-asserted
-    (tests/test_llm.py: self-similarity, symmetry, containment of exact
-    dups).
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    return d.select(
         "doc_id", F.split("text", " ").alias("tokens")
     ).select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, greatest(size(tokens) - 3, 0)),"
-            " i -> concat_ws(' ', slice(tokens, i + 1, 3)))"
+            f"array_distinct(transform(sequence(0, greatest(size(tokens) - {n}, 0)),"
+            f" i -> concat_ws(' ', slice(tokens, i + 1, {n}))))"
         ).alias("shingles"),
     )
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via native MinHash + banded LSH, built entirely from
+    DataFrame primitives (no ML pipeline, no UDF):
+
+    1. 3-token shingles per doc (array, distinct);
+    2. K = B·R minhashes: ``min(xxhash64(shingle, seed_k))`` — one
+       higher-order fold per seed, all inside codegen;
+    3. LSH bands: hash each R-row signature slice, explode to
+       (band_idx, band_hash, doc_id) — B rows per doc, *fixed size*
+       regardless of document length;
+    4. self-join on (band_idx, band_hash) → candidate pairs (never the
+       O(n²) cross product), distinct;
+    5. exact Jaccard verify on the candidate pairs only.
+
+    At 100 TB: steps 1–3 are a single scan; the candidate join shuffles
+    B·N fixed-width rows; the verify re-joins shingle arrays for candidate
+    ids only.  Approximate ⇒ rows-only driver check; planted-duplicate
+    recall is pytest-asserted (tests/test_llm.py).
+    """
+    # A small-file corpus arrives as one input split; everything from
+    # shingling on is CPU-bound per row, so spread rows across all cores
+    # *before* the projection (a repartition after it would still compute
+    # the shingles in the single scan task).  At real scale the many input
+    # files provide this parallelism for free.
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    # Shingle strings are hashed to int64 once; minhash seeds then hash the
+    # *long*, not the string (16× less string hashing), and the exact
+    # verify intersects long arrays (collision odds ~n²/2⁶⁴ — negligible).
+    sh = _shingles(docs).select(
+        "doc_id",
+        F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))").alias("hs"),
+    ).where(F.expr("size(hs) > 0"))
+    # sh feeds three plan branches (signatures + both verify sides);
+    # persist so the shingle+hash pass runs once, not three times.
+    sh = sh.persist()
+    k = MH_BANDS * MH_ROWS
+    # One pass over the hashed shingles computes all K minhashes.
+    sig = sh.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(hs,"
+            f" array_repeat(CAST(9223372036854775807 AS BIGINT), {k}),"
+            f" (acc, h) -> zip_with(acc, sequence(0, {k - 1}),"
+            f"                      (a, kk) -> least(a, xxhash64(h, kk))))"
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MH_BANDS - 1}),"
+                f" b -> xxhash64(slice(sig, b * {MH_ROWS} + 1, {MH_ROWS})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    candidates = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                / F.size(F.array_union("hs_a", "hs_b")).cast("double"),
+                4,
+            ).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_near_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml variant of q_dedup_near (HashingTF → MinHashLSH →
+    approxSimilarityJoin) — kept as the library-backed alternative; the
+    native primitive-built version above is the default engine path."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = _shingles(load_table(spark, sf_dir, "documents"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(toks).where(F.expr("size(shingles) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -259,6 +346,7 @@ WHERE rk = 1
 QUERIES = {
     "q_dedup_exact": dedup_exact,
     "q_dedup_near": dedup_near_minhash,
+    "q_dedup_near_ml": dedup_near_minhash_ml,
     "q_dedup_simhash": dedup_simhash,
     "q_dedup_ngram_jaccard": dedup_ngram_jaccard,
     "q_dedup_embedding": dedup_embedding,

@@ -1,0 +1,72 @@
+"""Physical-plan property tests — the scale contract, asserted.
+
+A correct answer with the wrong plan fails these: the point is that at
+100 TB the scan reads only needed columns/row-groups, dims broadcast, and
+top-k never global-sorts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysqldump_to_parquet_spark.operators import aggregates, relational
+from mysqldump_to_parquet_spark.plans.explain import (
+    codegen_stage_count,
+    formatted_plan,
+    has_operator,
+    has_pushed_filter,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = relational.project_filter(spark, SF)
+    assert has_pushed_filter(df, "l_quantity")
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_column_pruning(spark):
+    df = relational.project_filter(spark, SF)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    for cols in schemas:
+        # 11-column lineitem must be pruned to just the 6 referenced columns
+        assert len(cols) <= 6, f"scan reads too many columns: {cols}"
+        assert "l_returnflag" not in cols
+
+
+def test_flagship_q1_plan(spark):
+    df = aggregates.tpch_q1(spark, SF)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan
+    # two-phase agg: partial + final
+    assert plan.count("HashAggregate") >= 2
+    assert has_pushed_filter(df, "l_shipdate")
+    # codegen spans appear as *(n) markers in the final (post-AQE) plan
+    assert codegen_stage_count(df) >= 2  # scan→partial-agg and final-agg spans
+
+
+def test_broadcast_join_is_broadcast(spark):
+    df = relational.join_broadcast(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_limit_is_topk_not_global_sort(spark):
+    df = relational.sort_limit(spark, SF)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_semi_anti_join_operators(spark):
+    semi = relational.join_semi(spark, SF)
+    anti = relational.join_anti(spark, SF)
+    assert "LeftSemi" in formatted_plan(semi)
+    assert "LeftAnti" in formatted_plan(anti)
+
+
+def test_theta_join_broadcasts_tiny_side(spark):
+    df = relational.join_theta_range(spark, SF)
+    assert has_operator(df, "BroadcastNestedLoopJoin")
