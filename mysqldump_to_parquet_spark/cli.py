@@ -1,0 +1,56 @@
+"""Command-line entry point — parity with the reference's CLI
+(/root/reference/src/main.rs:26–37: positional input + ``--output``).
+
+    python -m mysqldump_to_parquet_spark.cli dump.sql[.gz] --output out/
+
+Differences from the reference, by design:
+* no stdin mode (a distributed engine reads paths; ``-`` is rejected with
+  a pointer to this note);
+* output is one Parquet *directory* per table (multi-part, scalable), not
+  one file;
+* ``--compression`` exposes the Parquet codec (default snappy, like the
+  reference's hardcoded choice).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="mysqldump_to_parquet_spark",
+        description="Convert a MySQL logical dump to one Parquet dataset per table.",
+    )
+    ap.add_argument("input", help="path to .sql or .sql.gz dump (glob ok)")
+    ap.add_argument("--output", "-o", required=True, help="output directory")
+    ap.add_argument("--compression", default="snappy")
+    ap.add_argument("--master", default=None, help="Spark master (default local[cores])")
+    args = ap.parse_args(argv)
+
+    if args.input == "-":
+        print(
+            "stdin is not supported: a distributed engine reads (many) paths; "
+            "write the dump to a file first",
+            file=sys.stderr,
+        )
+        return 2
+
+    from .session import get_spark
+    from .sources.mysqldump import convert_dump
+
+    spark = get_spark(app_name="mysqldump-to-parquet", master=args.master)
+    try:
+        counts = convert_dump(
+            spark, args.input, args.output, compression=args.compression
+        )
+        print(json.dumps({"tables": counts, "output": args.output}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

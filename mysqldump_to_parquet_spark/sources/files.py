@@ -1,0 +1,114 @@
+"""CSV / JSON file sources (SURVEY.md §2.2 "also planned" row).
+
+Both readers take explicit schemas — `inferSchema` costs a full extra pass
+at 100 TB and is never used.  The queries round-trip a fixture table
+through the format and aggregate the read-back, so the driver's oracle
+(running on the original Parquet) checks the full write→read→compute path.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_src_csv: Parquet → CSV (header, escaped) → schema'd read → agg."""
+    c = load_table(spark, sf_dir, "customer")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/customer_csv"
+        c.write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.schema(CUSTOMER_SCHEMA).option("header", True).csv(path)
+        out = (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("c_acctbal").alias("min_bal"),
+                F.max("c_acctbal").alias("max_bal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        out = out.cache()
+        out.count()  # materialize before tempdir vanishes
+        return out
+
+
+SRC_CSV_SQL = """
+SELECT c_mktsegment,
+       COUNT(*)       AS n_rows,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_src_json: Parquet → JSON lines → schema'd read → agg (doubles are
+    kept out of the JSON round-trip comparison: text serialization of
+    floats is a formatting rabbit hole, min/max on longs is exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/documents_json"
+        d.select("doc_id", "lang", "source", "n_chars").write.mode(
+            "overwrite"
+        ).json(path)
+        back = spark.read.schema(schema).json(path)
+        out = (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .orderBy("lang", "source")
+        )
+        out = out.cache()
+        out.count()
+        return out
+
+
+SRC_JSON_SQL = """
+SELECT lang, source,
+       COUNT(*)     AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MAX(doc_id)  AS max_doc_id
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "q_src_csv": src_csv,
+    "q_src_json": src_json,
+}
+
+ORACLE = {
+    "q_src_csv": SRC_CSV_SQL,
+    "q_src_json": SRC_JSON_SQL,
+}
