@@ -200,8 +200,36 @@ ORDER BY o_orderpriority
 """
 
 
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based exact path —
+    matches DuckDB's quantile_cont bit-for-bit); the sketch-based
+    ``percentile_approx``/KLL is the 100 TB path when exactness can yield."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+            F.median("l_quantity").alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_QUANTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, 0.5)      AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_agg_groupby": tpch_q1,
+    "q_agg_quantile": agg_quantile,
     "q_agg_distinct": agg_distinct,
     "q_agg_approx_distinct": agg_approx_distinct,
     "q_agg_rollup": agg_rollup,
@@ -212,6 +240,7 @@ QUERIES = {
 
 ORACLE = {
     "q_agg_groupby": TPCH_Q1_SQL,
+    "q_agg_quantile": AGG_QUANTILE_SQL,
     "q_agg_distinct": AGG_DISTINCT_SQL,
     # q_agg_approx_distinct: approximate — rows-only check (no oracle).
     "q_agg_rollup": AGG_ROLLUP_SQL,

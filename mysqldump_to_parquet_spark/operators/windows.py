@@ -123,8 +123,39 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
 """
 
 
+def win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing + first_value/last_value over a running frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("o_totalprice").over(wf).alias("first_price"),
+        F.last_value("o_totalprice").over(wf).alias("latest_price"),
+        (F.col("o_totalprice") / F.first_value("o_totalprice").over(wf)).alias(
+            "vs_first"
+        ),
+    )
+
+
+WIN_NTILE_SQL = """
+SELECT o_custkey, o_orderkey,
+       NTILE(4) OVER w                   AS quartile,
+       FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+       LAST_VALUE(o_totalprice) OVER wf  AS latest_price,
+       o_totalprice / FIRST_VALUE(o_totalprice) OVER wf AS vs_first
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q_win_rank": win_rank,
+    "q_win_ntile": win_ntile_firstlast,
     "q_win_lag_lead": win_lag_lead,
     "q_win_running_sum": win_running_sum,
     "q_win_moving_avg": win_moving_avg,
@@ -132,6 +163,7 @@ QUERIES = {
 
 ORACLE = {
     "q_win_rank": WIN_RANK_SQL,
+    "q_win_ntile": WIN_NTILE_SQL,
     "q_win_lag_lead": WIN_LAG_LEAD_SQL,
     "q_win_running_sum": WIN_RUNNING_SUM_SQL,
     "q_win_moving_avg": WIN_MOVING_AVG_SQL,
