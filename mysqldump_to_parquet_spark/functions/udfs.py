@@ -106,14 +106,59 @@ SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS token FROM idx
 """
 
 
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 3.5+ ``@udtf``): splits a document into
+    fixed-size token chunks — the LLM-pipeline "document chunker" shape
+    (1 row in, N context-window rows out)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
+    class Chunker:
+        CHUNK = 32
+
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), self.CHUNK):
+                part = toks[i : i + self.CHUNK]
+                yield i // self.CHUNK, len(part), " ".join(part)
+
+    spark.udtf.register("chunker", Chunker)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_subset")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, CAST(c.n_tokens AS BIGINT) AS n_tokens, c.chunk
+        FROM docs_subset d, LATERAL chunker(d.text) c
+        """
+    )
+
+
+UDTF_PYTHON_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 20
+), chunks AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(ts) / 32.0) AS BIGINT) - 1)) AS chunk_idx, ts
+  FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(ts[chunk_idx * 32 + 1 : chunk_idx * 32 + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(ts[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ') AS chunk
+FROM chunks
+"""
+
+
 QUERIES = {
     "q_udf_pandas_scalar": udf_pandas_scalar,
     "q_udaf_grouped": udaf_grouped,
     "q_udtf_explode": udtf_explode,
+    "q_udtf_python": udtf_python,
 }
 
 ORACLE = {
     "q_udf_pandas_scalar": UDF_PANDAS_SCALAR_SQL,
     "q_udaf_grouped": UDAF_GROUPED_SQL,
     "q_udtf_explode": UDTF_EXPLODE_SQL,
+    "q_udtf_python": UDTF_PYTHON_SQL,
 }

@@ -155,3 +155,17 @@ def test_dump_roundtrip(spark, tmp_path):
     # int literal 2 widened to double (C2, parquet_writer.rs:162)
     assert rows[2].ratio == 2.0 and isinstance(rows[2].ratio, float)
     assert rows[2].created is None
+
+
+def test_multi_file_dump_glob(spark, tmp_path):
+    """Many dump files via glob — the parallelism unit at 100 TB (each
+    gzip/file is one task; tables may span files)."""
+    (tmp_path / "d1.sql").write_text(DEMO_DUMP)
+    (tmp_path / "d2.sql").write_text(
+        "CREATE TABLE `tag` (`id` int NOT NULL, `label` varchar(10));\n"
+        "INSERT INTO `tag` VALUES (1,'a'),(2,'b');\n"
+        "INSERT INTO `acct` VALUES (9,'dora',1.00,0.5,1,'2024-03-01 00:00:00',NULL);\n"
+    )
+    counts = convert_dump(spark, str(tmp_path / "*.sql"), str(tmp_path / "out"))
+    # acct rows come from BOTH files; tag only from d2
+    assert counts == {"acct": 4, "tag": 2}

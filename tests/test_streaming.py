@@ -75,3 +75,35 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(str(tmp_path / "out"))
     assert written.count() > 0
     assert written.where(F.col("n_events") <= 0).count() == 0
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    from mysqldump_to_parquet_spark.streaming.stateful import user_running_stats
+
+    events = read_event_stream(spark, _events_dir(tmp_path))
+    q = (
+        user_running_stats(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("t_state")
+    # last update per user must equal the batch totals
+    latest = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.orderBy("n_events").collect()  # later updates overwrite
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, (n, total) in batch.items():
+        assert latest[uid][0] == n
+        assert abs(latest[uid][1] - total) < 1e-6
