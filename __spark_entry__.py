@@ -23,7 +23,13 @@ from mysqldump_to_parquet_spark.llm import dedup as llm_dedup
 from mysqldump_to_parquet_spark.llm import multimodal as llm_multimodal
 from mysqldump_to_parquet_spark.llm import similarity as llm_similarity
 from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
-from mysqldump_to_parquet_spark.operators import aggregates, asof, relational, windows
+from mysqldump_to_parquet_spark.operators import (
+    aggregates,
+    asof,
+    relational,
+    skew,
+    windows,
+)
 from mysqldump_to_parquet_spark.sources import files as file_sources
 from mysqldump_to_parquet_spark.sources import mysqldump as mysqldump_source
 from mysqldump_to_parquet_spark.streaming import windows as stream_windows
@@ -34,6 +40,7 @@ _MODULES = [
     relational,
     windows,
     asof,
+    skew,
     mysqldump_source,
     file_sources,
     fn_scalar,

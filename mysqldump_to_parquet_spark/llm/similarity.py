@@ -136,12 +136,64 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF parameters: number of coarse centroids and probed cells.
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer assigns each vector
+    to its nearest centroid cell; a probe scans only the ``IVF_NPROBE``
+    closest cells and ranks those candidates by exact cosine.
+
+    At 100 TB the corpus is *written partitioned by cell id*, so a probe is
+    a partition-pruned read of nprobe/cells of the data.  Centroids are fit
+    once (sampled KMeans — here on the full fixture) and broadcast.
+    Approximate ⇒ rows-only driver check; recall pytest-asserted.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = e.select("vec_id", "label", dbl.alias("v")).withColumn(
+        "features", array_to_vector("v")
+    )
+    km = KMeans(k=IVF_CELLS, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs)
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    probe = np.array(PROBE)
+
+    def _cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else -1.0
+
+    probe_cells = sorted(
+        range(IVF_CELLS), key=lambda c: -_cos(centroids[c], probe)
+    )[:IVF_NPROBE]
+
+    return (
+        assigned.where(F.col("cell").isin(probe_cells))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_expr(F.col("v"), _probe_col()), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q_sim_topk": sim_topk,
     "q_sim_ann_lsh": sim_ann_lsh,
+    "q_sim_ann_ivf": sim_ann_ivf,
 }
 
 ORACLE = {
     "q_sim_topk": SIM_TOPK_SQL,
-    # q_sim_ann_lsh: approximate-recall ANN — rows-only check.
+    # q_sim_ann_lsh / q_sim_ann_ivf: approximate-recall ANN — rows-only.
 }

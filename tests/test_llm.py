@@ -60,3 +60,14 @@ def test_ann_recall_vs_exact(spark):
     recall = len(set(exact) & set(approx)) / 10
     # single-probe 12-bit LSH on random data: recall is modest but nonzero
     assert recall >= 0.1, f"recall {recall} (exact={exact}, approx={approx})"
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=4/16 cells must recall most of the exact top-10
+    (centroid-aligned probes are far better targeted than hyperplane LSH)."""
+    from mysqldump_to_parquet_spark.llm.similarity import sim_ann_ivf
+
+    exact = [r.vec_id for r in sim_topk(spark, SF).collect()]
+    approx = [r.vec_id for r in sim_ann_ivf(spark, SF).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall} (exact={exact}, approx={approx})"
