@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from .mysqldump import pin_result
 
 CUSTOMER_SCHEMA = T.StructType(
     [
@@ -43,9 +44,7 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("c_mktsegment")
         )
-        out = out.cache()
-        out.count()  # materialize before tempdir vanishes
-        return out
+        return pin_result(out)
 
 
 SRC_CSV_SQL = """
@@ -87,9 +86,7 @@ def src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("lang", "source")
         )
-        out = out.cache()
-        out.count()
-        return out
+        return pin_result(out)
 
 
 SRC_JSON_SQL = """

@@ -595,6 +595,14 @@ UNLOCK TABLES;
 """
 
 
+def pin_result(df: DataFrame) -> DataFrame:
+    """Materialize a *small* result whose backing files are about to
+    vanish (tempdir outputs): collect and rebuild as a local DataFrame —
+    unlike ``cache()``, immune to executor cache eviction."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def _ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_ingest_mysqldump: run the full pipeline on the demo dump in a temp
     dir, read the Parquet back (side-effecting ⇒ rows-only driver check)."""
@@ -605,10 +613,7 @@ def _ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(dump, "w") as fh:
             fh.write(DEMO_DUMP)
         convert_dump(spark, dump, f"{tmp}/out")
-        out = spark.read.parquet(f"{tmp}/out/acct")
-        out = out.cache()
-        out.count()  # materialize before the tempdir vanishes
-        return out.orderBy("id")
+        return pin_result(spark.read.parquet(f"{tmp}/out/acct").orderBy("id"))
 
 
 def _scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,16 +651,13 @@ def _sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("ship_month")
             .parquet(f"{tmp}/lineitem_parted")
         )
-        back = (
+        return pin_result(
             spark.read.parquet(f"{tmp}/lineitem_parted")
             .where(F.col("ship_month") == "1996-03")
             .groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .orderBy("l_returnflag")
         )
-        back = back.cache()
-        back.count()
-        return back
 
 
 SINK_PARTITIONED_SQL = """
