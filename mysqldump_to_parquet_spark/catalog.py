@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     configure_for_oracle(spark)
     if name == "events":
+        # Deliberately left set for the session: tasks consult this conf at
+        # execution time, so scoping/restoring it around the (lazy) read
+        # would break later jobs over this DataFrame.  Side effect: other
+        # TIMESTAMP(NANOS) parquet in the same session also reads as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 

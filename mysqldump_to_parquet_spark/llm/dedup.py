@@ -106,7 +106,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))").alias("hs"),
     ).where(F.expr("size(hs) > 0"))
     # sh feeds three plan branches (signatures + both verify sides);
-    # persist so the shingle+hash pass runs once, not three times.
+    # persist so the shingle+hash pass runs once, not three times.  Left
+    # cached for the session (the returned DataFrame is lazy — unpersisting
+    # here would reintroduce the recompute); repeated calls re-use the same
+    # cache entry (the cache manager keys on the canonicalized plan), so
+    # entries don't accumulate.
     sh = sh.persist()
     k = MH_BANDS * MH_ROWS
     # One pass over the hashed shingles computes all K minhashes.

@@ -59,15 +59,19 @@ def salted_join(
 def salted_agg_distinct(
     df: DataFrame, key: str, value: str, salt_n: int = SALT_N
 ) -> DataFrame:
-    """COUNT(DISTINCT value) per key with a salted two-phase plan: distinct
-    on (key, salt-of-value) spreads a hot key's dedup work, then the final
-    count groups by key only."""
+    """COUNT(DISTINCT value) per key with a salted two-phase plan.
+
+    Phase 1 shuffles on (key, salt-of-value) — a hot key's distinct work
+    spreads over ``salt_n`` tasks; because the salt is a deterministic hash
+    of the value, each distinct value lands in exactly one salt bucket, so
+    phase 2's per-key SUM of bucket counts is exact."""
     return (
         df.select(key, value)
         .withColumn("__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt_n)))
-        .dropDuplicates([key, value])
+        .groupBy(key, "__salt")
+        .agg(F.countDistinct(value).alias("__partial"))
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .agg(F.sum("__partial").alias("n_distinct"))
     )
 
 

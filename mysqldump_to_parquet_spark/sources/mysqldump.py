@@ -140,10 +140,13 @@ _TABLE_NAME_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(?P<name>[A-Za-z0-9_$]+)[`\"]?\s*\(",
     re.I,
 )
-_NON_COLUMN_PREFIXES = (
-    "primary key", "unique key", "unique index", "key ", "key(", "index ",
-    "index(", "constraint", "foreign key", "fulltext", "spatial", "check",
-    "unique (",
+#: Table-constraint openers (word-bounded so columns named `checksum`,
+#: `constraint_id`, `keys`, … still parse as columns).
+_NON_COLUMN_RE = re.compile(
+    r"^(?:primary\s+key|unique\s+key|unique\s+index|unique|key|index|"
+    r"constraint|foreign\s+key|fulltext|spatial|check)\b"
+    r"|^(?:key|index|unique|check)\(",
+    re.I,
 )
 
 
@@ -198,6 +201,10 @@ def _map_type(table: str, col: str, type_name: str, args: list[int], unsigned: b
     if tn == "time":
         return T.StringType()  # no time-of-day type; documented divergence
     if tn in _INT_TYPES:
+        # BIGINT UNSIGNED can exceed int64 (auto-increment ids near 2^64);
+        # DECIMAL(20,0) holds the full range losslessly.
+        if unsigned and tn in ("bigint", "int8", "int64", "serial"):
+            return T.DecimalType(20, 0)
         return T.LongType()
     if tn in _FLOAT_TYPES:
         return T.DoubleType()
@@ -226,7 +233,28 @@ def parse_create_table(stmt: str) -> TableSchema:
         raise DumpParseError(f"cannot find table name in: {stmt[:120]!r}")
     table = m.group("name").lower()
     body_start = m.end() - 1
-    body_end = stmt.rfind(")")
+    # Find the ')' matching the body's '(' with a quote-aware depth scan —
+    # rfind(')') would be fooled by parens in table options
+    # (e.g. COMMENT='see (note)').
+    depth = 0
+    quote: str | None = None
+    body_end = -1
+    for i in range(body_start, len(stmt)):
+        ch = stmt[i]
+        if quote:
+            if ch == "\\" and quote == "'":
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                body_end = i
+                break
     if body_end <= body_start:
         raise DumpParseError(f"unterminated CREATE TABLE body for {table}")
     body = stmt[body_start + 1 : body_end]
@@ -235,7 +263,7 @@ def parse_create_table(stmt: str) -> TableSchema:
     pk_cols: set[str] = set()
     for part in _split_top_level(body):
         low = part.lower()
-        if any(low.startswith(p) for p in _NON_COLUMN_PREFIXES):
+        if _NON_COLUMN_RE.match(low):
             if low.startswith("primary key") and "(" in part:
                 cols_blob = re.findall(r"\(([^)]*)\)", part)[0]
                 pk_cols.update(c.strip(" `\"").lower() for c in cols_blob.split(","))
@@ -297,6 +325,19 @@ _ESCAPES = {
 _NUM_CHARS = set("0123456789+-.eE")
 
 
+class FloatLit(float):
+    """A float literal that remembers its source text, so DECIMAL-typed
+    columns can be cast from the exact dump digits instead of the nearest
+    binary double (floats silently truncate past ~17 significant digits)."""
+
+    __slots__ = ("raw",)
+
+    def __new__(cls, raw: str):
+        obj = super().__new__(cls, raw)
+        obj.raw = raw
+        return obj
+
+
 def insert_table_name(stmt: str) -> str | None:
     m = _INSERT_TABLE_RE.match(stmt)
     return m.group("name").lower() if m else None
@@ -308,6 +349,8 @@ def parse_insert(stmt: str) -> tuple[str, list[tuple]]:
     Literal typing matches the reference (line_parser.rs:229–258): numbers
     are int unless they contain '.'/exponent, strings stay strings,
     TRUE/FALSE → bool, NULL → None, unary minus folds into the number.
+    A malformed or truncated statement raises :class:`DumpParseError` with
+    the table name — never a bare IndexError/ValueError.
     """
     table = insert_table_name(stmt)
     if table is None:
@@ -336,6 +379,8 @@ def parse_insert(stmt: str) -> tuple[str, list[tuple]]:
         while True:
             while i < n and s[i] in " \t\r\n":
                 i += 1
+            if i >= n:
+                raise DumpParseError(f"truncated INSERT for {table}: unterminated row")
             ch = s[i]
             if ch == ")":
                 i += 1
@@ -378,17 +423,35 @@ def parse_insert(stmt: str) -> tuple[str, list[tuple]]:
             elif up == "FALSE":
                 row.append(False)
             elif tok and set(tok) <= _NUM_CHARS:
-                if "." in tok or "e" in tok or "E" in tok:
-                    row.append(float(tok))
-                else:
-                    row.append(int(tok))
+                try:
+                    if "." in tok or "e" in tok or "E" in tok:
+                        row.append(FloatLit(tok))
+                    else:
+                        row.append(int(tok))
+                except ValueError as exc:
+                    raise DumpParseError(
+                        f"bad numeric literal {tok[:40]!r} in INSERT for {table}"
+                    ) from exc
             elif up.startswith("0X"):
-                row.append(bytes.fromhex(tok[2:]))
+                try:
+                    row.append(bytes.fromhex(tok[2:]))
+                except ValueError as exc:
+                    raise DumpParseError(
+                        f"bad hex literal {tok[:40]!r} in INSERT for {table}"
+                    ) from exc
             else:
                 raise DumpParseError(
                     f"unsupported literal {tok[:40]!r} in INSERT for {table}"
                 )
         rows.append(tuple(row))
+    if not rows:
+        # header-only lines happen when a dump spreads one INSERT over
+        # multiple lines — fail loudly rather than silently writing 0 rows
+        # (the one-statement-per-line contract is documented in the module).
+        raise DumpParseError(
+            f"INSERT for {table} has no VALUES tuples on its line — "
+            "multi-line INSERT statements are not supported"
+        )
     return table, rows
 
 
@@ -424,6 +487,11 @@ def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
         elif isinstance(f.dataType, T.LongType):
             if isinstance(v, bool) or not isinstance(v, int):
                 raise DumpParseError(f"{table}.{f.name}: {v!r} is not an integer")
+            if not (-(2**63) <= v < 2**63):
+                raise DumpParseError(
+                    f"{table}.{f.name}: {v} overflows BIGINT (declare the "
+                    "column UNSIGNED to map it to DECIMAL(20,0))"
+                )
             out.append(v)
         elif isinstance(f.dataType, T.BooleanType):
             if isinstance(v, bool):
@@ -435,8 +503,12 @@ def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
         elif isinstance(
             f.dataType, (T.TimestampType, T.DateType, T.DecimalType)
         ):
-            # ride as string; JVM-side try_to_timestamp/try_cast finishes C1
-            if isinstance(v, (int, float)):
+            # ride as string; JVM-side casts finish C1.  FloatLit keeps the
+            # dump's exact digits — repr(float) would truncate DECIMALs
+            # beyond ~17 significant digits.
+            if isinstance(v, FloatLit):
+                v = v.raw
+            elif isinstance(v, (int, float)):
                 v = repr(v)
             if not isinstance(v, str):
                 raise DumpParseError(f"{table}.{f.name}: {v!r} not castable")
@@ -455,33 +527,63 @@ def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
 def finish_casts(df: DataFrame, target: T.StructType) -> DataFrame:
     """JVM-side schema-directed casts from carrier columns to target types.
 
-    Timestamps use the reference's fixed 'YYYY-mm-DD HH:mm:ss' layout under
-    the UTC session zone (C1, parquet_writer.rs:167–197); try_* variants map
-    malformed input to NULL instead of failing the job under ANSI mode.
+    Timestamps use the reference's 'YYYY-mm-DD HH:mm:ss' layout (optional
+    fractional seconds — datetime(6) columns) under the UTC session zone
+    (C1, parquet_writer.rs:167–197).  A non-NULL value that fails its cast
+    raises with column context, preserving the reference's C3
+    mismatch-is-an-error contract (try_* alone would silently NULL it).
     """
     cols = []
     for f in target.fields:
         if isinstance(f.dataType, T.TimestampType):
-            c = F.expr(f"try_to_timestamp(`{f.name}`, 'yyyy-MM-dd HH:mm:ss')")
+            cast = F.expr(
+                f"try_to_timestamp(`{f.name}`, 'yyyy-MM-dd HH:mm:ss[.SSSSSS]')"
+            )
         elif isinstance(f.dataType, T.DateType):
-            c = F.expr(f"try_cast(`{f.name}` AS date)")
+            cast = F.expr(f"try_cast(`{f.name}` AS date)")
         elif isinstance(f.dataType, T.DecimalType):
-            c = F.expr(f"try_cast(`{f.name}` AS {f.dataType.simpleString()})")
+            cast = F.expr(f"try_cast(`{f.name}` AS {f.dataType.simpleString()})")
         else:
-            c = F.col(f.name)
-        cols.append(c.alias(f.name))
+            cols.append(F.col(f.name).alias(f.name))
+            continue
+        guarded = F.when(
+            F.col(f.name).isNotNull() & cast.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cannot cast {f.name} value '"),
+                    F.col(f.name),
+                    F.lit(f"' to {f.dataType.simpleString()}"),
+                )
+            ),
+        ).otherwise(cast)
+        cols.append(guarded.alias(f.name))
     return df.select(*cols)
+
+
+#: Upper bound on non-INSERT lines collected to the driver in pass 1 —
+#: real dumps have a few hundred; blowing past this means the dump violates
+#: the one-INSERT-per-line layout and pass 1 would otherwise OOM the driver.
+MAX_DDL_LINES = 2_000_000
 
 
 def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructType]:
     """Pass 1: reassemble DDL from the (tiny) non-INSERT line set."""
     lines_df = spark.read.text(dump_path)
-    ddl_lines = [
-        r[0]
-        for r in lines_df.where(
-            ~F.col("value").startswith("INSERT INTO")
-        ).collect()
-    ]
+    ddl_df = lines_df.where(~F.col("value").startswith("INSERT INTO"))
+    ddl_lines = [r[0] for r in ddl_df.limit(MAX_DDL_LINES + 1).collect()]
+    if len(ddl_lines) > MAX_DDL_LINES:
+        raise DumpParseError(
+            f"more than {MAX_DDL_LINES:,} non-INSERT lines — this dump does "
+            "not use one-line INSERT statements (mysqldump --extended-insert); "
+            "re-export with extended inserts"
+        )
+    for ln in ddl_lines:
+        if ln.lstrip().startswith("("):
+            raise DumpParseError(
+                f"orphan VALUES tuple line {ln[:60]!r} — multi-line INSERT "
+                "statements are not supported; re-export with "
+                "mysqldump --extended-insert"
+            )
     schemas: dict[str, T.StructType] = {}
     for stmt in iter_statements(ddl_lines):
         if stmt.startswith("CREATE TABLE"):

@@ -99,8 +99,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
+         -- >= : Spark's session end (last event + gap) is EXCLUSIVE, so an
+         -- event exactly gap-after its predecessor starts a new session
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL '30 minutes'
+                   >= INTERVAL '30 minutes'
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events

@@ -169,3 +169,78 @@ def test_multi_file_dump_glob(spark, tmp_path):
     counts = convert_dump(spark, str(tmp_path / "*.sql"), str(tmp_path / "out"))
     # acct rows come from BOTH files; tag only from d2
     assert counts == {"acct": 4, "tag": 2}
+
+
+def test_decimal_precision_preserved(spark, tmp_path):
+    """DECIMAL values beyond double precision survive exactly (code-review
+    fix: FloatLit carries the dump's source text to the cast)."""
+    dump = tmp_path / "big.sql"
+    dump.write_text(
+        "CREATE TABLE `w` (`id` int NOT NULL, `amt` decimal(30,10));\n"
+        "INSERT INTO `w` VALUES (1, 12345678901234567.0123456789),"
+        "(2, -0.0000000001);\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    rows = {r.id: r.amt for r in spark.read.parquet(str(tmp_path / "out/w")).collect()}
+    assert rows[1] == Decimal("12345678901234567.0123456789")
+    assert rows[2] == Decimal("-0.0000000001")
+
+
+def test_unsigned_bigint_full_range(spark, tmp_path):
+    dump = tmp_path / "u.sql"
+    dump.write_text(
+        "CREATE TABLE `u` (`id` bigint unsigned NOT NULL);\n"
+        "INSERT INTO `u` VALUES (18446744073709551615),(0);\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    got = sorted(int(r.id) for r in spark.read.parquet(str(tmp_path / "out/u")).collect())
+    assert got == [0, 18446744073709551615]
+
+
+def test_malformed_timestamp_fails_loudly(spark, tmp_path):
+    """C3 contract: a non-NULL uncastable value raises, never silent NULL."""
+    dump = tmp_path / "bad.sql"
+    dump.write_text(
+        "CREATE TABLE `b` (`id` int, `ts` timestamp NULL);\n"
+        "INSERT INTO `b` VALUES (1, 'not-a-date');\n"
+    )
+    with pytest.raises(Exception, match="cannot cast ts"):
+        convert_dump(spark, str(dump), str(tmp_path / "out"))
+
+
+def test_fractional_second_timestamps(spark, tmp_path):
+    dump = tmp_path / "f.sql"
+    dump.write_text(
+        "CREATE TABLE `f` (`id` int, `ts` datetime(6));\n"
+        "INSERT INTO `f` VALUES (1, '2024-01-02 03:04:05.123456'),"
+        "(2, '2024-01-02 03:04:05');\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    rows = {r.id: r.ts for r in spark.read.parquet(str(tmp_path / "out/f")).collect()}
+    assert rows[1].microsecond == 123456
+    assert rows[2].microsecond == 0
+
+
+def test_multiline_insert_rejected(spark, tmp_path):
+    dump = tmp_path / "ml.sql"
+    dump.write_text(
+        "CREATE TABLE `m` (`id` int);\n"
+        "INSERT INTO `m` VALUES\n"
+        "(1),\n"
+        "(2);\n"
+    )
+    with pytest.raises(DumpParseError, match="multi-line INSERT|orphan"):
+        convert_dump(spark, str(dump), str(tmp_path / "out"))
+
+
+def test_create_table_options_with_parens():
+    ts = parse_create_table(
+        "CREATE TABLE `t` (`checksum` bigint, `constraint_id` int) "
+        "ENGINE=InnoDB COMMENT='see (note)';"
+    )
+    assert [f.name for f in ts.schema.fields] == ["checksum", "constraint_id"]
+
+
+def test_truncated_insert_raises_contextual_error():
+    with pytest.raises(DumpParseError, match="truncated INSERT for t"):
+        parse_insert("INSERT INTO t VALUES (1,")
