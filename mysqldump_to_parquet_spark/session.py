@@ -30,6 +30,9 @@ from pyspark.sql import SparkSession
 #: Runtime-settable SQL confs applied to every session we touch.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 defaults ANSI on; the oracle contract wants NULL-on-miss cast
+    # semantics in queries (ingest enforces its own loud C3 errors).
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -70,3 +70,23 @@ def test_semi_anti_join_operators(spark):
 def test_theta_join_broadcasts_tiny_side(spark):
     df = relational.join_theta_range(spark, SF)
     assert has_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_salted_agg_distinct_exact(spark):
+    """The salted two-phase distinct must equal the plain countDistinct."""
+    from pyspark.sql import functions as F
+
+    from mysqldump_to_parquet_spark.operators.skew import salted_agg_distinct
+
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r.n_distinct
+        for r in salted_agg_distinct(l, "l_returnflag", "l_partkey").collect()
+    }
+    want = {
+        r.l_returnflag: r.n
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == want
