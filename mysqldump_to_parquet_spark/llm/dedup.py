@@ -72,6 +72,53 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+#: 31-bit Mersenne prime modulus for the affine minhash family
+#: h_k(x) = (a_k·x + b_k) mod p — with a, b, x < p < 2³¹ every product fits
+#: a uint64, so the whole signature matrix is pure vectorized NumPy.
+_MH_P = (1 << 31) - 1
+
+
+def _minhash_bands_batch(batches):
+    """(doc_id, hs:list[int64]) batches → (doc_id, band_idx, band_hash).
+
+    All K = MH_BANDS·MH_ROWS minhashes of one document come from a (K, |hs|)
+    affine-hash matrix min-reduced along axis 1; band hashes combine each
+    R-row signature slice with a second affine mix.  31-bit hash range is
+    ample for LSH banding (collision odds per band pair ≈ n/2³¹).
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = MH_BANDS * MH_ROWS
+    p = np.uint64(_MH_P)
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _MH_P, size=k, dtype=np.uint64)
+    b = rng.integers(0, _MH_P, size=k, dtype=np.uint64)
+    mix = rng.integers(1, _MH_P, size=MH_ROWS, dtype=np.uint64)
+
+    for pdf in batches:
+        doc_ids: list[int] = []
+        band_idxs: list[int] = []
+        band_hashes: list[int] = []
+        for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64) % p  # (n,)
+            sig = ((a[:, None] * h[None, :] + b[:, None]) % p).min(axis=1)  # (K,)
+            bands = (
+                (sig.reshape(MH_BANDS, MH_ROWS) * mix[None, :]).sum(axis=1) % p
+            )
+            for band in range(MH_BANDS):
+                doc_ids.append(int(doc_id))
+                band_idxs.append(band)
+                band_hashes.append(int(bands[band]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "band_idx": pd.Series(band_idxs, dtype="int32"),
+                "band_hash": pd.Series(band_hashes, dtype="int64"),
+            }
+        )
+
+
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via native MinHash + banded LSH, built entirely from
     DataFrame primitives (no ML pipeline, no UDF):
@@ -112,25 +159,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache entry (the cache manager keys on the canonicalized plan), so
     # entries don't accumulate.
     sh = sh.persist()
-    k = MH_BANDS * MH_ROWS
-    # One pass over the hashed shingles computes all K minhashes.
-    sig = sh.select(
-        "doc_id",
-        F.expr(
-            f"aggregate(hs,"
-            f" array_repeat(CAST(9223372036854775807 AS BIGINT), {k}),"
-            f" (acc, h) -> zip_with(acc, sequence(0, {k - 1}),"
-            f"                      (a, kk) -> least(a, xxhash64(h, kk))))"
-        ).alias("sig"),
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {MH_BANDS - 1}),"
-                f" b -> xxhash64(slice(sig, b * {MH_ROWS} + 1, {MH_ROWS})))"
-            )
-        ).alias("band_idx", "band_hash"),
+    # Minhash signatures + band hashes in one vectorized NumPy stage:
+    # Spark's higher-order-function folds are interpreted per element, so a
+    # K-seed fold over every shingle is the hot spot; affine universal
+    # hashing ((a·h + b) mod p) over an Arrow batch does the same job at
+    # memory bandwidth.  Emits (doc_id, band_idx, band_hash) directly —
+    # the banding explode and its second hash pass disappear too.
+    bands = sh.mapInPandas(
+        _minhash_bands_batch, "doc_id long, band_idx int, band_hash long"
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
