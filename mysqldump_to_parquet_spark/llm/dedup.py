@@ -123,15 +123,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via native MinHash + banded LSH, built entirely from
     DataFrame primitives (no ML pipeline, no UDF):
 
-    1. 3-token shingles per doc (array, distinct);
-    2. K = B·R minhashes: ``min(xxhash64(shingle, seed_k))`` — one
-       higher-order fold per seed, all inside codegen;
-    3. LSH bands: hash each R-row signature slice, explode to
-       (band_idx, band_hash, doc_id) — B rows per doc, *fixed size*
+    1. 3-token shingles per doc (array, distinct), hashed to int64 JVM-side;
+    2. K = B·R minhashes + B band hashes in one vectorized NumPy Arrow
+       stage (affine universal hashing — see ``_minhash_bands_batch``),
+       emitting (doc_id, band_idx, band_hash): B fixed-width rows per doc
        regardless of document length;
-    4. self-join on (band_idx, band_hash) → candidate pairs (never the
+    3. self-join on (band_idx, band_hash) → candidate pairs (never the
        O(n²) cross product), distinct;
-    5. exact Jaccard verify on the candidate pairs only.
+    4. exact Jaccard verify on the candidate pairs only.
 
     At 100 TB: steps 1–3 are a single scan; the candidate join shuffles
     B·N fixed-width rows; the verify re-joins shingle arrays for candidate

@@ -315,6 +315,10 @@ def parse_create_table(stmt: str) -> TableSchema:
 _INSERT_TABLE_RE = re.compile(
     r"^INSERT\s+INTO\s+[`\"]?(?P<name>[A-Za-z0-9_$]+)[`\"]?", re.I
 )
+_INSERT_COLS_RE = re.compile(
+    r"^INSERT\s+INTO\s+[`\"]?[A-Za-z0-9_$]+[`\"]?\s*\((?P<cols>[^)]*)\)\s*VALUES",
+    re.I,
+)
 
 #: MySQL backslash escapes (https://dev.mysql.com/doc/refman/8.0/en/string-literals.html)
 _ESCAPES = {
@@ -344,21 +348,39 @@ def insert_table_name(stmt: str) -> str | None:
 
 
 def parse_insert(stmt: str) -> tuple[str, list[tuple]]:
-    """INSERT INTO t VALUES (...),(...) → (table, rows of Python literals).
+    """INSERT INTO t VALUES (...),(...) → (table, rows).  See
+    :func:`parse_insert_full` for the column-list-aware form."""
+    table, _cols, rows = parse_insert_full(stmt)
+    return table, rows
 
-    Literal typing matches the reference (line_parser.rs:229–258): numbers
-    are int unless they contain '.'/exponent, strings stay strings,
-    TRUE/FALSE → bool, NULL → None, unary minus folds into the number.
-    A malformed or truncated statement raises :class:`DumpParseError` with
-    the table name — never a bare IndexError/ValueError.
+
+def parse_insert_full(stmt: str) -> tuple[str, list[str] | None, list[tuple]]:
+    """INSERT INTO t [(col, ...)] VALUES (...),(...) → (table, columns|None,
+    rows of Python literals).
+
+    Supports both plain mysqldump output and ``--complete-insert`` dumps
+    (explicit column lists — which the reference rejects, line_parser.rs:
+    220–223).  Literal typing matches the reference (line_parser.rs:
+    229–258): numbers are int unless they contain '.'/exponent, strings
+    stay strings, TRUE/FALSE → bool, NULL → None, unary minus folds into
+    the number.  A malformed or truncated statement raises
+    :class:`DumpParseError` with the table name — never a bare
+    IndexError/ValueError.
     """
     table = insert_table_name(stmt)
     if table is None:
         raise DumpParseError(f"cannot find table in INSERT: {stmt[:80]!r}")
-    upper = stmt.upper()
-    vpos = upper.find("VALUES")
-    if vpos < 0:
-        raise DumpParseError(f"INSERT without VALUES for {table}")
+    columns: list[str] | None = None
+    cm = _INSERT_COLS_RE.match(stmt)
+    if cm:
+        columns = [
+            c.strip(" `\"").lower() for c in cm.group("cols").split(",") if c.strip()
+        ]
+        vpos = cm.end() - len("VALUES")
+    else:
+        vpos = stmt.upper().find("VALUES")
+        if vpos < 0:
+            raise DumpParseError(f"INSERT without VALUES for {table}")
     s = stmt
     i = vpos + len("VALUES")
     n = len(s)
@@ -452,7 +474,23 @@ def parse_insert(stmt: str) -> tuple[str, list[tuple]]:
             f"INSERT for {table} has no VALUES tuples on its line — "
             "multi-line INSERT statements are not supported"
         )
-    return table, rows
+    return table, columns, rows
+
+
+def align_row(
+    row: tuple, columns: list[str], schema: T.StructType, table: str
+) -> tuple:
+    """Reorder a --complete-insert row (positional in ``columns``) to the
+    schema's column order; columns absent from the INSERT become NULL."""
+    if len(row) != len(columns):
+        raise DumpParseError(
+            f"{table}: row has {len(row)} values for {len(columns)} columns"
+        )
+    by_name = dict(zip(columns, row))
+    unknown = set(columns) - {f.name for f in schema.fields}
+    if unknown:
+        raise DumpParseError(f"{table}: INSERT names unknown columns {unknown}")
+    return tuple(by_name.get(f.name) for f in schema.fields)
 
 
 # --------------------------------------------------------------------------
@@ -626,8 +664,10 @@ def insert_rows_df(
                 stmt = stmt.strip().rstrip(";") + ";"
                 if insert_table_name(stmt) != table:
                     continue
-                _, tuples = parse_insert(stmt)
+                _, ins_cols, tuples = parse_insert_full(stmt)
                 for tup in tuples:
+                    if ins_cols is not None:  # --complete-insert dumps
+                        tup = align_row(tup, ins_cols, schema, table)
                     for i, v in enumerate(coerce_row(tup, schema, table)):
                         cols[i].append(v)
             yield pd.DataFrame(

@@ -244,3 +244,17 @@ def test_create_table_options_with_parens():
 def test_truncated_insert_raises_contextual_error():
     with pytest.raises(DumpParseError, match="truncated INSERT for t"):
         parse_insert("INSERT INTO t VALUES (1,")
+
+
+def test_complete_insert_column_list(spark, tmp_path):
+    """--complete-insert dumps: explicit column lists, arbitrary order,
+    missing columns → NULL (the reference rejects these outright)."""
+    dump = tmp_path / "ci.sql"
+    dump.write_text(
+        "CREATE TABLE `c` (`id` int NOT NULL, `name` varchar(10), `bal` double);\n"
+        "INSERT INTO `c` (`name`, `id`) VALUES ('x', 1), ('y', 2);\n"
+        "INSERT INTO `c` (`id`, `name`, `bal`) VALUES (3, 'z', 1.5);\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    rows = {r.id: (r.name, r.bal) for r in spark.read.parquet(str(tmp_path / "out/c")).collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 1.5)}
