@@ -44,7 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="mysqldump-to-parquet", master=args.master)
     try:
         counts = convert_dump(
-            spark, args.input, args.output, compression=args.compression
+            spark,
+            args.input,
+            args.output,
+            compression=args.compression,
+            progress=True,
         )
         print(json.dumps({"tables": counts, "output": args.output}))
         return 0

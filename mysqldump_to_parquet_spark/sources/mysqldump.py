@@ -683,6 +683,7 @@ def convert_dump(
     dump_path: str,
     output_dir: str,
     compression: str = "snappy",
+    progress: bool = False,
 ) -> dict[str, int]:
     """Full reference pipeline: dump → one Snappy Parquet dataset per table.
 
@@ -690,8 +691,17 @@ def convert_dump(
     parallel INSERT parse per table.  Single-table dumps stream straight
     from the text scan; multi-table dumps cache the INSERT lines once so
     the dump text is decoded exactly once, not once per table.
+
+    ``progress=True`` reports per-table rows to stderr — the analogue of
+    the reference's three spinners (src/main.rs:63–86); live task-level
+    progress is the Spark UI's job.
     """
+    import sys
+    import time as _time
+
     schemas = collect_schemas(spark, dump_path)
+    if progress:
+        print(f"[ingest] {len(schemas)} table(s): {sorted(schemas)}", file=sys.stderr)
     lines = spark.read.text(dump_path).where(
         F.col("value").startswith("INSERT INTO")
     )
@@ -700,11 +710,18 @@ def convert_dump(
     try:
         counts: dict[str, int] = {}
         for table, schema in schemas.items():
+            t0 = _time.perf_counter()
             df = insert_rows_df(spark, dump_path, table, schema, lines_df=lines)
             df.write.mode("overwrite").parquet(
                 f"{output_dir}/{table}", compression=compression
             )
             counts[table] = spark.read.parquet(f"{output_dir}/{table}").count()
+            if progress:
+                dt = _time.perf_counter() - t0
+                print(
+                    f"[ingest] {table}: {counts[table]:,} rows in {dt:.1f}s",
+                    file=sys.stderr,
+                )
         return counts
     finally:
         if len(schemas) > 1:
