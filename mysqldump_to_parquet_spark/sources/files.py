@@ -92,7 +92,7 @@ def src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 SRC_JSON_SQL = """
 SELECT lang, source,
        COUNT(*)     AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MAX(doc_id)  AS max_doc_id
 FROM documents
 GROUP BY lang, source

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mysqldump_to_parquet_spark.llm.dedup import dedup_near_minhash, dedup_simhash
+from mysqldump_to_parquet_spark.llm.dedup import (
+    dedup_near_minhash,
+    dedup_near_minhash_ml,
+    dedup_simhash,
+)
 from mysqldump_to_parquet_spark.llm.similarity import sim_ann_lsh, sim_topk
 
 SF = "/root/testdata/sf0.001"
@@ -32,6 +36,46 @@ def test_minhash_finds_planted_duplicate(spark, tmp_path):
     ), f"planted near-dup not found in {len(pairs)} pairs"
     # no self-pairs, ordered pairs only
     assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_minhash_ml_variant_finds_planted_duplicate(spark, tmp_path):
+    """The spark.ml MinHashLSH alternative (not registry-listed — redundant
+    twin of q_dedup_near) keeps working: same planted-dup check."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.limit(50)
+    src = base.where(F.col("doc_id") == 0).select("text").collect()[0][0]
+    mutated = " ".join(["ZZZ"] + src.split(" ")[1:])
+    extra = spark.createDataFrame(
+        [(100000, mutated, "en", "srcX", len(mutated))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    planted_dir = str(tmp_path / "docs")
+    base.unionByName(extra).write.parquet(f"{planted_dir}/documents.parquet")
+
+    pairs = dedup_near_minhash_ml(spark, planted_dir).collect()
+    assert any((r.doc_a == 0 and r.doc_b == 100000) for r in pairs)
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark, tmp_path):
+    """1 000 identical docs share every LSH band: without the
+    MH_MAX_BUCKET cap the self-join would enumerate ~8×C(1000,2) ≈ 4M
+    candidate rows.  With the cap the degenerate buckets are dropped
+    entirely (identical docs are exact-dedup's job) and the planted
+    *near*-dup pair in a small bucket still surfaces."""
+    rows = [(i, "lorem ipsum dolor " * 20, "en", "dup", 360) for i in range(1000)]
+    uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    near = " ".join(["ZZZ"] + uniq.split(" ")[1:])
+    rows += [(5000, uniq, "en", "u", len(uniq)), (5001, near, "en", "u", len(near))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    pairs = dedup_near_minhash(spark, d).collect()
+    # the 1000-identical-doc clique must NOT explode into ~500k pairs
+    assert len(pairs) < 100, f"bucket cap failed: {len(pairs)} candidate pairs"
+    assert any(r.doc_a == 5000 and r.doc_b == 5001 for r in pairs)
 
 
 def test_simhash_locality(spark):
@@ -71,3 +115,23 @@ def test_ivf_recall_vs_exact(spark):
     approx = [r.vec_id for r in sim_ann_ivf(spark, SF).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.3, f"recall {recall} (exact={exact}, approx={approx})"
+
+
+def test_ivf_quantizer_fit_once(spark, monkeypatch):
+    """The coarse quantizer is fit exactly once per corpus: after the first
+    probe the centroids are cached, and a second probe must not invoke
+    KMeans at all (its plan has no fit stage)."""
+    import pyspark.ml.clustering as mlc
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    first = S.ivf_centroids(spark, SF)  # fits (or reuses an earlier fit)
+
+    def _boom(*a, **kw):  # any further fit attempt is a bug
+        raise AssertionError("KMeans re-fit on a warm IVF cache")
+
+    monkeypatch.setattr(mlc, "KMeans", _boom)
+    again = S.ivf_centroids(spark, SF)
+    assert again is first
+    out = S.sim_ann_ivf(spark, SF).collect()  # probe runs fit-free
+    assert 0 < len(out) <= 10
