@@ -34,6 +34,49 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _type_cat(v):
+    """Coarse type category of a cell — the driver's value hash serializes
+    by type, so an int on one engine vs a Decimal on the other is a hash
+    mismatch even when the values are numerically identical (exactly how
+    q_src_json failed round 1: DuckDB SUM(BIGINT) → HUGEINT/Decimal vs
+    Spark BIGINT).  The harness must therefore FAIL on category divergence,
+    never normalize it away."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, datetime):  # before date: datetime subclasses date
+        return "datetime"
+    if isinstance(v, date):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        inner = None
+        for x in v:
+            inner = _type_cat(x)
+            if inner is not None:
+                break
+        return ("list", inner)
+    return type(v).__name__
+
+
+def _col_type_cats(rows, ncols):
+    """Per-column category from the first non-None cell (None if all-null)."""
+    cats = [None] * ncols
+    for row in rows:
+        for i in range(ncols):
+            if cats[i] is None:
+                cats[i] = _type_cat(row[i])
+        if all(c is not None for c in cats):
+            break
+    return cats
+
+
 def _norm_cell(v):
     """Comparable form of a cell; floats stay floats (tolerance-compared)."""
     if v is None:
@@ -98,6 +141,26 @@ def test_query_matches_oracle(name, spark, sf_dir):
     d_names, d_data = _normalize(dcols, drows)
 
     assert s_names == d_names, f"{name}: column names differ: {s_names} vs {d_names}"
+
+    # Type-category parity BEFORE any value normalization: the driver's
+    # hash serializes values by type, so int-vs-Decimal (or float-vs-int)
+    # divergence is a driver failure even with identical values.
+    s_order = sorted(range(len(scols)), key=lambda i: scols[i])
+    d_order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s_all_cats = _col_type_cats(srows, len(scols))
+    d_all_cats = _col_type_cats(drows, len(dcols))
+    s_cats = [s_all_cats[i] for i in s_order]
+    d_cats = [d_all_cats[i] for i in d_order]
+    cat_diffs = [
+        (s_names[i], a, b)
+        for i, (a, b) in enumerate(zip(s_cats, d_cats))
+        if a is not None and b is not None and a != b
+    ]
+    assert not cat_diffs, (
+        f"{name}: column type-category divergence (driver hash would fail "
+        f"even on equal values): {cat_diffs}"
+    )
+
     assert len(s_data) == len(d_data), (
         f"{name}: row count {len(s_data)} (spark) vs {len(d_data)} (duckdb)"
     )
@@ -107,6 +170,30 @@ def test_query_matches_oracle(name, spark, sf_dir):
         if not _cells_equal(a, b)
     ]
     assert not mismatches, f"{name}: {len(mismatches)} row diffs; first: {mismatches[0]}"
+
+    # Driver-exact mirror: when neither side carries approximate types
+    # (float/Decimal), the driver's hash is an exact multiset compare —
+    # mirror it with zero tolerance to catch representation drift the
+    # tolerance sweep can't.
+    def _approx(cats):
+        return any(
+            c in ("float", "decimal") or (isinstance(c, tuple) and c[1] in ("float", "decimal"))
+            for c in cats
+            if c is not None
+        )
+
+    if not _approx(s_cats) and not _approx(d_cats):
+        assert s_data == d_data, f"{name}: exact-typed result differs from oracle"
+
+
+def test_type_cat_catches_r1_failure_modes():
+    """The exact divergences that slipped past the round-1 harness must now
+    be distinguished: DuckDB HUGEINT surfaces as Decimal while Spark BIGINT
+    surfaces as int (q_src_json's driver hash failure)."""
+    assert _type_cat(Decimal("5")) != _type_cat(5)
+    assert _type_cat(5.0) != _type_cat(5)
+    assert _type_cat(True) != _type_cat(1)
+    assert _type_cat([Decimal("1")]) != _type_cat([1])
 
 
 def test_entry_smoke(spark):
