@@ -24,7 +24,12 @@ def main(argv: list[str] | None = None) -> int:
         prog="mysqldump_to_parquet_spark",
         description="Convert a MySQL logical dump to one Parquet dataset per table.",
     )
-    ap.add_argument("input", help="path to .sql or .sql.gz dump (glob ok)")
+    ap.add_argument(
+        "input",
+        help="path to .sql or .sql.gz dump (glob ok). stdin ('-') is not "
+        "supported — a distributed engine reads paths; pipe users should "
+        "spool first: mysqldump db > /tmp/db.sql && %(prog)s /tmp/db.sql -o out/",
+    )
     ap.add_argument("--output", "-o", required=True, help="output directory")
     ap.add_argument("--compression", default="snappy")
     ap.add_argument("--master", default=None, help="Spark master (default local[cores])")
@@ -33,7 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.input == "-":
         print(
             "stdin is not supported: a distributed engine reads (many) paths; "
-            "write the dump to a file first",
+            "spool first (mysqldump db > /tmp/db.sql) and pass the file path "
+            "(reference parity note: src/main.rs:56 reads stdin — single-node "
+            "streaming has no distributed analog)",
             file=sys.stderr,
         )
         return 2

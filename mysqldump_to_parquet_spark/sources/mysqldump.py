@@ -186,6 +186,34 @@ def _split_top_level(body: str) -> list[str]:
     return parts
 
 
+def _strip_quoted(s: str) -> str:
+    """Remove quoted literals (``'…'`` with backslash escapes and ``''``
+    doubling, plus ``"…"``) so option scans over a column-def remainder
+    can't be fooled by literal text — e.g. ``DEFAULT 'null'`` or
+    ``COMMENT 'not null here'`` must not flip inferred nullability."""
+    out: list[str] = []
+    quote: str | None = None
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and quote == "'":
+                i += 2
+                continue
+            if ch == quote:
+                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 2  # '' doubling stays inside the literal
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _map_type(table: str, col: str, type_name: str, args: list[int], unsigned: bool):
     tn = type_name.lower()
     if tn in _DECIMAL_TYPES:
@@ -235,14 +263,18 @@ def parse_create_table(stmt: str) -> TableSchema:
     body_start = m.end() - 1
     # Find the ')' matching the body's '(' with a quote-aware depth scan —
     # rfind(')') would be fooled by parens in table options
-    # (e.g. COMMENT='see (note)').
+    # (e.g. COMMENT='see (note)').  Index-based so a backslash escape can
+    # skip the NEXT character too (DEFAULT 'don\\'t)' must not close the
+    # quote early), mirroring _split_top_level.
     depth = 0
     quote: str | None = None
     body_end = -1
-    for i in range(body_start, len(stmt)):
+    i = body_start
+    while i < len(stmt):
         ch = stmt[i]
         if quote:
             if ch == "\\" and quote == "'":
+                i += 2
                 continue
             if ch == quote:
                 quote = None
@@ -255,6 +287,7 @@ def parse_create_table(stmt: str) -> TableSchema:
             if depth == 0:
                 body_end = i
                 break
+        i += 1
     if body_end <= body_start:
         raise DumpParseError(f"unterminated CREATE TABLE body for {table}")
     body = stmt[body_start + 1 : body_end]
@@ -279,7 +312,7 @@ def parse_create_table(stmt: str) -> TableSchema:
             int(a) for a in (tm.group("args") or "").replace("'", "").split(",")
             if a.strip().isdigit()
         ]
-        rest = tm.group("rest") or ""
+        rest = _strip_quoted(tm.group("rest") or "")
         rest_low = " " + " ".join(rest.split()).lower() + " "
         unsigned = " unsigned " in rest_low
         dtype = _map_type(table, col, tm.group("name"), args, unsigned)
@@ -367,9 +400,10 @@ def parse_insert_full(stmt: str) -> tuple[str, list[str] | None, list[tuple]]:
     :class:`DumpParseError` with the table name — never a bare
     IndexError/ValueError.
     """
-    table = insert_table_name(stmt)
-    if table is None:
+    tmatch = _INSERT_TABLE_RE.match(stmt)
+    if tmatch is None:
         raise DumpParseError(f"cannot find table in INSERT: {stmt[:80]!r}")
+    table = tmatch.group("name").lower()
     columns: list[str] | None = None
     cm = _INSERT_COLS_RE.match(stmt)
     if cm:
@@ -378,7 +412,9 @@ def parse_insert_full(stmt: str) -> tuple[str, list[str] | None, list[tuple]]:
         ]
         vpos = cm.end() - len("VALUES")
     else:
-        vpos = stmt.upper().find("VALUES")
+        # search from the end of the table name, not position 0 — a table
+        # named `values_log` must not match its own name as the keyword
+        vpos = stmt.upper().find("VALUES", tmatch.end())
         if vpos < 0:
             raise DumpParseError(f"INSERT without VALUES for {table}")
     s = stmt
@@ -552,7 +588,25 @@ def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
                 raise DumpParseError(f"{table}.{f.name}: {v!r} not castable")
             out.append(v)
         elif isinstance(f.dataType, T.BinaryType):
-            out.append(v if isinstance(v, (bytes, bytearray)) else str(v).encode())
+            if isinstance(v, (bytes, bytearray)):
+                out.append(bytes(v))  # 0x… hex literal (--hex-blob dumps)
+            elif isinstance(v, str):
+                # A quoted literal destined for a binary column came through
+                # spark.read.text's UTF-8 decode.  Valid UTF-8 round-trips
+                # byte-faithfully; invalid bytes were already replaced with
+                # U+FFFD and the original is unrecoverable — fail loudly
+                # (C3 contract; the reference errors on invalid UTF-8 too,
+                # via BufRead::read_line).  Dump binary columns with
+                # mysqldump --hex-blob to avoid this entirely.
+                if "�" in v:
+                    raise DumpParseError(
+                        f"{table}.{f.name}: binary value contains bytes that "
+                        "did not survive UTF-8 line decoding; re-export with "
+                        "mysqldump --hex-blob"
+                    )
+                out.append(v.encode("utf-8"))
+            else:
+                raise DumpParseError(f"{table}.{f.name}: {v!r} is not binary")
         else:  # StringType
             if not isinstance(v, str):
                 raise DumpParseError(
@@ -651,10 +705,31 @@ def insert_rows_df(
         lines_df = spark.read.text(dump_path).where(
             F.col("value").startswith("INSERT INTO")
         )
-    # 2× cores: INSERT statements are coarse (1000s of rows each), so extra
-    # partitions smooth the per-task skew a plain cores-count split leaves.
-    par = 2 * spark.sparkContext.defaultParallelism
-    lines_df = lines_df.repartition(par)
+    # JVM-side per-table prefilter: without it, every table's pass would
+    # repartition and Python-tokenize ALL tables' INSERT lines (O(tables ×
+    # dump) parse work) with only the per-statement name check discarding
+    # foreign rows.  mysqldump writes the table name back-quoted, but cover
+    # the bare/double-quoted spellings too; the Python-side name check stays
+    # as the correctness guard.
+    tbl_prefixes = [
+        f"INSERT INTO `{table}`",
+        f'INSERT INTO "{table}"',
+        f"INSERT INTO {table} ",
+        f"INSERT INTO {table}(",
+    ]
+    pred = F.col("value").startswith(tbl_prefixes[0])
+    for p in tbl_prefixes[1:]:
+        pred = pred | F.col("value").startswith(p)
+    lines_df = lines_df.where(pred)
+    # Spread lines across cores before the CPU-heavy parse — but only when
+    # the input itself is under-split (a single .sql/.sql.gz file → 1-few
+    # scan tasks).  A many-file dump already provides the parallelism, and
+    # a full shuffle of raw dump text at 100 TB would dwarf the parse cost.
+    cores = spark.sparkContext.defaultParallelism
+    if lines_df.rdd.getNumPartitions() < cores:
+        # 2× cores: INSERT statements are coarse (1000s of rows each), so
+        # extra partitions smooth per-task skew.
+        lines_df = lines_df.repartition(2 * cores)
     names = [f.name for f in schema.fields]
 
     def parse_batches(batches):
@@ -684,13 +759,17 @@ def convert_dump(
     output_dir: str,
     compression: str = "snappy",
     progress: bool = False,
+    max_concurrency: int = 8,
 ) -> dict[str, int]:
     """Full reference pipeline: dump → one Snappy Parquet dataset per table.
 
     Returns {table: row_count}.  Two-pass: driver-side DDL (bytes), then a
-    parallel INSERT parse per table.  Single-table dumps stream straight
-    from the text scan; multi-table dumps cache the INSERT lines once so
-    the dump text is decoded exactly once, not once per table.
+    parallel INSERT parse per table.  Multi-table dumps cache the INSERT
+    lines once (the dump text is decoded exactly once, not once per table)
+    and submit the per-table write jobs from a thread pool — Spark's
+    scheduler runs them concurrently, so a 100-table dump doesn't serialize
+    the cluster behind one table at a time.  Row counts come from an
+    ``observe`` metric on the write itself; nothing re-reads the output.
 
     ``progress=True`` reports per-table rows to stderr — the analogue of
     the reference's three spinners (src/main.rs:63–86); live task-level
@@ -698,6 +777,9 @@ def convert_dump(
     """
     import sys
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
 
     schemas = collect_schemas(spark, dump_path)
     if progress:
@@ -708,21 +790,31 @@ def convert_dump(
     if len(schemas) > 1:
         lines = lines.persist()
     try:
-        counts: dict[str, int] = {}
-        for table, schema in schemas.items():
+
+        def _one_table(item: tuple[str, T.StructType]) -> tuple[str, int]:
+            table, schema = item
             t0 = _time.perf_counter()
             df = insert_rows_df(spark, dump_path, table, schema, lines_df=lines)
+            obs = Observation(f"ingest_{table}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             df.write.mode("overwrite").parquet(
                 f"{output_dir}/{table}", compression=compression
             )
-            counts[table] = spark.read.parquet(f"{output_dir}/{table}").count()
+            n = int(obs.get["rows"])
             if progress:
                 dt = _time.perf_counter() - t0
-                print(
-                    f"[ingest] {table}: {counts[table]:,} rows in {dt:.1f}s",
-                    file=sys.stderr,
-                )
-        return counts
+                print(f"[ingest] {table}: {n:,} rows in {dt:.1f}s", file=sys.stderr)
+            return table, n
+
+        items = list(schemas.items())
+        if len(items) == 1:
+            counts = dict([_one_table(items[0])])
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(max_concurrency, len(items))
+            ) as pool:
+                counts = dict(pool.map(_one_table, items))
+        return {t: counts[t] for t in schemas}  # deterministic table order
     finally:
         if len(schemas) > 1:
             lines.unpersist()

@@ -258,3 +258,117 @@ def test_complete_insert_column_list(spark, tmp_path):
     convert_dump(spark, str(dump), str(tmp_path / "out"))
     rows = {r.id: (r.name, r.bal) for r in spark.read.parquet(str(tmp_path / "out/c")).collect()}
     assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 1.5)}
+
+
+# ------------------------------------------------- round-2 advisory fixes
+
+
+def test_body_scan_survives_escaped_quote_before_paren():
+    """DEFAULT 'don\\'t)' must not close the quote early and truncate the
+    body (the escape has to skip the NEXT character, like _split_top_level)."""
+    ts = parse_create_table(
+        "CREATE TABLE `t` (`a` varchar(20) DEFAULT 'don\\'t)', `b` int) "
+        "ENGINE=InnoDB;"
+    )
+    assert [f.name for f in ts.schema.fields] == ["a", "b"]
+
+
+def test_insert_table_named_values_prefix():
+    """A table whose name starts with 'values' must not have its own name
+    matched as the VALUES keyword."""
+    table, rows = parse_insert("INSERT INTO `values_log` VALUES (1, 'x');")
+    assert table == "values_log"
+    assert rows == [(1, "x")]
+    table, rows = parse_insert("INSERT INTO values_log VALUES (2, 'y');")
+    assert table == "values_log"
+    assert rows == [(2, "y")]
+
+
+def test_nullability_ignores_quoted_literals():
+    """DEFAULT 'null' / COMMENT 'not null' are literal text, not options —
+    they must not flip the inferred nullability (or UNSIGNED detection)."""
+    ts = parse_create_table(
+        "CREATE TABLE `t` ("
+        "`a` varchar(10) DEFAULT 'null', "
+        "`b` varchar(20) NOT NULL COMMENT 'may be null later', "
+        "`c` varchar(20) COMMENT 'not null soon', "
+        "`d` int COMMENT 'unsigned someday');"
+    )
+    by_name = {f.name: f for f in ts.schema.fields}
+    assert by_name["a"].nullable is True
+    assert by_name["b"].nullable is False
+    assert by_name["c"].nullable is True  # comment text must not force NOT NULL
+    assert isinstance(by_name["d"].dataType, T.LongType)  # not DECIMAL(20,0)
+
+
+def test_binary_mangled_bytes_fail_loudly(spark, tmp_path):
+    """A binary column value whose bytes did not survive UTF-8 line decoding
+    (U+FFFD replacement) must error (C3), not silently re-encode."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import coerce_row
+
+    schema = T.StructType([T.StructField("payload", T.BinaryType())])
+    # valid UTF-8 round-trips byte-faithfully
+    assert coerce_row(("ok",), schema, "t") == (b"ok",)
+    with pytest.raises(DumpParseError, match="hex-blob"):
+        coerce_row(("bad � bytes",), schema, "t")
+
+
+def test_hex_blob_literal_roundtrip(spark, tmp_path):
+    dump = tmp_path / "hb.sql"
+    dump.write_text(
+        "CREATE TABLE `b` (`id` int, `payload` blob);\n"
+        "INSERT INTO `b` VALUES (1, 0x00FF10), (2, NULL);\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    rows = {r.id: r.payload for r in spark.read.parquet(str(tmp_path / "out/b")).collect()}
+    assert rows[1] == bytes([0x00, 0xFF, 0x10])
+    assert rows[2] is None
+
+
+def test_multitable_parallel_counts_and_prefilter(spark, tmp_path):
+    """Thread-pooled multi-table conversion returns the same counts as the
+    tables hold, including a table whose name prefixes another's."""
+    dump = tmp_path / "mt.sql"
+    dump.write_text(
+        "CREATE TABLE `ev` (`id` int);\n"
+        "CREATE TABLE `ev_archive` (`id` int);\n"
+        "CREATE TABLE `other` (`id` int);\n"
+        "INSERT INTO `ev` VALUES (1),(2),(3);\n"
+        "INSERT INTO `ev_archive` VALUES (10),(11);\n"
+        "INSERT INTO `other` VALUES (100);\n"
+    )
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"ev": 3, "ev_archive": 2, "other": 1}
+    got = sorted(r.id for r in spark.read.parquet(str(tmp_path / "out/ev")).collect())
+    assert got == [1, 2, 3]
+
+
+def test_many_file_dump_skips_text_shuffle(spark, tmp_path):
+    """When the dump arrives as many files (input splits ≥ cores), the raw
+    INSERT text must NOT be repartitioned — no Exchange below the Python
+    parse stage."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import insert_rows_df
+
+    n_files = spark.sparkContext.defaultParallelism + 2
+    ddl = "CREATE TABLE `t` (`id` int);\n"
+    (tmp_path / "part0.sql").write_text(
+        ddl + "INSERT INTO `t` VALUES (0);\n"
+    )
+    for i in range(1, n_files):
+        (tmp_path / f"part{i}.sql").write_text(f"INSERT INTO `t` VALUES ({i});\n")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    # tiny files coalesce into one split by default (openCostInBytes) —
+    # force one split per file so the input genuinely arrives well-split,
+    # as a real many-file 100 TB dump would
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    try:
+        df = insert_rows_df(spark, str(tmp_path / "*.sql"), "t", schema)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert sorted(r.id for r in df.collect()) == list(range(n_files))
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
