@@ -32,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--output", "-o", required=True, help="output directory")
     ap.add_argument("--compression", default="snappy")
+    ap.add_argument(
+        "--multiline",
+        choices=("auto", "never"),
+        default="auto",
+        help="'auto' (default) falls back to whole-file statement reassembly "
+        "for dumps whose INSERTs span lines (no --extended-insert); 'never' "
+        "errors instead, enforcing the splittable one-line layout",
+    )
     ap.add_argument("--master", default=None, help="Spark master (default local[cores])")
     args = ap.parse_args(argv)
 
@@ -56,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             compression=args.compression,
             progress=True,
+            multiline=args.multiline,
         )
         print(json.dumps({"tables": counts, "output": args.output}))
         return 0

@@ -155,6 +155,13 @@ class DumpParseError(ValueError):
     bail!/panic, line_parser.rs:170–173)."""
 
 
+class MultilineDumpError(DumpParseError):
+    """The dump spreads INSERT statements over multiple lines (no
+    --extended-insert / reformatted).  Not an error for ``convert_dump``
+    with ``multiline='auto'`` — it switches to the whole-file reassembly
+    path (reference parity: main.rs:110–145 accumulates lines until ';')."""
+
+
 def _split_top_level(body: str) -> list[str]:
     """Split a CREATE TABLE body on commas at paren depth 0, quote-aware."""
     parts: list[str] = []
@@ -659,29 +666,127 @@ MAX_DDL_LINES = 2_000_000
 
 
 def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructType]:
-    """Pass 1: reassemble DDL from the (tiny) non-INSERT line set."""
+    """Pass 1: reassemble DDL from the (tiny) non-INSERT line set.
+
+    The collected set also includes INSERT lines *not* terminated by ';' —
+    for a one-line-INSERT dump that set is empty, so detection of a
+    multi-line layout costs nothing on the fast path; when such lines (or
+    orphan '(' continuation lines) appear, :class:`MultilineDumpError` is
+    raised and ``convert_dump(multiline='auto')`` switches to whole-file
+    reassembly."""
     lines_df = spark.read.text(dump_path)
-    ddl_df = lines_df.where(~F.col("value").startswith("INSERT INTO"))
+    is_insert = F.col("value").startswith("INSERT INTO")
+    terminated = F.rtrim(F.col("value")).endswith(";")
+    ddl_df = lines_df.where(~is_insert | ~terminated)
     ddl_lines = [r[0] for r in ddl_df.limit(MAX_DDL_LINES + 1).collect()]
     if len(ddl_lines) > MAX_DDL_LINES:
-        raise DumpParseError(
+        raise MultilineDumpError(
             f"more than {MAX_DDL_LINES:,} non-INSERT lines — this dump does "
-            "not use one-line INSERT statements (mysqldump --extended-insert); "
-            "re-export with extended inserts"
+            "not use one-line INSERT statements (mysqldump --extended-insert)"
         )
-    for ln in ddl_lines:
-        if ln.lstrip().startswith("("):
-            raise DumpParseError(
-                f"orphan VALUES tuple line {ln[:60]!r} — multi-line INSERT "
-                "statements are not supported; re-export with "
-                "mysqldump --extended-insert"
-            )
+    multiline_markers = [
+        ln
+        for ln in ddl_lines
+        if ln.lstrip().startswith("(")
+        or (ln.startswith("INSERT INTO") and not ln.rstrip().endswith(";"))
+    ]
+    if multiline_markers:
+        raise MultilineDumpError(
+            f"multi-line INSERT statement detected (e.g. "
+            f"{multiline_markers[0][:60]!r}) — dump lacks one-line "
+            "--extended-insert layout"
+        )
     schemas: dict[str, T.StructType] = {}
     for stmt in iter_statements(ddl_lines):
         if stmt.startswith("CREATE TABLE"):
             ts = parse_create_table(stmt)
             schemas[ts.table] = ts.schema
     return schemas
+
+
+# --------------------------------------------------------------------------
+# multi-line dump fallback (whole-file reassembly — reference parity for
+# dumps without --extended-insert, main.rs:110–145)
+# --------------------------------------------------------------------------
+
+
+def _whole_files_df(spark: SparkSession, dump_path: str) -> DataFrame:
+    """One row per dump file (``wholetext``).  Statement reassembly then
+    runs per file on executors — the same single-stream grammar as the
+    reference, parallel across files.  Memory is bounded by the largest
+    single file; the scale path remains one-line INSERTs, which split."""
+    return spark.read.text(dump_path, wholetext=True)
+
+
+def collect_schemas_multiline(
+    spark: SparkSession, dump_path: str
+) -> dict[str, T.StructType]:
+    """Pass 1 for multi-line dumps: per-file statement reassembly on
+    executors, CREATE TABLE statements (tiny) collected to the driver."""
+    import pandas as pd
+
+    def creates(batches):
+        for pdf in batches:
+            out = []
+            for content in pdf["value"]:
+                for stmt in iter_statements(content.splitlines()):
+                    if stmt.startswith("CREATE TABLE"):
+                        out.append(stmt)
+            yield pd.DataFrame({"stmt": pd.Series(out, dtype="object")})
+
+    stmts = [
+        r.stmt
+        for r in _whole_files_df(spark, dump_path)
+        .mapInPandas(creates, "stmt string")
+        .collect()
+    ]
+    schemas: dict[str, T.StructType] = {}
+    for stmt in stmts:
+        ts = parse_create_table(stmt)
+        schemas[ts.table] = ts.schema
+    return schemas
+
+
+def insert_rows_df_multiline(
+    spark: SparkSession,
+    dump_path: str,
+    table: str,
+    schema: T.StructType,
+    files_df: DataFrame | None = None,
+) -> DataFrame:
+    """Pass 2 for multi-line dumps: reassemble + parse per file.  Same
+    Arrow-batched carrier/cast pipeline as :func:`insert_rows_df`;
+    parallelism is per *file* (the statement grammar is inherently
+    sequential within one file — exactly the reference's ceiling, which
+    processes one stream on one thread)."""
+    import pandas as pd
+
+    carrier = T.StructType([carrier_field(f) for f in schema.fields])
+    if files_df is None:
+        files_df = _whole_files_df(spark, dump_path)
+    names = [f.name for f in schema.fields]
+
+    def parse_file_batches(batches):
+        for pdf in batches:
+            cols: list[list] = [[] for _ in names]
+            for content in pdf["value"]:
+                for stmt in iter_statements(content.splitlines()):
+                    if not stmt.startswith("INSERT INTO"):
+                        continue
+                    if insert_table_name(stmt) != table:
+                        continue
+                    _, ins_cols, tuples = parse_insert_full(stmt)
+                    for tup in tuples:
+                        if ins_cols is not None:
+                            tup = align_row(tup, ins_cols, schema, table)
+                        for i, v in enumerate(coerce_row(tup, schema, table)):
+                            cols[i].append(v)
+            yield pd.DataFrame(
+                {n: pd.Series(c, dtype="object") for n, c in zip(names, cols)}
+            )
+
+    raw = files_df.mapInPandas(parse_file_batches, carrier)
+    return finish_casts(raw, schema)
 
 
 def insert_rows_df(
@@ -760,6 +865,7 @@ def convert_dump(
     compression: str = "snappy",
     progress: bool = False,
     max_concurrency: int = 8,
+    multiline: str = "auto",
 ) -> dict[str, int]:
     """Full reference pipeline: dump → one Snappy Parquet dataset per table.
 
@@ -771,6 +877,12 @@ def convert_dump(
     the cluster behind one table at a time.  Row counts come from an
     ``observe`` metric on the write itself; nothing re-reads the output.
 
+    ``multiline``: 'auto' (default) detects dumps whose INSERT statements
+    span lines (no --extended-insert) and falls back to whole-file
+    statement reassembly (reference parity, file-level parallelism);
+    'never' raises :class:`MultilineDumpError` instead — use it to enforce
+    the splittable one-line layout on 100 TB pipelines.
+
     ``progress=True`` reports per-table rows to stderr — the analogue of
     the reference's three spinners (src/main.rs:63–86); live task-level
     progress is the Spark UI's job.
@@ -781,12 +893,30 @@ def convert_dump(
 
     from pyspark.sql import Observation
 
-    schemas = collect_schemas(spark, dump_path)
+    if multiline not in ("auto", "never"):
+        raise ValueError(f"multiline must be 'auto' or 'never', got {multiline!r}")
+    use_multiline = False
+    try:
+        schemas = collect_schemas(spark, dump_path)
+    except MultilineDumpError:
+        if multiline == "never":
+            raise
+        use_multiline = True
+        schemas = collect_schemas_multiline(spark, dump_path)
+        if progress:
+            print(
+                "[ingest] multi-line INSERT layout detected — whole-file "
+                "reassembly path (parallel per file)",
+                file=sys.stderr,
+            )
     if progress:
         print(f"[ingest] {len(schemas)} table(s): {sorted(schemas)}", file=sys.stderr)
-    lines = spark.read.text(dump_path).where(
-        F.col("value").startswith("INSERT INTO")
-    )
+    if use_multiline:
+        lines = _whole_files_df(spark, dump_path)
+    else:
+        lines = spark.read.text(dump_path).where(
+            F.col("value").startswith("INSERT INTO")
+        )
     if len(schemas) > 1:
         lines = lines.persist()
     try:
@@ -794,7 +924,12 @@ def convert_dump(
         def _one_table(item: tuple[str, T.StructType]) -> tuple[str, int]:
             table, schema = item
             t0 = _time.perf_counter()
-            df = insert_rows_df(spark, dump_path, table, schema, lines_df=lines)
+            if use_multiline:
+                df = insert_rows_df_multiline(
+                    spark, dump_path, table, schema, files_df=lines
+                )
+            else:
+                df = insert_rows_df(spark, dump_path, table, schema, lines_df=lines)
             obs = Observation(f"ingest_{table}")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             df.write.mode("overwrite").parquet(

@@ -221,7 +221,25 @@ def test_fractional_second_timestamps(spark, tmp_path):
     assert rows[2].microsecond == 0
 
 
-def test_multiline_insert_rejected(spark, tmp_path):
+def test_multiline_insert_auto_fallback(spark, tmp_path):
+    """Dumps without --extended-insert (INSERTs spanning lines) convert via
+    the whole-file reassembly path — reference parity (main.rs:110–145
+    accumulates lines until ';')."""
+    dump = tmp_path / "ml.sql"
+    dump.write_text(
+        "CREATE TABLE `m` (`id` int, `name` varchar(10));\n"
+        "INSERT INTO `m` VALUES\n"
+        "(1, 'a'),\n"
+        "(2, 'b');\n"
+        "INSERT INTO `m`\nVALUES (3, 'c');\n"
+    )
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"m": 3}
+    rows = {r.id: r.name for r in spark.read.parquet(str(tmp_path / "out/m")).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_multiline_insert_rejected_when_forced_line_layout(spark, tmp_path):
     dump = tmp_path / "ml.sql"
     dump.write_text(
         "CREATE TABLE `m` (`id` int);\n"
@@ -229,8 +247,32 @@ def test_multiline_insert_rejected(spark, tmp_path):
         "(1),\n"
         "(2);\n"
     )
-    with pytest.raises(DumpParseError, match="multi-line INSERT|orphan"):
-        convert_dump(spark, str(dump), str(tmp_path / "out"))
+    from mysqldump_to_parquet_spark.sources.mysqldump import MultilineDumpError
+
+    with pytest.raises(MultilineDumpError):
+        convert_dump(spark, str(dump), str(tmp_path / "out"), multiline="never")
+
+
+def test_multiline_multi_table_gz(spark, tmp_path):
+    """Multi-line layout across several gzipped files: per-file reassembly,
+    tables spanning files, mid-tuple line breaks."""
+    import gzip
+
+    f1 = (
+        "CREATE TABLE `p` (\n  `id` int NOT NULL,\n  `v` double\n);\n"
+        "INSERT INTO `p` VALUES (1,\n1.5),\n(2, 2.5);\n"
+        "CREATE TABLE `q` (`id` int);\n"
+        "INSERT INTO `q` VALUES (10);\n"
+    )
+    f2 = "INSERT INTO `p` VALUES\n(3, -3.5);\n"
+    with gzip.open(tmp_path / "a.sql.gz", "wt") as fh:
+        fh.write(f1)
+    with gzip.open(tmp_path / "b.sql.gz", "wt") as fh:
+        fh.write(f2)
+    counts = convert_dump(spark, str(tmp_path / "*.sql.gz"), str(tmp_path / "out"))
+    assert counts == {"p": 3, "q": 1}
+    vals = {r.id: r.v for r in spark.read.parquet(str(tmp_path / "out/p")).collect()}
+    assert vals == {1: 1.5, 2: 2.5, 3: -3.5}
 
 
 def test_create_table_options_with_parens():
