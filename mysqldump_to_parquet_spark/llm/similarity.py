@@ -116,14 +116,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + b
         return out
 
-    probe_sigs = (
-        spark.range(1)
-        .select(*[band_sig(_probe_col(), b).alias(f"b{b}") for b in range(N_BANDS)])
-        .collect()[0]
-    )
+    # The probe's own signature needs no Spark job: the JVM fold is a
+    # left-to-right IEEE-double sum, which plain Python reproduces
+    # bit-exactly (same op, same order, same literals).
+    def probe_band_sig(band: int) -> int:
+        sig = 0
+        for j in range(N_PLANES):
+            acc = 0.0
+            for x, y in zip(PROBE, _plane(band, j)):
+                acc += x * y
+            if acc >= 0:
+                sig += 1 << j
+        return sig
+
     match_any = None
     for b in range(N_BANDS):
-        cond = band_sig(dbl, b) == int(probe_sigs[b])
+        cond = band_sig(dbl, b) == probe_band_sig(b)
         match_any = cond if match_any is None else (match_any | cond)
     return (
         e.where(match_any)
