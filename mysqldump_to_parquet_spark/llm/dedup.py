@@ -403,6 +403,93 @@ WHERE rk = 1
 """
 
 
+# ------------------------------------------------ dedup clustering
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-duplicate edges → one canonical doc
+    per duplicate cluster (component id = min doc_id reachable).
+
+    The step after pair generation in a real dedup pipeline: LSH emits
+    pairs, components turn pairs into keep/drop decisions.  Here the edge
+    set is the bounded exact-Jaccard subset (``dedup_ngram_jaccard``) so a
+    DuckDB recursive-CTE oracle can verify the labels exactly; at scale the
+    same loop runs on ``q_dedup_near``'s output.
+
+    Algorithm: min-label propagation to fixpoint — each round every vertex
+    takes the min label among itself and its neighbors; rounds = graph
+    diameter (near-dup clusters are shallow; the large-star/small-star
+    variant in the MapReduce CC literature drops that to O(log n) for
+    pathological chains).  Each round is one shuffle on the edge key; the
+    loop re-persists labels and checks convergence with a count.
+    """
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    verts = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+    labels = verts.select("doc_id", F.col("doc_id").alias("component")).persist()
+    sym = sym.persist()
+    while True:
+        neigh = (
+            sym.join(labels, sym["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_min", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component").orderBy("doc_id")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+reach AS (
+  -- transitive closure: every (vertex, reachable-vertex) pair
+  WITH RECURSIVE r(id, via) AS (
+    SELECT doc_id, doc_id FROM verts
+    UNION
+    SELECT e.doc_a, r.via FROM edges e JOIN r ON e.doc_b = r.id
+  )
+  SELECT * FROM r
+)
+SELECT id AS doc_id, MIN(via) AS component
+FROM reach
+GROUP BY id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": dedup_exact,
     "q_dedup_near": dedup_near_minhash,
@@ -413,6 +500,7 @@ QUERIES = {
     # (tests/test_llm.py) as the library-backed alternative.
     "q_dedup_simhash": dedup_simhash,
     "q_dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "q_dedup_components": dedup_components,
     "q_dedup_embedding": dedup_embedding,
 }
 
@@ -421,5 +509,6 @@ ORACLE = {
     # q_dedup_near: LSH is approximate + seeded — rows-only check.
     # q_dedup_simhash: engine-specific hash fn — rows-only check.
     "q_dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "q_dedup_components": DEDUP_COMPONENTS_SQL,
     "q_dedup_embedding": DEDUP_EMBEDDING_SQL,
 }

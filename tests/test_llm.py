@@ -135,3 +135,27 @@ def test_ivf_quantizer_fit_once(spark, monkeypatch):
     assert again is first
     out = S.sim_ann_ivf(spark, SF).collect()  # probe runs fit-free
     assert 0 < len(out) <= 10
+
+
+def test_components_merge_transitive_chain(spark, tmp_path):
+    """A~B and B~C (shared shingles) but A and C share nothing: connected
+    components must still place all three in one cluster — the property
+    pairwise output alone cannot express."""
+    from mysqldump_to_parquet_spark.llm.dedup import dedup_components
+
+    half1 = "alpha beta gamma delta epsilon zeta eta theta".split()
+    half2 = "iota kappa lmbda mu nu xi omicron pi".split()
+    half3 = "rho sigma tau upsilon phi chi psi omega".split()
+    docs = [
+        (0, " ".join(half1), "en", "s", 10),            # A
+        (1, " ".join(half1 + half2), "en", "s", 10),    # B ~ A and ~ C
+        (2, " ".join(half2 + half3), "en", "s", 10),    # C (no overlap with A)
+        (3, "totally different words here entirely now yes", "en", "s", 10),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r.component for r in dedup_components(spark, d).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == 3
