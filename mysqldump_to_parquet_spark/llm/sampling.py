@@ -1,0 +1,93 @@
+"""Deterministic dataset splitting & sampling for training pipelines.
+
+Random `df.sample()` is non-reproducible across runs/engines and reshuffles
+membership when the corpus grows.  The standard fix — and the one that
+scales — is *hash-based* assignment: a stable content key (here ``doc_id``)
+is hashed, and split membership is a pure function of the hash.  Properties
+that matter at 100 TB:
+
+* **No shuffle, no state**: assignment is a per-row map; the split column
+  can be computed at write time and used for partition pruning.
+* **Stable under growth**: adding documents never moves an existing one
+  across splits (no re-randomization drift between pipeline runs).
+* **Cross-engine reproducible**: md5 is bit-identical everywhere, so the
+  DuckDB oracle checks the exact assignment, not just the rates.
+
+md5 (not xxhash64) keys the split: engine-neutral and uniformly
+distributed; lexicographic comparison on the lowercase-hex digest is a
+uniform threshold test ('00'…'ff' per byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Hex-digest thresholds: md5 < 'c8' → train (~78.1%), < 'e1' → val
+#: (~9.8%), rest → test (~12.1%).  Lowercase hex compares lexicographically
+#: as an unsigned byte prefix in both engines.
+TRAIN_MAX = "c8"
+VAL_MAX = "e1"
+
+
+def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_split_hash: stable train/val/test assignment per document."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < TRAIN_MAX, "train").when(h < VAL_MAX, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+SPLIT_HASH_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{TRAIN_MAX}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{VAL_MAX}'   THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+#: Per-stratum keep-thresholds (first hex digit of md5(doc_id)): downsample
+#: the dominant language to ~25% while keeping the rest — the deterministic
+#: analog of ``df.sampleBy('lang', fractions)``.
+STRATA_MAX = {"en": "4"}  # md5 < '4' → keep ≈ 4/16 of 'en'; others keep all
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sample_stratified: deterministic per-stratum downsampling (class
+    rebalancing for the over-represented language)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    keep = F.lit(True)
+    for lang, mx in sorted(STRATA_MAX.items()):
+        keep = keep & ((F.col("lang") != lang) | (h < mx))
+    return d.where(keep).select("doc_id", "lang", "source")
+
+
+def _strata_pred_sql() -> str:
+    clauses = [
+        f"(lang <> '{lang}' OR md5(CAST(doc_id AS VARCHAR)) < '{mx}')"
+        for lang, mx in sorted(STRATA_MAX.items())
+    ]
+    return " AND ".join(clauses)
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_strata_pred_sql()}
+"""
+
+
+QUERIES = {
+    "q_split_hash": split_hash,
+    "q_sample_stratified": sample_stratified,
+}
+
+ORACLE = {
+    "q_split_hash": SPLIT_HASH_SQL,
+    "q_sample_stratified": SAMPLE_STRATIFIED_SQL,
+}

@@ -159,3 +159,19 @@ def test_components_merge_transitive_chain(spark, tmp_path):
     out = {r.doc_id: r.component for r in dedup_components(spark, d).collect()}
     assert out[0] == out[1] == out[2] == 0
     assert out[3] == 3
+
+
+def test_hash_split_stable_under_corpus_growth(spark, tmp_path):
+    """Hash-based split membership is a pure function of doc_id: growing
+    the corpus must never move an existing document between splits (the
+    property random sampling lacks)."""
+    from mysqldump_to_parquet_spark.llm.sampling import split_hash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small_dir, big_dir = str(tmp_path / "small"), str(tmp_path / "big")
+    docs.limit(100).write.parquet(f"{small_dir}/documents.parquet")
+    docs.write.parquet(f"{big_dir}/documents.parquet")
+    small = {r.doc_id: r.split for r in split_hash(spark, small_dir).collect()}
+    big = {r.doc_id: r.split for r in split_hash(spark, big_dir).collect()}
+    assert len(small) == 100 and len(big) == 500
+    assert all(big[i] == s for i, s in small.items())
