@@ -82,12 +82,58 @@ WHERE {_strata_pred_sql()}
 """
 
 
+#: Token budget per packed training batch.
+PACK_BUDGET = 2_000
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pack_sequences: assign documents to fixed-token-budget training
+    batches — batch id = (tokens preceding this doc) ÷ budget, over a
+    per-language running sum ordered by doc_id (start-offset packing: a doc
+    joins the batch its start offset falls in).
+
+    Scale shape: the window partitions by ``lang`` (the shard key), so no
+    global single-partition sort exists anywhere; at 100 TB the shard key
+    is whatever the corpus is already bucketed by, and packing is one
+    windowed pass per shard."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = d.select("lang", "doc_id", n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    # integer DIV keeps batch ids exact at any corpus size (a double
+    # quotient would wobble once cumulative tokens pass 2^53)
+    return per_doc.withColumn("__start", (cum - F.col("n_tokens"))).withColumn(
+        "batch_id", F.expr(f"__start DIV {PACK_BUDGET}")
+    ).drop("__start")
+
+
+PACK_SEQUENCES_SQL = f"""
+SELECT lang, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST((SUM(len(string_split(text, ' ')))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+             - len(string_split(text, ' '))) // {PACK_BUDGET} AS BIGINT)
+         AS batch_id
+FROM documents
+"""
+
+
 QUERIES = {
     "q_split_hash": split_hash,
     "q_sample_stratified": sample_stratified,
+    "q_pack_sequences": pack_sequences,
 }
 
 ORACLE = {
     "q_split_hash": SPLIT_HASH_SQL,
     "q_sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "q_pack_sequences": PACK_SEQUENCES_SQL,
 }

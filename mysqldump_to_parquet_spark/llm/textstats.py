@@ -229,12 +229,65 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------- top terms
+
+TOP_TERMS_K = 5
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K terms per language by document frequency — the
+    explode → partial-agg → shuffle-agg → windowed top-k shape every corpus
+    vocabulary/TF-IDF job takes.  Document frequency (distinct docs
+    containing the term), not raw term count, so repeated words in one doc
+    don't dominate.  At 100 TB: the explode is map-side, the (lang, token)
+    aggregate combines partially before the shuffle, and the final top-k
+    window only sees one row per distinct term."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("lang", "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+        .where(F.length("token") >= 4)  # skip stop-word-ish short tokens
+    )
+    df_counts = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("doc_freq")  # distinct per doc via array_distinct
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("token"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_TERMS_K)
+        .select("lang", "rank", "token", "doc_freq")
+    )
+
+
+TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT lang, doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, COUNT(*) AS doc_freq
+  FROM tok
+  WHERE length(token) >= 4
+  GROUP BY lang, token
+)
+SELECT lang, rank, token, doc_freq
+FROM (
+  SELECT lang, token, doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY doc_freq DESC, token ASC) AS rank
+  FROM counts
+) t
+WHERE rank <= {TOP_TERMS_K}
+"""
+
+
 QUERIES = {
     "q_text_stats": text_stats,
     "q_lang_id": lang_id,
     "q_quality_score": quality_score,
     "q_token_count": token_count,
     "q_fingerprint": fingerprint,
+    "q_top_terms": top_terms,
 }
 
 ORACLE = {
@@ -243,4 +296,5 @@ ORACLE = {
     "q_quality_score": QUALITY_SCORE_SQL,
     "q_token_count": TOKEN_COUNT_SQL,
     "q_fingerprint": FINGERPRINT_SQL,
+    "q_top_terms": TOP_TERMS_SQL,
 }
