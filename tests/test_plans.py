@@ -90,3 +90,23 @@ def test_salted_agg_distinct_exact(spark):
         .collect()
     }
     assert got == want
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Sequence packing must window per shard (lang), never collapse to a
+    single partition — the 100 TB kill-switch for naive global ordering."""
+    from mysqldump_to_parquet_spark.llm.sampling import pack_sequences
+
+    plan = formatted_plan(pack_sequences(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(lang" in plan, plan
+
+
+def test_top_terms_partial_aggregation(spark):
+    """The (lang, token) document-frequency count must combine map-side
+    before the shuffle (partial + final HashAggregate pair)."""
+    from mysqldump_to_parquet_spark.llm.textstats import top_terms
+
+    plan = formatted_plan(top_terms(spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan, plan
