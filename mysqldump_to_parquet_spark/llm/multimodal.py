@@ -124,6 +124,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Frame sampling: N evenly spaced fixed-size byte windows per payload —
+#: the video-keyframe / audio-clip access pattern, expressed on the opaque
+#: binary column.
+N_FRAMES = 4
+FRAME_BYTES = 64
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_multimodal_frames: sample N_FRAMES byte windows per payload
+    (1 row → N rows), entirely JVM-side — ``substring`` slices BinaryType
+    without decoding, so at 100 TB frame extraction never touches Python
+    and reads each payload page once for all its frames.
+
+    A real decoder would replace the md5 checksum with pixel features
+    (``decode_image_batch`` is the env-gated slot); the window arithmetic,
+    explode shape, and byte slicing are the production plumbing.
+    Checksums run on the UTF-8 decode of each window (the corpus payloads
+    are ASCII text stand-ins), which keeps a cross-engine oracle: DuckDB's
+    md5 is VARCHAR-only.
+    """
+    media = media_table(spark, sf_dir)
+    n = F.length("payload")  # byte length of the binary payload
+    span = F.greatest(n - F.lit(FRAME_BYTES), F.lit(0))
+    frames = media.select(
+        "doc_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), F.lit(N_FRAMES - 1))).alias("frame_idx"),
+    ).withColumn(
+        "offset", F.expr(f"(frame_idx * greatest(length(payload) - {FRAME_BYTES}, 0)) DIV {N_FRAMES - 1}")
+    )
+    window = F.expr(f"substring(payload, offset + 1, {FRAME_BYTES})")
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("offset").cast("long").alias("offset"),
+        F.length(window).cast("long").alias("frame_bytes"),
+        F.md5(F.decode(window, "UTF-8")).alias("frame_md5"),
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+SELECT doc_id,
+       frame_idx,
+       (frame_idx * greatest(strlen(text) - {FRAME_BYTES}, 0)) // {N_FRAMES - 1}
+         AS offset,
+       CAST(length(substring(
+         text,
+         CAST((frame_idx * greatest(strlen(text) - {FRAME_BYTES}, 0))
+              // {N_FRAMES - 1} AS INTEGER) + 1,
+         {FRAME_BYTES})) AS BIGINT) AS frame_bytes,
+       md5(substring(
+         text,
+         CAST((frame_idx * greatest(strlen(text) - {FRAME_BYTES}, 0))
+              // {N_FRAMES - 1} AS INTEGER) + 1,
+         {FRAME_BYTES})) AS frame_md5
+FROM documents,
+     (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS frame_idx)
+"""
+
+
 MULTIMODAL_META_SQL = """
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT)   AS n_bytes,  -- byte length (UTF-8), not chars
@@ -134,5 +194,11 @@ FROM documents
 """
 
 
-QUERIES = {"q_multimodal_meta": multimodal_features}
-ORACLE = {"q_multimodal_meta": MULTIMODAL_META_SQL}
+QUERIES = {
+    "q_multimodal_meta": multimodal_features,
+    "q_multimodal_frames": multimodal_frames,
+}
+ORACLE = {
+    "q_multimodal_meta": MULTIMODAL_META_SQL,
+    "q_multimodal_frames": MULTIMODAL_FRAMES_SQL,
+}
