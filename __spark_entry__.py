@@ -52,11 +52,11 @@ _MODULES = [
     llm_textstats,
     llm_sampling,
     llm_multimodal,
+    stream_windows,
     relational,
     asof,
     skew,
     fn_udfs,
-    stream_windows,
     windows,
     fn_scalar,
 ]

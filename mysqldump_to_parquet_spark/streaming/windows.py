@@ -139,11 +139,81 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+# ------------------------------------------------- resample + gap fill
+
+
+def resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_resample_locf: regularize each user's event stream onto an hourly
+    grid with last-observation-carried-forward — the hypertable
+    rollup/gap-fill operator time-series stores ship natively
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``).
+
+    Shape: (1) hourly aggregate — two-phase, one row per (user, bucket);
+    (2) per-user grid via ``explode(sequence(t0, t1, 1h))`` — rows
+    proportional to the span, generated map-side after a tiny per-user
+    min/max agg; (3) left join grid↔hourly co-partitioned on (user,
+    bucket); (4) LOCF = running ``last(ignorenulls)`` window per user.
+    Every shuffle keys on user_id (+bucket) — no global sort, no skew
+    beyond per-user event volume (AQE splits hot users).
+    The grid starts at each user's first event, so bucket 0 is never null
+    and LOCF needs no leading-edge default."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+RESAMPLE_LOCF_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS bucket
+  FROM span
+)
+SELECT g.user_id, g.bucket,
+       COALESCE(h.n_events, 0) AS n_events,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS UNBOUNDED PRECEDING) AS value_locf
+FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+"""
+
+
 QUERIES = {
     "q_stream_tumbling": stream_tumbling,
     "q_stream_sliding": stream_sliding,
     "q_stream_session": stream_session,
     "q_stream_dedup": stream_dedup,
+    "q_resample_locf": resample_locf,
 }
 
 ORACLE = {
@@ -151,4 +221,5 @@ ORACLE = {
     "q_stream_sliding": STREAM_SLIDING_SQL,
     "q_stream_session": STREAM_SESSION_SQL,
     "q_stream_dedup": STREAM_DEDUP_SQL,
+    "q_resample_locf": RESAMPLE_LOCF_SQL,
 }
