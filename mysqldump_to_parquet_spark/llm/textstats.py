@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .sampling import TRAIN_MAX, VAL_MAX
 
 # --------------------------------------------------------------- corpus stats
 
@@ -281,6 +282,121 @@ WHERE rank <= {TOP_TERMS_K}
 """
 
 
+# ------------------------------------------------------------ text cleaning
+
+#: Cleaning patterns shared verbatim by both engines (portable regex
+#: subset: no lookbehind, no engine-specific classes).
+RE_URL = r"https?://[^\s]+"
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_MULTISPACE = r"  +"
+
+
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_text_clean: normalization + PII scrubbing — URLs/emails replaced
+    with typed placeholder tokens, whitespace collapsed, edges trimmed.
+    Pure per-row regexp_replace chain: codegen'd, no shuffle, and the
+    cleaning runs in the same stage as whatever consumes it."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", RE_URL, "<URL>"),
+                RE_EMAIL,
+                "<EMAIL>",
+            ),
+            RE_MULTISPACE,
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("chars_removed"),
+        (cleaned != F.col("text")).alias("was_modified"),
+    )
+
+
+TEXT_CLEAN_SQL = rf"""
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           text, '{RE_URL}', '<URL>', 'g'),
+           '{RE_EMAIL}', '<EMAIL>', 'g'),
+           '{RE_MULTISPACE}', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(length(text) - length(clean_text) AS BIGINT) AS chars_removed,
+       clean_text <> text AS was_modified
+FROM c
+"""
+
+
+# --------------------------------------------------------- decontamination
+
+#: n-gram order for contamination detection (long enough that chance
+#: collisions are negligible, short enough to catch partial inclusion).
+DECON_N = 8
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_decontaminate: find train-split documents sharing ≥1 8-gram with
+    any eval-split document — benchmark-leakage detection, the dedup-shaped
+    join every training pipeline runs before release.
+
+    Shape: both sides shingle JVM-side into distinct 8-gram xxhash64 arrays
+    (fixed-width int64 rows after explode), the equi-join on the hash is an
+    ordinary shuffle join (co-partitioned on the n-gram key — never
+    all-pairs), and the per-(train, eval) match count aggregates two-phase.
+    At 100 TB the eval side is small → broadcast; dropping the hottest
+    n-grams (boilerplate, cap via q_dedup_near's bucket trick) bounds skew.
+    Uses the q_split_hash assignment, so 'eval' is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - {DECON_N}, 0)),"
+        f" i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, {DECON_N})))))"
+    )
+    with_split = d.select(
+        "doc_id",
+        grams.alias("grams"),
+        F.when(h < TRAIN_MAX, "train").when(h < VAL_MAX, "val").otherwise("test").alias("split"),
+    )
+    train = with_split.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
+    )
+    test = with_split.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("eval_id"), F.explode("grams").alias("g")
+    )
+    return (
+        train.join(test, "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH with_split AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(string_split(text, ' ')) - {DECON_N}, 0)),
+           i -> array_to_string(string_split(text, ' ')[i + 1 : i + {DECON_N}], ' ')
+         )) AS grams,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{TRAIN_MAX}' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), train AS (
+  SELECT doc_id AS train_id, unnest(grams) AS g FROM with_split WHERE split = 'train'
+), test AS (
+  SELECT doc_id AS eval_id, unnest(grams) AS g FROM with_split WHERE split = 'test'
+)
+SELECT t.train_id, e.eval_id, COUNT(*) AS shared_ngrams
+FROM train t JOIN test e USING (g)
+GROUP BY t.train_id, e.eval_id
+"""
+
+
 QUERIES = {
     "q_text_stats": text_stats,
     "q_lang_id": lang_id,
@@ -288,6 +404,8 @@ QUERIES = {
     "q_token_count": token_count,
     "q_fingerprint": fingerprint,
     "q_top_terms": top_terms,
+    "q_text_clean": text_clean,
+    "q_decontaminate": decontaminate,
 }
 
 ORACLE = {
@@ -297,4 +415,6 @@ ORACLE = {
     "q_token_count": TOKEN_COUNT_SQL,
     "q_fingerprint": FINGERPRINT_SQL,
     "q_top_terms": TOP_TERMS_SQL,
+    "q_text_clean": TEXT_CLEAN_SQL,
+    "q_decontaminate": DECONTAMINATE_SQL,
 }

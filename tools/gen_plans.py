@@ -70,6 +70,18 @@ NOTES = {
         "all. At write time the split column partitions the output, so "
         "train/val/test reads are partition-pruned."
     ),
+    "q_resample_locf": (
+        "Hypertable gap-fill: hourly two-phase aggregate, per-user grid "
+        "from explode(sequence) after a tiny min/max agg, grid↔hourly "
+        "left join co-partitioned on (user, bucket), LOCF as a running "
+        "last(ignorenulls) window. Every shuffle keys on user_id."
+    ),
+    "q_decontaminate": (
+        "Benchmark-leakage detection: both splits shingle into distinct "
+        "8-gram hashes JVM-side; the equi-join on the hash is an ordinary "
+        "shuffle join (never all-pairs) and the per-pair match count "
+        "aggregates two-phase. At scale the eval side broadcasts."
+    ),
     "q_multimodal_frames": (
         "Frame sampling slices BinaryType payloads with substring (no "
         "decode, no Python): explode(sequence) fans 1→N inside the same "
