@@ -82,6 +82,38 @@ def decode_image_batch(payloads: pd.Series) -> pd.Series:
     raise NotImplementedError("real decode path not implemented in v0")
 
 
+def resize_image_batch(payloads: pd.Series, width: int, height: int) -> pd.Series:
+    """Real resize slot — requires an image codec library (same env-gated
+    contract as :func:`decode_image_batch`)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image resize requires PIL/cv2 (not in this environment); "
+            "use fake_resize for the plumbing path"
+        ) from exc
+    raise NotImplementedError("real resize path not implemented in v0")
+
+
+def fake_resize(batches: Iterator[pd.DataFrame], factor: int = 4) -> Iterator[pd.DataFrame]:
+    """Deterministic resize stand-in: keep every ``factor``-th payload byte
+    (a stride-subsample — the 1-D analog of nearest-neighbor downscaling).
+    Same mapInPandas batch contract a real resizer would use: bytes in,
+    smaller bytes + updated metadata out."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": payloads.map(lambda b: bytes(b[::factor])),
+                "orig_bytes": payloads.map(len).astype("int64"),
+                "resized_bytes": payloads.map(
+                    lambda b: len(b[::factor])
+                ).astype("int64"),
+            }
+        )
+
+
 def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in feature extractor: 4 doubles per payload
     derived from byte statistics.  Same signature/batching as a real

@@ -175,3 +175,61 @@ def test_hash_split_stable_under_corpus_growth(spark, tmp_path):
     big = {r.doc_id: r.split for r in split_hash(spark, big_dir).collect()}
     assert len(small) == 100 and len(big) == 500
     assert all(big[i] == s for i, s in small.items())
+
+
+def test_fake_resize_batch_plumbing(spark):
+    """Resize slot: the mapInPandas batch contract (bytes in, strided
+    bytes + metadata out) with deterministic output; the real decoder
+    (resize_image_batch) is env-gated exactly like decode_image_batch."""
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        fake_resize,
+        media_table,
+        resize_image_batch,
+    )
+
+    media = media_table(spark, SF).limit(20)
+    out = media.select("doc_id", "payload").mapInPandas(
+        fake_resize, "doc_id long, payload binary, orig_bytes long, resized_bytes long"
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.resized_bytes == len(r.payload)
+        assert r.resized_bytes == (r.orig_bytes + 3) // 4  # stride 4
+    with pytest.raises(NotImplementedError, match="resize"):
+        import pandas as pd
+
+        resize_image_batch(pd.Series([b"x"]), 8, 8)
+
+
+def test_decontaminate_finds_planted_leak(spark, tmp_path):
+    """A train-split doc containing a verbatim 8-gram from an eval-split
+    doc must surface as a contamination pair; unrelated docs must not."""
+    from mysqldump_to_parquet_spark.llm.sampling import TRAIN_MAX, VAL_MAX
+    from mysqldump_to_parquet_spark.llm.textstats import decontaminate
+    import hashlib
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return "train" if h < TRAIN_MAX else ("val" if h < VAL_MAX else "test")
+
+    train_id = next(i for i in range(100) if split_of(i) == "train")
+    eval_id = next(i for i in range(100) if split_of(i) == "test")
+    other_id = next(
+        i for i in range(100) if split_of(i) == "train" and i != train_id
+    )
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = [
+        (train_id, f"intro words {leak} trailing text here", "en", "s", 10),
+        (eval_id, f"benchmark question: {leak} answer choices", "en", "s", 10),
+        (other_id, "completely unrelated training content words", "en", "s", 10),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    pairs = {(r.train_id, r.eval_id): r.shared_ngrams
+             for r in decontaminate(spark, d).collect()}
+    assert (train_id, eval_id) in pairs
+    assert all(t != other_id for t, _ in pairs)
