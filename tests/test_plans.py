@@ -110,3 +110,13 @@ def test_top_terms_partial_aggregation(spark):
     plan = formatted_plan(top_terms(spark, SF))
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_count" in plan, plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery must rewrite to aggregate + join —
+    a per-outer-row subquery re-execution would be |outer| passes at scale."""
+    from mysqldump_to_parquet_spark.operators.relational import subquery_scalar
+
+    plan = formatted_plan(subquery_scalar(spark, SF))
+    assert "Join" in plan, plan
+    assert "max(" in plan, plan
