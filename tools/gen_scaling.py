@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Regenerate SCALING.md: headline-operator wall time across the three
+fixture scale factors (sf0.001 → sf0.01 → sf0.1, 100× data end to end),
+min-of-3 per point on local[32].
+
+    python tools/gen_scaling.py
+
+A scalable plan should grow wall time far slower than data until the
+cores saturate (fixed job overhead dominates small inputs), then
+approach linear.  Superlinear growth flags a plan that would not survive
+the next 100×.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_join_asof",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_top_terms",
+    "q_split_hash",
+    "q_pack_sequences",
+    "q_resample_locf",
+    "q_decontaminate",
+    "q_multimodal_frames",
+]
+
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    from mysqldump_to_parquet_spark.session import get_spark
+
+    import __spark_entry__ as entrypoint
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="gen-scaling", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = entrypoint.queries()
+
+    # warmup: pay JVM + codegen startup outside the measurements
+    registry[QUERIES[0]](spark, "/root/testdata/sf0.01").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for sf in SFS:
+            spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                registry[name](spark, f"/root/testdata/sf{sf}").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][sf] = best
+
+    lines = [
+        "# SCALING — wall time vs data size",
+        "",
+        f"min-of-3 per point, local[{cpus}], clearCache between points.",
+        "Regenerate with `python tools/gen_scaling.py`.",
+        "",
+        "100× more data (sf0.001 → sf0.1) should cost far less than 100× wall:",
+        "fixed job overhead dominates the small end, and the plan's parallelism",
+        "absorbs growth until cores saturate.  The `×(100× data)` column is the",
+        "scale-up factor actually paid.",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | ×(100× data) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        ratio = r["0.1"] / r["0.001"] if r["0.001"] > 0 else float("nan")
+        lines.append(
+            f"| {name} | {r['0.001']:.2f}s | {r['0.01']:.2f}s | {r['0.1']:.2f}s "
+            f"| {ratio:.1f}× |"
+        )
+    lines += [
+        "",
+        "Expected outliers: `q_resample_locf` *output* (the gap-filled grid) and",
+        "`q_decontaminate`'s exploded n-gram join grow linearly with the data, so",
+        "their wall time tracks output size — still far below the 100× input",
+        "growth, and both shapes shard cleanly (per-user / per-gram keys) on a",
+        "real cluster.",
+    ]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
