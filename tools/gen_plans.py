@@ -70,6 +70,11 @@ NOTES = {
         "all. At write time the split column partitions the output, so "
         "train/val/test reads are partition-pruned."
     ),
+    "q_subquery_scalar": (
+        "Correlated scalar subquery decorrelated by Catalyst into "
+        "aggregate + join — one shuffle on the correlation key instead of "
+        "|outer| subquery re-executions."
+    ),
     "q_resample_locf": (
         "Hypertable gap-fill: hourly two-phase aggregate, per-user grid "
         "from explode(sequence) after a tiny min/max agg, grid↔hourly "
