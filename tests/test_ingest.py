@@ -431,3 +431,20 @@ def test_fifty_table_dump_threadpool(spark, tmp_path):
     # spot-check no bleed: every row of t07 carries its own tag
     rows = spark.read.parquet(str(tmp_path / "out/t07")).collect()
     assert {r.tag for r in rows} == {"g07"} and len(rows) == 8
+
+
+def test_multitable_conversion_fails_loudly_on_bad_table(spark, tmp_path):
+    """C3 under concurrency: one table with an uncastable value fails the
+    whole conversion with its column context, even when other tables are
+    converting concurrently on the thread pool."""
+    dump = tmp_path / "mixed.sql"
+    dump.write_text(
+        "CREATE TABLE `good1` (`id` int);\n"
+        "CREATE TABLE `bad` (`id` int, `ts` timestamp NULL);\n"
+        "CREATE TABLE `good2` (`id` int);\n"
+        "INSERT INTO `good1` VALUES (1),(2);\n"
+        "INSERT INTO `bad` VALUES (1, 'not-a-date');\n"
+        "INSERT INTO `good2` VALUES (3);\n"
+    )
+    with pytest.raises(Exception, match="cannot cast ts"):
+        convert_dump(spark, str(dump), str(tmp_path / "out"))
