@@ -721,11 +721,44 @@ def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructTy
 # --------------------------------------------------------------------------
 
 
-def _whole_files_df(spark: SparkSession, dump_path: str) -> DataFrame:
+#: Per-file ceilings for the whole-file path: one file = one in-memory
+#: string, and JVM/Arrow strings break near 2 GiB.  Gzip is bounded
+#: tighter because the *decompressed* text is what must fit (SQL text
+#: compresses ~4–10×).
+MAX_WHOLEFILE_BYTES = 1_500_000_000
+MAX_WHOLEFILE_GZ_BYTES = 250_000_000
+
+
+def _whole_files_df(
+    spark: SparkSession, dump_path: str, max_bytes: int | None = None
+) -> DataFrame:
     """One row per dump file (``wholetext``).  Statement reassembly then
     runs per file on executors — the same single-stream grammar as the
     reference, parallel across files.  Memory is bounded by the largest
-    single file; the scale path remains one-line INSERTs, which split."""
+    single file, so oversized files are rejected loudly up front (a
+    silently OOM-ing executor is much harder to act on): re-export with
+    ``mysqldump --extended-insert`` to use the splittable line path, or
+    split the dump into smaller files."""
+    sizes = (
+        spark.read.format("binaryFile")
+        .load(dump_path)
+        .select("path", "length")  # length comes from file status — the
+        .collect()                 # content column is never materialized
+    )
+    for r in sizes:
+        limit = max_bytes
+        if limit is None:
+            limit = (
+                MAX_WHOLEFILE_GZ_BYTES
+                if r.path.endswith(".gz")
+                else MAX_WHOLEFILE_BYTES
+            )
+        if r.length > limit:
+            raise DumpParseError(
+                f"{r.path} is {r.length:,} bytes — too large for whole-file "
+                "multi-line reassembly (per-file string memory bound); "
+                "re-export with mysqldump --extended-insert or split the dump"
+            )
     return spark.read.text(dump_path, wholetext=True)
 
 

@@ -448,3 +448,16 @@ def test_multitable_conversion_fails_loudly_on_bad_table(spark, tmp_path):
     )
     with pytest.raises(Exception, match="cannot cast ts"):
         convert_dump(spark, str(dump), str(tmp_path / "out"))
+
+
+def test_wholefile_path_rejects_oversized_files(spark, tmp_path):
+    """The multi-line fallback holds whole files in memory — oversized
+    inputs must be rejected with remediation, not OOM an executor."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import _whole_files_df
+
+    f = tmp_path / "big.sql"
+    f.write_text("INSERT INTO `t` VALUES\n(1);\n" * 10)
+    with pytest.raises(DumpParseError, match="extended-insert"):
+        _whole_files_df(spark, str(f), max_bytes=10)
+    # within bounds → fine
+    assert _whole_files_df(spark, str(f)).count() == 1
