@@ -164,8 +164,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached for the session (the returned DataFrame is lazy — unpersisting
     # here would reintroduce the recompute); repeated calls re-use the same
     # cache entry (the cache manager keys on the canonicalized plan), so
-    # entries don't accumulate.
-    sh = sh.persist()
+    # entries don't accumulate.  MEMORY_AND_DISK: at 100 TB the shingle
+    # table dwarfs executor memory, so blocks spill to local disk rather
+    # than evict (eviction would silently recompute the whole scan per
+    # branch); an even larger corpus should checkpoint the *band* table —
+    # fixed-width, B rows/doc — and recompute shingles for the verify join.
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # Minhash signatures + band hashes in one vectorized NumPy stage:
     # Spark's higher-order-function folds are interpreted per element, so a
     # K-seed fold over every shingle is the hot spot; affine universal

@@ -1,0 +1,58 @@
+"""CLI surface tests — reference parity for src/main.rs:26–37 (positional
+input + --output), the stdin rejection policy, and flag propagation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mysqldump_to_parquet_spark import cli
+from mysqldump_to_parquet_spark import session as session_mod
+from mysqldump_to_parquet_spark.sources.mysqldump import DEMO_DUMP
+
+
+class _NoStop:
+    """Session proxy whose stop() is a no-op — the CLI owns its session's
+    lifecycle, but in tests the session is shared with the whole suite."""
+
+    def __init__(self, sp):
+        self._sp = sp
+
+    def __getattr__(self, name):
+        return getattr(self._sp, name)
+
+    def stop(self):
+        pass
+
+
+def test_cli_rejects_stdin(capsys):
+    assert cli.main(["-", "--output", "/tmp/nowhere"]) == 2
+    err = capsys.readouterr().err
+    assert "stdin is not supported" in err
+    assert "spool" in err  # remediation pattern present
+
+
+def test_cli_happy_path(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: _NoStop(spark))
+    dump = tmp_path / "demo.sql"
+    dump.write_text(DEMO_DUMP)
+    rc = cli.main([str(dump), "--output", str(tmp_path / "out")])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    assert payload["tables"] == {"acct": 3}
+    assert spark.read.parquet(str(tmp_path / "out/acct")).count() == 3
+
+
+def test_cli_multiline_never_flag(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: _NoStop(spark))
+    dump = tmp_path / "ml.sql"
+    dump.write_text("CREATE TABLE `m` (`id` int);\nINSERT INTO `m` VALUES\n(1);\n")
+    from mysqldump_to_parquet_spark.sources.mysqldump import MultilineDumpError
+
+    with pytest.raises(MultilineDumpError):
+        cli.main([str(dump), "--output", str(tmp_path / "out"), "--multiline", "never"])
+    # default auto converts it
+    assert cli.main([str(dump), "--output", str(tmp_path / "out2")]) == 0
+    assert spark.read.parquet(str(tmp_path / "out2/m")).count() == 1
