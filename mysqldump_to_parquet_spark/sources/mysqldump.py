@@ -130,12 +130,48 @@ _BINARY_TYPES = {
 }
 
 _COL_RE = re.compile(r"^`(?P<q>[^`]+)`|^(?P<b>[A-Za-z_][A-Za-z0-9_]*)")
-_TYPE_RE = re.compile(
-    r"^\s*(?P<name>[A-Za-z][A-Za-z0-9_]*)"
-    r"(?:\s*\(\s*(?P<args>[^)]*)\s*\))?"
-    r"(?P<rest>.*)$",
-    re.S,
-)
+_TYPE_NAME_RE = re.compile(r"^\s*(?P<name>[A-Za-z][A-Za-z0-9_]*)")
+
+
+def _split_type_args(s: str) -> tuple[str, str, str] | None:
+    """Split a column-def remainder into (type_name, args_text, rest) with
+    a quote-aware paren scan — ``enum('a)','null')`` must not cut the arg
+    list at the ``)`` inside the first literal (a naive ``[^)]*`` match
+    leaks literal text into the option scan, where a stray 'null' would
+    flip inferred nullability)."""
+    m = _TYPE_NAME_RE.match(s)
+    if not m:
+        return None
+    i = m.end()
+    n = len(s)
+    while i < n and s[i] in " \t":
+        i += 1
+    if i >= n or s[i] != "(":
+        return m.group("name"), "", s[m.end():]
+    depth = 0
+    quote: str | None = None
+    j = i
+    while j < n:
+        ch = s[j]
+        if quote:
+            if ch == "\\" and quote == "'":
+                j += 2
+                continue
+            if ch == quote:
+                if quote == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return m.group("name"), s[i + 1 : j], s[j + 1 :]
+        j += 1
+    return None  # unterminated arg list
 _TABLE_NAME_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(?P<name>[A-Za-z0-9_$]+)[`\"]?\s*\(",
     re.I,
@@ -312,17 +348,18 @@ def parse_create_table(stmt: str) -> TableSchema:
         if not cm:
             raise DumpParseError(f"cannot parse column def in {table}: {part[:80]!r}")
         col = (cm.group("q") or cm.group("b")).lower()
-        tm = _TYPE_RE.match(part[cm.end() :])
-        if not tm:
+        split = _split_type_args(part[cm.end() :])
+        if split is None:
             raise DumpParseError(f"cannot parse type for {table}.{col}")
+        type_name, args_text, rest_raw = split
         args = [
-            int(a) for a in (tm.group("args") or "").replace("'", "").split(",")
+            int(a) for a in args_text.replace("'", "").split(",")
             if a.strip().isdigit()
         ]
-        rest = _strip_quoted(tm.group("rest") or "")
+        rest = _strip_quoted(rest_raw)
         rest_low = " " + " ".join(rest.split()).lower() + " "
         unsigned = " unsigned " in rest_low
-        dtype = _map_type(table, col, tm.group("name"), args, unsigned)
+        dtype = _map_type(table, col, type_name, args, unsigned)
 
         # first matching option wins (line_parser.rs:176–193)
         nullable = True

@@ -461,3 +461,20 @@ def test_wholefile_path_rejects_oversized_files(spark, tmp_path):
         _whole_files_df(spark, str(f), max_bytes=10)
     # within bounds → fine
     assert _whole_files_df(spark, str(f)).count() == 1
+
+
+def test_enum_values_with_parens_and_keywords():
+    """ENUM/SET literals containing ')' , ',' or option keywords must not
+    leak into the arg list or the nullability scan."""
+    ts = parse_create_table(
+        "CREATE TABLE `t` ("
+        "`status` enum('open)','clo,sed','null','not null') NOT NULL, "
+        "`flags` set('a)','b') DEFAULT NULL, "
+        "`amt` decimal(10,2) DEFAULT NULL);"
+    )
+    by = {f.name: f for f in ts.schema.fields}
+    assert isinstance(by["status"].dataType, T.StringType)
+    assert by["status"].nullable is False
+    assert isinstance(by["flags"].dataType, T.StringType)
+    assert by["flags"].nullable is True
+    assert by["amt"].dataType == T.DecimalType(10, 2)
