@@ -72,3 +72,53 @@ def test_statement_reassembly_single_insert(s):
     out = list(iter_statements([stmt]))
     if "\n" not in stmt:
         assert out == [stmt]
+
+
+# --------------------------------------------------------- DDL fuzzing
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+_nasty_literal = st.text(
+    alphabet=st.sampled_from(list("abc()',\\ null NOT NULL unsigned")),
+    max_size=12,
+)
+
+
+@st.composite
+def _column_defs(draw):
+    """(ddl_fragment, expected_type_kind, expected_nullable)"""
+    from pyspark.sql import types as T
+
+    name = draw(_ident)
+    kind = draw(st.sampled_from(["int", "varchar", "decimal", "enum", "double"]))
+    if kind == "int":
+        type_sql, expect = "bigint", T.LongType()
+    elif kind == "varchar":
+        type_sql, expect = "varchar(32)", T.StringType()
+    elif kind == "double":
+        type_sql, expect = "double", T.DoubleType()
+    elif kind == "decimal":
+        p = draw(st.integers(2, 30))
+        s = draw(st.integers(0, min(p, 10)))
+        type_sql, expect = f"decimal({p},{s})", T.DecimalType(p, s)
+    else:
+        vals = draw(st.lists(_nasty_literal, min_size=1, max_size=3))
+        quoted = ",".join("'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+                          for v in vals)
+        type_sql, expect = f"enum({quoted})", T.StringType()
+    opt = draw(st.sampled_from(["", "NOT NULL", "NULL", "DEFAULT NULL"]))
+    comment = draw(st.sampled_from(["", "COMMENT 'not null ) stuff'"]))
+    nullable = opt != "NOT NULL"
+    frag = " ".join(x for x in (f"`{name}`", type_sql, opt, comment) if x)
+    return name, frag, expect, nullable
+
+
+@given(st.lists(_column_defs(), min_size=1, max_size=6, unique_by=lambda c: c[0]))
+@settings(max_examples=150, deadline=None)
+def test_create_table_fuzz(cols):
+    from mysqldump_to_parquet_spark.sources.mysqldump import parse_create_table
+
+    ddl = "CREATE TABLE `t` (" + ", ".join(f for _, f, _, _ in cols) + ");"
+    ts = parse_create_table(ddl)
+    got = [(f.name, f.dataType, f.nullable) for f in ts.schema.fields]
+    want = [(n, t, nl) for n, _, t, nl in cols]
+    assert got == want, f"\nddl={ddl}\ngot={got}\nwant={want}"
