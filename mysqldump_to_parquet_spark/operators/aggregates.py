@@ -108,6 +108,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_sketch_distinct: *mergeable* distinct-count sketches — build
+    one HLL sketch per day partition (``hll_sketch_agg``), then union the
+    stored sketches (``hll_union_agg``) for the full-period estimate.
+
+    This is the incremental pattern a 100 TB pipeline actually runs: daily
+    jobs persist a constant-size sketch column next to the data; any later
+    rollup (week, month, ad-hoc) merges sketches without rescanning raw
+    rows.  Engine-specific sketch bytes ⇒ rows-only driver check; the
+    estimate-vs-exact bound is pytest-asserted."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.agg(
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("long")
+            .alias("distinct_users_estimate"),
+        )
+    )
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus): one Expand + one aggregate."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -232,6 +257,7 @@ QUERIES = {
     "q_agg_quantile": agg_quantile,
     "q_agg_distinct": agg_distinct,
     "q_agg_approx_distinct": agg_approx_distinct,
+    "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_rollup": agg_rollup,
     "q_agg_cube": agg_cube,
     "q_agg_gsets": agg_grouping_sets,

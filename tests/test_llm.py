@@ -233,3 +233,21 @@ def test_decontaminate_finds_planted_leak(spark, tmp_path):
              for r in decontaminate(spark, d).collect()}
     assert (train_id, eval_id) in pairs
     assert all(t != other_id for t, _ in pairs)
+
+
+def test_sketch_distinct_merges_accurately(spark):
+    """Daily HLL sketches unioned must estimate total distinct users within
+    5% of exact — the mergeable-sketch contract (union of partials equals a
+    sketch of the whole)."""
+    from mysqldump_to_parquet_spark.operators.aggregates import agg_sketch_distinct
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    row = agg_sketch_distinct(spark, SF).collect()[0]
+    exact = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert row.n_daily_sketches > 1  # genuinely merged partials
+    assert abs(row.distinct_users_estimate - exact) / exact < 0.05, (
+        row.distinct_users_estimate,
+        exact,
+    )
