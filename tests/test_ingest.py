@@ -478,3 +478,26 @@ def test_enum_values_with_parens_and_keywords():
     assert isinstance(by["flags"].dataType, T.StringType)
     assert by["flags"].nullable is True
     assert by["amt"].dataType == T.DecimalType(10, 2)
+
+
+def test_multiline_complete_insert_combo(spark, tmp_path):
+    """Multi-line layout AND --complete-insert column lists together:
+    whole-file reassembly must still reorder/NULL-fill by column name."""
+    dump = tmp_path / "mlci.sql"
+    dump.write_text(
+        "CREATE TABLE `c` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `name` varchar(10),\n"
+        "  `bal` double\n"
+        ");\n"
+        "INSERT INTO `c` (`name`, `id`)\n"
+        "VALUES ('x', 1),\n"
+        "('y', 2);\n"
+        "INSERT INTO `c` (`bal`, `id`, `name`) VALUES\n"
+        "(9.5, 3, 'z');\n"
+    )
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"c": 3}
+    rows = {r.id: (r.name, r.bal)
+            for r in spark.read.parquet(str(tmp_path / "out/c")).collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 9.5)}
