@@ -1,0 +1,109 @@
+"""End-to-end corpus curation: the pipeline the individual operators exist
+for, composed.
+
+    raw documents
+      → clean (URL/email scrub, whitespace normalize)      q_text_clean
+      → quality gate (heuristic score ≥ threshold)         q_quality_score
+      → exact dedup (keep lowest doc_id per content hash)  q_dedup_exact
+      → near dedup (MinHash+LSH pairs; keep lower doc_id)  q_dedup_near
+      → decontaminate (drop train docs sharing n-grams
+        with the eval split)                               q_decontaminate
+      → deterministic split (train/val/test)               q_split_hash
+      → sharded JSONL export, partitioned by split
+
+Everything stays one lazy DataFrame graph until the final write — filters
+are anti-joins on small id sets, so Catalyst pushes the document scan
+through the whole chain and the full text is read exactly once for the
+export.  Every stage reports row accounting so a 100 TB run can audit
+what each gate removed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import JACCARD_THRESHOLD, dedup_near_minhash
+from .sampling import TRAIN_MAX, VAL_MAX
+from .textstats import DECON_N, decontaminate, quality_score, text_clean
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    quality_min: float = 0.5,
+) -> dict:
+    """Run the full curation chain; optionally export sharded JSONL to
+    ``out_dir`` (a directory per split).  Returns the accounting dict:
+    input/output counts and per-gate drop counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    # 1. clean — replaces text, keeps every row
+    cleaned = text_clean(spark, sf_dir).select("doc_id", "clean_text")
+
+    # 2. quality gate
+    low_q = (
+        quality_score(spark, sf_dir)
+        .where(F.col("quality") < quality_min)
+        .select("doc_id")
+    )
+
+    # 3. exact dedup: every doc whose content hash has a lower-id twin
+    exact_dupes = (
+        docs.select("doc_id", F.sha2("text", 256).alias("h"))
+        .withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("h")))
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+
+    # 4. near dedup: drop the higher id of each LSH-verified pair
+    near_dupes = (
+        dedup_near_minhash(spark, sf_dir)
+        .where(F.col("jaccard_sim") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    # 5. decontamination: train docs sharing ≥1 8-gram with eval docs
+    contaminated = decontaminate(spark, sf_dir).select(
+        F.col("train_id").alias("doc_id")
+    ).distinct()
+
+    # 6. split assignment (pure per-row map)
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < TRAIN_MAX, "train").when(h < VAL_MAX, "val").otherwise("test")
+    )
+
+    kept = docs.select("doc_id", "lang", "source")
+    drops = {}
+    for reason, bad in (
+        ("low_quality", low_q),
+        ("exact_dup", exact_dupes),
+        ("near_dup", near_dupes),
+        ("contaminated", contaminated),
+    ):
+        before = kept.count()
+        kept = kept.join(bad, "doc_id", "left_anti")
+        drops[reason] = before - kept.count()
+
+    final = (
+        kept.join(cleaned, "doc_id")
+        .withColumn("split", split)
+        .select("doc_id", "lang", "source", "split", F.col("clean_text").alias("text"))
+    )
+    n_output = final.count()
+
+    if out_dir is not None:
+        final.write.mode("overwrite").partitionBy("split").json(out_dir)
+
+    return {
+        "input_docs": n_input,
+        "dropped": drops,
+        "output_docs": n_output,
+        "ngram_order": DECON_N,
+        "quality_min": quality_min,
+    }

@@ -251,3 +251,31 @@ def test_sketch_distinct_merges_accurately(spark):
         row.distinct_users_estimate,
         exact,
     )
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The full curation chain on the fixture corpus: accounting must
+    balance, every gate must fire at least once where the corpus contains
+    its target (exact dup, near dup, low quality), the export must land
+    one directory per split, and no contaminated train doc may survive."""
+    from mysqldump_to_parquet_spark.llm.pipeline import curate_corpus
+    from mysqldump_to_parquet_spark.llm.textstats import decontaminate
+
+    out = str(tmp_path / "curated")
+    # fixture quality spans 0.66–0.95 → 0.7 exercises the gate on ~5%
+    acct = curate_corpus(spark, SF, out_dir=out, quality_min=0.7)
+    assert acct["input_docs"] == 500
+    assert acct["output_docs"] == acct["input_docs"] - sum(acct["dropped"].values())
+    assert acct["dropped"]["low_quality"] > 0
+    # the synthetic corpus plants exact+near duplicates
+    assert acct["dropped"]["exact_dup"] + acct["dropped"]["near_dup"] > 0
+
+    curated = spark.read.json(out)
+    assert set(r.split for r in curated.select("split").distinct().collect()) == {
+        "train", "val", "test"
+    }
+    assert curated.count() == acct["output_docs"]
+    # no surviving train doc shares an 8-gram with the eval split
+    survivors = {r.doc_id for r in curated.where("split = 'train'").collect()}
+    leaked = {r.train_id for r in decontaminate(spark, SF).collect()}
+    assert not (survivors & leaked)
