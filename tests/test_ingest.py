@@ -501,3 +501,19 @@ def test_multiline_complete_insert_combo(spark, tmp_path):
     rows = {r.id: (r.name, r.bal)
             for r in spark.read.parquet(str(tmp_path / "out/c")).collect()}
     assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 9.5)}
+
+
+def test_ddl_line_cap_fails_loudly(spark, tmp_path, monkeypatch):
+    """Pass 1 bounds the non-INSERT line set it collects to the driver —
+    blowing the cap must raise (as a multiline-layout signal), not OOM."""
+    import mysqldump_to_parquet_spark.sources.mysqldump as M
+
+    dump = tmp_path / "many.sql"
+    dump.write_text(
+        "CREATE TABLE `t` (`id` int);\n" + "-- filler comment line\n" * 50
+    )
+    monkeypatch.setattr(M, "MAX_DDL_LINES", 10)
+    from mysqldump_to_parquet_spark.sources.mysqldump import MultilineDumpError
+
+    with pytest.raises(MultilineDumpError, match="non-INSERT lines"):
+        M.collect_schemas(spark, str(dump))
