@@ -27,6 +27,7 @@ from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
 from mysqldump_to_parquet_spark.operators import (
     aggregates,
     asof,
+    composite,
     relational,
     skew,
     windows,
@@ -52,6 +53,7 @@ _MODULES = [
     llm_textstats,
     llm_sampling,
     llm_multimodal,
+    composite,
     stream_windows,
     relational,
     asof,

@@ -1,0 +1,253 @@
+"""Composite multi-join analytics (TPC-H Q3/Q5/Q10/Q18 shapes).
+
+The reference engine has no query surface at all (it is ingest-only —
+/root/reference/src/main.rs:1-218 parses dumps and writes Parquet); these
+queries exercise the *composed* operator surface the rest of this package
+provides one-at-a-time: multi-way joins with mixed broadcast/shuffle
+strategies, selective filters that must reach every scan, two-phase
+aggregation, and top-k that must not global-sort.
+
+Scale notes (the reason each query is shaped the way it is):
+* Dimension chains (``region → nation``) are broadcast; only fact-fact
+  joins (``orders ⋈ lineitem``) shuffle, and they shuffle on the join key
+  so AQE can coalesce/skew-split at runtime.
+* Every date/segment filter is applied on the base table *before* the
+  join, so Catalyst pushes it into the Parquet scan (PushedFilters) and
+  the join input is already reduced — at 100 TB Q3 joins ~1/5 of customer
+  and ~1/2 of orders, not the full tables.
+* Top-k outputs go through ``orderBy(...).limit(k)`` which compiles to
+  TakeOrderedAndProject: per-partition heap + k-row driver merge, never a
+  global sort.  Ties are broken by unique keys so the k-row cut is
+  deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# ------------------------------------------------------------ Q3: shipping
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-07-01"
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q3: unshipped-orders revenue — customer ⋈ orders ⋈ lineitem.
+
+    customer(filtered to one segment, ~1/5) broadcasts into orders; the
+    surviving orders shuffle-join lineitem on the order key.  Revenue
+    aggregates partially map-side before the final group-by shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------- Q5: local supplier
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q5: revenue by nation where customer and supplier share the
+    nation — the 6-way join (region/nation/customer/supplier broadcast,
+    orders ⋈ lineitem shuffles).
+
+    The ``c_nationkey = s_nationkey`` condition rides the same join (no
+    extra shuffle): after the broadcasts, both nation keys are columns of
+    the joined row and the equality is a post-join filter Catalyst folds
+    into the join condition.
+    """
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+TPCH_Q5_SQL = f"""
+SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q5_TO} 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# ------------------------------------------------------ Q10: returned items
+
+Q10_FROM = "1997-01-01"
+Q10_TO = "1997-04-01"
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q10: top-20 customers by lost revenue on returned items.
+
+    lineitem is pre-filtered to returns (pushed to the scan), orders to one
+    quarter; the fact-fact join shuffles on the order key, then customer
+    (broadcast at this cardinality; shuffle-join at 100 TB — AQE picks) and
+    nation (always broadcast) attach the display columns.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q10_TO} 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------- Q18: large-volume orders
+
+Q18_QTY = 150
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q18: orders whose total quantity exceeds a threshold, with
+    customer attached — the group-filter-join-back shape.
+
+    The HAVING runs first on lineitem alone (one shuffle on l_orderkey,
+    partial sums map-side); only the tiny surviving key set joins back —
+    Catalyst broadcasts it into orders, so the second pass over the big
+    tables is broadcast-pruned rather than re-shuffled.  Quantities are
+    whole numbers, so the double sum and the > threshold cut are exact on
+    both engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {Q18_QTY}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+QUERIES = {
+    "q_tpch_q3": tpch_q3,
+    "q_tpch_q5": tpch_q5,
+    "q_tpch_q10": tpch_q10,
+    "q_tpch_q18": tpch_q18,
+}
+
+ORACLE = {
+    "q_tpch_q3": TPCH_Q3_SQL,
+    "q_tpch_q5": TPCH_Q5_SQL,
+    "q_tpch_q10": TPCH_Q10_SQL,
+    "q_tpch_q18": TPCH_Q18_SQL,
+}

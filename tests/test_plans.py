@@ -120,3 +120,38 @@ def test_correlated_subquery_decorrelates(spark):
     plan = formatted_plan(subquery_scalar(spark, SF))
     assert "Join" in plan, plan
     assert "max(" in plan, plan
+
+
+def test_tpch_q3_broadcast_and_pushdown(spark):
+    """Q3: filtered customer broadcasts; segment/date filters reach scans;
+    top-10 is TakeOrderedAndProject, never a global sort."""
+    from mysqldump_to_parquet_spark.operators.composite import tpch_q3
+
+    df = tpch_q3(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert has_pushed_filter(df, "c_mktsegment")
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_tpch_q5_single_shuffle_join(spark):
+    """Q5's only shuffle join is orders ⋈ lineitem — every dimension
+    (customer/supplier/nation/region at this cardinality) broadcasts."""
+    from mysqldump_to_parquet_spark.operators.composite import tpch_q5
+
+    df = tpch_q5(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_tpch_q18_having_joins_back_broadcast(spark):
+    """Q18: the >threshold key set is tiny and must broadcast back into
+    orders (no second shuffle of the fact table)."""
+    from mysqldump_to_parquet_spark.operators.composite import tpch_q18
+
+    df = tpch_q18(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final qty sum
