@@ -21,6 +21,7 @@ from mysqldump_to_parquet_spark.functions import scalar as fn_scalar
 from mysqldump_to_parquet_spark.functions import udfs as fn_udfs
 from mysqldump_to_parquet_spark.llm import dedup as llm_dedup
 from mysqldump_to_parquet_spark.llm import multimodal as llm_multimodal
+from mysqldump_to_parquet_spark.llm import quality as llm_quality
 from mysqldump_to_parquet_spark.llm import sampling as llm_sampling
 from mysqldump_to_parquet_spark.llm import similarity as llm_similarity
 from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
@@ -51,6 +52,7 @@ _MODULES = [
     llm_dedup,
     llm_similarity,
     llm_textstats,
+    llm_quality,
     llm_sampling,
     llm_multimodal,
     composite,

@@ -279,3 +279,49 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     survivors = {r.doc_id for r in curated.where("split = 'train'").collect()}
     leaked = {r.train_id for r in decontaminate(spark, SF).collect()}
     assert not (survivors & leaked)
+
+
+def test_repetition_flags_planted_loop(spark, tmp_path):
+    """A generation-loop doc (one token dominating) must flag repetitive;
+    an all-distinct doc must not, and its modal counts must be exactly 1
+    with lexicographic tie-break."""
+    from mysqldump_to_parquet_spark.llm.quality import repetition
+
+    loopy = "spam " * 40 + "end"                     # 'spam' is 40/41 tokens
+    clean = " ".join(f"w{i:02d}" for i in range(40))  # all distinct
+    docs = spark.createDataFrame(
+        [(1, loopy.strip(), "en", "t", len(loopy)), (2, clean, "en", "t", len(clean))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in repetition(spark, d).collect()}
+    assert out[1].top_unigram == "spam" and out[1].is_repetitive
+    assert out[1].top_unigram_cnt == 40
+    assert abs(out[1].top_bigram_frac - 39 / 40) < 1e-12  # 'spam spam' 39/40
+    assert out[2].top_unigram == "w00" and out[2].top_unigram_cnt == 1
+    assert not out[2].is_repetitive
+
+
+def test_gopher_rules_each_rule_fires(spark, tmp_path):
+    """Each rule rejects its own pathological doc; a normal doc keeps."""
+    from mysqldump_to_parquet_spark.llm.quality import gopher_rules
+
+    good = "the cat and the dog ran off to the park in a hurry today " * 2
+    short = "the and of"                                   # < MIN_WORDS
+    longw = " ".join(["pneumonoultramicroscopic"] * 30)     # mean len > 10
+    nums = " ".join(["12345"] * 30)                        # alpha frac 0
+    nostop = " ".join(f"zx{i}q" for i in range(30))        # no stopwords
+    rows = [(1, good.strip()), (2, short), (3, longw), (4, nums), (5, nostop)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in gopher_rules(spark, d).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_mean_word_len and not out[3].keep
+    assert not out[4].ok_alpha_words and not out[4].keep
+    assert not out[5].ok_stopwords and not out[5].keep

@@ -155,3 +155,23 @@ def test_tpch_q18_having_joins_back_broadcast(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial+final qty sum
+
+
+def test_repetition_partial_agg_and_no_single_partition(spark):
+    """The (doc_id, gram) count must combine map-side; the per-doc window
+    must hash-partition on doc_id, never collapse to one partition."""
+    from mysqldump_to_parquet_spark.llm.quality import repetition
+
+    plan = formatted_plan(repetition(spark, SF))
+    assert "partial_count" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    """Rule evaluation is pure per-row expression work — no Exchange in
+    the plan, so it fuses into whatever stage consumes the keep flag."""
+    from mysqldump_to_parquet_spark.llm.quality import gopher_rules
+
+    plan = formatted_plan(gopher_rules(spark, SF))
+    assert "Exchange" not in plan, plan
