@@ -31,6 +31,7 @@ from mysqldump_to_parquet_spark.operators import (
     composite,
     relational,
     skew,
+    temporal,
     windows,
 )
 from mysqldump_to_parquet_spark.sources import files as file_sources
@@ -56,6 +57,7 @@ _MODULES = [
     llm_sampling,
     llm_multimodal,
     composite,
+    temporal,
     stream_windows,
     relational,
     asof,

@@ -1,0 +1,233 @@
+"""Temporal / changelog operators over the events stream.
+
+The reference engine is a batch dump converter with no notion of time
+(/root/reference/src/main.rs handles DATETIME only as a cast target);
+these are the event-time operators every warehouse built *on top of* such
+ingested data needs: gap-based sessionization, changelog compaction
+(upsert materialization), slowly-changing-dimension history, and
+time-range windowed aggregation.
+
+Scale shapes — all four are single-shuffle-per-key designs:
+* Every operator partitions by ``user_id`` once; sessionize chains two
+  window functions over the *same* partitioning (Catalyst reuses the sort
+  and exchange — one shuffle, not three), then feeds the session group-by
+  which is co-partitioned.
+* Changelog compaction is the canonical CDC pattern: ``row_number() = 1``
+  over (key, desc order) — one shuffle of the changelog, never a
+  self-join against max(ts).
+* The time-range window orders by event-time *microseconds* so the frame
+  is computed on a monotone long — RangeFrame needs a numeric sort key,
+  and microseconds matches the engines' shared timestamp precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# ------------------------------------------------------------- sessionize
+
+#: Gap threshold that closes a session (median inter-event gap in the
+#: fixture stream is ~7.7 h, so 6 h yields a non-trivial session mix).
+SESSION_GAP_HOURS = 6
+_GAP_MICROS = SESSION_GAP_HOURS * 3600 * 1_000_000
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sessionize: batch gap-based sessionization.
+
+    A new session opens when the gap since the user's previous event
+    exceeds the threshold; session ids are the running count of session
+    opens.  Both windows and the final group-by share the user_id
+    partitioning, so the whole operator is one shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]  # event_id breaks equal-ts ties
+    w = Window.partitionBy("user_id").orderBy(*order)
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    opens = F.when(gap.isNull() | (gap > _GAP_MICROS), 1).otherwise(0)
+    sessions = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_id"
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_HOURS} HOUR
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS opens
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id,
+       MIN(ts)  AS session_start,
+       MAX(ts)  AS session_end,
+       COUNT(*) AS n_events,
+       SUM(value) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ------------------------------------------------- changelog compaction
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_merge_upsert: compact a changelog to its latest row per key (the
+    materialized state an UPSERT/MERGE sink would hold).
+
+    row_number over (key, time desc) then rank = 1: one shuffle of the
+    changelog on the key.  At 100 TB with a date-partitioned changelog
+    this runs incrementally per partition and merges against the previous
+    snapshot — the full-history form here is the backfill path.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+MERGE_UPSERT_SQL = """
+SELECT user_id, ts AS latest_ts, event_type AS latest_type, value AS latest_value
+FROM (
+  SELECT user_id, ts, event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------------ SCD2
+
+def scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_scd2: slowly-changing-dimension type-2 history — each event
+    opens a validity interval that the user's next event closes.
+
+    lead() over the same (user, time) window; open intervals carry a NULL
+    valid_to plus an is_current flag.  One shuffle on the key; appending a
+    day of new events only rewrites each key's current row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+         AS is_current
+FROM events
+"""
+
+
+# ------------------------------------------------------ time-range window
+
+RANGE_DAYS = 7
+_RANGE_MICROS = RANGE_DAYS * 86400 * 1_000_000
+
+
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_win_time_range: per-event trailing-7-day aggregate over event
+    time — a RANGE frame (time interval), not a ROWS frame (count), so
+    irregular event spacing is handled correctly.
+
+    The frame orders by unix microseconds (RangeFrame needs a numeric,
+    monotone sort key); equal-timestamp peers are frame-mates on both
+    engines by RANGE semantics.  Window outputs are named ``win_*`` so the
+    unique ``event_id`` is the alphabetically-first column — differential
+    harnesses that order rows by sorted column name then align
+    positionally stay deterministic even though the sums are floats.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_RANGE_MICROS, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("win_n_7d"),
+        F.sum("value").over(w).alias("win_sum_7d"),
+        F.avg("value").over(w).alias("win_avg_7d"),
+    )
+
+
+WIN_TIME_RANGE_SQL = f"""
+SELECT user_id, event_id, ts, value,
+       COUNT(*)   OVER w AS win_n_7d,
+       SUM(value) OVER w AS win_sum_7d,
+       AVG(value) OVER w AS win_avg_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {RANGE_DAYS} DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES = {
+    "q_sessionize": sessionize,
+    "q_merge_upsert": merge_upsert,
+    "q_scd2": scd2,
+    "q_win_time_range": win_time_range,
+}
+
+ORACLE = {
+    "q_sessionize": SESSIONIZE_SQL,
+    "q_merge_upsert": MERGE_UPSERT_SQL,
+    "q_scd2": SCD2_SQL,
+    "q_win_time_range": WIN_TIME_RANGE_SQL,
+}

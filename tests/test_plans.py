@@ -175,3 +175,36 @@ def test_gopher_rules_zero_shuffle(spark):
 
     plan = formatted_plan(gopher_rules(spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_sessionize_single_hash_exchange(spark):
+    """Sessionize chains two windows + a group-by over ONE user_id
+    shuffle: hashpartitioning(user_id) satisfies the (user_id, session_id)
+    clustering, so the only other Exchange is the display orderBy."""
+    from mysqldump_to_parquet_spark.operators.temporal import sessionize
+
+    plan = formatted_plan(sessionize(spark, SF))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
+    assert "partial_min" in plan, plan  # session agg combines map-side
+
+
+def test_merge_upsert_window_group_limit(spark):
+    """Changelog compaction must hit the rank-limit pushdown
+    (WindowGroupLimit): each map task keeps only its per-key latest row
+    before the shuffle, so the exchange carries ~|keys| rows, not the
+    full changelog."""
+    from mysqldump_to_parquet_spark.operators.temporal import merge_upsert
+
+    plan = formatted_plan(merge_upsert(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
+
+
+def test_win_time_range_is_range_frame(spark):
+    """The trailing-7-day window must be a RangeFrame over the numeric
+    event-time key — a RowFrame would silently count rows, not time."""
+    from mysqldump_to_parquet_spark.operators.temporal import win_time_range
+
+    plan = formatted_plan(win_time_range(spark, SF))
+    assert "RangeFrame" in plan, plan
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
