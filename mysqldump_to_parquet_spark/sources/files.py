@@ -100,12 +100,50 @@ ORDER BY lang, source
 """
 
 
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_src_orc: Parquet → ORC (zlib) → read → agg.  ORC is the second
+    columnar format Spark ships natively; unlike the CSV/JSON text paths,
+    doubles round-trip bit-exactly, so min/max on o_totalprice join the
+    comparison.  The read back gets predicate pushdown and column pruning
+    from the ORC reader exactly as Parquet does."""
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/orders_orc"
+        o.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = (
+            back.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+                F.max("o_orderdate").alias("last_order"),
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+        )
+        return pin_result(out)
+
+
+SRC_ORC_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*)         AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       MAX(o_orderdate)  AS last_order
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES = {
     "q_src_csv": src_csv,
     "q_src_json": src_json,
+    "q_src_orc": src_orc,
 }
 
 ORACLE = {
     "q_src_csv": SRC_CSV_SQL,
     "q_src_json": SRC_JSON_SQL,
+    "q_src_orc": SRC_ORC_SQL,
 }
