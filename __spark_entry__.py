@@ -41,15 +41,14 @@ from mysqldump_to_parquet_spark.streaming import windows as stream_windows
 #: Ordered module registry — every operator module lands here.
 #:
 #: Order is deliberate: the driver's correctness sweep checks a bounded
-#: prefix of the registry (round 1 stopped at entry 50 of 65), so the
-#: highest-value / least-previously-verified surfaces come first — ingest
-#: and file sources, the flagship aggregate family, then the entire LLM
-#: pipeline block — with the long relational/window/scalar tail (all
-#: hash-green in CORRECTNESS_r01.json) last.
+#: prefix of the registry (round 1 stopped at entry 50 of 65), so every
+#: query that has never received a driver correctness row — the whole LLM
+#: block, the r2/r3 additions (composite analytics, temporal operators,
+#: resample, sketch, ORC, the re-fixed q_src_json, the decorrelated
+#: subquery) — is packed into the first 50 slots, with the remaining
+#: slots filled by r1-hash-green aggregates/streaming/CSV.  The pure
+#: r1-green relational/window/scalar tail sits past the boundary.
 _MODULES = [
-    mysqldump_source,
-    file_sources,
-    aggregates,
     llm_dedup,
     llm_similarity,
     llm_textstats,
@@ -59,7 +58,10 @@ _MODULES = [
     composite,
     temporal,
     stream_windows,
+    aggregates,
+    file_sources,
     relational,
+    mysqldump_source,
     asof,
     skew,
     fn_udfs,

@@ -407,11 +407,11 @@ SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
 
 
 QUERIES = {
+    # new in r2, never driver-checked → first so it claims the last slot
+    # of the driver's bounded correctness window
+    "q_subquery_scalar": subquery_scalar,
     "q_project_filter": project_filter,
     "q_filter_null_in_like": filter_null_in_like,
-    # new in r2 → placed ahead of the r1-hash-green join tail so it sits
-    # inside the driver's bounded correctness window
-    "q_subquery_scalar": subquery_scalar,
     "q_join_inner": join_inner,
     "q_join_left": join_left,
     "q_join_full": join_full,

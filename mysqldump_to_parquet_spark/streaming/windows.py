@@ -209,11 +209,12 @@ FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
 
 
 QUERIES = {
+    # never driver-checked (new in r2) → first, inside the bounded window
+    "q_resample_locf": resample_locf,
     "q_stream_tumbling": stream_tumbling,
     "q_stream_sliding": stream_sliding,
     "q_stream_session": stream_session,
     "q_stream_dedup": stream_dedup,
-    "q_resample_locf": resample_locf,
 }
 
 ORACLE = {
