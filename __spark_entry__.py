@@ -24,6 +24,7 @@ from mysqldump_to_parquet_spark.llm import multimodal as llm_multimodal
 from mysqldump_to_parquet_spark.llm import quality as llm_quality
 from mysqldump_to_parquet_spark.llm import sampling as llm_sampling
 from mysqldump_to_parquet_spark.llm import similarity as llm_similarity
+from mysqldump_to_parquet_spark.llm import terms as llm_terms
 from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
 from mysqldump_to_parquet_spark.operators import (
     aggregates,
@@ -53,13 +54,14 @@ _MODULES = [
     llm_similarity,
     llm_textstats,
     llm_quality,
+    llm_terms,
     llm_sampling,
     llm_multimodal,
     composite,
     temporal,
     stream_windows,
-    aggregates,
     file_sources,
+    aggregates,
     relational,
     mysqldump_source,
     asof,

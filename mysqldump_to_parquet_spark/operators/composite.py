@@ -238,11 +238,36 @@ LIMIT 100
 """
 
 
+# ----------------------------------------------- correlated scalar subquery
+
+#: Correlated scalar subquery, shared verbatim by both engines.  The
+#: MAX-equality predicate keeps it float-exact (no arithmetic on the
+#: aggregate — equality against an element of the set).
+SUBQUERY_SCALAR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+                        FROM orders o2
+                        WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's most expensive order via a *correlated scalar
+    subquery* — run through ``spark.sql`` on purpose: Catalyst decorrelates
+    it into an aggregate + join (one shuffle on the correlation key), never
+    a per-outer-row re-execution.  At 100 TB that rewrite is the difference
+    between one pass and |outer| passes (plan-asserted in test_plans)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SUBQUERY_SCALAR_SQL)
+
+
 QUERIES = {
     "q_tpch_q3": tpch_q3,
     "q_tpch_q5": tpch_q5,
     "q_tpch_q10": tpch_q10,
     "q_tpch_q18": tpch_q18,
+    "q_subquery_scalar": subquery_scalar,
 }
 
 ORACLE = {
@@ -250,4 +275,5 @@ ORACLE = {
     "q_tpch_q5": TPCH_Q5_SQL,
     "q_tpch_q10": TPCH_Q10_SQL,
     "q_tpch_q18": TPCH_Q18_SQL,
+    "q_subquery_scalar": SUBQUERY_SCALAR_SQL,
 }

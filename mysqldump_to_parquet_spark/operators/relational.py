@@ -274,28 +274,6 @@ FROM region CROSS JOIN nation
 """
 
 
-#: Correlated scalar subquery, shared verbatim by both engines.  The
-#: MAX-equality predicate keeps it float-exact (no arithmetic on the
-#: aggregate — equality against an element of the set).
-SUBQUERY_SCALAR_SQL = """
-SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
-FROM orders o
-WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
-                        FROM orders o2
-                        WHERE o2.o_custkey = o.o_custkey)
-"""
-
-
-def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each customer's most expensive order via a *correlated scalar
-    subquery* — run through ``spark.sql`` on purpose: Catalyst decorrelates
-    it into an aggregate + join (one shuffle on the correlation key), never
-    a per-outer-row re-execution.  At 100 TB that rewrite is the difference
-    between one pass and |outer| passes (plan-asserted in test_plans)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(SUBQUERY_SCALAR_SQL)
-
-
 # ---------------------------------------------------------- sort / top-k
 
 def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,9 +385,6 @@ SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
 
 
 QUERIES = {
-    # new in r2, never driver-checked → first so it claims the last slot
-    # of the driver's bounded correctness window
-    "q_subquery_scalar": subquery_scalar,
     "q_project_filter": project_filter,
     "q_filter_null_in_like": filter_null_in_like,
     "q_join_inner": join_inner,
@@ -438,7 +413,6 @@ ORACLE = {
     "q_join_anti": JOIN_ANTI_SQL,
     "q_join_theta_range": JOIN_THETA_RANGE_SQL,
     "q_join_cross": JOIN_CROSS_SQL,
-    "q_subquery_scalar": SUBQUERY_SCALAR_SQL,
     "q_sort_limit": SORT_LIMIT_SQL,
     "q_topk_per_group": TOPK_PER_GROUP_SQL,
     "q_set_union": SET_UNION_SQL,

@@ -115,7 +115,7 @@ def test_top_terms_partial_aggregation(spark):
 def test_correlated_subquery_decorrelates(spark):
     """The correlated scalar subquery must rewrite to aggregate + join —
     a per-outer-row subquery re-execution would be |outer| passes at scale."""
-    from mysqldump_to_parquet_spark.operators.relational import subquery_scalar
+    from mysqldump_to_parquet_spark.operators.composite import subquery_scalar
 
     plan = formatted_plan(subquery_scalar(spark, SF))
     assert "Join" in plan, plan
