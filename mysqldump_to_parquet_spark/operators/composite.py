@@ -238,6 +238,74 @@ LIMIT 100
 """
 
 
+# ------------------------------------------- dynamic partition pruning (DPP)
+
+DPP_PRIORITY = "1-URGENT"
+DPP_YEAR = "1997"
+
+
+def _dpp_joined(spark: SparkSession, sf_dir: str, fact_path: str) -> DataFrame:
+    """Build the DPP demonstration: lineitem written partitioned by ship
+    month, then joined to a *runtime-derived* month dimension (urgent 1997
+    order months).  The dim's filter values are unknowable at plan time, so
+    static partition pruning can't apply — the broadcast side's result is
+    re-used as a partition filter on the fact scan (``dynamicpruning``
+    subquery in PartitionFilters), and only the matching month directories
+    are read.  At 100 TB this is the difference between scanning the whole
+    fact table and scanning ~1/80 of it."""
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    l.write.mode("overwrite").partitionBy("ship_month").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == DPP_PRIORITY)
+            & (F.date_format("o_orderdate", "yyyy") == DPP_YEAR)
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(months), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_join_dpp: runtime partition-pruned join (see :func:`_dpp_joined`;
+    the pruning itself is plan-asserted in tests/test_plans.py)."""
+    import tempfile
+
+    from ..sources.mysqldump import pin_result
+
+    with tempfile.TemporaryDirectory() as tmp:
+        return pin_result(_dpp_joined(spark, sf_dir, f"{tmp}/lineitem_by_month"))
+
+
+JOIN_DPP_SQL = f"""
+WITH months AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+  FROM orders
+  WHERE o_orderpriority = '{DPP_PRIORITY}'
+    AND strftime(o_orderdate, '%Y') = '{DPP_YEAR}'
+)
+SELECT m.ship_month,
+       COUNT(*) AS n_items,
+       SUM(l_quantity) AS total_qty
+FROM lineitem l
+JOIN months m ON strftime(l.l_shipdate, '%Y-%m') = m.ship_month
+GROUP BY m.ship_month
+ORDER BY m.ship_month
+"""
+
+
 # ----------------------------------------------- correlated scalar subquery
 
 #: Correlated scalar subquery, shared verbatim by both engines.  The
@@ -267,6 +335,7 @@ QUERIES = {
     "q_tpch_q5": tpch_q5,
     "q_tpch_q10": tpch_q10,
     "q_tpch_q18": tpch_q18,
+    "q_join_dpp": join_dpp,
     "q_subquery_scalar": subquery_scalar,
 }
 
@@ -275,5 +344,6 @@ ORACLE = {
     "q_tpch_q5": TPCH_Q5_SQL,
     "q_tpch_q10": TPCH_Q10_SQL,
     "q_tpch_q18": TPCH_Q18_SQL,
+    "q_join_dpp": JOIN_DPP_SQL,
     "q_subquery_scalar": SUBQUERY_SCALAR_SQL,
 }

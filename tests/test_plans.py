@@ -208,3 +208,15 @@ def test_win_time_range_is_range_frame(spark):
     plan = formatted_plan(win_time_range(spark, SF))
     assert "RangeFrame" in plan, plan
     assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
+
+
+def test_join_dpp_prunes_partitions_at_runtime(spark, tmp_path):
+    """The month-partitioned fact scan must carry a dynamicpruning
+    PartitionFilter fed by the broadcast dim — runtime partition pruning,
+    not a full-fact scan — and prune columns to the aggregate input."""
+    from mysqldump_to_parquet_spark.operators.composite import _dpp_joined
+
+    df = _dpp_joined(spark, SF, str(tmp_path / "fact"))
+    plan = formatted_plan(df)
+    assert "dynamicpruningexpression" in plan, plan
+    assert "ReadSchema: struct<l_quantity:double>" in plan, plan
