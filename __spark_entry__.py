@@ -25,6 +25,7 @@ from mysqldump_to_parquet_spark.llm import quality as llm_quality
 from mysqldump_to_parquet_spark.llm import sampling as llm_sampling
 from mysqldump_to_parquet_spark.llm import similarity as llm_similarity
 from mysqldump_to_parquet_spark.llm import terms as llm_terms
+from mysqldump_to_parquet_spark.llm import vectors as llm_vectors
 from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
 from mysqldump_to_parquet_spark.operators import (
     aggregates,
@@ -52,6 +53,7 @@ from mysqldump_to_parquet_spark.streaming import windows as stream_windows
 _MODULES = [
     llm_dedup,
     llm_similarity,
+    llm_vectors,
     llm_textstats,
     llm_quality,
     llm_terms,

@@ -496,6 +496,72 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------- fuzzy entity join
+
+#: Max edit distance for two part names to be considered the same entity.
+FUZZY_MAX_DIST = 3
+
+
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_fuzzy: fuzzy entity resolution over part names — the
+    blocking + verify shape every record-linkage pipeline uses.
+
+    Three stages, each with the scale property that matters:
+    (1) collapse rows to DISTINCT entities first (groupBy name — the
+    massive reduction; dedup entities, never raw rows); (2) block on a
+    cheap key (the head noun = last name token) so the self-join is
+    per-block, never corpus all-pairs; (3) verify candidates with exact
+    ``levenshtein`` — Catalyst evaluates the distance only on pairs that
+    survived the block-key equi-join.  Block skew is bounded by the name
+    vocabulary, not corpus size.
+
+    No reference counterpart (the reference has no query surface at all);
+    standard blocking/verification entity-resolution shape.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    blocked = names.select(
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+        F.col("p_name"),
+        "n_parts",
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("dist"),
+            F.col("a.n_parts").alias("n_a"),
+            F.col("b.n_parts").alias("n_b"),
+        )
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+DEDUP_FUZZY_SQL = f"""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+), blocked AS (
+  SELECT string_split(p_name, ' ')[-1] AS block, p_name, n_parts FROM names
+)
+SELECT a.block AS block, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_parts AS n_a, b.n_parts AS n_b
+FROM blocked a
+JOIN blocked b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "q_dedup_exact": dedup_exact,
     "q_dedup_near": dedup_near_minhash,
@@ -508,6 +574,7 @@ QUERIES = {
     "q_dedup_ngram_jaccard": dedup_ngram_jaccard,
     "q_dedup_components": dedup_components,
     "q_dedup_embedding": dedup_embedding,
+    "q_dedup_fuzzy": dedup_fuzzy,
 }
 
 ORACLE = {
@@ -517,4 +584,5 @@ ORACLE = {
     "q_dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "q_dedup_components": DEDUP_COMPONENTS_SQL,
     "q_dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "q_dedup_fuzzy": DEDUP_FUZZY_SQL,
 }

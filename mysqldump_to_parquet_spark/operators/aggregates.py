@@ -253,11 +253,12 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
+    # never driver-checked (new in r2) → first, inside the bounded window
+    "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_groupby": tpch_q1,
     "q_agg_quantile": agg_quantile,
     "q_agg_distinct": agg_distinct,
     "q_agg_approx_distinct": agg_approx_distinct,
-    "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_rollup": agg_rollup,
     "q_agg_cube": agg_cube,
     "q_agg_gsets": agg_grouping_sets,

@@ -220,3 +220,24 @@ def test_join_dpp_prunes_partitions_at_runtime(spark, tmp_path):
     plan = formatted_plan(df)
     assert "dynamicpruningexpression" in plan, plan
     assert "ReadSchema: struct<l_quantity:double>" in plan, plan
+
+
+def test_embed_centroids_partial_agg(spark):
+    """Vector averaging must partial-aggregate the (label, pos) cells
+    map-side and never collapse to a single partition."""
+    from mysqldump_to_parquet_spark.llm.vectors import embed_centroids
+
+    plan = formatted_plan(embed_centroids(spark, SF))
+    assert "partial_avg" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dedup_fuzzy_is_blocked_equi_join(spark):
+    """The fuzzy join must be an equi-join on the block key (hash or
+    sort-merge) — never a nested-loop all-pairs — with levenshtein only
+    as a post-join filter."""
+    from mysqldump_to_parquet_spark.llm.dedup import dedup_fuzzy
+
+    plan = formatted_plan(dedup_fuzzy(spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "levenshtein" in plan, plan
