@@ -20,7 +20,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -34,58 +34,73 @@ TOP_UNIGRAM_MAX = 0.20
 TOP_BIGRAM_MAX = 0.10
 
 
+def _modal_fold(sorted_arr):
+    """Modal element of a sorted array via a single left-to-right run-length
+    fold — strict ``>`` keeps the FIRST maximal run, which in a sorted array
+    is the lexicographically smallest modal gram (same tiebreak as
+    ``ORDER BY cnt DESC, gram ASC``).  Entirely JVM-side expression work."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bestg"),
+    )
+
+    def step(acc, x):
+        run2 = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        better = run2 > acc.best
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc.best).alias("best"),
+            F.when(better, x).otherwise(acc.bestg).alias("bestg"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)
+
+
 def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_repetition: most-frequent-n-gram mass per document.
 
-    Emits, per doc: token totals, the modal unigram and bigram (ties
-    broken lexicographically so the argmax is deterministic across
-    engines), their counts and fractions, and the repetitive flag.
+    Emits, per doc: the modal unigram and bigram (ties broken
+    lexicographically so the argmax is deterministic across engines),
+    their counts and fractions, and the repetitive flag.
+
+    Modal counts come from a run-length fold over the *sorted* gram array
+    (see :func:`_modal_fold`) — per-row expression work with ZERO
+    shuffles, where the naive explode → (doc, gram) count → per-doc
+    window shape costs two key shuffles of every gram in the corpus.
+    The gram arrays are bounded by document length, so the fold's cost is
+    the same O(tokens log tokens) the shuffle pipeline paid just to
+    serialize.  (The DuckDB oracle keeps the relational formulation —
+    same result, independently derived.)
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    d = d.select("doc_id", toks.alias("toks"))  # bind split ONCE
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
-
-    def modal(grams_col, kind: str) -> DataFrame:
-        g = d.select("doc_id", F.explode(grams_col).alias("gram"))
-        counts = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.partitionBy("doc_id")
-        ranked = counts.select(
-            "doc_id",
-            "gram",
-            "cnt",
-            F.sum("cnt").over(w).alias("total"),
-            F.row_number()
-            .over(w.orderBy(F.desc("cnt"), F.asc("gram")))
-            .alias("rn"),
-        ).where(F.col("rn") == 1)
-        return ranked.select(
-            "doc_id",
-            F.col("gram").alias(f"top_{kind}"),
-            F.col("cnt").alias(f"top_{kind}_cnt"),
-            (F.col("cnt") / F.col("total")).alias(f"top_{kind}_frac"),
-        )
-
-    uni = modal(toks, "unigram")
-    bi = modal(bigrams, "bigram")
-    return (
-        uni.join(bi, "doc_id")
-        .select(
-            "doc_id",
-            "top_unigram",
-            "top_unigram_cnt",
-            "top_unigram_frac",
-            "top_bigram",
-            "top_bigram_cnt",
-            "top_bigram_frac",
-            (
-                (F.col("top_unigram_frac") > TOP_UNIGRAM_MAX)
-                | (F.col("top_bigram_frac") > TOP_BIGRAM_MAX)
-            ).alias("is_repetitive"),
-        )
+    d = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_uni"),
+        _modal_fold(F.array_sort("toks")).alias("u"),
+        (F.size("toks") - 1).cast("long").alias("n_bi"),
+        _modal_fold(F.array_sort(bigrams)).alias("b"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("u.bestg").alias("top_unigram"),
+        F.col("u.best").alias("top_unigram_cnt"),
+        (F.col("u.best") / F.col("n_uni")).alias("top_unigram_frac"),
+        F.col("b.bestg").alias("top_bigram"),
+        F.col("b.best").alias("top_bigram_cnt"),
+        (F.col("b.best") / F.col("n_bi")).alias("top_bigram_frac"),
+        (
+            ((F.col("u.best") / F.col("n_uni")) > TOP_UNIGRAM_MAX)
+            | ((F.col("b.best") / F.col("n_bi")) > TOP_BIGRAM_MAX)
+        ).alias("is_repetitive"),
     )
 
 

@@ -105,11 +105,15 @@ def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c(w1·) sums the bigram counts per first token (a reaggregation of the
     count table, not a new corpus pass), so the division is exact."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")  # bind split ONCE — element_at
+        # inside the transform must index a materialized array, not
+        # re-evaluate split per element (that would be O(tokens²)/doc)
+    )
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> struct(element_at(split(text, ' '), i) AS w1,"
-        "             element_at(split(text, ' '), i + 1) AS w2))"
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS w1,"
+        "             element_at(toks, i + 1) AS w2))"
     )
     pairs = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))

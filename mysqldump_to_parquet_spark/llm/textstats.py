@@ -351,11 +351,17 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the eval side is small → broadcast; dropping the hottest
     n-grams (boilerplate, cap via q_dedup_near's bucket trick) bounds skew.
     Uses the q_split_hash assignment, so 'eval' is deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # bind split ONCE — slicing a materialized array per shingle is
+        # O(tokens·N); re-evaluating split inside the lambda would be
+        # O(tokens²) per document
+        F.split("text", " ").alias("toks"),
+    )
     h = F.md5(F.col("doc_id").cast("string"))
     grams = F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - {DECON_N}, 0)),"
-        f" i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, {DECON_N})))))"
+        f"array_distinct(transform(sequence(0, greatest(size(toks) - {DECON_N}, 0)),"
+        f" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {DECON_N})))))"
     )
     with_split = d.select(
         "doc_id",

@@ -256,7 +256,12 @@ def _dpp_joined(spark: SparkSession, sf_dir: str, fact_path: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").withColumn(
         "ship_month", F.date_format("l_shipdate", "yyyy-MM")
     )
-    l.write.mode("overwrite").partitionBy("ship_month").parquet(fact_path)
+    # cluster rows by partition value before the write: one file per month
+    # directory instead of (tasks × months) small files — at scale the
+    # partitioned layout is useless if every task sprays into every dir
+    l.repartition("ship_month").write.mode("overwrite").partitionBy(
+        "ship_month"
+    ).parquet(fact_path)
     fact = spark.read.parquet(fact_path)
     months = (
         load_table(spark, sf_dir, "orders")

@@ -157,15 +157,15 @@ def test_tpch_q18_having_joins_back_broadcast(spark):
     assert plan.count("HashAggregate") >= 2, plan  # partial+final qty sum
 
 
-def test_repetition_partial_agg_and_no_single_partition(spark):
-    """The (doc_id, gram) count must combine map-side; the per-doc window
-    must hash-partition on doc_id, never collapse to one partition."""
+def test_repetition_zero_shuffle(spark):
+    """Modal-gram extraction is a per-row run-length fold over the sorted
+    gram array — no Exchange anywhere (the naive shape shuffles every
+    gram in the corpus twice)."""
     from mysqldump_to_parquet_spark.llm.quality import repetition
 
     plan = formatted_plan(repetition(spark, SF))
-    assert "partial_count" in plan, plan
-    assert "SinglePartition" not in plan, plan
-    assert "hashpartitioning(doc_id" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "aggregate(" in plan, plan  # the HOF fold
 
 
 def test_gopher_rules_zero_shuffle(spark):
