@@ -87,6 +87,50 @@ NOTES = {
         "shuffle join (never all-pairs) and the per-pair match count "
         "aggregates two-phase. At scale the eval side broadcasts."
     ),
+    "q_tpch_q5": (
+        "Six-way join: orders ⋈ lineitem is the only shuffle join; "
+        "customer/supplier/nation/region all broadcast, and the "
+        "c_nationkey = s_nationkey condition folds into the supplier "
+        "broadcast join rather than costing its own shuffle."
+    ),
+    "q_join_dpp": (
+        "Runtime partition pruning: the broadcast month-dim result feeds "
+        "the fact scan's PartitionFilters (dynamicpruningexpression), so "
+        "only matching month directories are listed and read — at 100 TB "
+        "the fact scan is ~1/80 of the table, decided at run time."
+    ),
+    "q_sessionize": (
+        "Gap-based sessionization: both windows and the session group-by "
+        "share ONE hashpartitioning(user_id) Exchange (HashPartitioning "
+        "on a key subset satisfies the group-by's clustering), so the "
+        "whole operator costs a single shuffle of the events."
+    ),
+    "q_merge_upsert": (
+        "Changelog compaction: WindowGroupLimit keeps each map task's "
+        "per-key latest row before the shuffle — the Exchange carries "
+        "~|keys| rows, not the full changelog."
+    ),
+    "q_repetition": (
+        "Modal n-gram via a run-length fold over the sorted gram array: "
+        "pure per-row expression work, zero Exchange — the naive "
+        "explode → count → window shape shuffles every gram twice."
+    ),
+    "q_tfidf": (
+        "TF counts explode once; document frequency re-aggregates the TF "
+        "table (one row per (doc,term), never a second corpus pass); "
+        "corpus size N joins as a broadcast single-row aggregate; top-k "
+        "per doc is one window on doc_id."
+    ),
+    "q_embed_centroids": (
+        "Vector averaging by posexplode to (label, pos, v) — a fixed "
+        "64× expansion — with map-side partial_avg, then per-label "
+        "ordered reassembly. No driver-side math, no collect."
+    ),
+    "q_dedup_fuzzy": (
+        "Entity resolution: distinct entities first (the big reduction), "
+        "then a block-key equi-join (hash/sort-merge, never nested-loop "
+        "all-pairs) with levenshtein evaluated only on candidates."
+    ),
     "q_multimodal_frames": (
         "Frame sampling slices BinaryType payloads with substring (no "
         "decode, no Python): explode(sequence) fans 1→N inside the same "
