@@ -103,7 +103,7 @@ def iter_statements(lines: Iterable[str]) -> Iterator[str]:
                 in_create = True
         if line.endswith(";"):
             stmt = " ".join(current).strip()
-            if stmt.startswith("CREATE TABLE") or stmt.startswith("INSERT INTO"):
+            if stmt.startswith("CREATE TABLE") or stmt.startswith(DML_PREFIXES):
                 yield stmt
             current.clear()
             in_create = False
@@ -389,11 +389,29 @@ def parse_create_table(stmt: str) -> TableSchema:
 # INSERT → rows (value tokenizer — the P3 analog, line_parser.rs:200–272)
 # --------------------------------------------------------------------------
 
+#: DML statement prefixes a mysqldump can emit: plain, ``--insert-ignore``
+#: (INSERT IGNORE), and ``--replace`` (REPLACE INTO).  For a whole-table
+#: conversion the three are row-identical — IGNORE/REPLACE semantics only
+#: matter when loading into a table that already has rows, and a dump is
+#: self-consistent — so all three parse through the same path.
+DML_PREFIXES = ("INSERT INTO", "INSERT IGNORE INTO", "REPLACE INTO")
+
+def _dml_line_pred():
+    """JVM-side predicate: line starts with any DML prefix (scan-level
+    pre-filter; the Python parser stays the correctness guard)."""
+    pred = F.col("value").startswith(DML_PREFIXES[0])
+    for p in DML_PREFIXES[1:]:
+        pred = pred | F.col("value").startswith(p)
+    return pred
+
+
+_DML_HEAD = r"^(?:INSERT\s+(?:IGNORE\s+)?|REPLACE\s+)INTO"
+
 _INSERT_TABLE_RE = re.compile(
-    r"^INSERT\s+INTO\s+[`\"]?(?P<name>[A-Za-z0-9_$]+)[`\"]?", re.I
+    _DML_HEAD + r"\s+[`\"]?(?P<name>[A-Za-z0-9_$]+)[`\"]?", re.I
 )
 _INSERT_COLS_RE = re.compile(
-    r"^INSERT\s+INTO\s+[`\"]?[A-Za-z0-9_$]+[`\"]?\s*\((?P<cols>[^)]*)\)\s*VALUES",
+    _DML_HEAD + r"\s+[`\"]?[A-Za-z0-9_$]+[`\"]?\s*\((?P<cols>[^)]*)\)\s*VALUES",
     re.I,
 )
 
@@ -723,7 +741,7 @@ def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructTy
     raised and ``convert_dump(multiline='auto')`` switches to whole-file
     reassembly."""
     lines_df = spark.read.text(dump_path)
-    is_insert = F.col("value").startswith("INSERT INTO")
+    is_insert = _dml_line_pred()
     terminated = F.rtrim(F.col("value")).endswith(";")
     ddl_df = lines_df.where(~is_insert | ~terminated)
     ddl_lines = [r[0] for r in ddl_df.limit(MAX_DDL_LINES + 1).collect()]
@@ -736,7 +754,7 @@ def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructTy
         ln
         for ln in ddl_lines
         if ln.lstrip().startswith("(")
-        or (ln.startswith("INSERT INTO") and not ln.rstrip().endswith(";"))
+        or (ln.startswith(DML_PREFIXES) and not ln.rstrip().endswith(";"))
     ]
     if multiline_markers:
         raise MultilineDumpError(
@@ -852,7 +870,7 @@ def insert_rows_df_multiline(
             cols: list[list] = [[] for _ in names]
             for content in pdf["value"]:
                 for stmt in iter_statements(content.splitlines()):
-                    if not stmt.startswith("INSERT INTO"):
+                    if not stmt.startswith(DML_PREFIXES):
                         continue
                     if insert_table_name(stmt) != table:
                         continue
@@ -888,9 +906,7 @@ def insert_rows_df(
 
     carrier = T.StructType([carrier_field(f) for f in schema.fields])
     if lines_df is None:
-        lines_df = spark.read.text(dump_path).where(
-            F.col("value").startswith("INSERT INTO")
-        )
+        lines_df = spark.read.text(dump_path).where(_dml_line_pred())
     # JVM-side per-table prefilter: without it, every table's pass would
     # repartition and Python-tokenize ALL tables' INSERT lines (O(tables ×
     # dump) parse work) with only the per-statement name check discarding
@@ -898,10 +914,9 @@ def insert_rows_df(
     # the bare/double-quoted spellings too; the Python-side name check stays
     # as the correctness guard.
     tbl_prefixes = [
-        f"INSERT INTO `{table}`",
-        f'INSERT INTO "{table}"',
-        f"INSERT INTO {table} ",
-        f"INSERT INTO {table}(",
+        kw + spelling
+        for kw in DML_PREFIXES
+        for spelling in (f" `{table}`", f' "{table}"', f" {table} ", f" {table}(")
     ]
     pred = F.col("value").startswith(tbl_prefixes[0])
     for p in tbl_prefixes[1:]:
@@ -995,9 +1010,7 @@ def convert_dump(
     if use_multiline:
         lines = _whole_files_df(spark, dump_path)
     else:
-        lines = spark.read.text(dump_path).where(
-            F.col("value").startswith("INSERT INTO")
-        )
+        lines = spark.read.text(dump_path).where(_dml_line_pred())
     if len(schemas) > 1:
         lines = lines.persist()
     try:

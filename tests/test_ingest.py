@@ -19,6 +19,7 @@ from mysqldump_to_parquet_spark.sources.mysqldump import (
     iter_statements,
     parse_create_table,
     parse_insert,
+    parse_insert_full,
 )
 
 
@@ -517,3 +518,38 @@ def test_ddl_line_cap_fails_loudly(spark, tmp_path, monkeypatch):
 
     with pytest.raises(MultilineDumpError, match="non-INSERT lines"):
         M.collect_schemas(spark, str(dump))
+
+
+# -------------------------------------------- DML statement variants
+
+def test_parse_insert_variants():
+    """mysqldump --replace emits REPLACE INTO and --insert-ignore emits
+    INSERT IGNORE INTO; for a whole-table conversion all three are
+    row-identical and must parse through the same path."""
+    for head in ("INSERT INTO", "INSERT IGNORE INTO", "REPLACE INTO"):
+        table, rows = parse_insert(f"{head} `t` VALUES (1,'a'),(2,'b');")
+        assert table == "t"
+        assert rows == [(1, "a"), (2, "b")]
+    # column-list form (--complete-insert combinations)
+    table, cols, rows = parse_insert_full(
+        "REPLACE INTO `t` (`b`, `a`) VALUES (1,'x');"
+    )
+    assert table == "t" and cols == ["b", "a"] and rows == [(1, "x")]
+
+
+def test_convert_dump_replace_and_ignore(spark, tmp_path):
+    """End-to-end conversion of a dump written with --replace for one
+    table and --insert-ignore for another."""
+    dump = tmp_path / "variants.sql"
+    dump.write_text(
+        "CREATE TABLE `r` (`id` int NOT NULL, `v` varchar(8));\n"
+        "REPLACE INTO `r` VALUES (1,'a'),(2,'b');\n"
+        "CREATE TABLE `ig` (`id` int NOT NULL, `v` varchar(8));\n"
+        "INSERT IGNORE INTO `ig` VALUES (10,'x'),(11,'y'),(12,'z');\n"
+    )
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"r": 2, "ig": 3}
+    r = {x.id: x.v for x in spark.read.parquet(str(tmp_path / "out" / "r")).collect()}
+    ig = {x.id: x.v for x in spark.read.parquet(str(tmp_path / "out" / "ig")).collect()}
+    assert r == {1: "a", 2: "b"}
+    assert ig == {10: "x", 11: "y", 12: "z"}
