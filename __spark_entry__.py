@@ -30,6 +30,7 @@ from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
 from mysqldump_to_parquet_spark.operators import (
     aggregates,
     asof,
+    cogroup,
     composite,
     relational,
     skew,
@@ -61,6 +62,7 @@ _MODULES = [
     llm_multimodal,
     composite,
     temporal,
+    cogroup,
     stream_windows,
     file_sources,
     aggregates,
