@@ -116,3 +116,75 @@ def run_tumbling_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+# ------------------------------------------------- stream-stream interval join
+
+def split_views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split one event stream into view/purchase sub-streams (the two
+    sides of the attribution join), with side-specific column names so
+    the joined row is self-describing."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return views, purchases
+
+
+def interval_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_lag_hours: int = 6,
+    late_allowance: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views in the preceding ``max_lag_hours`` — the attribution
+    join, run with BOTH sides unbounded.
+
+    The watermark on each side plus the two-sided time-bound condition is
+    what makes this feasible at scale: Spark can prove a view older than
+    (purchase watermark − max_lag) can never match again and evicts it
+    from state, so state size is O(rate × window), not O(stream).
+    """
+    v = views.withWatermark("view_ts", late_allowance)
+    p = purchases.withWatermark("purchase_ts", late_allowance)
+    lag = f"INTERVAL {max_lag_hours} HOURS"
+    return v.join(
+        p,
+        F.expr(
+            f"""v_user = p_user
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + {lag}"""
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
+def run_interval_join_to_memory(
+    spark: SparkSession, events_dir: str, query_name: str = "ij_mem"
+) -> DataFrame:
+    """Drive the attribution join to completion on the available files."""
+    events = read_event_stream(spark, events_dir)
+    views, purchases = split_views_purchases(events)
+    joined = interval_join_stream(views, purchases)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

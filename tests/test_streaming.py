@@ -107,3 +107,39 @@ def test_stateful_running_stats(spark, tmp_path):
     for uid, (n, total) in batch.items():
         assert latest[uid][0] == n
         assert abs(latest[uid][1] - total) < 1e-6
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join (purchases ⋈ preceding views within
+    6 h per user) must emit exactly the batch join's row set — the
+    interval bounds + watermarks make the stream version's state finite,
+    not its answer different."""
+    from mysqldump_to_parquet_spark.streaming.stream import (
+        interval_join_stream,
+        run_interval_join_to_memory,
+        split_views_purchases,
+    )
+
+    out = run_interval_join_to_memory(spark, _events_dir(tmp_path), "ij_mem1")
+    got = {(r.user_id, r.view_id, r.purchase_id) for r in out.collect()}
+
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    bviews, bpurch = split_views_purchases(ev)
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in bviews.join(
+            bpurch,
+            (bviews.v_user == bpurch.p_user)
+            & (bpurch.purchase_ts >= bviews.view_ts)
+            & (
+                bpurch.purchase_ts
+                <= bviews.view_ts + F.expr("INTERVAL 6 HOURS")
+            ),
+        )
+        .selectExpr("v_user AS user_id", "view_id", "purchase_id")
+        .collect()
+    }
+    assert batch, "no attributed pairs in fixture"
+    assert got == batch
