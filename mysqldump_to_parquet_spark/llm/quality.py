@@ -216,12 +216,165 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------- entropy
+
+def _runlen_entropy_fold(sorted_arr):
+    """Σ c·ln(c) over the run lengths of a sorted array, plus the number of
+    runs — the sufficient statistics for Shannon entropy, via one
+    left-to-right fold (same zero-shuffle trick as :func:`_modal_fold`).
+    Emits struct(sumcln double, n_distinct long)."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("sumcln"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def close_run(acc):
+        # ln(run) with run >= 1; ln(1) = 0 so singleton runs add nothing.
+        return F.when(
+            acc.run > 0, acc.sumcln + acc.run * F.log(acc.run.cast("double"))
+        ).otherwise(acc.sumcln)
+
+    def step(acc, x):
+        same = x == acc.prev
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc.sumcln).otherwise(close_run(acc)).alias("sumcln"),
+            F.when(same, acc.nd).otherwise(acc.nd + 1).alias("nd"),
+        )
+
+    def finish(acc):
+        return F.struct(close_run(acc).alias("sumcln"), acc.nd.alias("nd"))
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_entropy: per-document token Shannon entropy — the standard
+    gibberish/boilerplate signal (low entropy = repetitive filler, high =
+    random noise; both are curation drops).
+
+    H = ln(n) − (Σ_g c_g·ln c_g)/n needs only n and Σ c·ln c, both read
+    off a run-length fold over the SORTED token array: per-row JVM
+    expression work with ZERO shuffles, vs. the relational explode →
+    (doc, token) count → per-doc re-agg that shuffles every token in the
+    corpus twice.  Normalized entropy divides by the ln(n) maximum
+    (NULL for single-token docs where the maximum is 0).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id", F.array_sort(F.split("text", " ")).alias("toks")
+    )
+    n = F.size("toks").cast("long")
+    d = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        _runlen_entropy_fold(F.col("toks")).alias("s"),
+    )
+    ent = F.log(F.col("n_tokens").cast("double")) - F.col("s.sumcln") / F.col("n_tokens")
+    max_ent = F.log(F.col("n_tokens").cast("double"))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.col("s.nd").alias("n_distinct"),
+        ent.alias("entropy"),
+        (ent / F.nullif(max_ent, F.lit(0.0))).alias("norm_entropy"),
+    )
+
+
+ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT)      AS n_tokens,
+         COUNT(*)                      AS n_distinct,
+         SUM(cnt * ln(cnt))            AS sumcln
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ln(n_tokens) - sumcln / n_tokens AS entropy,
+       (ln(n_tokens) - sumcln / n_tokens) / NULLIF(ln(n_tokens), 0.0)
+         AS norm_entropy
+FROM s
+"""
+
+
+# ------------------------------------------------------------ MAD outliers
+
+#: Robust z-score threshold; 1.4826 scales MAD to the σ of a normal.
+MAD_SIGMA = 1.4826
+MAD_K = 3.0
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_anomaly_mad: per-group robust outlier flags for a numeric column
+    (median absolute deviation), the numeric-field analog of the text
+    quality gates — corrupt sensor/price/score values survive mean±kσ
+    (outliers drag the mean) but not median±k·MAD.
+
+    Two tiny aggregate passes (median, then MAD around it) produce a
+    #groups-row stats table that is *broadcast* back — the events side
+    streams once per pass and never shuffles for the final flagging join.
+    Exact `percentile` sorts per group (matches DuckDB quantile_cont
+    bit-for-bit, same as `q_agg_quantile`); at 100 TB swap in
+    `percentile_approx` / KLL sketches, same plan shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    robust_z = F.abs(F.col("value") - F.col("med")) / (MAD_SIGMA * F.col("mad"))
+    return e.join(F.broadcast(dev), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        robust_z.alias("robust_z"),
+        (robust_z > MAD_K).alias("is_outlier"),
+    )
+
+
+ANOMALY_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, ANY_VALUE(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value, d.med, d.mad,
+       abs(e.value - d.med) / ({MAD_SIGMA} * d.mad) AS robust_z,
+       abs(e.value - d.med) / ({MAD_SIGMA} * d.mad) > {MAD_K} AS is_outlier
+FROM events e JOIN dev d USING (event_type)
+"""
+
+
 QUERIES = {
     "q_repetition": repetition,
     "q_gopher_rules": gopher_rules,
+    "q_entropy": entropy,
+    "q_anomaly_mad": anomaly_mad,
 }
 
 ORACLE = {
     "q_repetition": REPETITION_SQL,
     "q_gopher_rules": GOPHER_RULES_SQL,
+    "q_entropy": ENTROPY_SQL,
+    "q_anomaly_mad": ANOMALY_MAD_SQL,
 }

@@ -225,6 +225,52 @@ ORDER BY o_orderpriority
 """
 
 
+#: Measure columns melted by the unpivot (wide → long inverse of pivot).
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): lineitem's four numeric measures → long
+    (measure, val) form, then a per-measure profile.
+
+    ``DataFrame.unpivot`` compiles to an Expand node — each input row is
+    emitted k times *map-side inside the same stage*, so the only shuffle
+    in the plan is the 4-group aggregate that follows (with partial
+    map-side combine the exchange carries 4 rows per task, not 4×|rows|).
+    The wide→long pivot direction is the inverse of `q_agg_pivot`.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.unpivot(
+            ids=[],
+            values=_UNPIVOT_MEASURES,
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.sum("val").alias("sum_val"),
+        )
+        .orderBy("measure")
+    )
+
+
+AGG_UNPIVOT_SQL = """
+SELECT measure, COUNT(*) AS n, MIN(val) AS min_val, MAX(val) AS max_val,
+       SUM(val) AS sum_val
+FROM (
+  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE val
+)
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (sort-based exact path —
     matches DuckDB's quantile_cont bit-for-bit); the sketch-based
@@ -255,6 +301,7 @@ ORDER BY l_returnflag
 QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
     "q_agg_sketch_distinct": agg_sketch_distinct,
+    "q_agg_unpivot": agg_unpivot,
     "q_agg_groupby": tpch_q1,
     "q_agg_quantile": agg_quantile,
     "q_agg_distinct": agg_distinct,
@@ -266,6 +313,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_unpivot": AGG_UNPIVOT_SQL,
     "q_agg_groupby": TPCH_Q1_SQL,
     "q_agg_quantile": AGG_QUANTILE_SQL,
     "q_agg_distinct": AGG_DISTINCT_SQL,

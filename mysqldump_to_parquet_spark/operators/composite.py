@@ -335,7 +335,42 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SUBQUERY_SCALAR_SQL)
 
 
+# --------------------------------------------------- lateral (per-row TVF)
+
+#: LATERAL correlated subquery, shared verbatim by both engines: each
+#: nation's top-2 customers by account balance (unique c_custkey tiebreak
+#: keeps the cut deterministic).
+LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT c.c_name, c.c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey
+  LIMIT 2
+) t ON true
+"""
+
+
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers per nation via a *LATERAL* correlated subquery —
+    the per-outer-row table-function idiom (each nation row "calls" the
+    inner query).
+
+    Run through ``spark.sql`` on purpose: Catalyst decorrelates the
+    lateral ORDER BY … LIMIT into a single window (rank over
+    c_nationkey) + join — one shuffle on the correlation key, never
+    |nations| re-executions of the inner query.  Same 100 TB argument as
+    `subquery_scalar`, for the strictly-more-general lateral form.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
 QUERIES = {
+    "q_lateral_topk": lateral_topk,
     "q_tpch_q3": tpch_q3,
     "q_tpch_q5": tpch_q5,
     "q_tpch_q10": tpch_q10,
@@ -345,6 +380,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_lateral_topk": LATERAL_TOPK_SQL,
     "q_tpch_q3": TPCH_Q3_SQL,
     "q_tpch_q5": TPCH_Q5_SQL,
     "q_tpch_q10": TPCH_Q10_SQL,

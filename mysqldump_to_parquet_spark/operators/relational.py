@@ -274,6 +274,79 @@ FROM region CROSS JOIN nation
 """
 
 
+#: Interval-join bin width = the maximum interval length (10 minutes), so
+#: any interval overlaps at most 2 bins and any point falls in exactly 1.
+_INTERVAL_MINUTES = 10
+_BIN_SECONDS = _INTERVAL_MINUTES * 60
+
+
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join of two LARGE sides via time-bin blocking:
+    every error event landing in the 10-minute window [p.ts, p.ts + 10min)
+    after a purchase is attributed to that purchase, aggregated per
+    purchase.
+
+    The naive plan for ``e.ts BETWEEN p.start AND p.end`` with two large
+    sides is a BroadcastNestedLoopJoin — O(|purchases| × |errors|) and the
+    classic 100 TB killer (`join_theta_range` keeps its tiny side
+    broadcast; here neither side is tiny).  Blocking discretizes time
+    into bins exactly as wide as the longest interval: each purchase
+    lands in the ≤2 bins its window touches (`explode` of a 1–2 element
+    array), each error in exactly 1, and the join becomes an *equi*
+    shuffle join on the bin key with the exact interval predicate applied
+    post-join.  Cost: one fixed-width shuffle of ≤2|P| + |E| rows,
+    partitioned by time — candidate pairs are only same-bin pairs, and a
+    hot bin is AQE-skew-splittable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"), "value"
+    )
+    # Window length == bin width, so [p_ts, p_ts + w) touches bins
+    # {b, b+1} where b = floor(p_ts / w) — always replicate to both
+    # (unix_timestamp truncates to seconds, so conditionally dropping the
+    # second bin would miss sub-second boundary crossings).
+    start_bin = F.floor(F.unix_timestamp("p_ts") / _BIN_SECONDS)
+    p_binned = p.select(
+        "purchase_id",
+        "p_ts",
+        F.explode(F.array(start_bin, start_bin + 1)).alias("bin"),
+    )
+    e_binned = err.select(
+        "e_ts", "value", F.floor(F.unix_timestamp("e_ts") / _BIN_SECONDS).alias("bin")
+    )
+    return (
+        p_binned.join(e_binned, "bin")
+        .where(
+            (F.col("e_ts") >= F.col("p_ts"))
+            & (
+                F.col("e_ts")
+                < F.col("p_ts") + F.expr(f"INTERVAL {_INTERVAL_MINUTES} MINUTES")
+            )
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.sum("value").alias("sum_error_value"),
+        )
+    )
+
+
+JOIN_INTERVAL_SQL = f"""
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_errors,
+       SUM(e.value) AS sum_error_value
+FROM events p
+JOIN events e
+  ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL {_INTERVAL_MINUTES} MINUTE
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+GROUP BY p.event_id
+"""
+
+
 # ---------------------------------------------------------- sort / top-k
 
 def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +468,7 @@ QUERIES = {
     "q_join_anti": join_anti,
     "q_join_theta_range": join_theta_range,
     "q_join_cross": join_cross,
+    "q_join_interval": join_interval,
     "q_sort_limit": sort_limit,
     "q_topk_per_group": topk_per_group,
     "q_set_union": set_union,
@@ -413,6 +487,7 @@ ORACLE = {
     "q_join_anti": JOIN_ANTI_SQL,
     "q_join_theta_range": JOIN_THETA_RANGE_SQL,
     "q_join_cross": JOIN_CROSS_SQL,
+    "q_join_interval": JOIN_INTERVAL_SQL,
     "q_sort_limit": SORT_LIMIT_SQL,
     "q_topk_per_group": TOPK_PER_GROUP_SQL,
     "q_set_union": SET_UNION_SQL,

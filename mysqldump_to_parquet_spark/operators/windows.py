@@ -153,7 +153,36 @@ WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
 """
 
 
+def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_win_cume: distribution window functions — percent_rank /
+    cume_dist (empirical CDF position of each order's price within its
+    priority class).  Same single-shuffle shape as the other window ops:
+    one exchange on the partition key, one sort within partitions; the
+    unique o_orderkey tiebreak makes every rank deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+WIN_CUME_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 QUERIES = {
+    "q_win_cume": win_cume,
     "q_win_rank": win_rank,
     "q_win_ntile": win_ntile_firstlast,
     "q_win_lag_lead": win_lag_lead,
@@ -162,6 +191,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_win_cume": WIN_CUME_SQL,
     "q_win_rank": WIN_RANK_SQL,
     "q_win_ntile": WIN_NTILE_SQL,
     "q_win_lag_lead": WIN_LAG_LEAD_SQL,

@@ -241,3 +241,59 @@ def test_dedup_fuzzy_is_blocked_equi_join(spark):
     plan = formatted_plan(dedup_fuzzy(spark, SF))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_join_interval_is_binned_equi_join(spark):
+    """The interval-overlap join must be an equi join on the time-bin key
+    — BroadcastNestedLoopJoin here is the O(|P|·|E|) plan that dies at
+    scale.  The exact interval predicate survives as a post-join filter
+    (visible as the p_ts/e_ts comparison in the join condition)."""
+    from mysqldump_to_parquet_spark.operators.relational import join_interval
+
+    plan = formatted_plan(join_interval(spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "bin" in plan, plan
+
+
+def test_unpivot_expands_map_side(spark):
+    """Unpivot compiles to Expand inside the scan stage; the only
+    Exchange in the plan is the 4-group aggregate that follows."""
+    from mysqldump_to_parquet_spark.operators.aggregates import agg_unpivot
+
+    import re
+
+    plan = formatted_plan(agg_unpivot(spark, SF))
+    assert "Expand" in plan, plan
+    # numbered node list: partial→final agg exchange + 4-row sort exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The LATERAL ORDER BY…LIMIT subquery must decorrelate into a window
+    rank + join — not |outer| re-executions of the inner query."""
+    from mysqldump_to_parquet_spark.operators.composite import lateral_topk
+
+    plan = formatted_plan(lateral_topk(spark, SF))
+    assert "Window" in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_entropy_zero_shuffle(spark):
+    """Entropy's sufficient statistics come from a per-row run-length
+    fold — no Exchange (the relational shape shuffles every token in the
+    corpus twice)."""
+    from mysqldump_to_parquet_spark.llm.quality import entropy
+
+    plan = formatted_plan(entropy(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "aggregate(" in plan, plan
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    """The per-group stats tables join back via broadcast — the events
+    side never shuffles for the flagging join."""
+    from mysqldump_to_parquet_spark.llm.quality import anomaly_mad
+
+    plan = formatted_plan(anomaly_mad(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
