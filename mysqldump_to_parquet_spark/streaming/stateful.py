@@ -19,6 +19,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
 STATE_SCHEMA = "n long, total double, last_ts timestamp"
@@ -73,5 +77,82 @@ def user_running_stats(events: DataFrame, evict_idle: bool = False) -> DataFrame
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=timeout,
+        )
+    )
+
+
+# ------------------------------------------------- transformWithState (v2)
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, n_types long"
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Spark 4 ``transformWithState`` processor: per-user profile with two
+    independently-evolvable state primitives — a ValueState for the
+    fixed-width running totals and a MapState keyed by event_type for the
+    per-type counts (unbounded-cardinality state the older
+    ``applyInPandasWithState`` single-tuple model cannot express without
+    serializing the whole map through every update).
+
+    The v2 API is the engine-native custom-operator surface: composite
+    state (Value/List/Map), per-key timers, and state TTL all live in the
+    RocksDB state store, so a 100 TB replay shards by user_id across
+    executors with per-primitive (not per-key-blob) reads and writes.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the Python↔state-server protocol is proto-based;
+    absent from this container, so the pytest is import-gated — the
+    processor itself is complete and exercised wherever protobuf exists).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n long, total double")
+        self._by_type = handle.getMapState(
+            "by_type", "event_type string", "cnt long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._by_type.getValue((etype,))[0]
+                    if self._by_type.containsKey((etype,))
+                    else 0
+                )
+                self._by_type.updateValue((etype,), (prev + int(cnt),))
+        self._totals.update((n, total))
+        n_types = sum(1 for _ in self._by_type.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "n_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_tws(events: DataFrame) -> DataFrame:
+    """Attach the v2 stateful processor to an event stream (update mode)."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
         )
     )

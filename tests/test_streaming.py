@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from mysqldump_to_parquet_spark.streaming.stream import (
@@ -143,3 +144,61 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     }
     assert batch, "no attributed pairs in fixture"
     assert got == batch
+
+
+def test_transform_with_state_profile(spark, tmp_path):
+    """Spark 4 transformWithState processor (ValueState + MapState): the
+    last update per user must equal the batch count/sum/countDistinct.
+
+    Import-gated: the TWS python↔state-server protocol needs protobuf,
+    which this container lacks (same policy as the PIL-gated multimodal
+    decode — the operator is real; only the env dependency is absent)."""
+    pytest.importorskip("google.protobuf")
+    from mysqldump_to_parquet_spark.streaming.stateful import user_profile_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = read_event_stream(spark, _events_dir(tmp_path))
+    q = (
+        user_profile_tws(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    latest = {
+        r.user_id: (r.n_events, r.total_value, r.n_types)
+        for r in spark.table("t_tws").orderBy("n_events").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total, r.nt)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, (n, total, nt) in batch.items():
+        assert latest[uid][0] == n
+        assert abs(latest[uid][1] - total) < 1e-6
+        assert latest[uid][2] == nt
+
+
+def test_transform_with_state_plan_builds(spark, tmp_path):
+    """Protobuf-free slice of the TWS surface: the processor attaches and
+    the unresolved streaming plan carries the declared output schema."""
+    from mysqldump_to_parquet_spark.streaming.stateful import user_profile_tws
+
+    df = user_profile_tws(read_event_stream(spark, _events_dir(tmp_path)))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "n_events", "total_value", "n_types",
+    ]
