@@ -136,6 +136,34 @@ NOTES = {
         "decode, no Python): explode(sequence) fans 1→N inside the same "
         "stage, and each payload page is read once for all its frames."
     ),
+    "q_join_interval": (
+        "Interval-overlap join of two large sides via time-bin blocking: "
+        "each interval explodes to its ≤2 bins, the join is an *equi* "
+        "shuffle join on the bin key with the exact predicate post-join "
+        "— never the O(|P|·|E|) BroadcastNestedLoopJoin the raw range "
+        "predicate compiles to."
+    ),
+    "q_agg_unpivot": (
+        "Unpivot compiles to Expand inside the scan stage (map-side 1→k "
+        "emission); the only shuffles are the 4-group aggregate's "
+        "partial→final exchange and a 4-row sort."
+    ),
+    "q_lateral_topk": (
+        "LATERAL ORDER BY…LIMIT decorrelated by Catalyst into a window "
+        "rank on the correlation key + join — one shuffle, not |outer| "
+        "re-executions of the inner query."
+    ),
+    "q_entropy": (
+        "Token entropy from a run-length fold over the sorted token "
+        "array: Σ c·ln c and the distinct count in one per-row pass, "
+        "zero Exchange — the relational shape shuffles every token in "
+        "the corpus twice."
+    ),
+    "q_anomaly_mad": (
+        "Robust outlier flags: two #group-row percentile passes, each "
+        "joined back by broadcast — the events side streams and never "
+        "shuffles for the flagging join."
+    ),
 }
 
 
