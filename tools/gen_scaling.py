@@ -36,6 +36,9 @@ QUERIES = [
     "q_resample_locf",
     "q_decontaminate",
     "q_multimodal_frames",
+    "q_join_interval",
+    "q_entropy",
+    "q_anomaly_mad",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
