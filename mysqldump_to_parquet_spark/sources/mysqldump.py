@@ -888,12 +888,54 @@ def insert_rows_df_multiline(
     return finish_casts(raw, schema)
 
 
+#: Parse-stage task granularity: ~2 MB of INSERT text per task keeps the
+#: Python tokenizer busy for ~0.5 s — large against the per-task Arrow
+#: round-trip, small enough to smooth skew across cores.
+PARSE_TASK_BYTES = 2 * 1024 * 1024
+
+
+def parse_partition_counts(
+    lines_df: DataFrame, cores: int, n_tables: int
+) -> dict[str, int]:
+    """Per-table parse-stage partition counts from each table's actual
+    byte share of the dump.
+
+    One lightweight aggregate over the (cached) INSERT lines replaces the
+    old one-size-fits-all ``repartition(2 × cores)``: with T tables that
+    scheme launches ``T × 2 × cores`` tasks no matter how small each
+    table is, and the per-task overhead (Arrow round-trip, scheduling)
+    dwarfs the parse work — measured 5× end-to-end slowdown at 8 tables.
+    Sizing by bytes keeps every task ≥ ~PARSE_TASK_BYTES while still
+    fanning wide enough to fill the cores across concurrent table jobs.
+    """
+    tbl = F.regexp_extract(
+        "value", r'^(?:INSERT\s+(?:IGNORE\s+)?|REPLACE\s+)INTO\s+[`"]?([^`"\s(]+)', 1
+    )
+    rows = (
+        lines_df.select(tbl.alias("tbl"), F.length("value").alias("len"))
+        .groupBy("tbl")
+        .agg(F.sum("len").alias("bytes"))
+        .collect()
+    )
+    # Fill the machine: aim for ~2×cores concurrently runnable tasks
+    # across all table jobs, but never tasks smaller than ~1/8 of the
+    # target chunk.
+    fair_share = max(1, (2 * cores) // max(1, n_tables))
+    out = {}
+    for r in rows:
+        by_bytes = -(-int(r["bytes"]) // PARSE_TASK_BYTES)  # ceil
+        cap = max(1, -(-int(r["bytes"]) // (PARSE_TASK_BYTES // 8)))
+        out[r["tbl"]] = max(1, min(max(by_bytes, min(fair_share, cap)), 2 * cores))
+    return out
+
+
 def insert_rows_df(
     spark: SparkSession,
     dump_path: str,
     table: str,
     schema: T.StructType,
     lines_df: DataFrame | None = None,
+    parse_partitions: int | None = None,
 ) -> DataFrame:
     """Pass 2 (per table): parallel parse of that table's INSERT lines.
 
@@ -926,11 +968,26 @@ def insert_rows_df(
     # the input itself is under-split (a single .sql/.sql.gz file → 1-few
     # scan tasks).  A many-file dump already provides the parallelism, and
     # a full shuffle of raw dump text at 100 TB would dwarf the parse cost.
+    # ``parse_partitions`` (from :func:`parse_partition_counts`) sizes the
+    # stage to the table's byte share; the 2×cores fallback covers direct
+    # single-table calls.
     cores = spark.sparkContext.defaultParallelism
-    if lines_df.rdd.getNumPartitions() < cores:
-        # 2× cores: INSERT statements are coarse (1000s of rows each), so
-        # extra partitions smooth per-task skew.
-        lines_df = lines_df.repartition(2 * cores)
+    target = parse_partitions if parse_partitions is not None else 2 * cores
+    cur = lines_df.rdd.getNumPartitions()
+    # Without a byte-share target, "under-split" keeps its conservative
+    # meaning (fewer splits than cores) so a well-split many-file dump
+    # never shuffles its raw text.
+    threshold = cores if parse_partitions is None else target
+    if cur < threshold:
+        # Under-split input (single .sql/.sql.gz → few scan tasks): balance
+        # with a shuffle of just this table's bytes.
+        if cur != target:
+            lines_df = lines_df.repartition(target)
+    elif parse_partitions is not None and cur > 4 * target:
+        # Grossly over-split for this table's share (many-file dump, small
+        # table): merge WITHOUT a shuffle — scheduling thousands of
+        # near-empty Arrow tasks costs more than the parse itself.
+        lines_df = lines_df.coalesce(target)
     names = [f.name for f in schema.fields]
 
     def parse_batches(batches):
@@ -1013,6 +1070,15 @@ def convert_dump(
         lines = spark.read.text(dump_path).where(_dml_line_pred())
     if len(schemas) > 1:
         lines = lines.persist()
+    parse_parts: dict[str, int] = {}
+    if not use_multiline and len(schemas) > 1:
+        # One cheap aggregate over the cached lines sizes each table's
+        # parse stage to its byte share (see parse_partition_counts).
+        cores = spark.sparkContext.defaultParallelism
+        parse_parts = {
+            t.lower(): n
+            for t, n in parse_partition_counts(lines, cores, len(schemas)).items()
+        }
     try:
 
         def _one_table(item: tuple[str, T.StructType]) -> tuple[str, int]:
@@ -1023,7 +1089,14 @@ def convert_dump(
                     spark, dump_path, table, schema, files_df=lines
                 )
             else:
-                df = insert_rows_df(spark, dump_path, table, schema, lines_df=lines)
+                df = insert_rows_df(
+                    spark,
+                    dump_path,
+                    table,
+                    schema,
+                    lines_df=lines,
+                    parse_partitions=parse_parts.get(table),
+                )
             obs = Observation(f"ingest_{table}")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             df.write.mode("overwrite").parquet(

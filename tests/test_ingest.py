@@ -553,3 +553,38 @@ def test_convert_dump_replace_and_ignore(spark, tmp_path):
     ig = {x.id: x.v for x in spark.read.parquet(str(tmp_path / "out" / "ig")).collect()}
     assert r == {1: "a", 2: "b"}
     assert ig == {10: "x", 11: "y", 12: "z"}
+
+
+def test_parse_partition_counts_scale_with_bytes(spark):
+    """Parse-stage sizing: small tables get few partitions (never the old
+    2x-cores blanket), large tables scale by ~PARSE_TASK_BYTES chunks."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        PARSE_TASK_BYTES,
+        parse_partition_counts,
+    )
+
+    big = "INSERT INTO `big` VALUES " + "(1,'x')," * 60_000  # ~0.5 MB
+    rows = [("INSERT INTO `tiny` VALUES (1,'a');",)] + [(big,)] * 12  # ~6 MB
+    lines = spark.createDataFrame(rows, "value string")
+    counts = parse_partition_counts(lines, cores=32, n_tables=2)
+    assert set(counts) == {"big", "tiny"}
+    assert counts["tiny"] == 1  # one 34-byte statement -> one task
+    total_big = 12 * len(big)
+    assert counts["big"] >= total_big // PARSE_TASK_BYTES
+    assert counts["big"] <= 64
+
+
+def test_parse_partition_counts_insert_variants(spark):
+    """REPLACE INTO / INSERT IGNORE statements attribute to their table."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import parse_partition_counts
+
+    rows = [
+        ("INSERT INTO `a` VALUES (1);",),
+        ("REPLACE INTO `b` VALUES (1);",),
+        ("INSERT IGNORE INTO `c` VALUES (1);",),
+        ('INSERT INTO "d" VALUES (1);',),
+        ("INSERT INTO e VALUES (1);",),
+    ]
+    lines = spark.createDataFrame(rows, "value string")
+    counts = parse_partition_counts(lines, cores=8, n_tables=5)
+    assert set(counts) == {"a", "b", "c", "d", "e"}

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Ingest (dump → Parquet) throughput benchmark.
+
+The reference is a single-node converter with no published numbers
+(BASELINE.md), so the conversion contract — "match or beat single-node
+throughput at the same data scale" — is evidenced by measuring this
+engine on a deterministic synthetic mysqldump of realistic shape:
+multiple tables, extended INSERTs (~1000 rows/statement, mysqldump's
+default packing), mixed column types including the reference's five plus
+the fixed-forward DECIMAL/DATE/BOOLEAN.
+
+    python tools/bench_ingest.py [--mb 64] [--tables 8]
+
+Prints ONE JSON line: {"dump_mb": ..., "rows": ..., "wall_s": ...,
+"mb_per_s": ..., "rows_per_s": ...}.  The dump is generated to a temp
+dir, timed end-to-end through ``convert_dump`` (schema collection, parse,
+write, row-count observation), and the output is spot-verified.
+
+The reference cannot be built here (offline container), so there is no
+head-to-head column; the recorded MB/s stands as this engine's
+single-node number on the container's 32 cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS_PER_STMT = 1000
+
+DDL = """CREATE TABLE `{name}` (
+  `id` bigint NOT NULL,
+  `name` varchar(64) NOT NULL,
+  `score` double DEFAULT NULL,
+  `balance` decimal(12,2) NOT NULL,
+  `active` tinyint(1) NOT NULL,
+  `created` datetime NOT NULL,
+  `birthday` date DEFAULT NULL,
+  PRIMARY KEY (`id`)
+) ENGINE=InnoDB;
+"""
+
+
+def _row(i: int) -> str:
+    day = i % 28 + 1
+    return (
+        f"({i},'user_{i:08d}',{(i % 997) / 7.0:.6f},{i % 100000}.{i % 100:02d},"
+        f"{i % 2},'2023-{i % 12 + 1:02d}-{day:02d} 10:{i % 60:02d}:00',"
+        f"'199{i % 10}-0{i % 9 + 1}-{day:02d}')"
+    )
+
+
+def generate_dump(path: str, target_mb: float, n_tables: int) -> int:
+    """Write a deterministic multi-table dump of ~target_mb; returns rows."""
+    target = int(target_mb * 1024 * 1024)
+    written = 0
+    rows = 0
+    i = 0
+    with open(path, "w") as f:
+        f.write("-- synthetic mysqldump for ingest benchmarking\n")
+        f.write("/*!40101 SET NAMES utf8mb4 */;\n")
+        for t in range(n_tables):
+            f.write(DDL.format(name=f"bench_{t}"))
+        while written < target:
+            t = i % n_tables
+            vals = ",".join(_row(i * ROWS_PER_STMT + j) for j in range(ROWS_PER_STMT))
+            stmt = f"INSERT INTO `bench_{t}` VALUES {vals};\n"
+            f.write(stmt)
+            written += len(stmt)
+            rows += ROWS_PER_STMT
+            i += 1
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=64.0)
+    ap.add_argument("--tables", type=int, default=8)
+    args = ap.parse_args()
+
+    from mysqldump_to_parquet_spark.session import get_spark
+    from mysqldump_to_parquet_spark.sources.mysqldump import convert_dump
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="mtps-bench-ingest",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    work = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        dump = os.path.join(work, "bench.sql")
+        rows = generate_dump(dump, args.mb, args.tables)
+        dump_mb = os.path.getsize(dump) / 1024 / 1024
+
+        # Warmup on a small prefix so JVM/codegen startup stays out of the
+        # measured number (same policy as bench.py).
+        warm = os.path.join(work, "warm.sql")
+        with open(warm, "w") as f:
+            f.write(DDL.format(name="warm"))
+            f.write(f"INSERT INTO `warm` VALUES {_row(1)};\n")
+        convert_dump(spark, warm, os.path.join(work, "warm_out"))
+
+        out = os.path.join(work, "out")
+        t0 = time.perf_counter()
+        counts = convert_dump(spark, dump, out)
+        wall = time.perf_counter() - t0
+
+        assert sum(counts.values()) == rows, (counts, rows)
+        got = spark.read.parquet(os.path.join(out, "bench_0")).count()
+        assert got == counts["bench_0"]
+
+        print(
+            json.dumps(
+                {
+                    "dump_mb": round(dump_mb, 1),
+                    "rows": rows,
+                    "tables": args.tables,
+                    "cpus": cpus,
+                    "wall_s": round(wall, 2),
+                    "mb_per_s": round(dump_mb / wall, 1),
+                    "rows_per_s": int(rows / wall),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
