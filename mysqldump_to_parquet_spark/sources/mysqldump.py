@@ -103,7 +103,15 @@ def iter_statements(lines: Iterable[str]) -> Iterator[str]:
                 in_create = True
         if line.endswith(";"):
             stmt = " ".join(current).strip()
-            if stmt.startswith("CREATE TABLE") or stmt.startswith(DML_PREFIXES):
+            # USE statements ride along solely as database context for the
+            # duplicate-table guard (build_schemas); every downstream
+            # consumer filters by CREATE/DML prefix.
+            if (
+                stmt.startswith("CREATE TABLE")
+                or stmt.startswith(DML_PREFIXES)
+                or stmt.upper().startswith("USE ")
+                or stmt.upper().startswith("USE`")
+            ):
                 yield stmt
             current.clear()
             in_create = False
@@ -762,11 +770,47 @@ def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructTy
             f"{multiline_markers[0][:60]!r}) — dump lacks one-line "
             "--extended-insert layout"
         )
+    return build_schemas(iter_statements(ddl_lines))
+
+
+def build_schemas(stmts: Iterable[str]) -> dict[str, T.StructType]:
+    """CREATE TABLE statements → ``{table: schema}``, fail-loud on
+    duplicate table names.
+
+    ``mysqldump --databases`` dumps define tables under a ``USE`` context
+    that INSERT statements do not carry, so two databases with a
+    same-named table cannot be attributed in a distributed parse.  The
+    reference silently *overwrites* the first table's parquet file on
+    writer rotation (src/parquet_writer.rs:82–91 keyed by bare table
+    name) — data loss; per the C3 fail-loud contract we raise with the
+    database context instead and point at the per-database workaround.
+    """
     schemas: dict[str, T.StructType] = {}
-    for stmt in iter_statements(ddl_lines):
-        if stmt.startswith("CREATE TABLE"):
-            ts = parse_create_table(stmt)
-            schemas[ts.table] = ts.schema
+    table_db: dict[str, str | None] = {}
+    current_db: str | None = None
+    for stmt in stmts:
+        if stmt.upper().startswith("USE ") or stmt.upper().startswith("USE`"):
+            current_db = stmt[3:].strip(" `\";") or None
+            continue
+        if not stmt.startswith("CREATE TABLE"):
+            continue
+        ts = parse_create_table(stmt)
+        if ts.table in schemas:
+            first_db = table_db[ts.table]
+            ctx = (
+                f" (databases {first_db!r} and {current_db!r})"
+                if first_db != current_db
+                else ""
+            )
+            raise DumpParseError(
+                f"table `{ts.table}` defined twice{ctx} — a multi-database "
+                "dump with colliding table names cannot convert to a flat "
+                "per-table layout (INSERT statements carry no database "
+                "qualifier); dump each database separately: "
+                "mysqldump <db> > <db>.sql"
+            )
+        schemas[ts.table] = ts.schema
+        table_db[ts.table] = current_db
     return schemas
 
 
@@ -829,7 +873,9 @@ def collect_schemas_multiline(
             out = []
             for content in pdf["value"]:
                 for stmt in iter_statements(content.splitlines()):
-                    if stmt.startswith("CREATE TABLE"):
+                    # USE statements ride along as db context for the
+                    # duplicate-table guard in build_schemas.
+                    if stmt.startswith("CREATE TABLE") or stmt.upper().startswith("USE"):
                         out.append(stmt)
             yield pd.DataFrame({"stmt": pd.Series(out, dtype="object")})
 
@@ -839,11 +885,7 @@ def collect_schemas_multiline(
         .mapInPandas(creates, "stmt string")
         .collect()
     ]
-    schemas: dict[str, T.StructType] = {}
-    for stmt in stmts:
-        ts = parse_create_table(stmt)
-        schemas[ts.table] = ts.schema
-    return schemas
+    return build_schemas(stmts)
 
 
 def insert_rows_df_multiline(

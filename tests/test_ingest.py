@@ -588,3 +588,62 @@ def test_parse_partition_counts_insert_variants(spark):
     lines = spark.createDataFrame(rows, "value string")
     counts = parse_partition_counts(lines, cores=8, n_tables=5)
     assert set(counts) == {"a", "b", "c", "d", "e"}
+
+
+MULTIDB_DUMP = """-- MySQL dump (mysqldump --databases db1 db2)
+CREATE DATABASE /*!32312 IF NOT EXISTS*/ `db1`;
+USE `db1`;
+CREATE TABLE `users` (`id` bigint NOT NULL);
+INSERT INTO `users` VALUES (1),(2);
+USE `db2`;
+CREATE TABLE `users` (`id` bigint NOT NULL, `email` varchar(64) NOT NULL);
+INSERT INTO `users` VALUES (3,'a@b.c');
+"""
+
+
+def test_multidb_colliding_tables_fail_loud(spark, tmp_path):
+    """mysqldump --databases with a same-named table in two databases:
+    INSERTs carry no db qualifier, so rows can't be attributed — raise
+    with both database names (the reference silently overwrites the first
+    table's parquet on writer rotation: data loss)."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        DumpParseError,
+        convert_dump,
+    )
+
+    dump = tmp_path / "multi.sql"
+    dump.write_text(MULTIDB_DUMP)
+    with pytest.raises(DumpParseError) as ei:
+        convert_dump(spark, str(dump), str(tmp_path / "out"))
+    msg = str(ei.value)
+    assert "users" in msg and "db1" in msg and "db2" in msg
+
+
+def test_multidb_distinct_tables_convert(spark, tmp_path):
+    """USE statements with non-colliding tables convert normally."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import convert_dump
+
+    dump = tmp_path / "multi_ok.sql"
+    dump.write_text(
+        "USE `db1`;\n"
+        "CREATE TABLE `users` (`id` bigint NOT NULL);\n"
+        "INSERT INTO `users` VALUES (1),(2);\n"
+        "USE `db2`;\n"
+        "CREATE TABLE `orders` (`id` bigint NOT NULL);\n"
+        "INSERT INTO `orders` VALUES (7);\n"
+    )
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"users": 2, "orders": 1}
+
+
+def test_multidb_collision_multiline_path(spark, tmp_path):
+    """The whole-file (no --extended-insert) path applies the same guard."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        DumpParseError,
+        collect_schemas_multiline,
+    )
+
+    dump = tmp_path / "multi_ml.sql"
+    dump.write_text(MULTIDB_DUMP)
+    with pytest.raises(DumpParseError, match="defined twice"):
+        collect_schemas_multiline(spark, str(dump))
