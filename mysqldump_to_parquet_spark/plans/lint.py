@@ -1,0 +1,164 @@
+"""Plan linter: scale anti-patterns flagged from a DataFrame's physical plan.
+
+The generalization of tests/test_plans.py's one-off assertions into a
+library API: ``lint_plan(df)`` returns a list of findings, each naming the
+anti-pattern and what it costs at 100 TB.  Intended use — a pre-flight
+check before promoting a pipeline ("lint is empty or every finding is
+consciously accepted"), and the engine's own regression guard
+(tests/test_plan_lint.py runs it over the whole query registry).
+
+Lints (each a plan *property*, not a heuristic over the Python code):
+
+- ``cartesian-product``   — CartesianProduct / BroadcastNestedLoopJoin:
+  O(|L|·|R|) pair generation; fine only when one side is provably tiny.
+- ``python-row-udf``      — BatchEvalPython (row-at-a-time pickle UDF) in
+  the plan; Arrow-vectorized evaluation (ArrowEvalPython / mapInPandas)
+  is 10–100× faster and is the engine's required Python path.  (The
+  distinct BatchEvalPythonUDTF node — the table-function surface — is
+  not this lint.)
+- ``single-partition``    — an Exchange to SinglePartition: the whole
+  dataset serializes through one task (global window / global sort
+  without limit are the usual causes).
+- ``unpushed-filter``     — a Filter node sitting directly on a Parquet
+  scan that pushes nothing: the predicate runs post-scan over every
+  row-group (casts/expressions over the filter column are the usual
+  cause).  Filters elsewhere in the plan (post-join/post-agg) are fine
+  and not flagged.
+- ``global-sort``         — rangepartitioning Exchange with no
+  TakeOrderedAndProject/Limit in the plan: a full global sort: at scale
+  prefer top-k (sort+limit) or sort-on-write clustering.  Post-aggregate
+  presentation sorts over group-cardinality rows are cheap — pass
+  ``allow={"global-sort"}`` where that is the conscious shape.
+
+A finding is a string ``"<code>: <explanation>"`` so callers can both
+display it and filter by code prefix.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .explain import formatted_plan
+
+#: Lint codes (stable API).
+CARTESIAN = "cartesian-product"
+ROW_UDF = "python-row-udf"
+SINGLE_PARTITION = "single-partition"
+UNPUSHED_FILTER = "unpushed-filter"
+GLOBAL_SORT = "global-sort"
+
+#: Pass-through wrapper nodes skipped when resolving a scan's effective
+#: parent in the plan tree.
+_TRANSPARENT = ("ColumnarToRow", "InputAdapter", "WholeStageCodegen", "Project")
+
+
+def _tree(plan: str) -> list[str]:
+    """The tree section of a formatted plan (up to the first blank line)."""
+    out = []
+    for ln in plan.splitlines():
+        if not ln.strip():
+            break
+        out.append(ln)
+    return out
+
+
+def _depth(line: str) -> int:
+    """Structural depth in the formatted tree: the root carries no branch
+    marker (depth 0); each ``+-``/``:-`` marker sits 3 columns deeper per
+    level."""
+    m = re.search(r"[+:]-", line)
+    return m.start() // 3 + 1 if m else 0
+
+
+def _scan_has_filter_parent_without_pushdown(plan: str) -> bool:
+    tree = _tree(plan)
+    for i, ln in enumerate(tree):
+        m = re.search(r"Scan parquet.*\((\d+)\)", ln)
+        if not m:
+            continue
+        node_id = m.group(1)
+        depth = _depth(ln)
+        parent = None
+        for j in range(i - 1, -1, -1):
+            pj = tree[j]
+            p_d = _depth(pj)
+            if p_d < depth:
+                if any(t in pj for t in _TRANSPARENT):
+                    depth = p_d
+                    continue
+                parent = pj
+                break
+        if parent is None or "Filter" not in parent:
+            continue
+        # detail block for this scan: does it push anything?
+        detail = re.search(
+            rf"^\({node_id}\) Scan parquet.*?(?=^\(\d+\)|\Z)",
+            plan,
+            re.M | re.S,
+        )
+        block = detail.group(0) if detail else ""
+        pushed = re.search(r"PushedFilters: \[[^\]]", block)
+        if not pushed:
+            return True
+    return False
+
+
+def lint_plan(
+    df: DataFrame, *, allow: set[str] | frozenset[str] = frozenset()
+) -> list[str]:
+    """Lint the physical plan of ``df``; returns findings (empty = clean).
+
+    ``allow`` suppresses named codes for plans where the pattern is a
+    conscious choice (e.g. a tiny-side BroadcastNestedLoopJoin theta
+    join passes ``{"cartesian-product"}``).
+    """
+    plan = formatted_plan(df)
+    findings: list[str] = []
+
+    def hit(code: str, msg: str) -> None:
+        if code not in allow:
+            findings.append(f"{code}: {msg}")
+
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        hit(
+            CARTESIAN,
+            "CartesianProduct/BroadcastNestedLoopJoin generates O(|L|*|R|) "
+            "pairs — acceptable only with a provably tiny side; consider "
+            "an equi-key (bin blocking for intervals, block keys for fuzzy "
+            "matching)",
+        )
+    if re.search(r"BatchEvalPython\b", plan):
+        hit(
+            ROW_UDF,
+            "row-at-a-time Python UDF (pickle per row); rewrite as built-in "
+            "expressions or an Arrow-vectorized pandas_udf/mapInPandas",
+        )
+    if "SinglePartition" in plan:
+        hit(
+            SINGLE_PARTITION,
+            "Exchange to a single partition serializes the dataset through "
+            "one task — add a partition key (window) or replace global "
+            "sort with top-k",
+        )
+    if _scan_has_filter_parent_without_pushdown(plan):
+        hit(
+            UNPUSHED_FILTER,
+            "a Filter sits directly on a Parquet scan that pushes nothing — "
+            "the predicate runs post-scan over every row-group "
+            "(casts/expressions on the filter column are the usual cause)",
+        )
+    if (
+        "rangepartitioning" in plan
+        and "TakeOrderedAndProject" not in plan
+        and not re.search(r"\(\d+\) (?:Global|Collect)?Limit", plan)
+    ):
+        hit(
+            GLOBAL_SORT,
+            "global sort (rangepartitioning exchange) with no limit — at "
+            "scale prefer top-k, sort within partitions, or sort-on-write "
+            "clustering; cheap only over group-cardinality rows "
+            "(post-aggregate presentation sorts)",
+        )
+    return findings

@@ -1,0 +1,119 @@
+"""Plan-linter tests: each lint fires on a deliberately bad plan, stays
+quiet on the engine's own plans, and the whole registry sweep proves the
+no-row-UDF contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import __spark_entry__ as entrypoint
+from mysqldump_to_parquet_spark.catalog import load_table
+from mysqldump_to_parquet_spark.plans.lint import (
+    CARTESIAN,
+    GLOBAL_SORT,
+    ROW_UDF,
+    SINGLE_PARTITION,
+    UNPUSHED_FILTER,
+    lint_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _codes(findings):
+    return {f.split(":", 1)[0] for f in findings}
+
+
+def test_clean_topk_plans(spark):
+    from mysqldump_to_parquet_spark.operators.relational import (
+        sort_limit,
+        topk_per_group,
+    )
+
+    assert lint_plan(sort_limit(spark, SF)) == []
+    assert lint_plan(topk_per_group(spark, SF)) == []
+
+
+def test_cartesian_detected_and_allowable(spark):
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    bad = o.crossJoin(c)
+    assert CARTESIAN in _codes(lint_plan(bad))
+    # conscious tiny-side theta join → suppressed via allow
+    from mysqldump_to_parquet_spark.operators.relational import join_theta_range
+
+    theta = join_theta_range(spark, SF)
+    assert CARTESIAN not in _codes(lint_plan(theta, allow={CARTESIAN, GLOBAL_SORT}))
+
+
+def test_row_udf_detected_but_not_arrow_or_udtf(spark):
+    o = load_table(spark, SF, "orders")
+    slow = F.udf(lambda x: x + 1, T.LongType())
+    assert ROW_UDF in _codes(lint_plan(o.select(slow("o_orderkey"))))
+    # Arrow-vectorized path is the engine contract — must NOT flag
+    from mysqldump_to_parquet_spark.functions.udfs import udf_pandas_scalar
+
+    assert ROW_UDF not in _codes(lint_plan(udf_pandas_scalar(spark, SF)))
+    # the intentional Python UDTF surface (BatchEvalPythonUDTF) is distinct
+    from mysqldump_to_parquet_spark.functions.udfs import udtf_python
+
+    assert ROW_UDF not in _codes(lint_plan(udtf_python(spark, SF)))
+
+
+def test_single_partition_window_detected(spark):
+    o = load_table(spark, SF, "orders")
+    w = Window.orderBy("o_orderdate")  # no partitionBy → SinglePartition
+    bad = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    assert SINGLE_PARTITION in _codes(lint_plan(bad))
+
+
+def test_global_sort_detected_but_not_topk(spark):
+    o = load_table(spark, SF, "orders")
+    assert GLOBAL_SORT in _codes(lint_plan(o.orderBy("o_totalprice")))
+    assert GLOBAL_SORT not in _codes(lint_plan(o.orderBy("o_totalprice").limit(5)))
+
+
+def test_unpushed_filter_detected(spark):
+    l = load_table(spark, SF, "lineitem")
+    # null-tolerant expression over two columns: nothing pushes to the scan
+    bad = l.where(F.coalesce("l_quantity", "l_discount") > 0)
+    assert UNPUSHED_FILTER in _codes(lint_plan(bad))
+    from mysqldump_to_parquet_spark.operators.relational import project_filter
+
+    assert UNPUSHED_FILTER not in _codes(lint_plan(project_filter(spark, SF)))
+
+
+#: Queries excluded from the sweep: side-effecting (write fixtures / run
+#: conversions at plan-build time) or job-executing at build time
+#: (iterative fixpoint, model fit, driver-side probe prep) — each has its
+#: own plan/behavior assertions in test_plans.py / test_llm.py.
+_SWEEP_EXCLUDE = {
+    "q_ingest_mysqldump",
+    "q_scan_parquet",
+    "q_sink_partitioned",
+    "q_src_csv",
+    "q_src_json",
+    "q_src_orc",
+    "q_join_dpp",
+    "q_udtf_python",  # intentional Python UDTF surface
+    "q_dedup_components",  # iterative fixpoint executes jobs to converge
+    "q_sim_ann_ivf",  # quantizer fit executes jobs
+    "q_sim_ann_lsh",  # probe signature prep
+}
+
+
+def test_registry_sweep_no_row_udfs(spark):
+    """Engine contract: no registered query's plan contains a
+    row-at-a-time Python UDF."""
+    registry = entrypoint.queries()
+    flagged = {}
+    for name, fn in registry.items():
+        if name in _SWEEP_EXCLUDE:
+            continue
+        codes = _codes(lint_plan(fn(spark, SF)))
+        if ROW_UDF in codes:
+            flagged[name] = codes
+    assert not flagged, flagged
