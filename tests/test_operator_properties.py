@@ -1,0 +1,179 @@
+"""Differential property tests for the r2 operators: each optimized plan
+shape is compared against its naive (obviously-correct) formulation on
+randomized inputs — a stronger check than the fixed-fixture oracle,
+because the randomness explores boundary alignments the fixture can't.
+
+Seeded ``random`` (not Hypothesis) keeps Spark-job-per-example costs
+bounded: a handful of generated datasets per test, each compared exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from mysqldump_to_parquet_spark.llm.quality import _runlen_entropy_fold
+
+
+def _random_events(rng, n):
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        # cluster timestamps so bin-boundary adjacency actually occurs,
+        # including sub-second fractions right at 10-minute edges
+        sec = rng.choice(
+            [
+                rng.uniform(0, 3600),
+                600 * rng.randint(0, 6) + rng.choice([0, 0.001, 599.999, 600.0]),
+            ]
+        )
+        rows.append(
+            (
+                i,
+                base + timedelta(seconds=sec),
+                rng.choice(["purchase", "error"]),
+                round(rng.uniform(0, 100), 3),
+            )
+        )
+    return rows
+
+
+def test_interval_join_matches_naive_theta(spark):
+    """Bin-blocked interval join ≡ naive range-predicate join, including
+    events exactly on and just across bin boundaries."""
+    rng = random.Random(42)
+    for trial in range(3):
+        rows = _random_events(rng, 300)
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        p = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+        )
+        e = ev.where(F.col("event_type") == "error").select(
+            F.col("ts").alias("e_ts"), "value"
+        )
+        naive = (
+            p.join(
+                e,
+                (F.col("e_ts") >= F.col("p_ts"))
+                & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+            )
+            .groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_errors"))
+        )
+        bin_s = 600
+        b = F.floor(F.unix_timestamp("p_ts") / bin_s)
+        blocked = (
+            p.select("purchase_id", "p_ts", F.explode(F.array(b, b + 1)).alias("bin"))
+            .join(
+                e.select(
+                    "e_ts", F.floor(F.unix_timestamp("e_ts") / bin_s).alias("bin")
+                ),
+                "bin",
+            )
+            .where(
+                (F.col("e_ts") >= F.col("p_ts"))
+                & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 10 MINUTES"))
+            )
+            .groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_errors"))
+        )
+        got = {r.purchase_id: r.n_errors for r in blocked.collect()}
+        want = {r.purchase_id: r.n_errors for r in naive.collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_entropy_fold_matches_python(spark):
+    """The zero-shuffle run-length entropy fold ≡ a direct Python
+    computation over the same token lists (incl. single-token and
+    all-identical docs)."""
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "eee"]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 40))] for _ in range(50)
+    ]
+    docs.append(["x"])           # single token: max entropy 0
+    docs.append(["y"] * 10)      # all identical: entropy 0
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+        _runlen_entropy_fold(F.array_sort(F.split("text", " "))).alias("s"),
+    ).collect()
+    for r in out:
+        toks = docs[r.doc_id]
+        n = len(toks)
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        want_sumcln = sum(c * math.log(c) for c in counts.values())
+        assert r.n == n
+        assert r.s.nd == len(counts)
+        assert abs(r.s.sumcln - want_sumcln) < 1e-9, (r.doc_id, r.s, want_sumcln)
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """unpivot(pivot(x)) recovers the original long-form aggregate."""
+    rng = random.Random(3)
+    rows = [
+        (rng.choice(["p1", "p2", "p3"]), rng.choice(["F", "O"]), rng.uniform(0, 10))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "prio string, status string, v double")
+    long_form = {
+        (r.prio, r.status): r.s
+        for r in df.groupBy("prio", "status").agg(F.sum("v").alias("s")).collect()
+    }
+    wide = df.groupBy("prio").pivot("status", ["F", "O"]).sum("v")
+    back = wide.unpivot(
+        ids=["prio"], values=["F", "O"], variableColumnName="status",
+        valueColumnName="s",
+    ).where(F.col("s").isNotNull())
+    got = {(r.prio, r.status): r.s for r in back.collect()}
+    assert set(got) == set(long_form)
+    for k in got:
+        assert abs(got[k] - long_form[k]) < 1e-9
+
+
+def test_mad_outlier_flags_match_python(spark):
+    """MAD flags ≡ a NumPy/pure-Python computation per group."""
+    rng = random.Random(11)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(101):
+            rows.append((g, rng.gauss(50, 5)))
+        rows.append((g, 500.0))  # planted outlier
+    df = spark.createDataFrame(rows, "g string, value double")
+    med = df.groupBy("g").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = (
+        df.join(F.broadcast(med), "g")
+        .groupBy("g")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    flagged = (
+        df.join(F.broadcast(dev), "g")
+        .where(F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")) > 3.0)
+        .collect()
+    )
+    # python reference
+    import statistics
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = set()
+    for g, vs in by_g.items():
+        m = statistics.median(vs)
+        mad = statistics.median([abs(v - m) for v in vs])
+        want |= {(g, v) for v in vs if abs(v - m) / (1.4826 * mad) > 3.0}
+    assert {(r.g, r.value) for r in flagged} == want
+    assert {("a", 500.0), ("b", 500.0)} <= want  # planted outliers caught
