@@ -562,6 +562,13 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                 j += 1
             tok = s[i:j]
             i = j
+            if tok.startswith("_") and "'" in tok:
+                # charset introducer glued to its string (_utf8mb4'x'):
+                # rewind to the quote; the next iteration parses the string.
+                q = tok.index("'")
+                if q > 1 and tok[1:q].replace("_", "").isalnum():
+                    i -= len(tok) - q
+                    continue
             up = tok.upper()
             if up == "NULL":
                 row.append(None)
@@ -586,12 +593,30 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                     raise DumpParseError(
                         f"bad hex literal {tok[:40]!r} in INSERT for {table}"
                     ) from exc
+            elif (
+                tok.startswith("_")
+                and tok[1:].replace("_", "").isalnum()
+                and _next_is_literal(s, i, n)
+            ):
+                # charset introducer (_binary 'x', _utf8mb4'x', _binary 0x..):
+                # skip it — the following literal is the value (a str value
+                # landing in a BinaryType column goes through the existing
+                # byte-fidelity guard in coerce_row).
+                continue
             else:
                 raise DumpParseError(
                     f"unsupported literal {tok[:40]!r} in INSERT for {table}"
                 )
         rows.append(tuple(row))
     return rows
+
+
+def _next_is_literal(s: str, i: int, n: int) -> bool:
+    """True when the next non-space char starts a string or hex literal —
+    the only things a charset introducer may precede."""
+    while i < n and s[i] in " \t":
+        i += 1
+    return i < n and (s[i] == "'" or s[i] == "0")
 
 
 def align_row(

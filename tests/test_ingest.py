@@ -647,3 +647,26 @@ def test_multidb_collision_multiline_path(spark, tmp_path):
     dump.write_text(MULTIDB_DUMP)
     with pytest.raises(DumpParseError, match="defined twice"):
         collect_schemas_multiline(spark, str(dump))
+
+
+def test_charset_introducers():
+    """mysqldump emits _binary/_utf8mb4 introducers before string and hex
+    literals (binary columns without --hex-blob, charset-tagged strings);
+    the introducer is skipped and the literal parses normally."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        DumpParseError,
+        parse_insert,
+    )
+
+    assert parse_insert("INSERT INTO `t` VALUES (1,_binary 'abc');") == (
+        "t", [(1, "abc")]
+    )
+    assert parse_insert("INSERT INTO `t` VALUES (1,_utf8mb4'héllo');") == (
+        "t", [(1, "héllo")]
+    )
+    assert parse_insert("INSERT INTO `t` VALUES (1,_binary 0x414243);") == (
+        "t", [(1, b"ABC")]
+    )
+    # an introducer with no following literal is still a loud error
+    with pytest.raises(DumpParseError, match="unsupported literal"):
+        parse_insert("INSERT INTO `t` VALUES (1,_binary);")
