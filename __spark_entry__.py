@@ -98,11 +98,42 @@ _R1_VERIFIED = frozenset(
 )
 
 
+#: The 50 keys packed into the driver's round-2 checked window, in their
+#: exact registry order at round-2 submission time.  Pinned so operators
+#: added *after* the window filled cannot displace a key that is waiting
+#: on its driver-correctness row mid-round: new keys slot in *behind*
+#: this block (still ahead of the r1-verified tail, so they are next in
+#: line if the driver's sweep covers more than 50 entries).
+_R2_WINDOW = (
+    "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
+    "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embedding",
+    "q_dedup_fuzzy", "q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf",
+    "q_embed_centroids", "q_knn_classify", "q_text_stats", "q_lang_id",
+    "q_quality_score", "q_token_count", "q_fingerprint", "q_top_terms",
+    "q_text_clean", "q_decontaminate", "q_repetition", "q_gopher_rules",
+    "q_entropy", "q_anomaly_mad", "q_tfidf", "q_ngram_lm", "q_split_hash",
+    "q_sample_stratified", "q_pack_sequences", "q_multimodal_meta",
+    "q_multimodal_frames", "q_lateral_topk", "q_tpch_q3", "q_tpch_q5",
+    "q_tpch_q10", "q_tpch_q18", "q_join_dpp", "q_subquery_scalar",
+    "q_sessionize", "q_merge_upsert", "q_scd2", "q_win_time_range",
+    "q_cogroup_pandas", "q_resample_locf", "q_src_json", "q_src_orc",
+    "q_agg_sketch_distinct", "q_agg_unpivot", "q_join_interval",
+    "q_win_cume",
+)
+
+
 def _ordered(full: dict) -> dict:
-    """Never-driver-verified keys first (module order), r1-verified last."""
-    front = {k: v for k, v in full.items() if k not in _R1_VERIFIED}
+    """Driver-sweep packing: the pinned round-2 window first, then any
+    operator added after the window filled (never driver-verified, next
+    in line), then the r1-verified tail."""
+    window = {k: full[k] for k in _R2_WINDOW if k in full}
+    fresh = {
+        k: v
+        for k, v in full.items()
+        if k not in _R1_VERIFIED and k not in window
+    }
     back = {k: v for k, v in full.items() if k in _R1_VERIFIED}
-    return {**front, **back}
+    return {**window, **fresh, **back}
 
 SF0001 = "/root/testdata/sf0.001"
 

