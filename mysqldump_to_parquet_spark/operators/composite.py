@@ -369,6 +369,316 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_TOPK_SQL)
 
 
+# ------------------------------------------- Q4: EXISTS-correlated semi-join
+
+Q4_FROM = "1998-01-01"
+Q4_TO = "1998-04-01"
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q4 shape: order-priority counts for orders with ≥1 late-shipped
+    item (EXISTS subquery correlated on both the key and an inequality).
+
+    The DataFrame form is a LEFT SEMI join with a mixed equi + range
+    condition: Catalyst plans a shuffle-hash/sort-merge join on
+    ``l_orderkey`` with the ``l_shipdate > o_orderdate`` residual evaluated
+    inside the join — one shuffle of the (pre-filtered) orders quarter plus
+    lineitem, never a per-order re-scan.  Semi-join output carries no
+    lineitem columns, so each order is emitted at most once regardless of
+    how many items matched — exactly EXISTS semantics.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_TO).cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_TO} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------- Q7: bilateral nation-pair volume
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q7 shape: shipping volume between two nations by year, both
+    directions (supplier in A → customer in B, and vice versa).
+
+    The two nation dimensions are pre-filtered to the pair and broadcast
+    through supplier/customer, so the only shuffles are the two fact-side
+    joins (lineitem ⋈ orders on the order key, orders ⋈ customer on the
+    cust key).  The pair-direction predicate
+    ``supp_nation <> cust_nation`` is a post-broadcast column filter — no
+    extra shuffle.  At 100 TB the nation filter prunes supplier/customer
+    to ~2/25 before they ever touch a fact table.
+    """
+    pair = (Q7_NATION_A, Q7_NATION_B)
+    n1 = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    n2 = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).drop("n_nationkey")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).drop("n_nationkey")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q7_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_TO).cast("timestamp"))
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+       SUM(l_extendedprice * (1 - l_discount)) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '{Q7_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q7_TO} 00:00:00'
+GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------- Q11: HAVING against an uncorrelated scalar agg
+
+#: Scale-free threshold: a fixed fraction-of-total cutoff empties (or
+#: floods) as the part count grows with SF, so the cutoff is a multiple
+#: of the *average* per-part value instead — selective at every SF.
+Q11_MULTIPLIER = 1.5
+
+#: Shared verbatim: per-part value vs an avg-per-part scalar subquery.
+TPCH_Q11_SQL = f"""
+SELECT l_partkey,
+       SUM(l_extendedprice * (1 - l_discount)) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * (1 - l_discount)) >
+       {Q11_MULTIPLIER} * (SELECT AVG(pv) FROM (
+           SELECT SUM(l_extendedprice * (1 - l_discount)) AS pv
+           FROM lineitem GROUP BY l_partkey))
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q11 shape: parts worth more than 1.5× the average per-part
+    value — HAVING against an *uncorrelated* scalar subquery.
+
+    Run through ``spark.sql``: Catalyst evaluates the scalar subquery as
+    its own tiny job and folds the result in as a literal (a 1-row
+    broadcast), so the plan is two aggregations over one cached-scan
+    lineage — never a per-group re-aggregation.  Both aggregations reuse
+    the same scan and both are two-phase (map-side partial first), so the
+    extra pass costs one scan, not one shuffle of the full fact table.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TPCH_Q11_SQL)
+
+
+# ------------------------------------------ Q14: conditional-aggregate ratio
+
+Q14_FROM = "1998-06-01"
+Q14_TO = "1998-07-01"
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q14 shape: promo revenue share for one month — a ratio of two
+    conditional sums computed in a single pass.
+
+    part broadcasts into the month-filtered lineitem (the filter reaches
+    the Parquet scan), and both numerator and denominator come out of one
+    partial+final aggregate — the CASE lives inside the SUM, so there is
+    exactly one join and one 1-row shuffle regardless of scale.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+TPCH_Q14_SQL = f"""
+SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_TO} 00:00:00'
+"""
+
+
+# ------------------------- Q16: NOT-IN exclusion + per-group count distinct
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q16 shape: distinct supplier count per part (brand, type,
+    size), excluding a supplier blacklist via NOT IN.
+
+    The part↔supplier relation is derived from lineitem (distinct
+    (partkey, suppkey) — map-side partial distinct, one shuffle of the
+    two-key pairs).  The blacklist (negative-balance suppliers) is tiny →
+    broadcast LEFT ANTI join, equivalent to NOT IN here because s_suppkey
+    is non-null.  part is broadcast for the display columns; the final
+    count-distinct is exact and two-phase.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# ----------------------- Q22: anti-join + uncorrelated AVG scalar threshold
+
+#: Dormancy cutoff: every synthetic customer has *some* order, so Q22's
+#: literal "never ordered" is empty at every SF — "no order since the
+#: cutoff" keeps the anti-join shape and stays non-trivial as data grows.
+Q22_SINCE = "2000-01-01"
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q22 shape: well-funded customers dormant since a cutoff, by
+    market segment — an AVG scalar-subquery threshold plus a NOT EXISTS
+    anti-join.
+
+    The threshold aggregate collapses to one row and rides a broadcast
+    cross join (a literal at runtime, zero shuffle).  NOT EXISTS is a LEFT
+    ANTI join on the cust key — one shuffle of (custkey) pairs; at 100 TB
+    AQE turns it into a broadcast anti-join if the distinct-custkey side
+    fits.  Both sides prune to two columns before shuffling, and the date
+    filter reaches the orders scan before the anti-join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__thr")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("__thr"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+TPCH_Q22_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       SUM(c_acctbal) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE} 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q_lateral_topk": lateral_topk,
     "q_tpch_q3": tpch_q3,
@@ -377,6 +687,12 @@ QUERIES = {
     "q_tpch_q18": tpch_q18,
     "q_join_dpp": join_dpp,
     "q_subquery_scalar": subquery_scalar,
+    "q_tpch_q4": tpch_q4,
+    "q_tpch_q7": tpch_q7,
+    "q_tpch_q11": tpch_q11,
+    "q_tpch_q14": tpch_q14,
+    "q_tpch_q16": tpch_q16,
+    "q_tpch_q22": tpch_q22,
 }
 
 ORACLE = {
@@ -387,4 +703,10 @@ ORACLE = {
     "q_tpch_q18": TPCH_Q18_SQL,
     "q_join_dpp": JOIN_DPP_SQL,
     "q_subquery_scalar": SUBQUERY_SCALAR_SQL,
+    "q_tpch_q4": TPCH_Q4_SQL,
+    "q_tpch_q7": TPCH_Q7_SQL,
+    "q_tpch_q11": TPCH_Q11_SQL,
+    "q_tpch_q14": TPCH_Q14_SQL,
+    "q_tpch_q16": TPCH_Q16_SQL,
+    "q_tpch_q22": TPCH_Q22_SQL,
 }
