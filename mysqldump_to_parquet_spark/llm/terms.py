@@ -155,12 +155,162 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+# ------------------------------------------------- co-occurrence PMI
+
+PMI_TOP_K = 50
+PMI_MIN_PAIR = 5
+
+
+def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cooccur_pmi: top-K within-document term-pair associations by
+    pointwise mutual information over document frequencies.
+
+    The pair table comes from a *self-join of the distinct (doc, term)
+    set on doc_id* — co-partitioned on the join key, so each doc's pairs
+    are generated locally after one shuffle; the ``t1 < t2`` predicate
+    halves the output and canonicalizes pair order.  Pair counts and
+    per-term doc counts are both two-phase aggregates; the corpus size
+    joins as a broadcast single-row aggregate.  PMI's inputs are exact
+    BIGINT counts cast to double, so both engines produce bit-identical
+    logs.  Per-doc cost is quadratic in *distinct terms per doc* — at
+    100 TB cap it with the same MIN_TERM_LEN/stopword pruning used here
+    (vocabulary, not corpus, controls the blowup) before widening.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") >= MIN_TERM_LEN)
+        .distinct()
+    )
+    df_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    t1 = tok.select("doc_id", F.col("term").alias("w1"))
+    t2 = tok.select("doc_id", F.col("term").alias("w2"))
+    pairs = (
+        t1.join(t2, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    na = df_counts.select(F.col("term").alias("w1"), F.col("n_term").alias("n_w1"))
+    nb = df_counts.select(F.col("term").alias("w2"), F.col("n_term").alias("n_w2"))
+    return (
+        pairs.join(F.broadcast(na), "w1")
+        .join(F.broadcast(nb), "w2")
+        .join(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log(
+                (F.col("n_pair").cast("double") * F.col("n_docs"))
+                / (F.col("n_w1").cast("double") * F.col("n_w2"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )
+
+
+COOCCUR_PMI_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE LENGTH(term) >= {MIN_TERM_LEN}
+),
+df AS (SELECT term, COUNT(*) AS n_term FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS n_pair
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING COUNT(*) >= {PMI_MIN_PAIR}
+)
+SELECT w1, w2, n_pair,
+       LN((CAST(n_pair AS DOUBLE) * n_docs) /
+          (CAST(d1.n_term AS DOUBLE) * d2.n_term)) AS pmi
+FROM pairs
+JOIN df d1 ON d1.term = w1
+JOIN df d2 ON d2.term = w2
+CROSS JOIN n
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
+# ------------------------------------------------ Zipf rank-frequency fit
+
+ZIPF_MIN_LEN = 2
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_zipf_slope: per-language Zipf exponent — the OLS slope of
+    ln(term frequency) on ln(frequency rank).
+
+    Natural-corpus token frequencies follow freq ∝ rank^(-s) with s≈1;
+    a fitted slope far from -1 is a corpus-level quality signal (boiler-
+    plate, spam, synthetic text).  Plan: explode → two-phase term counts
+    per language → one window (row_number on count desc) to assign ranks
+    → ``regr_slope``/``regr_r2``-style mergeable regression state per
+    language.  The window partitions by language, so rank assignment
+    shuffles each language's *vocabulary* (not its corpus) — vocabulary
+    grows sublinearly in corpus size, which is what makes this viable at
+    100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") >= ZIPF_MIN_LEN)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.regr_slope(
+                F.log(F.col("cnt").cast("double")),
+                F.log(F.col("rnk").cast("double")),
+            ).alias("zipf_slope"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy("lang")
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH counts AS (
+  SELECT lang, term, COUNT(*) AS cnt
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE LENGTH(term) >= {ZIPF_MIN_LEN}
+  GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rnk
+  FROM counts
+)
+SELECT lang,
+       regr_slope(LN(CAST(cnt AS DOUBLE)), LN(CAST(rnk AS DOUBLE))) AS zipf_slope,
+       COUNT(*) AS n_terms
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "q_tfidf": tfidf,
     "q_ngram_lm": ngram_lm,
+    "q_cooccur_pmi": cooccur_pmi,
+    "q_zipf_slope": zipf_slope,
 }
 
 ORACLE = {
     "q_tfidf": TFIDF_SQL,
     "q_ngram_lm": NGRAM_LM_SQL,
+    "q_cooccur_pmi": COOCCUR_PMI_SQL,
+    "q_zipf_slope": ZIPF_SLOPE_SQL,
 }

@@ -298,10 +298,94 @@ ORDER BY l_returnflag
 """
 
 
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical moments and a per-group OLS fit: correlation,
+    sample/population covariance, stddev, variance, and the slope/intercept
+    of extendedprice regressed on quantity.
+
+    All are built-in JVM aggregates with mergeable state (sum, sum-of-
+    squares, cross-products), so the plan is the same two-phase hash
+    aggregate as any SUM — constant state per (group × partition),
+    single shuffle.  ``skewness``/``kurtosis`` are deliberately absent
+    from the hash-checked surface: Spark computes population moments,
+    DuckDB sample-corrected ones (≈1.5/n relative divergence), so they
+    cannot hash-match; the same two-phase plan applies when they're used.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("qty_price_covar_pop"),
+            F.stddev_samp("l_extendedprice").alias("price_stddev"),
+            F.var_samp("l_extendedprice").alias("price_var"),
+            F.regr_slope("l_extendedprice", "l_quantity").alias("fit_slope"),
+            F.regr_intercept("l_extendedprice", "l_quantity").alias("fit_intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       corr(l_quantity, l_extendedprice)        AS qty_price_corr,
+       covar_samp(l_quantity, l_extendedprice)  AS qty_price_covar,
+       covar_pop(l_quantity, l_extendedprice)   AS qty_price_covar_pop,
+       stddev_samp(l_extendedprice)             AS price_stddev,
+       var_samp(l_extendedprice)                AS price_var,
+       regr_slope(l_extendedprice, l_quantity)  AS fit_slope,
+       regr_intercept(l_extendedprice, l_quantity) AS fit_intercept
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+#: Histogram bin width over o_totalprice (values span ~[1e3, 5e5]).
+HIST_BIN = 50_000.0
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: bucket each row by
+    ``floor(x / w) * w`` and count per bucket.
+
+    The bucket expression is a scalar projection (whole-stage codegen), so
+    the plan is one scan + one two-phase aggregate on ~#buckets keys — the
+    shuffle moves one row per (bucket × partition) no matter the input
+    size.  Expressed with arithmetic (not ``width_bucket``) so the same
+    text runs on both engines and the bucket edges are bit-identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.floor(F.col("o_totalprice") / HIST_BIN) * HIST_BIN).cast("double")
+    return (
+        o.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+SELECT CAST(FLOOR(o_totalprice / {HIST_BIN}) * {HIST_BIN} AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total
+FROM orders
+GROUP BY 1
+ORDER BY bucket_lo
+"""
+
+
 QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
     "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_unpivot": agg_unpivot,
+    "q_agg_stats": agg_stats,
+    "q_agg_histogram": agg_histogram,
     "q_agg_groupby": tpch_q1,
     "q_agg_quantile": agg_quantile,
     "q_agg_distinct": agg_distinct,
@@ -314,6 +398,8 @@ QUERIES = {
 
 ORACLE = {
     "q_agg_unpivot": AGG_UNPIVOT_SQL,
+    "q_agg_stats": AGG_STATS_SQL,
+    "q_agg_histogram": AGG_HISTOGRAM_SQL,
     "q_agg_groupby": TPCH_Q1_SQL,
     "q_agg_quantile": AGG_QUANTILE_SQL,
     "q_agg_distinct": AGG_DISTINCT_SQL,
