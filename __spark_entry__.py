@@ -32,6 +32,7 @@ from mysqldump_to_parquet_spark.operators import (
     asof,
     cogroup,
     composite,
+    profile,
     relational,
     skew,
     temporal,
@@ -56,6 +57,7 @@ _MODULES = [
     composite,
     temporal,
     cogroup,
+    profile,
     stream_windows,
     file_sources,
     aggregates,
