@@ -32,6 +32,7 @@ from mysqldump_to_parquet_spark.operators import (
     asof,
     cogroup,
     composite,
+    events,
     profile,
     relational,
     skew,
@@ -58,6 +59,7 @@ _MODULES = [
     temporal,
     cogroup,
     profile,
+    events,
     stream_windows,
     file_sources,
     aggregates,
