@@ -39,9 +39,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; pins the session confs needed for parity.
 
-    ``events.ts`` is Parquet TIMESTAMP(NANOS), which the vectorized Spark
-    reader rejects; it is read as raw nanos (legacy conf) and floored to
-    microsecond TimestampType — matching DuckDB's own ns→µs truncation.
+    ``events.ts`` has shipped as both Parquet TIMESTAMP(MICROS) (reads as
+    TimestampType directly) and TIMESTAMP(NANOS), which the vectorized
+    Spark reader rejects; the NANOS layout is read as raw nanos (legacy
+    conf) and floored to microsecond TimestampType — matching DuckDB's own
+    ns→µs truncation.  The branch keys off the *read* schema, so either
+    fixture generation works unchanged.
     """
     configure_for_oracle(spark)
     if name == "events":
@@ -51,9 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) parquet in the same session also reads as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # MICROS isAdjustedToUTC=false reads as NTZ; session tz is
+            # pinned UTC, so this cast is value-preserving and keeps the
+            # r1 TimestampType schema downstream.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

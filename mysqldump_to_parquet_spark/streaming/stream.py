@@ -42,14 +42,34 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream of events; ns → µs timestamp normalization."""
+    """File-source stream of events; normalizes ts to µs TimestampType.
+
+    The fixture has shipped as both TIMESTAMP(NANOS) (must be declared
+    long + converted) and TIMESTAMP(MICROS) (reads as NTZ directly); a
+    one-file batch peek picks the matching stream schema — streams need
+    the schema declared up front, so this mirrors catalog.load_table's
+    read-schema branch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(events_dir).schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(
