@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, register_views
 
 # ------------------------------------------------------------ Q3: shipping
 
@@ -679,6 +679,651 @@ ORDER BY c_mktsegment
 """
 
 
+# ------------------------------------------------- Q6: single-scan forecast
+#
+# The fixture lacks partsupp and lineitem's commit/receipt/shipmode
+# columns, so Q2/Q9/Q12/Q20/Q21 below keep the original *plan shape*
+# (the join/subquery/aggregation pattern Catalyst must optimize) while
+# substituting available columns; each docstring states the substitution.
+
+Q6_FROM = "1997-01-01"
+Q6_TO = "1998-01-01"
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q6: revenue change forecast — the pure scan-side query.
+
+    No join at all: three conjunctive range predicates and a one-row SUM.
+    Everything pushes into the Parquet scan (min/max row-group pruning on
+    l_shipdate does most of the work at 100 TB) and the aggregate is a
+    map-side partial + 1-row merge — the cheapest possible plan; this is
+    the query that proves filters reach storage.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+TPCH_Q6_SQL = f"""
+SELECT SUM(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_TO} 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------- Q8: national market share
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "AMERICA"
+Q8_TYPE = "ECONOMY"
+Q8_FROM = "1996-01-01"
+Q8_TO = "1998-01-01"
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q8: one nation's share of a region's market for one part
+    type, by order year — a ratio of conditional aggregates over the full
+    7-table join (no partsupp in the original either).
+
+    part (type-filtered, ~1/5) broadcasts into lineitem first — the most
+    selective cut happens before any shuffle.  supplier+nation broadcast
+    to tag each line with its supplier nation; customer routes through
+    orders to region-filter the *demand* side.  The share is numerator/
+    denominator out of one grouped aggregate — never two passes.
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q8_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_TO).cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0.0)))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = f"""
+SELECT o_year,
+       SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN volume ELSE 0.0 END)
+         / SUM(volume) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}'
+    AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{Q8_FROM} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{Q8_TO} 00:00:00'
+) x
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ------------------------------------------------ Q9: product-type profit
+
+Q9_NAME_FRAG = "gear"
+#: Supply-cost proxy: the fixture has no partsupp.ps_supplycost, so cost
+#: is modeled as a fixed fraction of the part's retail price — same join
+#: graph, same per-line profit arithmetic, one multiplier substituted.
+Q9_COST_FRACTION = 0.8
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q9 shape: profit by supplier nation and order year over all
+    parts whose name contains a fragment (LIKE on a non-prefix pattern —
+    deliberately not sargable, the filter runs post-scan).
+
+    part is name-filtered then broadcast into lineitem; supplier+nation
+    broadcast to tag lines; the only shuffles are lineitem ⋈ orders (for
+    the year) and the final (nation, year) aggregate.  Profit arithmetic
+    is per-line and codegen'd — no UDF, no second pass.
+    """
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_NAME_FRAG)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        Q9_COST_FRACTION
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       SUM(l_extendedprice * (1 - l_discount)
+           - {Q9_COST_FRACTION} * p_retailprice * l_quantity) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_NAME_FRAG}%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+ORDER BY nation, o_year DESC
+"""
+
+
+# ------------------------------------- Q12: late-shipment priority counts
+
+Q12_FROM = "1997-01-01"
+Q12_TO = "1998-01-01"
+#: Lateness proxy: the fixture has no l_commitdate/l_receiptdate, so a
+#: line is "late" when it shipped >30 days after the order date; the
+#: original's l_shipmode grouping becomes l_returnflag (same shape: a
+#: low-cardinality line attribute).
+Q12_LATE_DAYS = 30
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q12 shape: order-priority mix of late shipments per line
+    category — join + CASE-inside-SUM conditional counts.
+
+    The late predicate compares two columns from *different* tables, so it
+    can only run post-join — but the shipdate year filter still prunes the
+    lineitem scan, and the priority CASE folds into the single grouped
+    aggregate (counts come out of one shuffle).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q12_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_TO).cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAY")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TPCH_Q12_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q12_TO} 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ------------------------------- Q13: customer order-count distribution
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q13: distribution of orders-per-customer — LEFT OUTER join
+    with a predicate on the *right* side (kept in the join condition, not
+    a WHERE, so customers with only excluded orders still count as 0),
+    then two cascaded aggregations.
+
+    The original filters o_comment with a NOT LIKE; the fixture has no
+    comment column, so the analog excludes one order priority — same
+    join-condition placement, same double-aggregate shape.  First agg
+    shuffles on c_custkey (the join's own key — AQE reuses the
+    partitioning), the second on the tiny c_count domain.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != Q13_EXCLUDED_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+TPCH_Q13_SQL = f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ----------------------------------------------- Q15: top supplier (view)
+
+Q15_FROM = "1997-01-01"
+Q15_TO = "1997-04-01"
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q15: supplier(s) with the maximum quarterly revenue — the
+    revenue "view" reused twice (once aggregated to a scalar MAX, once
+    joined back), the canonical shared-subplan query.
+
+    The revenue aggregate is computed once over the date-pruned scan; the
+    MAX collapses to a 1-row broadcast and the equality join-back selects
+    the argmax supplier(s).  supplier is broadcast for the display
+    columns.  The MAX-equality predicate compares an aggregate against an
+    element of the same computed set, so it is exact within each engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------ Q17: small-quantity-order revenue
+
+Q17_BRAND = "Brand#13"
+Q17_MAX_SIZE = 15
+
+#: Shared verbatim: correlated AVG subquery per part.  l_quantity is
+#: whole-numbered, so AVG = exact-integer-sum / count rounds identically
+#: on both engines and the 0.2× threshold comparison is deterministic.
+TPCH_Q17_SQL = f"""
+SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND p_size < {Q17_MAX_SIZE}
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q17: revenue lost to small-quantity orders for one brand —
+    a *correlated* AVG subquery against the big fact table.
+
+    Run through ``spark.sql``: Catalyst decorrelates the per-part AVG into
+    one aggregate over lineitem + a join back on l_partkey — one shuffle
+    keyed on the correlation key, not |parts| rescans.  The original's
+    p_container filter becomes p_size (the fixture's only other part
+    attribute of that kind); the shape — selective dim filter, correlated
+    threshold, scalar output — is unchanged.
+    """
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(TPCH_Q17_SQL)
+
+
+# --------------------------------- Q19: disjunctive predicate revenue
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q19 shape: revenue from three OR'd (brand, size-range,
+    quantity-range) predicate triples — the disjunctive-pushdown query.
+
+    Each disjunct mixes part columns with lineitem columns, so the OR can
+    only be evaluated post-join; but Catalyst extracts the *part-only*
+    implications (brand ∈ {..} ∧ size ranges) and pushes that residual
+    disjunction into the broadcast side's scan, so the hash table holds
+    only candidate parts.  The original's shipmode/shipinstruct legs
+    don't exist in the fixture; the triple structure is preserved.
+    """
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    leg1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    )
+    leg2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 25)
+    )
+    leg3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.where(leg1 | leg2 | leg3).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# ------------------------- Q2: minimum-price supplier per part in region
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_TYPE = "SMALL"
+
+#: Shared verbatim: correlated MIN subquery over the lineitem-derived
+#: part↔supplier price relation (the fixture has no partsupp; MIN of
+#: observed sale prices replaces ps_supplycost — MIN selects an element,
+#: so the correlated equality is float-exact on both engines).
+TPCH_Q2_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_price
+FROM part
+JOIN ps       ON p_partkey = ps.l_partkey
+JOIN supplier ON s_suppkey = ps.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q2_REGION}'
+  AND p_size = {Q2_SIZE}
+  AND p_type = '{Q2_TYPE}'
+  AND min_price = (
+    SELECT MIN(ps2.min_price)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey
+      AND r2.r_name = '{Q2_REGION}'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q2 shape: the cheapest regional supplier for each selected
+    part — a correlated MIN subquery that itself contains a join chain.
+
+    Run through ``spark.sql``: Catalyst decorrelates the regional-minimum
+    subquery into an aggregate over the (region-pruned) ps relation plus a
+    join back on the part key — the dimension chain inside the subquery
+    broadcasts exactly like the outer one, and the CTE's grouped MIN is
+    computed once per branch, not per outer row.  At 100 TB the ps
+    relation shuffles once on (partkey, suppkey) and everything else is a
+    broadcast.
+    """
+    register_views(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    return spark.sql(TPCH_Q2_SQL)
+
+
+# ----------------------------- Q20: dominant suppliers of a part family
+
+Q20_NAME_PREFIX = "red"
+Q20_FROM = "1997-01-01"
+Q20_TO = "1998-01-01"
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q20 shape: suppliers who dominate supply of a part family —
+    nested IN-subqueries with a correlated quantity threshold.
+
+    The original asks for ps_availqty > ½ the shipped quantity; without
+    partsupp the analog is a supplier who shipped >½ of a part's total
+    quantity in the window.  The part-family IN becomes a broadcast
+    semi-join *before* the per-(part,supplier) aggregate, so the fact
+    scan is pruned first; the per-part total reuses the grouped relation
+    (self-aggregate, no second lineitem scan); the final supplier IN is a
+    distinct + broadcast semi-join.  Quantities are whole numbers, so the
+    ½-threshold comparison is exact on both engines.
+    """
+    fam = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q20_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_TO).cast("timestamp"))
+    )
+    ps = (
+        l.join(F.broadcast(fam), l.l_partkey == fam.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        ps.join(tot, ps.l_partkey == tot.t_partkey)
+        .where(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+    AND l_shipdate >= TIMESTAMP '{Q20_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q20_TO} 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM ps GROUP BY l_partkey
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT ps.l_suppkey
+  FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+  WHERE ps.supp_qty > 0.5 * tot.part_qty
+)
+ORDER BY s_name
+"""
+
+
+# ------------------------------ Q21: the sole late supplier of an order
+
+Q21_LATE_DAYS = 30
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q21 shape: suppliers who were the *only* late supplier on a
+    finalized multi-supplier order — EXISTS + NOT EXISTS self-joins
+    against the same fact table.
+
+    "Late" is shipped >{Q21_LATE_DAYS} days after the order date (the
+    fixture has no commit/receipt dates).  The plan is the instructive
+    part: the late-lines relation is computed once; EXISTS becomes a
+    left-semi self-join on the order key (any other supplier), NOT EXISTS
+    a left-anti self-join (any other *late* supplier) — both shuffle on
+    l_orderkey, the key the relation is already partitioned on after the
+    first join, so AQE reuses the exchange.  No per-row re-scans, no
+    row explosion: semi/anti joins emit each outer row at most once.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    culprit = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late2,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate
+                                        + INTERVAL {Q21_LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q_lateral_topk": lateral_topk,
     "q_tpch_q3": tpch_q3,
@@ -693,6 +1338,17 @@ QUERIES = {
     "q_tpch_q14": tpch_q14,
     "q_tpch_q16": tpch_q16,
     "q_tpch_q22": tpch_q22,
+    "q_tpch_q2": tpch_q2,
+    "q_tpch_q6": tpch_q6,
+    "q_tpch_q8": tpch_q8,
+    "q_tpch_q9": tpch_q9,
+    "q_tpch_q12": tpch_q12,
+    "q_tpch_q13": tpch_q13,
+    "q_tpch_q15": tpch_q15,
+    "q_tpch_q17": tpch_q17,
+    "q_tpch_q19": tpch_q19,
+    "q_tpch_q20": tpch_q20,
+    "q_tpch_q21": tpch_q21,
 }
 
 ORACLE = {
@@ -709,4 +1365,15 @@ ORACLE = {
     "q_tpch_q14": TPCH_Q14_SQL,
     "q_tpch_q16": TPCH_Q16_SQL,
     "q_tpch_q22": TPCH_Q22_SQL,
+    "q_tpch_q2": TPCH_Q2_SQL,
+    "q_tpch_q6": TPCH_Q6_SQL,
+    "q_tpch_q8": TPCH_Q8_SQL,
+    "q_tpch_q9": TPCH_Q9_SQL,
+    "q_tpch_q12": TPCH_Q12_SQL,
+    "q_tpch_q13": TPCH_Q13_SQL,
+    "q_tpch_q15": TPCH_Q15_SQL,
+    "q_tpch_q17": TPCH_Q17_SQL,
+    "q_tpch_q19": TPCH_Q19_SQL,
+    "q_tpch_q20": TPCH_Q20_SQL,
+    "q_tpch_q21": TPCH_Q21_SQL,
 }
