@@ -164,6 +164,37 @@ NOTES = {
         "joined back by broadcast — the events side streams and never "
         "shuffles for the flagging join."
     ),
+    "q_tpch_q2": (
+        "Correlated MIN subquery (cheapest regional supplier) "
+        "decorrelated by Catalyst into a grouped MIN over the "
+        "region-pruned price relation + join-back on the part key — the "
+        "dimension chain broadcasts in both branches and the ps relation "
+        "shuffles once on (partkey, suppkey), never per-outer-row."
+    ),
+    "q_tpch_q17": (
+        "Correlated AVG threshold decorrelated to one per-part aggregate "
+        "+ broadcast join-back; the brand filter prunes the probe side "
+        "before the join, so the correlated branch touches lineitem "
+        "exactly once."
+    ),
+    "q_tpch_q21": (
+        "EXISTS → left-semi and NOT EXISTS → left-anti self-joins on "
+        "l_orderkey: each late line is emitted at most once (no "
+        "row explosion), both self-joins key on the same column so the "
+        "exchange is reused, and no per-row re-scan of lineitem exists "
+        "anywhere in the plan."
+    ),
+    "q_tpch_q15": (
+        "The revenue view is computed once; MAX collapses to a 1-row "
+        "broadcast and the equality join-back selects the argmax "
+        "supplier — two aggregates and zero extra fact-table passes."
+    ),
+    "q_tpch_q13": (
+        "LEFT join with the exclusion predicate *in the join condition* "
+        "(zero-order customers survive); the per-customer count shuffles "
+        "on the join's own key so AQE reuses the partitioning, and the "
+        "distribution re-aggregates on the tiny c_count domain."
+    ),
 }
 
 
