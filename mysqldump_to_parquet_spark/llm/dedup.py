@@ -562,8 +562,105 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
 """
 
 
+# ------------------------------------ chunk-level dedup with reassembly
+
+#: Tokens per dedup chunk.  Real paragraph dedup (Dolma / FineWeb style)
+#: splits on newlines; the fixture text has no paragraph breaks, so the
+#: unit is a fixed token window — the pipeline (explode → global
+#: first-occurrence → ordered reassembly) is identical.
+CHUNK_TOKENS = 16
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_chunks: sub-document dedup — drop every repeated chunk
+    (16-token window) corpus-wide, keeping its first occurrence in
+    (doc_id, position) order, then reassemble each document from its
+    surviving chunks.
+
+    This is the paragraph-dedup stage of LLM corpus curation: boilerplate
+    that exact/near *document* dedup can't see (headers, navigation,
+    license blocks repeated across distinct pages) disappears while the
+    unique remainder of each page survives.
+
+    Scale shape: chunks explode 1→(tokens/16) with their position; the
+    first-occurrence choice is one min_by aggregate keyed on the chunk
+    text (two-phase, no window over the corpus); survivors re-group by
+    doc_id — chunks of one document land in one reducer, reassembly is an
+    ordered array fold.  Two key-partitioned shuffles total, both
+    carrying (chunk, ids) rows, never all-pairs.  At 100 TB the chunk key
+    would be xxhash64(chunk) (fixed-width shuffle rows) exactly as
+    q_decontaminate hashes its shingles; strings here keep the DuckDB
+    twin byte-identical.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    chunk_expr = F.expr(
+        f"transform(sequence(0, (size(toks) - 1) DIV {CHUNK_TOKENS}),"
+        f" i -> concat_ws(' ', slice(toks, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+    )
+    chunks = d.select("doc_id", F.posexplode(chunk_expr).alias("idx", "chunk"))
+    # first corpus-wide occurrence of each chunk, by (doc_id, idx) order:
+    # min_by on the packed (doc_id, idx) struct — structs compare
+    # lexicographically field-by-field in both engines
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "idx")).alias("keep")
+    )
+    kept = (
+        chunks.join(first, "chunk")
+        .where(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("idx") == F.col("keep.idx"))
+        )
+        .select("doc_id", "idx", "chunk")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks_kept"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(idx, chunk))), s -> s.chunk)"),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         UNNEST(generate_series(0, (len(t) - 1) // {CHUNK_TOKENS})) AS idx,
+         UNNEST(list_transform(
+           generate_series(0, (len(t) - 1) // {CHUNK_TOKENS}),
+           i -> array_to_string(t[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}], ' ')
+         )) AS chunk
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, idx, chunk
+  FROM (
+    SELECT doc_id, idx, chunk,
+           ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+    FROM chunks
+  )
+  WHERE rn = 1
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks_kept,
+       string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": dedup_exact,
+    "q_dedup_chunks": dedup_chunks,
     "q_dedup_near": dedup_near_minhash,
     # dedup_near_minhash_ml (the spark.ml MinHashLSH variant of q_dedup_near)
     # is intentionally NOT registered: it is a redundant twin of q_dedup_near
@@ -579,6 +676,7 @@ QUERIES = {
 
 ORACLE = {
     "q_dedup_exact": DEDUP_EXACT_SQL,
+    "q_dedup_chunks": DEDUP_CHUNKS_SQL,
     # q_dedup_near: LSH is approximate + seeded — rows-only check.
     # q_dedup_simhash: engine-specific hash fn — rows-only check.
     "q_dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

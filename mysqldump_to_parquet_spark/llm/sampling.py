@@ -126,14 +126,74 @@ FROM documents
 """
 
 
+#: Mixture-quota multiplier: source s keeps its ceil(K·√n_s) lowest-hash
+#: documents.  √ is the τ=0.5 temperature reweighting (big sources are
+#: downsampled toward the small ones — the standard flattening applied to
+#: multi-source LLM training mixes); sqrt is IEEE-exact on both engines,
+#: so the integer quota — and therefore the exact kept set — is
+#: bit-reproducible, unlike a pow(n, τ) quota whose last-ulp rounding may
+#: differ between libm implementations.
+MIX_K = 3
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sample_mixture: temperature-balanced mixture sampling (τ=0.5) —
+    each source keeps its ``ceil(K·√n_s)`` documents with the smallest
+    md5(doc_id), giving large sources a sublinear share of the mix.
+
+    Scale shape: one per-source count (tiny, broadcast back) + one
+    window ranked by content hash, partitioned by source.  Membership is
+    a pure function of (doc_id, per-source count): stable across runs and
+    engines.  At 100 TB a single giant source makes its rank window the
+    hot partition — there you'd compute the quota-th-smallest hash per
+    source (approx quantile on a sample) and keep ``hash < threshold``
+    instead, trading exact quota size for a shuffle-free filter; at
+    driver-checkable scales the exact-rank form is the right baseline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    quota = F.ceil(F.lit(MIX_K) * F.sqrt(F.col("n_src")))
+    return (
+        d.join(F.broadcast(counts), "source")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .select("doc_id", "source", "lang")
+    )
+
+
+SAMPLE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT doc_id, d.source, lang, n_src,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents d JOIN counts ON d.source = counts.source
+)
+SELECT doc_id, source, lang
+FROM ranked
+WHERE rn <= CEIL({MIX_K} * sqrt(n_src))
+"""
+
+
 QUERIES = {
     "q_split_hash": split_hash,
     "q_sample_stratified": sample_stratified,
+    "q_sample_mixture": sample_mixture,
     "q_pack_sequences": pack_sequences,
 }
 
 ORACLE = {
     "q_split_hash": SPLIT_HASH_SQL,
     "q_sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "q_sample_mixture": SAMPLE_MIXTURE_SQL,
     "q_pack_sequences": PACK_SEQUENCES_SQL,
 }

@@ -301,11 +301,98 @@ ORDER BY lang
 """
 
 
+# -------------------------------------- cross-source n-gram overlap matrix
+
+OVERLAP_N = 5
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_source_overlap: pairwise n-gram Jaccard between corpus *sources*
+    — the dataset-governance matrix behind "which crawls/feeds duplicate
+    each other" decisions (what to drop wholesale before per-document
+    dedup even runs).
+
+    Scale shape: shingling collapses to DISTINCT (source, gram) first —
+    the big reduction, two-phase — so the self-join matches gram *sets*,
+    keyed on the gram (an ordinary shuffle equi-join co-partitioned on
+    the join key, never per-document all-pairs).  Per-source set sizes
+    are a tiny aggregate joined back by broadcast; Jaccard is exact
+    integer arithmetic.  Grams join as strings here so the DuckDB twin
+    is byte-identical; at 100 TB you'd join on xxhash64(gram) exactly as
+    q_decontaminate does (fixed-width shuffle rows).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    grams_expr = F.expr(
+        f"transform(sequence(0, greatest(size(toks) - {OVERLAP_N}, 0)),"
+        f" i -> concat_ws(' ', slice(toks, i + 1, {OVERLAP_N})))"
+    )
+    sg = (
+        d.select("source", F.explode(grams_expr).alias("g"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
+    sz_b = sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sz_a), "source_a")
+        .join(F.broadcast(sz_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("source_a"), F.asc("source_b"))
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH sg AS (
+  SELECT DISTINCT source, g
+  FROM (
+    SELECT source,
+           UNNEST(list_transform(
+             generate_series(0, greatest(len(string_split(text, ' ')) - {OVERLAP_N}, 0)),
+             i -> array_to_string(string_split(text, ' ')[i + 1 : i + {OVERLAP_N}], ' ')
+           )) AS g
+    FROM documents
+  )
+),
+sizes AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, shared,
+       CAST(shared AS DOUBLE)
+         / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY jaccard DESC, source_a ASC, source_b ASC
+"""
+
+
 QUERIES = {
     "q_tfidf": tfidf,
     "q_ngram_lm": ngram_lm,
     "q_cooccur_pmi": cooccur_pmi,
     "q_zipf_slope": zipf_slope,
+    "q_source_overlap": source_overlap,
 }
 
 ORACLE = {
@@ -313,4 +400,5 @@ ORACLE = {
     "q_ngram_lm": NGRAM_LM_SQL,
     "q_cooccur_pmi": COOCCUR_PMI_SQL,
     "q_zipf_slope": ZIPF_SLOPE_SQL,
+    "q_source_overlap": SOURCE_OVERLAP_SQL,
 }
