@@ -457,6 +457,63 @@ SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
 """
 
 
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — *bag* difference: each customer key survives with
+    multiplicity (times ordered in Q1) − (times ordered in Q2); the
+    DISTINCT variant above can only say "appears or not".
+
+    Plan note: Spark compiles exceptAll to a ±1 multiplicity tag + sum
+    per key + generator replication — one shuffle on the row's full value
+    (the natural key for bag semantics), never a join explosion."""
+    o = load_table(spark, sf_dir, "orders")
+    q1 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    q2 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return q1.exceptAll(q2)
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection: multiplicity min(m₁, m₂).  Same
+    tag-and-sum compilation as exceptAll; one value-keyed shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    q1 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    q2 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return q1.intersectAll(q2)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
 QUERIES = {
     "q_project_filter": project_filter,
     "q_filter_null_in_like": filter_null_in_like,
@@ -474,6 +531,8 @@ QUERIES = {
     "q_set_union": set_union,
     "q_set_intersect": set_intersect,
     "q_set_except": set_except,
+    "q_set_except_all": set_except_all,
+    "q_set_intersect_all": set_intersect_all,
 }
 
 ORACLE = {
@@ -493,4 +552,6 @@ ORACLE = {
     "q_set_union": SET_UNION_SQL,
     "q_set_intersect": SET_INTERSECT_SQL,
     "q_set_except": SET_EXCEPT_SQL,
+    "q_set_except_all": SET_EXCEPT_ALL_SQL,
+    "q_set_intersect_all": SET_INTERSECT_ALL_SQL,
 }
