@@ -1,0 +1,97 @@
+"""Semantic tests for the corpus-curation operators added late in round 2
+(q_dedup_chunks / q_sample_mixture / q_source_overlap): the oracle-parity
+harness proves engine agreement; these prove the *semantics* — planted
+duplicates disappear, quotas hold exactly, overlap bounds are respected.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysqldump_to_parquet_spark.llm.dedup import CHUNK_TOKENS, dedup_chunks
+from mysqldump_to_parquet_spark.llm.sampling import MIX_K, sample_mixture
+from mysqldump_to_parquet_spark.llm.terms import source_overlap
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _write_documents(spark, tmp_path, rows):
+    """Materialize a documents.parquet fixture with the standard schema."""
+    df = spark.createDataFrame(
+        [(i, text, "en", src, len(text)) for i, (text, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_dedup_chunks_drops_cross_doc_repeat_keeps_first(spark, tmp_path):
+    boiler = " ".join(f"b{i}" for i in range(CHUNK_TOKENS))  # one exact chunk
+    uniq_a = " ".join(f"a{i}" for i in range(CHUNK_TOKENS))
+    uniq_b = " ".join(f"c{i}" for i in range(CHUNK_TOKENS))
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (f"{boiler} {uniq_a}", "s0"),  # doc 0: boilerplate + unique
+            (f"{boiler} {uniq_b}", "s0"),  # doc 1: same boilerplate + unique
+        ],
+    )
+    out = {r.doc_id: r for r in dedup_chunks(spark, sf).collect()}
+    # doc 0 (first occurrence) keeps both chunks verbatim
+    assert out[0].n_chunks_kept == 2
+    assert out[0].clean_text == f"{boiler} {uniq_a}"
+    # doc 1 loses the repeated boilerplate chunk but keeps its unique one
+    assert out[1].n_chunks_kept == 1
+    assert out[1].clean_text == uniq_b
+
+
+def test_dedup_chunks_noop_on_unique_corpus(spark, tmp_path):
+    texts = [
+        " ".join(f"w{d}_{i}" for i in range(CHUNK_TOKENS * 2 + 3)) for d in range(3)
+    ]
+    sf = _write_documents(spark, tmp_path, [(t, "s0") for t in texts])
+    out = {r.doc_id: r.clean_text for r in dedup_chunks(spark, sf).collect()}
+    assert out == {i: t for i, t in enumerate(texts)}
+
+
+def test_sample_mixture_per_source_quota_exact(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_by_src = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.source: r.n
+        for r in sample_mixture(spark, SF_SMOKE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(kept) == set(n_by_src)
+    for src, n in n_by_src.items():
+        assert kept[src] == min(n, math.ceil(MIX_K * math.sqrt(n)))
+
+
+def test_sample_mixture_stable_membership(spark):
+    a = {r.doc_id for r in sample_mixture(spark, SF_SMOKE).collect()}
+    b = {r.doc_id for r in sample_mixture(spark, SF_SMOKE).collect()}
+    assert a == b  # pure function of content, no RNG
+
+
+def test_source_overlap_bounds_and_orientation(spark):
+    rows = source_overlap(spark, SF_SMOKE).collect()
+    assert rows, "fixture sources share vocabulary; expected overlap rows"
+    for r in rows:
+        assert r.source_a < r.source_b  # each unordered pair exactly once
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.shared >= 1
+
+
+def test_source_overlap_identical_sources_hit_jaccard_one(spark, tmp_path):
+    text = " ".join(f"t{i}" for i in range(40))
+    sf = _write_documents(spark, tmp_path, [(text, "sA"), (text, "sB")])
+    rows = source_overlap(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].source_a == "sA" and rows[0].source_b == "sB"
+    assert rows[0].jaccard == pytest.approx(1.0)

@@ -39,6 +39,11 @@ QUERIES = [
     "q_join_interval",
     "q_entropy",
     "q_anomaly_mad",
+    "q_tpch_q21",
+    "q_tpch_q9",
+    "q_dedup_chunks",
+    "q_source_overlap",
+    "q_sample_mixture",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
