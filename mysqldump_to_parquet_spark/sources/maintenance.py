@@ -11,15 +11,24 @@ The two operational jobs every large Parquet lake runs continuously:
   and sorts within partitions so every row group covers a narrow value
   band (the single-column core of Z-ordering).  Predicate pushdown then
   skips whole row groups/files instead of scanning them.
+* **Z-order clustering** — a single sort column leaves every *other*
+  column's min/max spanning the full domain, so filters on a second
+  dimension prune nothing.  ``write_zorder`` interleaves the bits of two
+  columns into a Morton code and clusters on that: every file covers a
+  small *rectangle* of the 2-D value space, so min/max pruning works for
+  filters on either column (the layout job behind Delta/Iceberg
+  ``OPTIMIZE ZORDER BY``).
 
-Neither is a query — they are layout rewrites, registered as library
-functions with tests that assert the physical outcome (file counts,
-row-group statistic bands) rather than row values.
+None of these is a query — they are layout rewrites, registered as
+library functions with tests that assert the physical outcome (file
+counts, row-group statistic bands, per-dimension prunable fractions)
+rather than row values.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def compact_dataset(
@@ -71,6 +80,74 @@ def write_sorted(
     (
         df.repartitionByRange(n_files, sort_col)
         .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(out_path, compression=compression)
+    )
+
+
+def _morton_expr(xg: str, yg: str, bits: int) -> str:
+    """SQL expression interleaving the low ``bits`` bits of two BIGINT
+    grid coordinates into a Morton code (x in even positions, y in odd).
+    Pure bitwise arithmetic — codegen'd JVM-side, no UDF."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({xg}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({yg}, {i}) & 1, {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def write_zorder(
+    df: DataFrame,
+    out_path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 12,
+    n_files: int = 8,
+    compression: str = "snappy",
+) -> None:
+    """Write ``df`` clustered on the Morton (Z-order) code of two numeric
+    columns, so row-group/file min-max statistics are tight on *both*.
+
+    Steps, all engine-side:
+    1. One tiny min/max aggregate per column (broadcast back as a 1-row
+       cross join) scales each value to a ``2^bits`` integer grid.
+       Min/max scaling keeps the oracle simple; a skewed production
+       column would use rank boundaries from ``approxQuantile`` instead —
+       same interleave, different grid assignment.
+    2. The Morton code interleaves grid bits via shift/mask expressions
+       (codegen'd; no Python, no UDF).
+    3. ``repartitionByRange + sortWithinPartitions`` on the code cluster
+       rows so each output file covers a compact rectangle of the
+       (x, y) value space — contiguous Z ranges are unions of aligned
+       quadrants, which is what makes per-file min/max selective in both
+       dimensions.
+
+    The Z column is dropped before the write: the layout benefit lives in
+    the file statistics, not the schema."""
+    span = df.agg(
+        F.min(col_x).alias("__minx"),
+        F.max(col_x).alias("__maxx"),
+        F.min(col_y).alias("__miny"),
+        F.max(col_y).alias("__maxy"),
+    )
+    grid = (1 << bits) - 1
+    gx = (
+        f"CAST(({col_x} - __minx) * {grid} / "
+        f"greatest(__maxx - __minx, 1) AS BIGINT)"
+    )
+    gy = (
+        f"CAST(({col_y} - __miny) * {grid} / "
+        f"greatest(__maxy - __miny, 1) AS BIGINT)"
+    )
+    with_z = (
+        df.crossJoin(F.broadcast(span))
+        .withColumn("__zorder", F.expr(_morton_expr(gx, gy, bits)))
+        .drop("__minx", "__maxx", "__miny", "__maxy")
+    )
+    (
+        with_z.repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
         .write.mode("overwrite")
         .parquet(out_path, compression=compression)
     )

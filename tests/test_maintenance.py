@@ -15,6 +15,7 @@ from mysqldump_to_parquet_spark.catalog import load_table
 from mysqldump_to_parquet_spark.sources.maintenance import (
     compact_dataset,
     write_sorted,
+    write_zorder,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -81,3 +82,51 @@ def test_unsorted_write_has_overlapping_bands(spark, tmp_path):
     bands.sort()
     overlaps = sum(1 for (l1, h1), (l2, _h2) in zip(bands, bands[1:]) if h1 > l2)
     assert overlaps == len(bands) - 1  # every neighbor pair overlaps
+
+
+def _file_bands(path: str, col: str) -> list[tuple]:
+    """(min, max) of ``col`` per output file, from parquet metadata."""
+    bands = []
+    for f in _parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        bands.append((lo, hi))
+    return bands
+
+
+def _prunable(bands: list[tuple], lo, hi) -> int:
+    """Files a min/max-pruning scan can SKIP for the predicate
+    ``col BETWEEN lo AND hi``."""
+    return sum(1 for b_lo, b_hi in bands if b_hi < lo or b_lo > hi)
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Morton clustering must give usable min/max bands on BOTH columns,
+    where single-column sort leaves the second column unprunable."""
+    zpath = str(tmp_path / "line_z")
+    spath = str(tmp_path / "line_sorted")
+    l = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    write_zorder(l, zpath, "l_partkey", "l_suppkey", n_files=8)
+    write_sorted(l, spath, "l_partkey", n_files=8)
+
+    # probe: a narrow band on the SECOND dimension only
+    smax = l.agg(F.max("l_suppkey")).collect()[0][0]
+    lo, hi = 0, smax // 8
+    z_skip = _prunable(_file_bands(zpath, "l_suppkey"), lo, hi)
+    s_skip = _prunable(_file_bands(spath, "l_suppkey"), lo, hi)
+    # sorted-by-partkey files all span ~the full suppkey domain → no skip;
+    # Z-ordered files cover suppkey rectangles → at least half skip
+    assert s_skip == 0
+    assert z_skip >= 4
+
+    # the first dimension must stay prunable under Z too (quadrant bands)
+    pmax = l.agg(F.max("l_partkey")).collect()[0][0]
+    z_skip_x = _prunable(_file_bands(zpath, "l_partkey"), 0, pmax // 8)
+    assert z_skip_x >= 4
+
+    # and the rewrite is lossless
+    assert spark.read.parquet(zpath).count() == l.count()
