@@ -136,14 +136,118 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+#: Marker for rows written before the schema gained o_orderpriority.
+PRE_EVOLUTION = "<pre-evolution>"
+
+
+def src_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_src_evolution: schema-evolution read — two dataset generations
+    (the second adds a column) unioned by ``mergeSchema``.
+
+    Real lakes accrete columns over years of writers; the reader must
+    reconcile footers, not fail.  Generation 1 (even order keys) is
+    written without ``o_orderpriority``; generation 2 carries it.
+    ``mergeSchema=true`` unions the footers (an O(#files) driver
+    operation — at 100 TB you pin the merged schema in a catalog and
+    read with an explicit schema instead, which this read-back also
+    demonstrates by aggregating over the NULL-filled gap).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/orders_evolved"
+        gen1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        gen2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
+        back = spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/gen=1", f"{path}/gen=2"
+        )
+        out = (
+            back.groupBy(
+                F.coalesce("o_orderpriority", F.lit(PRE_EVOLUTION)).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("total_price"),
+            )
+            .orderBy("priority")
+        )
+        return pin_result(out)
+
+
+SRC_EVOLUTION_SQL = f"""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '{PRE_EVOLUTION}'
+            ELSE o_orderpriority END AS priority,
+       COUNT(*)           AS n_orders,
+       SUM(o_totalprice)  AS total_price
+FROM orders
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+def _nested_read_agg(spark: SparkSession, path: str) -> DataFrame:
+    """Aggregate over two subfields of a nested struct column — the
+    projection Catalyst must prune to ``meta.source, meta.n_chars``
+    (nestedSchemaPruning), never the whole struct."""
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("meta.source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("meta.n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def src_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_src_nested: nested-struct round trip with schema pruning.
+
+    Documents are re-written with their scalar attributes packed into a
+    ``meta`` struct (the layout of every event/log lake), then the
+    aggregate touches two subfields.  The scan's ReadSchema must contain
+    only those subfields (asserted in tests/test_plans.py): at 100 TB
+    reading ``meta.source`` must not drag ``meta.lang`` — or the text —
+    off disk."""
+    d = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/documents_nested"
+        d.select(
+            "doc_id",
+            F.struct("lang", "source", "n_chars").alias("meta"),
+        ).write.mode("overwrite").parquet(path)
+        return pin_result(_nested_read_agg(spark, path))
+
+
+SRC_NESTED_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q_src_csv": src_csv,
     "q_src_json": src_json,
     "q_src_orc": src_orc,
+    "q_src_evolution": src_evolution,
+    "q_src_nested": src_nested,
 }
 
 ORACLE = {
     "q_src_csv": SRC_CSV_SQL,
     "q_src_json": SRC_JSON_SQL,
     "q_src_orc": SRC_ORC_SQL,
+    "q_src_evolution": SRC_EVOLUTION_SQL,
+    "q_src_nested": SRC_NESTED_SQL,
 }

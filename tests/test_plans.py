@@ -7,6 +7,8 @@ top-k never global-sorts.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from mysqldump_to_parquet_spark.operators import aggregates, relational
@@ -297,3 +299,23 @@ def test_anomaly_mad_broadcasts_stats(spark):
     plan = formatted_plan(anomaly_mad(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_nested_schema_pruning(spark, tmp_path):
+    """Projecting two struct subfields must prune the scan's ReadSchema to
+    exactly those subfields — meta.lang (and the document text, which is
+    not even written) never leaves disk."""
+    from pyspark.sql import functions as F
+
+    from mysqldump_to_parquet_spark.catalog import load_table
+    from mysqldump_to_parquet_spark.sources.files import _nested_read_agg
+
+    path = str(tmp_path / "documents_nested")
+    load_table(spark, SF, "documents").select(
+        "doc_id", F.struct("lang", "source", "n_chars").alias("meta")
+    ).write.parquet(path)
+    plan = formatted_plan(_nested_read_agg(spark, path))
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    assert "source" in m.group(1) and "n_chars" in m.group(1), m.group(1)
+    assert "lang" not in m.group(1), f"struct not pruned: {m.group(1)}"
