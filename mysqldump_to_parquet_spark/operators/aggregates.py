@@ -380,9 +380,75 @@ ORDER BY bucket_lo
 """
 
 
+# ----------------------------------- incremental aggregate maintenance
+
+#: The "delta" month: rows from here on arrive after the base rollup ran.
+INCR_CUTOFF = "2001-06-01"
+
+
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_incremental: incremental rollup maintenance — merge partial
+    aggregate *states* from the historical base with a late-arriving
+    delta, instead of re-aggregating the full history.
+
+    The mergeable-state discipline every periodic rollup job needs at
+    100 TB: keep (sum, count, min, max) per (grain, group) — all
+    merge-associative — and each refresh aggregates only the new
+    partition, then merges states.  AVG is *derived* (sum/count) at read
+    time; storing it would make the state unmergeable.  Exactness: the
+    merge is the same partial→final tree Spark's own two-phase
+    aggregation builds, so the incremental result equals the full
+    recompute (the oracle below IS the full recompute).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        # per-(month, flag) state: the persisted granularity of the rollup
+        return df.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            "l_returnflag",
+        ).agg(
+            F.sum("l_quantity").alias("s_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+
+    base = partials(l.where(F.col("l_shipdate") < cutoff))
+    delta = partials(l.where(F.col("l_shipdate") >= cutoff))
+    merged = base.unionByName(delta)
+    return (
+        merged.groupBy("l_returnflag")
+        .agg(
+            F.sum("s_qty").alias("sum_qty"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_qty").alias("min_qty"),
+            F.max("max_qty").alias("max_qty"),
+            (F.sum("s_qty") / F.sum("n_rows")).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+#: Oracle = the full recompute the incremental path must equal exactly.
+AGG_INCREMENTAL_SQL = """
+SELECT l_returnflag,
+       SUM(l_quantity)              AS sum_qty,
+       COUNT(*)                     AS n_rows,
+       MIN(l_quantity)              AS min_qty,
+       MAX(l_quantity)              AS max_qty,
+       SUM(l_quantity) / COUNT(*)   AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
     "q_agg_sketch_distinct": agg_sketch_distinct,
+    "q_agg_incremental": agg_incremental,
     "q_agg_unpivot": agg_unpivot,
     "q_agg_stats": agg_stats,
     "q_agg_histogram": agg_histogram,
@@ -397,6 +463,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_incremental": AGG_INCREMENTAL_SQL,
     "q_agg_unpivot": AGG_UNPIVOT_SQL,
     "q_agg_stats": AGG_STATS_SQL,
     "q_agg_histogram": AGG_HISTOGRAM_SQL,

@@ -319,3 +319,39 @@ def test_nested_schema_pruning(spark, tmp_path):
     assert m, plan
     assert "source" in m.group(1) and "n_chars" in m.group(1), m.group(1)
     assert "lang" not in m.group(1), f"struct not pruned: {m.group(1)}"
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Catalyst's runtime row-level filtering: a selective filter on the
+    non-broadcast build side injects bloom_filter_might_contain onto the
+    probe side's scan — rows that cannot join are dropped before the
+    shuffle (the row-level analog of q_join_dpp's partition pruning).
+    The fixture scan is far below the default application-side size
+    threshold, so the test lowers it; at 100 TB the defaults fire."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(j).lower()
+        # the injected runtime filter appears as a bloomFilter-building
+        # subquery + a might_contain predicate on the probe side
+        assert "bloomfilter" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
