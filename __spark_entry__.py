@@ -39,6 +39,7 @@ from mysqldump_to_parquet_spark.operators import (
     temporal,
     windows,
 )
+from mysqldump_to_parquet_spark.sources import dump_datasource
 from mysqldump_to_parquet_spark.sources import files as file_sources
 from mysqldump_to_parquet_spark.sources import mysqldump as mysqldump_source
 from mysqldump_to_parquet_spark.streaming import windows as stream_windows
@@ -62,6 +63,7 @@ _MODULES = [
     events,
     stream_windows,
     file_sources,
+    dump_datasource,
     aggregates,
     relational,
     mysqldump_source,

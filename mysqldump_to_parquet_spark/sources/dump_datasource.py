@@ -1,0 +1,270 @@
+"""``spark.read.format("mysqldump")`` — the ingest pipeline as a Spark 4
+Python DataSource (pyspark.sql.datasource).
+
+The reference is a standalone converter (src/main.rs:1-218: dump in,
+Parquet out).  ``convert_dump`` reproduces that CLI contract; this module
+exposes the same parser as a *composable source*: a dump table becomes an
+ordinary DataFrame usable in any query without materializing Parquet
+first —
+
+    spark.dataSource.register(MysqldumpDataSource)
+    df = (spark.read.format("mysqldump")
+          .option("path", "/data/db.sql")
+          .option("table", "acct").load())
+
+Scale design:
+
+* **Splittable reads.** ``partitions()`` carves plain ``.sql`` files into
+  byte ranges (default 32 MB); each task seeks to its range start, aligns
+  to the next line boundary, and parses only statements *starting* inside
+  its range — the same ownership rule Hadoop text splitting uses, so every
+  one-statement-per-line INSERT is parsed exactly once and a 100 GB dump
+  fans out across the cluster with zero driver involvement.  ``.gz``
+  files are not seekable → one partition per file (same behavior as
+  every Hadoop text source; the scale path is many files).
+* **Schema from DDL, driver-side and bounded.** ``schema()`` scans the
+  dump head (``DDL_SCAN_BYTES`` cap, loud error past it) for the table's
+  CREATE TABLE and reuses :func:`..mysqldump.parse_create_table` — the
+  same grammar, bug fixes, and type mapping as the CLI path.
+* **Same coercion contract.** Rows go through
+  :func:`..mysqldump.parse_insert_full` / ``align_row`` / ``coerce_row``
+  (C1–C3: loud on mismatch, int→float widening, exact DECIMAL digits),
+  then temporal/decimal carriers become real Python values so the
+  returned DataFrame needs no further casting.
+
+The bulk-conversion CLI keeps the Arrow ``mapInPandas`` pipeline (it is
+faster for whole-dump conversion); this source is the right surface when
+a dump table joins live against the rest of the engine.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import gzip
+import os
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .mysqldump import (
+    DumpParseError,
+    align_row,
+    coerce_row,
+    insert_table_name,
+    iter_statements,
+    parse_create_table,
+    parse_insert_full,
+)
+
+#: Schema scan reads at most this many bytes of each file's head looking
+#: for the CREATE TABLE (mysqldump emits all DDL before any data).
+DDL_SCAN_BYTES = 64 * 1024 * 1024
+
+#: Default byte-range size for splitting plain .sql files.
+DEFAULT_SPLIT_MB = 32
+
+
+class _Range(InputPartition):
+    """One byte range of one file.  ``end is None`` → to EOF (gz files)."""
+
+    def __init__(self, path: str, start: int, end: int | None):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _open_text(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt", encoding="utf-8", errors="replace")
+    return open(path, "r", encoding="utf-8", errors="replace")
+
+
+def _iter_head_statements(path: str) -> Iterator[str]:
+    """Statements from the file head, capped at DDL_SCAN_BYTES."""
+    seen = 0
+    with _open_text(path) as fh:
+
+        def lines():
+            nonlocal seen
+            for ln in fh:
+                seen += len(ln)
+                if seen > DDL_SCAN_BYTES:
+                    raise DumpParseError(
+                        f"{path}: no CREATE TABLE within the first "
+                        f"{DDL_SCAN_BYTES} bytes — is this a mysqldump file?"
+                    )
+                yield ln
+
+        yield from iter_statements(lines())
+
+
+def _finalize_row(row: tuple, schema: T.StructType, table: str) -> tuple:
+    """Carrier strings → Python temporal/decimal values (the JVM cast
+    stage of the bulk pipeline, done here in-process)."""
+    out = []
+    for v, f in zip(row, schema.fields):
+        if v is None:
+            out.append(None)
+        elif isinstance(f.dataType, T.TimestampType):
+            try:
+                dt = datetime.fromisoformat(v)
+            except ValueError as e:
+                raise DumpParseError(f"{table}.{f.name}: bad timestamp {v!r}") from e
+            # dumps carry naive UTC (reference: parquet_writer.rs:186-191);
+            # attach the zone so the result is session-tz independent
+            out.append(dt.replace(tzinfo=timezone.utc))
+        elif isinstance(f.dataType, T.DateType):
+            try:
+                out.append(date.fromisoformat(v))
+            except ValueError as e:
+                raise DumpParseError(f"{table}.{f.name}: bad date {v!r}") from e
+        elif isinstance(f.dataType, T.DecimalType):
+            out.append(Decimal(v))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+class MysqldumpReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._table = options["table"].lower()
+        self._paths = sorted(globlib.glob(options["path"])) or [options["path"]]
+        self._split_bytes = (
+            int(options.get("split_mb", DEFAULT_SPLIT_MB)) * 1024 * 1024
+        )
+
+    def partitions(self):
+        parts: list[_Range] = []
+        for p in self._paths:
+            if p.endswith(".gz"):
+                parts.append(_Range(p, 0, None))  # not seekable
+                continue
+            size = os.path.getsize(p)
+            step = max(self._split_bytes, 1)
+            offsets = range(0, max(size, 1), step)
+            parts.extend(_Range(p, off, min(off + step, size)) for off in offsets)
+        return parts
+
+    def read(self, part: _Range):
+        schema, table = self._schema, self._table
+        if part.end is None:  # gz: stream the whole file
+            with _open_text(part.path) as fh:
+                yield from self._parse_lines(fh, schema, table)
+            return
+        with open(part.path, "rb") as fh:
+            fh.seek(part.start)
+            if part.start > 0:
+                fh.readline()  # the partial line belongs to the previous range
+            while fh.tell() < part.end:
+                # a line is owned by the range containing its first byte;
+                # the owner reads past its end to finish the line
+                raw = fh.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", errors="replace")
+                yield from self._parse_one(line, schema, table)
+
+    def _parse_lines(self, fh, schema, table):
+        for line in fh:
+            yield from self._parse_one(line, schema, table)
+
+    def _parse_one(self, line: str, schema: T.StructType, table: str):
+        stmt = line.strip()
+        if insert_table_name(stmt) != table:
+            return
+        _t, columns, rows = parse_insert_full(stmt)
+        for row in rows:
+            if columns is not None:
+                row = align_row(row, columns, schema, table)
+            yield _finalize_row(coerce_row(row, schema, table), schema, table)
+
+
+class MysqldumpDataSource(DataSource):
+    """DataSource entry point; see the module docstring for the contract."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysqldump"
+
+    def _require(self, key: str) -> str:
+        v = self.options.get(key)
+        if not v:
+            raise DumpParseError(
+                f"mysqldump source requires .option('{key}', ...)"
+            )
+        return v
+
+    def schema(self) -> T.StructType:
+        path = self._require("path")
+        table = self._require("table").lower()
+        first = (sorted(globlib.glob(path)) or [path])[0]
+        for stmt in _iter_head_statements(first):
+            if not stmt.lstrip().upper().startswith("CREATE TABLE"):
+                continue
+            parsed = parse_create_table(stmt)
+            if parsed.table == table:
+                return parsed.schema
+        raise DumpParseError(f"{first}: no CREATE TABLE for {table!r} found")
+
+    def reader(self, schema: T.StructType) -> MysqldumpReader:
+        return MysqldumpReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Make ``format("mysqldump")`` available on this session."""
+    spark.dataSource.register(MysqldumpDataSource)
+
+
+def _src_dump_datasource(spark, sf_dir: str):
+    """q_src_dump_datasource: read the demo dump through the registered
+    ``format("mysqldump")`` source.  Unlike the side-effecting CLI path
+    (``q_ingest_mysqldump``, rows-only), this read's values are
+    hash-checked against a literal oracle — hard evidence the DataSource
+    parse/coerce path reproduces the dump byte-for-byte."""
+    import tempfile
+
+    from .mysqldump import DEMO_DUMP, pin_result
+
+    register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        dump = f"{tmp}/demo.sql"
+        with open(dump, "w") as fh:
+            fh.write(DEMO_DUMP)
+        df = (
+            spark.read.format("mysqldump")
+            .option("path", dump)
+            .option("table", "acct")
+            .load()
+            .orderBy("id")
+        )
+        return pin_result(df)
+
+
+#: The demo dump's three rows as a literal table — the oracle is the
+#: *expected parse*, independent of any engine.
+SRC_DUMP_DATASOURCE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'alice',  CAST('120.50' AS DECIMAL(12,2)),
+   CAST(0.25 AS DOUBLE), TRUE,  TIMESTAMP '2024-01-02 03:04:05',
+   DATE '1990-05-06'),
+  (CAST(2 AS BIGINT), 'bob',    CAST(NULL AS DECIMAL(12,2)),
+   CAST(-1.5 AS DOUBLE), FALSE, TIMESTAMP '2024-02-03 04:05:06',
+   CAST(NULL AS DATE)),
+  (CAST(3 AS BIGINT), 'carol''s', CAST('3.14' AS DECIMAL(12,2)),
+   CAST(2 AS DOUBLE), TRUE,     CAST(NULL AS TIMESTAMP),
+   DATE '2001-12-31')
+) AS t(id, name, balance, ratio, active, created, birthday)
+ORDER BY id
+"""
+
+QUERIES = {
+    "q_src_dump_datasource": _src_dump_datasource,
+}
+
+ORACLE = {
+    "q_src_dump_datasource": SRC_DUMP_DATASOURCE_SQL,
+}
