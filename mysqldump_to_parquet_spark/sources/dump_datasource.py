@@ -47,7 +47,13 @@ from decimal import Decimal
 from typing import Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from .mysqldump import (
     DumpParseError,
@@ -183,6 +189,126 @@ class MysqldumpReader(DataSourceReader):
             yield _finalize_row(coerce_row(row, schema, table), schema, table)
 
 
+# ------------------------------------------------------------ write path
+
+#: Rows per extended INSERT statement (mysqldump batches similarly to
+#: bound statement length).
+ROWS_PER_INSERT = 500
+
+
+def _sql_type(dt: T.DataType, table: str, name: str) -> str:
+    """Reverse of the ingest type mapping — the dump-side DDL type."""
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"  # dumps carry naive UTC either way
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "blob"
+    if isinstance(dt, T.StringType):
+        return "text"
+    raise DumpParseError(
+        f"{table}.{name}: {dt.simpleString()} has no mysqldump DDL type"
+    )
+
+
+def _sql_literal(v) -> str:
+    """One value as a dump literal, formatted so the reader (and MySQL)
+    parse back the identical value: '' doubling for quotes, 0x… for
+    binary (--hex-blob convention), exact digits for Decimal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, bytes):
+        return "0x" + v.hex() if v else "''"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime):
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if v.microsecond else "%Y-%m-%d %H:%M:%S"
+        return "'" + v.strftime(fmt) + "'"
+    if isinstance(v, date):
+        return "'" + v.isoformat() + "'"
+    return str(v)
+
+
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class MysqldumpWriter(DataSourceWriter):
+    """Per-task: one ``part-<uuid>.sql`` of extended INSERTs; on commit the
+    driver writes ``00-schema.sql`` (DDL first lexicographically, so the
+    reader's head scan finds it).  Each task writes independently —
+    no driver fan-in of data, the layout every distributed sink needs."""
+
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        self._schema = schema
+        self._table = options["table"].lower()
+        self._dir = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, rows) -> _WroteFile:
+        import uuid
+
+        os.makedirs(self._dir, exist_ok=True)
+        path = os.path.join(self._dir, f"part-{uuid.uuid4().hex}.sql")
+        n = 0
+        with open(path, "w", encoding="utf-8") as fh:
+            batch: list[str] = []
+
+            def flush():
+                if batch:
+                    fh.write(
+                        f"INSERT INTO `{self._table}` VALUES "
+                        + ",".join(batch)
+                        + ";\n"
+                    )
+                    batch.clear()
+
+            for row in rows:
+                vals = ",".join(_sql_literal(v) for v in row)
+                batch.append(f"({vals})")
+                n += 1
+                if len(batch) >= ROWS_PER_INSERT:
+                    flush()
+            flush()
+        return _WroteFile(path, n)
+
+    def commit(self, messages) -> None:
+        cols = ",\n".join(
+            f"  `{f.name}` {_sql_type(f.dataType, self._table, f.name)}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in self._schema.fields
+        )
+        ddl = f"CREATE TABLE `{self._table}` (\n{cols}\n);\n"
+        with open(os.path.join(self._dir, "00-schema.sql"), "w") as fh:
+            fh.write("-- exported by mysqldump_to_parquet_spark\n")
+            fh.write(ddl)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class MysqldumpDataSource(DataSource):
     """DataSource entry point; see the module docstring for the contract."""
 
@@ -212,6 +338,11 @@ class MysqldumpDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> MysqldumpReader:
         return MysqldumpReader(schema, dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> MysqldumpWriter:
+        self._require("path")
+        self._require("table")
+        return MysqldumpWriter(schema, dict(self.options), overwrite)
 
 
 def register(spark) -> None:

@@ -108,3 +108,58 @@ def test_missing_table_or_option_fails_loudly(registered, tmp_path):
         )
     with pytest.raises(Exception, match="requires .option"):
         registered.read.format("mysqldump").option("path", str(p)).load().collect()
+
+
+def test_write_then_read_round_trip(registered, tmp_path):
+    """df → format('mysqldump') write → read back: identical rows,
+    through every literal kind (decimal, double, bool, timestamp, date,
+    NULL, quoted string)."""
+    src = tmp_path / "demo.sql"
+    src.write_text(DEMO_DUMP)
+    orig = _demo_df(registered, src)
+    out = str(tmp_path / "export")
+    (
+        orig.write.format("mysqldump")
+        .option("path", out)
+        .option("table", "acct")
+        .mode("append")
+        .save()
+    )
+    import os
+
+    names = sorted(os.listdir(out))
+    assert names[0] == "00-schema.sql"  # DDL first for the reader's scan
+    assert any(n.startswith("part-") and n.endswith(".sql") for n in names)
+    back = (
+        registered.read.format("mysqldump")
+        .option("path", f"{out}/*.sql")
+        .option("table", "acct")
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_write_real_table_round_trip(registered, tmp_path):
+    """orders (bigint/string/double/timestamp) survives the dump export
+    byte-exactly, across multiple writer tasks."""
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    orders = load_table(registered, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_dump")
+    (
+        orders.repartition(4)  # >1 writer task → >1 part file
+        .write.format("mysqldump")
+        .option("path", out)
+        .option("table", "orders")
+        .mode("append")
+        .save()
+    )
+    back = (
+        registered.read.format("mysqldump")
+        .option("path", f"{out}/*.sql")
+        .option("table", "orders")
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
