@@ -170,12 +170,92 @@ FROM sizes
 """
 
 
+# ---------------------------------------------- constraint validation
+
+#: Value-range rule checked below (dumps encode discounts as fractions).
+DISCOUNT_MAX = 0.5
+
+
+def check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_check_constraints: declarative data-quality checks, one violation
+    count per rule — the pre-publication validation job (Deequ-style)
+    every pipeline runs before promoting a dataset.
+
+    Rules and their distributed shapes:
+    * **pk_unique** (o_orderkey) — duplicate mass from one two-phase
+      group-by (Σ(n−1) over groups with n>1);
+    * **fk_orders_customer** (o_custkey ⊆ customer) — a LEFT ANTI join,
+      count of orphans (never a full outer join);
+    * **not_null** (o_totalprice) and **range** (l_discount ∈ [0, max])
+      — scan-side predicates, pushed to Parquet.
+
+    Every rule is an exact count so the result hash-checks; all four
+    evaluate in one job tree (union of four tiny aggregates) with no
+    driver-side looping over rules.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    dup_mass = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations"))
+        .select(F.lit("pk_unique_orderkey").alias("check_name"), "n_violations")
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("fk_orders_customer").alias("check_name"), "n_violations")
+    )
+    nulls = (
+        o.where(F.col("o_totalprice").isNull())
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("not_null_totalprice").alias("check_name"), "n_violations")
+    )
+    ranges = (
+        l.where(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > DISCOUNT_MAX)
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("range_discount").alias("check_name"), "n_violations")
+    )
+    return (
+        dup_mass.unionByName(orphans)
+        .unionByName(nulls)
+        .unionByName(ranges)
+        .orderBy("check_name")
+    )
+
+
+CHECK_CONSTRAINTS_SQL = f"""
+SELECT 'pk_unique_orderkey' AS check_name,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey
+      HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'fk_orders_customer', COUNT(*)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'not_null_totalprice', COUNT(*)
+FROM orders WHERE o_totalprice IS NULL
+UNION ALL
+SELECT 'range_discount', COUNT(*)
+FROM lineitem WHERE l_discount < 0 OR l_discount > {DISCOUNT_MAX}
+ORDER BY check_name
+"""
+
+
 QUERIES = {
     "q_profile_columns": profile_columns,
     "q_group_skew": group_skew,
+    "q_check_constraints": check_constraints,
 }
 
 ORACLE = {
     "q_profile_columns": PROFILE_COLUMNS_SQL,
     "q_group_skew": GROUP_SKEW_SQL,
+    "q_check_constraints": CHECK_CONSTRAINTS_SQL,
 }
