@@ -29,6 +29,7 @@ from mysqldump_to_parquet_spark.llm import vectors as llm_vectors
 from mysqldump_to_parquet_spark.llm import textstats as llm_textstats
 from mysqldump_to_parquet_spark.operators import (
     aggregates,
+    graph,
     asof,
     cogroup,
     composite,
@@ -57,6 +58,7 @@ _MODULES = [
     llm_sampling,
     llm_multimodal,
     composite,
+    graph,
     temporal,
     cogroup,
     profile,

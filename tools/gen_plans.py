@@ -195,6 +195,19 @@ NOTES = {
         "on the join's own key so AQE reuses the partitioning, and the "
         "distribution re-aggregates on the tiny c_count domain."
     ),
+    "q_check_constraints": (
+        "Four data-quality rules in one job tree: PK duplicate mass "
+        "(two-phase group-by), FK orphans (LeftAnti — never an outer "
+        "join), not-null and range predicates pushed to the scans; each "
+        "branch collapses to a 1-row aggregate before the 4-row union."
+    ),
+    "q_dedup_chunks": (
+        "Sub-document dedup: chunks explode with positions, the "
+        "corpus-wide first occurrence is a min-of-struct aggregate "
+        "(two-phase — no window over the corpus), survivors regroup per "
+        "document for ordered reassembly. Two key-partitioned shuffles "
+        "total."
+    ),
 }
 
 
