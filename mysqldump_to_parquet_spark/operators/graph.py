@@ -139,10 +139,116 @@ pr{i} AS (
 
 PAGERANK_SQL = _pagerank_sql()
 
+# ----------------------------------------- market-basket association rules
+
+#: Support floor: items (and pairs) below this basket count are pruned.
+MB_MIN_SUPPORT = 12
+#: Top rules returned (confidence desc, unique pair tie-break).
+MB_TOP_K = 25
+
+
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_assoc_rules: brand-level association rules over order baskets —
+    support / confidence / lift for "orders with brand A also contain
+    brand B" (the market-basket workload, Apriori-pruned).
+
+    Scale shape: baskets collapse to DISTINCT (order, brand) first; the
+    Apriori step filters *items* below min-support **before** any
+    pairing (broadcast semi-join), so the pair self-join only sees
+    frequent items — the classic trick that keeps candidate generation
+    from going quadratic in the catalog.  The pair join is an equi-join
+    on the basket key (shuffle, co-partitioned), pair counts aggregate
+    two-phase, and the confidence/lift arithmetic is exact integer
+    ratios over one broadcast of the (tiny) frequent-item counts.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    freq = (
+        baskets.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .where(F.col("n_item") >= MB_MIN_SUPPORT)
+    )
+    fb = baskets.join(
+        F.broadcast(freq.select("p_brand")), "p_brand", "left_semi"
+    )
+    a = fb.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = fb.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= MB_MIN_SUPPORT)
+    )
+    na = freq.select(F.col("p_brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    nb = freq.select(F.col("p_brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            (F.col("n_pair").cast("double") / n_baskets).alias("support"),
+            (F.col("n_pair").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                F.col("n_pair").cast("double")
+                * n_baskets
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(MB_TOP_K)
+    )
+
+
+ASSOC_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+freq AS (
+  SELECT p_brand, COUNT(*) AS n_item
+  FROM baskets GROUP BY p_brand
+  HAVING COUNT(*) >= {MB_MIN_SUPPORT}
+),
+fb AS (
+  SELECT b.l_orderkey, b.p_brand
+  FROM baskets b JOIN freq f ON b.p_brand = f.p_brand
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_pair
+  FROM fb a JOIN fb b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= {MB_MIN_SUPPORT}
+)
+SELECT brand_a, brand_b, n_pair,
+       CAST(n_pair AS DOUBLE) / (SELECT n_baskets FROM n)  AS support,
+       CAST(n_pair AS DOUBLE) / fa.n_item                  AS confidence,
+       CAST(n_pair AS DOUBLE) * (SELECT n_baskets FROM n)
+         / (CAST(fa.n_item AS DOUBLE) * fb2.n_item)        AS lift
+FROM pairs
+JOIN freq fa  ON fa.p_brand = brand_a
+JOIN freq fb2 ON fb2.p_brand = brand_b
+ORDER BY confidence DESC, brand_a ASC, brand_b ASC
+LIMIT {MB_TOP_K}
+"""
+
+
 QUERIES = {
     "q_pagerank": pagerank,
+    "q_assoc_rules": assoc_rules,
 }
 
 ORACLE = {
     "q_pagerank": PAGERANK_SQL,
+    "q_assoc_rules": ASSOC_RULES_SQL,
 }
