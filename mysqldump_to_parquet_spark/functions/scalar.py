@@ -186,6 +186,44 @@ FROM events
 """
 
 
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_variant: semi-structured access through Spark 4's VARIANT type
+    — ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction feeding an ordinary aggregate.
+
+    Versus q_fn_json's per-path string extraction: VARIANT parses each
+    document once into a binary form all later paths share (and Parquet
+    can shred into columns), which is the scale answer for event
+    payloads queried on several keys — re-running a JSON parser per path
+    per row is the thing that doesn't survive 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FN_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN / coalesce / nullif."""
     o = load_table(spark, sf_dir, "orders")
@@ -219,6 +257,7 @@ QUERIES = {
     "q_fn_array": fn_array,
     "q_fn_map": fn_map,
     "q_fn_json": fn_json,
+    "q_fn_variant": fn_variant,
     "q_fn_cond": fn_cond,
 }
 
@@ -229,5 +268,6 @@ ORACLE = {
     "q_fn_array": FN_ARRAY_SQL,
     "q_fn_map": FN_MAP_SQL,
     "q_fn_json": FN_JSON_SQL,
+    "q_fn_variant": FN_VARIANT_SQL,
     "q_fn_cond": FN_COND_SQL,
 }
