@@ -163,10 +163,14 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # the distinct basket relation feeds three consumers (corpus size,
+    # item counts, the pair join's two sides) — persist it once instead
+    # of re-shuffling the join per consumer
     baskets = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .persist()
     )
     n_baskets = baskets.select("l_orderkey").distinct().count()
     freq = (
@@ -176,7 +180,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fb = baskets.join(
         F.broadcast(freq.select("p_brand")), "p_brand", "left_semi"
-    )
+    ).persist()
     a = fb.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
     b = fb.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
     pairs = (
