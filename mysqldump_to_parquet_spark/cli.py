@@ -41,6 +41,14 @@ def main(argv: list[str] | None = None) -> int:
         "errors instead, enforcing the splittable one-line layout",
     )
     ap.add_argument("--master", default=None, help="Spark master (default local[cores])")
+    ap.add_argument(
+        "--export",
+        metavar="TABLE",
+        default=None,
+        help="reverse direction: treat INPUT as a Parquet dataset and write "
+        "it to OUTPUT as mysqldump-style .sql files (00-schema.sql DDL + "
+        "extended INSERTs) under the given table name",
+    )
     args = ap.parse_args(argv)
 
     if args.input == "-":
@@ -58,6 +66,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="mysqldump-to-parquet", master=args.master)
     try:
+        if args.export:
+            from .sources.dump_datasource import register
+
+            register(spark)
+            df = spark.read.parquet(args.input)
+            (
+                df.write.format("mysqldump")
+                .option("path", args.output)
+                .option("table", args.export)
+                .mode("append")
+                .save()
+            )
+            print(
+                json.dumps(
+                    {"exported": args.export, "rows": df.count(), "output": args.output}
+                )
+            )
+            return 0
         counts = convert_dump(
             spark,
             args.input,

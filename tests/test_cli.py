@@ -56,3 +56,30 @@ def test_cli_multiline_never_flag(spark, tmp_path, monkeypatch):
     # default auto converts it
     assert cli.main([str(dump), "--output", str(tmp_path / "out2")]) == 0
     assert spark.read.parquet(str(tmp_path / "out2/m")).count() == 1
+
+
+def test_cli_export_round_trip(spark, tmp_path, capsys, monkeypatch):
+    """convert → export → convert again: the CLI round-trips a dump
+    through Parquet and back with identical rows."""
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: _NoStop(spark))
+    dump = tmp_path / "demo.sql"
+    dump.write_text(DEMO_DUMP)
+    assert cli.main([str(dump), "--output", str(tmp_path / "pq")]) == 0
+    rc = cli.main(
+        [
+            str(tmp_path / "pq/acct"),
+            "--output", str(tmp_path / "dump_out"),
+            "--export", "acct",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload == {
+        "exported": "acct", "rows": 3, "output": str(tmp_path / "dump_out"),
+    }
+    # re-convert the exported dump: same rows as the original conversion
+    assert cli.main([str(tmp_path / "dump_out/*.sql"),
+                     "--output", str(tmp_path / "pq2")]) == 0
+    a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pq/acct")).collect()))
+    b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pq2/acct")).collect()))
+    assert a == b
