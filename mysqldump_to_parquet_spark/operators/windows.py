@@ -181,8 +181,55 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey 
 """
 
 
+def win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_win_ratio: percent-of-total (ratio_to_report) — each nation's
+    share of its region's customer balance, via an unbounded window over
+    the group.
+
+    The grouped-sum-over-window shape: one exchange on the partition key
+    serves both the per-nation aggregate and the region total (the
+    region window's partition key is a prefix of the group-by's
+    clustering, so no second shuffle).  The naive alternative — aggregate
+    then join back to a totals table — costs an extra shuffle and an
+    extra join at every scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("c_acctbal").alias("nation_bal"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "nation_bal",
+        (F.col("nation_bal") / F.sum("nation_bal").over(w)).alias(
+            "share_of_region"
+        ),
+    ).orderBy("r_name", "n_name")
+
+
+WIN_RATIO_SQL = """
+SELECT r_name, n_name, nation_bal,
+       nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name)
+         AS share_of_region
+FROM (
+  SELECT r_name, n_name, SUM(c_acctbal) AS nation_bal
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+ORDER BY r_name, n_name
+"""
+
+
 QUERIES = {
     "q_win_cume": win_cume,
+    "q_win_ratio": win_ratio,
     "q_win_rank": win_rank,
     "q_win_ntile": win_ntile_firstlast,
     "q_win_lag_lead": win_lag_lead,
@@ -192,6 +239,7 @@ QUERIES = {
 
 ORACLE = {
     "q_win_cume": WIN_CUME_SQL,
+    "q_win_ratio": WIN_RATIO_SQL,
     "q_win_rank": WIN_RANK_SQL,
     "q_win_ntile": WIN_NTILE_SQL,
     "q_win_lag_lead": WIN_LAG_LEAD_SQL,

@@ -202,3 +202,35 @@ def test_transform_with_state_plan_builds(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "user_id", "n_events", "total_value", "n_types",
     ]
+
+
+def test_streaming_available_now_backfill(spark, tmp_path):
+    """Trigger.AvailableNow: the production backfill pattern — drain the
+    entire existing backlog in rate-limited micro-batches, then STOP (no
+    perpetual query to babysit).  The drained aggregate must equal the
+    batch aggregate over the same files, and the query must terminate on
+    its own."""
+    events = read_event_stream(spark, _events_dir(tmp_path))
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_avnow")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "AvailableNow query did not self-stop"
+    got = {r.event_type: (r.n, r.total) for r in spark.table("t_avnow").collect()}
+    batch = {
+        r.event_type: (r.n, r.total)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for k, (n, total) in batch.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - total) < 1e-6
