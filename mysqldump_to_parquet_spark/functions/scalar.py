@@ -224,6 +224,90 @@ ORDER BY event_type
 """
 
 
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_bitwise: bit operators over integer keys — AND/OR/XOR/shift/
+    bit_count, the building blocks of bitmap indexes, bloom hashes, and
+    flag columns.  All codegen'd JVM arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderkey").bitwiseAND(F.lit(0xFF))).alias("low_byte"),
+        (F.col("o_orderkey").bitwiseOR(F.lit(1))).alias("set_lsb"),
+        (F.col("o_orderkey").bitwiseXOR(F.col("o_custkey"))).alias("key_xor"),
+        F.shiftleft(F.col("o_orderkey"), 3).alias("shl3"),
+        F.shiftright(F.col("o_orderkey"), 2).alias("shr2"),
+        F.bit_count("o_orderkey").cast("long").alias("popcount"),
+    )
+
+
+FN_BITWISE_SQL = """
+SELECT o_orderkey,
+       o_orderkey & 255                 AS low_byte,
+       o_orderkey | 1                   AS set_lsb,
+       xor(o_orderkey, o_custkey)       AS key_xor,
+       o_orderkey << 3                  AS shl3,
+       o_orderkey >> 2                  AS shr2,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+FROM orders
+"""
+
+
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_bool: boolean aggregates per group — every/any (bool_and /
+    bool_or) and count_if, the idioms behind SLA checks ("did every
+    shipment arrive discounted?") that otherwise get written as clumsy
+    SUM(CASE…)=COUNT(*) pairs.  Two-phase like any other aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.every(F.col("l_discount") > 0).alias("all_discounted"),
+            F.any_value(F.lit(True)).alias("nonempty"),
+            F.bool_or(F.col("l_quantity") >= 50).alias("any_bulk"),
+            F.count_if(F.col("l_tax") > 0.05).alias("n_taxed"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BOOL_SQL = """
+SELECT l_returnflag,
+       bool_and(l_discount > 0)                 AS all_discounted,
+       TRUE                                     AS nonempty,
+       bool_or(l_quantity >= 50)                AS any_bulk,
+       CAST(count_if(l_tax > 0.05) AS BIGINT)   AS n_taxed
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_hash: cross-engine-stable digests and encodings — md5 / sha2 /
+    base64 / hex.  These are the primitives the dedup/split/sample
+    operators build on; all are bit-identical across engines by
+    specification (unlike xxhash64/hash, which are engine-internal and
+    deliberately kept out of oracle-checked outputs)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_hex"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("sha256_hex"),
+        F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+        F.lower(F.hex(F.col("c_name").cast("binary"))).alias("name_hex"),
+    )
+
+
+FN_HASH_SQL = """
+SELECT c_custkey,
+       md5(c_name)                          AS md5_hex,
+       sha256(c_name)                       AS sha256_hex,
+       to_base64(CAST(c_name AS BLOB))      AS name_b64,
+       lower(hex(CAST(c_name AS BLOB)))     AS name_hex
+FROM customer
+"""
+
+
 def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN / coalesce / nullif."""
     o = load_table(spark, sf_dir, "orders")
@@ -258,6 +342,9 @@ QUERIES = {
     "q_fn_map": fn_map,
     "q_fn_json": fn_json,
     "q_fn_variant": fn_variant,
+    "q_fn_bitwise": fn_bitwise,
+    "q_agg_bool": agg_bool,
+    "q_fn_hash": fn_hash,
     "q_fn_cond": fn_cond,
 }
 
@@ -269,5 +356,8 @@ ORACLE = {
     "q_fn_map": FN_MAP_SQL,
     "q_fn_json": FN_JSON_SQL,
     "q_fn_variant": FN_VARIANT_SQL,
+    "q_fn_bitwise": FN_BITWISE_SQL,
+    "q_agg_bool": AGG_BOOL_SQL,
+    "q_fn_hash": FN_HASH_SQL,
     "q_fn_cond": FN_COND_SQL,
 }
