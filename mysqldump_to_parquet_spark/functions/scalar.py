@@ -308,6 +308,63 @@ FROM customer
 """
 
 
+def fn_date_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_date_calendar: the calendar-arithmetic family beyond q_fn_date
+    — month-end (billing cutoffs), quarter bucketing, ISO week, day-of-
+    week, and month addition with end-of-month clamping.  Spark's
+    ``dayofweek`` is 1=Sunday while DuckDB's is 0=Sunday — the oracle
+    aligns with ``+1``; every other function agrees by specification."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.add_months(d, 1).alias("next_month"),
+    )
+
+
+FN_DATE_CALENDAR_SQL = """
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE))                    AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE)       AS quarter_start,
+       dayofweek(CAST(o_orderdate AS DATE)) + 1               AS dow,
+       weekofyear(CAST(o_orderdate AS DATE))                  AS iso_week,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month
+FROM orders
+"""
+
+
+def agg_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_grouping: CUBE with ``grouping()`` flags — the metadata
+    column that lets a consumer distinguish "NULL because subtotal" from
+    "NULL because the data was NULL", which the plain cube/rollup
+    operators cannot.  Same Expand-based plan as q_agg_cube."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+AGG_GROUPING_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus)   AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
 def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN / coalesce / nullif."""
     o = load_table(spark, sf_dir, "orders")
@@ -345,6 +402,8 @@ QUERIES = {
     "q_fn_bitwise": fn_bitwise,
     "q_agg_bool": agg_bool,
     "q_fn_hash": fn_hash,
+    "q_fn_date_calendar": fn_date_calendar,
+    "q_agg_grouping": agg_grouping,
     "q_fn_cond": fn_cond,
 }
 
@@ -359,5 +418,7 @@ ORACLE = {
     "q_fn_bitwise": FN_BITWISE_SQL,
     "q_agg_bool": AGG_BOOL_SQL,
     "q_fn_hash": FN_HASH_SQL,
+    "q_fn_date_calendar": FN_DATE_CALENDAR_SQL,
+    "q_agg_grouping": AGG_GROUPING_SQL,
     "q_fn_cond": FN_COND_SQL,
 }
