@@ -208,9 +208,59 @@ FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
 """
 
 
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_attribution: the batch twin of the stream-stream interval
+    join (``streaming/stream.py::interval_join_stream``) — each purchase
+    matched to the same user's views in the preceding 6 hours, counted
+    per purchase.
+
+    This is the exact computation the watermarked streaming version must
+    emit (asserted row-for-row in tests/test_streaming.py); registering
+    the batch form gives the attribution semantics a hash-checked driver
+    row.  Plan: both sides equi-join on user_id (one co-partitioned
+    shuffle) with the time bounds as a residual — at 100 TB the bin-
+    blocked form (q_join_interval) replaces the residual when per-user
+    fan-in is large."""
+    from ..catalog import load_table
+    from .stream import split_views_purchases
+
+    views, purchases = split_views_purchases(load_table(spark, sf_dir, "events"))
+    return (
+        views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .groupBy(F.col("p_user").alias("user_id"), "purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed_views"),
+            F.min("view_id").alias("first_view_id"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+STREAM_ATTRIBUTION_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       COUNT(*)        AS n_attributed_views,
+       MIN(v.event_id) AS first_view_id
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 6 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, purchase_id
+"""
+
+
 QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
     "q_resample_locf": resample_locf,
+    "q_stream_attribution": stream_attribution,
     "q_stream_tumbling": stream_tumbling,
     "q_stream_sliding": stream_sliding,
     "q_stream_session": stream_session,
@@ -223,4 +273,5 @@ ORACLE = {
     "q_stream_session": STREAM_SESSION_SQL,
     "q_stream_dedup": STREAM_DEDUP_SQL,
     "q_resample_locf": RESAMPLE_LOCF_SQL,
+    "q_stream_attribution": STREAM_ATTRIBUTION_SQL,
 }
