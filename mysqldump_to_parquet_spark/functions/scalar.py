@@ -365,6 +365,48 @@ ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """
 
 
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_minmax_by: argmax/argmin aggregates — each customer's most
+    and least expensive order id in ONE grouped pass (``max_by`` /
+    ``min_by``), replacing the window-rank-then-filter idiom and its
+    extra sort.  Ordering values (o_totalprice) are distinct per customer
+    with probability ~1, and determinism is pinned anyway by taking
+    argmax of the (price, orderkey) *pair* — a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    pair = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", pair).alias("best_order"),
+            F.min_by("o_orderkey", pair).alias("worst_order"),
+            F.max("o_totalprice").alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+#: DuckDB's arg_max does not take a composite ordering key, so the oracle
+#: expresses the identical (price, orderkey) total order with two ranked
+#: windows — same argmax/argmin selection, fully deterministic.
+AGG_MINMAX_BY_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice ASC, o_orderkey ASC)  AS rmin
+  FROM orders
+)
+SELECT o_custkey,
+       MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+       MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order,
+       MAX(o_totalprice)                           AS best_price
+FROM ranked
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN / coalesce / nullif."""
     o = load_table(spark, sf_dir, "orders")
@@ -404,6 +446,7 @@ QUERIES = {
     "q_fn_hash": fn_hash,
     "q_fn_date_calendar": fn_date_calendar,
     "q_agg_grouping": agg_grouping,
+    "q_agg_minmax_by": agg_minmax_by,
     "q_fn_cond": fn_cond,
 }
 
@@ -420,5 +463,6 @@ ORACLE = {
     "q_fn_hash": FN_HASH_SQL,
     "q_fn_date_calendar": FN_DATE_CALENDAR_SQL,
     "q_agg_grouping": AGG_GROUPING_SQL,
+    "q_agg_minmax_by": AGG_MINMAX_BY_SQL,
     "q_fn_cond": FN_COND_SQL,
 }
