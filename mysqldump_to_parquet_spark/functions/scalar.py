@@ -385,6 +385,95 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_string_pad: the formatting/string-shaping family — lpad/rpad
+    (fixed-width keys, zero-padded ids), translate (character maps),
+    repeat, reverse.  All codegen'd; byte-identical across engines."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("key4"),
+        F.rpad("n_name", 12, ".").alias("name_pad"),
+        F.translate("n_name", "_", "-").alias("name_dash"),
+        F.repeat(F.lit("ab"), 3).alias("abab"),
+        F.reverse("n_name").alias("name_rev"),
+    )
+
+
+FN_STRING_PAD_SQL = """
+SELECT n_nationkey,
+       lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key4,
+       rpad(n_name, 12, '.')                      AS name_pad,
+       translate(n_name, '_', '-')                AS name_dash,
+       repeat('ab', 3)                            AS abab,
+       reverse(n_name)                            AS name_rev
+FROM nation
+"""
+
+
+def fn_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_array_algebra: array set-algebra and access — sort, distinct,
+    concat, contains, position, slice — over per-customer token arrays.
+    Arrays are sorted before comparison so the multiset hash is
+    order-stable on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    toks = F.split("c_name", "#")
+    return c.select(
+        "c_custkey",
+        F.array_sort(toks).alias("toks_sorted"),
+        F.array_sort(F.array_distinct(F.concat(toks, toks))).alias("toks_dedup"),
+        F.concat(toks, F.array(F.lit("x"))).alias("toks_plus"),
+        F.array_contains(toks, "Customer").alias("has_prefix"),
+        F.array_position(toks, "Customer").cast("long").alias("prefix_pos"),
+        F.slice(toks, 1, 1).alias("first_tok"),
+    )
+
+
+FN_ARRAY_ALGEBRA_SQL = """
+SELECT c_custkey,
+       list_sort(string_split(c_name, '#'))                     AS toks_sorted,
+       list_sort(list_distinct(string_split(c_name, '#')
+                     || string_split(c_name, '#')))             AS toks_dedup,
+       string_split(c_name, '#') || ['x']                       AS toks_plus,
+       list_contains(string_split(c_name, '#'), 'Customer')     AS has_prefix,
+       CAST(list_position(string_split(c_name, '#'), 'Customer') AS BIGINT)
+                                                                AS prefix_pos,
+       string_split(c_name, '#')[1:1]                           AS first_tok
+FROM customer
+"""
+
+
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_collect: grouped collection aggregates — the ordered list of
+    a nation's customer keys and the distinct segment set.  collect_list
+    has no deterministic order by itself, so the list is built from
+    ``array_sort`` (and the set from sorted ``collect_set``) — the only
+    way collection outputs can hash-match across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.collect_list("c_custkey")).alias("cust_keys"),
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT c_nationkey,
+       list(c_custkey ORDER BY c_custkey)            AS cust_keys,
+       list_sort(list(DISTINCT c_mktsegment))        AS segments,
+       COUNT(*)                                      AS n_cust
+FROM customer
+WHERE c_custkey <= 200
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 #: DuckDB's arg_max does not take a composite ordering key, so the oracle
 #: expresses the identical (price, orderkey) total order with two ranked
 #: windows — same argmax/argmin selection, fully deterministic.
@@ -447,6 +536,9 @@ QUERIES = {
     "q_fn_date_calendar": fn_date_calendar,
     "q_agg_grouping": agg_grouping,
     "q_agg_minmax_by": agg_minmax_by,
+    "q_fn_string_pad": fn_string_pad,
+    "q_fn_array_algebra": fn_array_algebra,
+    "q_agg_collect": agg_collect,
     "q_fn_cond": fn_cond,
 }
 
@@ -464,5 +556,8 @@ ORACLE = {
     "q_fn_date_calendar": FN_DATE_CALENDAR_SQL,
     "q_agg_grouping": AGG_GROUPING_SQL,
     "q_agg_minmax_by": AGG_MINMAX_BY_SQL,
+    "q_fn_string_pad": FN_STRING_PAD_SQL,
+    "q_fn_array_algebra": FN_ARRAY_ALGEBRA_SQL,
+    "q_agg_collect": AGG_COLLECT_SQL,
     "q_fn_cond": FN_COND_SQL,
 }
