@@ -385,6 +385,29 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_regex: the regex family beyond extract/replace — rlike
+    predicates, match counting, and extract-all arrays (the primitives of
+    log parsing and PII scrubbing).  Both engines use RE2-compatible
+    pattern subsets here, so results are specification-identical."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
+        F.regexp_count("c_name", F.lit("[0-9]")).cast("long").alias("n_digits"),
+        F.regexp_extract_all("c_name", F.lit("([0-9]+)"), 1).alias("digit_runs"),
+    )
+
+
+FN_REGEX_SQL = """
+SELECT c_custkey,
+       regexp_matches(c_name, '[0-9]{3}')                      AS has_3digits,
+       CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits,
+       regexp_extract_all(c_name, '([0-9]+)', 1)               AS digit_runs
+FROM customer
+"""
+
+
 def fn_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_fn_string_pad: the formatting/string-shaping family — lpad/rpad
     (fixed-width keys, zero-padded ids), translate (character maps),
@@ -537,6 +560,7 @@ QUERIES = {
     "q_agg_grouping": agg_grouping,
     "q_agg_minmax_by": agg_minmax_by,
     "q_fn_string_pad": fn_string_pad,
+    "q_fn_regex": fn_regex,
     "q_fn_array_algebra": fn_array_algebra,
     "q_agg_collect": agg_collect,
     "q_fn_cond": fn_cond,
@@ -557,6 +581,7 @@ ORACLE = {
     "q_agg_grouping": AGG_GROUPING_SQL,
     "q_agg_minmax_by": AGG_MINMAX_BY_SQL,
     "q_fn_string_pad": FN_STRING_PAD_SQL,
+    "q_fn_regex": FN_REGEX_SQL,
     "q_fn_array_algebra": FN_ARRAY_ALGEBRA_SQL,
     "q_agg_collect": AGG_COLLECT_SQL,
     "q_fn_cond": FN_COND_SQL,
