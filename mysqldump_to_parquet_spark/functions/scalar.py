@@ -385,6 +385,45 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_explode_outer: null-preserving lateral expansion —
+    ``posexplode_outer`` keeps rows whose array is empty (pos/val NULL),
+    where plain explode silently drops them.  The semantic that matters
+    for fact tables with optional repeated attributes: an outer explode
+    is row-count-auditable (every input key still appears), an inner one
+    is not.  The 1→N fan-out happens inside the scan stage (Generate
+    node), no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    arr = F.regexp_extract_all("c_mktsegment", F.lit("(U)"), 1)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.posexplode_outer(arr),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col").alias("val"),
+    )
+
+
+FN_EXPLODE_OUTER_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         regexp_extract_all(c_mktsegment, '(U)', 1) AS arr
+  FROM customer
+),
+ex AS (
+  SELECT c_custkey,
+         CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+         unnest(arr) AS val
+  FROM base
+)
+SELECT b.c_custkey, b.c_mktsegment, e.pos, e.val
+FROM base b LEFT JOIN ex e ON b.c_custkey = e.c_custkey
+"""
+
+
 def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_fn_regex: the regex family beyond extract/replace — rlike
     predicates, match counting, and extract-all arrays (the primitives of
@@ -561,6 +600,7 @@ QUERIES = {
     "q_agg_minmax_by": agg_minmax_by,
     "q_fn_string_pad": fn_string_pad,
     "q_fn_regex": fn_regex,
+    "q_fn_explode_outer": fn_explode_outer,
     "q_fn_array_algebra": fn_array_algebra,
     "q_agg_collect": agg_collect,
     "q_fn_cond": fn_cond,
@@ -582,6 +622,7 @@ ORACLE = {
     "q_agg_minmax_by": AGG_MINMAX_BY_SQL,
     "q_fn_string_pad": FN_STRING_PAD_SQL,
     "q_fn_regex": FN_REGEX_SQL,
+    "q_fn_explode_outer": FN_EXPLODE_OUTER_SQL,
     "q_fn_array_algebra": FN_ARRAY_ALGEBRA_SQL,
     "q_agg_collect": AGG_COLLECT_SQL,
     "q_fn_cond": FN_COND_SQL,
