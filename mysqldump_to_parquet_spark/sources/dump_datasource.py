@@ -234,7 +234,17 @@ def _sql_literal(v) -> str:
     if isinstance(v, bytes):
         return "0x" + v.hex() if v else "''"
     if isinstance(v, str):
-        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+        # control characters MUST be escaped or an embedded newline breaks
+        # the one-statement-per-line contract the splittable reader relies
+        # on (mysqldump escapes the same set)
+        s = (
+            v.replace("\\", "\\\\")
+            .replace("'", "''")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\0", "\\0")
+        )
+        return "'" + s + "'"
     if isinstance(v, Decimal):
         return format(v, "f")
     if isinstance(v, float):

@@ -163,3 +163,32 @@ def test_write_real_table_round_trip(registered, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, orders.collect())
     )
+
+
+def test_write_escapes_hostile_strings(registered, tmp_path):
+    """Strings with newlines / quotes / backslashes / tabs must survive
+    the export round trip — an unescaped newline would break the
+    one-statement-per-line contract the splittable reader depends on."""
+    hostile = [
+        (1, "line1\nline2"),
+        (2, "quote'quote"),
+        (3, "back\\slash"),
+        (4, "cr\rlf\ntab\there"),
+        (5, "plain"),
+    ]
+    df = registered.createDataFrame(hostile, "k long, v string")
+    out = str(tmp_path / "hostile")
+    (
+        df.write.format("mysqldump")
+        .option("path", out)
+        .option("table", "h")
+        .mode("append")
+        .save()
+    )
+    back = (
+        registered.read.format("mysqldump")
+        .option("path", f"{out}/*.sql")
+        .option("table", "h")
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(hostile)
