@@ -274,6 +274,69 @@ FROM region CROSS JOIN nation
 """
 
 
+#: Values nulled out on each side to create genuinely NULL join keys.
+_NS_LEFT_NULL = "BUILDING"
+_NS_RIGHT_NULL = "1-URGENT"
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics CDC/merge pipelines need when NULL is
+    a legitimate key value, and which plain ``=`` silently drops.
+
+    Both sides derive a nullable bucket key (a segment/priority nulled for
+    one value), then join on ``eqNullSafe``.  Still an ordinary hash
+    equi-join — null-safe equality is a deterministic key function, so it
+    shuffles on the key like any other join (NULLs all hash to one bucket;
+    a production key with many NULLs would pre-split them like any other
+    skewed value).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    left = (
+        c.select(
+            F.when(F.col("c_mktsegment") == _NS_LEFT_NULL, None)
+            .otherwise(F.substring("c_mktsegment", 1, 1))
+            .alias("lk")
+        )
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    right = (
+        o.select(
+            F.when(F.col("o_orderpriority") == _NS_RIGHT_NULL, None)
+            .otherwise(F.substring("o_orderpriority", 3, 1))
+            .alias("rk")
+        )
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    return (
+        left.join(right, left.lk.eqNullSafe(right.rk))
+        .select("lk", "rk", "n_cust", "n_ord")
+        .orderBy(F.asc_nulls_first("lk"), F.asc_nulls_first("rk"))
+    )
+
+
+JOIN_NULL_SAFE_SQL = f"""
+WITH l AS (
+  SELECT CASE WHEN c_mktsegment = '{_NS_LEFT_NULL}' THEN NULL
+              ELSE substring(c_mktsegment, 1, 1) END AS lk,
+         COUNT(*) AS n_cust
+  FROM customer GROUP BY 1
+),
+r AS (
+  SELECT CASE WHEN o_orderpriority = '{_NS_RIGHT_NULL}' THEN NULL
+              ELSE substring(o_orderpriority, 3, 1) END AS rk,
+         COUNT(*) AS n_ord
+  FROM orders GROUP BY 1
+)
+SELECT lk, rk, n_cust, n_ord
+FROM l JOIN r ON l.lk IS NOT DISTINCT FROM r.rk
+ORDER BY lk NULLS FIRST, rk NULLS FIRST
+"""
+
+
 #: Interval-join bin width = the maximum interval length (10 minutes), so
 #: any interval overlaps at most 2 bins and any point falls in exactly 1.
 _INTERVAL_MINUTES = 10
@@ -525,6 +588,7 @@ QUERIES = {
     "q_join_anti": join_anti,
     "q_join_theta_range": join_theta_range,
     "q_join_cross": join_cross,
+    "q_join_null_safe": join_null_safe,
     "q_join_interval": join_interval,
     "q_sort_limit": sort_limit,
     "q_topk_per_group": topk_per_group,
@@ -546,6 +610,7 @@ ORACLE = {
     "q_join_anti": JOIN_ANTI_SQL,
     "q_join_theta_range": JOIN_THETA_RANGE_SQL,
     "q_join_cross": JOIN_CROSS_SQL,
+    "q_join_null_safe": JOIN_NULL_SAFE_SQL,
     "q_join_interval": JOIN_INTERVAL_SQL,
     "q_sort_limit": SORT_LIMIT_SQL,
     "q_topk_per_group": TOPK_PER_GROUP_SQL,
