@@ -208,6 +208,20 @@ NOTES = {
         "document for ordered reassembly. Two key-partitioned shuffles "
         "total."
     ),
+    "q_assoc_rules": (
+        "Market-basket rules with Apriori pruning: the distinct basket "
+        "relation persists once for its three consumers; items below "
+        "min-support are pruned by broadcast semi-join BEFORE the pair "
+        "self-join, so candidate generation never goes quadratic in the "
+        "catalog; pair counts aggregate two-phase."
+    ),
+    "q_pagerank": (
+        "Six synchronous supersteps, each an edges ⋈ ranks join + "
+        "destination aggregate — the weighted edge table persists once "
+        "and every round shuffles on the same node key; ranks re-persist "
+        "and the previous round unpersists, so memory is O(V+E) at any "
+        "iteration count. No collect, no driver-side graph state."
+    ),
 }
 
 
