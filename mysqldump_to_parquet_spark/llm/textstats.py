@@ -118,6 +118,34 @@ FROM scored
 """
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_lang_confusion: confusion matrix of the language-ID heuristic
+    against the labeled ``lang`` column — the classifier-evaluation loop
+    every filtering heuristic needs before it gates a corpus (how much
+    labeled-en is predicted 'und'? which pairs confuse?).
+
+    Shape: the per-document prediction is the zero-shuffle scoring pass
+    of :func:`lang_id`; the matrix is one tiny (labels × labels)
+    aggregate on top.  Exact counts, so the evaluation itself is
+    hash-checkable — no sampled metrics."""
+    pred = lang_id(spark, sf_dir)
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_sql()})
+SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY labeled_lang, predicted_lang
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
 # ------------------------------------------------------------- quality score
 
 
@@ -406,6 +434,7 @@ GROUP BY t.train_id, e.eval_id
 QUERIES = {
     "q_text_stats": text_stats,
     "q_lang_id": lang_id,
+    "q_lang_confusion": lang_confusion,
     "q_quality_score": quality_score,
     "q_token_count": token_count,
     "q_fingerprint": fingerprint,
@@ -417,6 +446,7 @@ QUERIES = {
 ORACLE = {
     "q_text_stats": TEXT_STATS_SQL,
     "q_lang_id": _lang_id_sql(),
+    "q_lang_confusion": _lang_confusion_sql(),
     "q_quality_score": QUALITY_SCORE_SQL,
     "q_token_count": TOKEN_COUNT_SQL,
     "q_fingerprint": FINGERPRINT_SQL,
