@@ -248,13 +248,68 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Radius search: cosine threshold and the bounded candidate id range
+#: (the verifier role — at scale the candidate set comes from the LSH/IVF
+#: buckets above, exactly as ngram-Jaccard verifies MinHash candidates).
+RADIUS_TAU = 0.15
+RADIUS_MAX_ID = 150
+
+
+def sim_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_radius: range similarity search — every vector within cosine
+    ≥ τ of the probe (the "find all near matches" complement of top-k,
+    which can only answer "find the k nearest").
+
+    Same single-pass fold-per-row plan as q_sim_topk, but the cut is a
+    scan-side predicate instead of a global k-merge — output size is
+    data-dependent, so the operator reports the full matching set.  The
+    id bound documents the verifier role: at 100 TB the radius predicate
+    runs over ANN candidates, not the raw corpus."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < RADIUS_MAX_ID
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cos = F.round(cosine_expr(dbl, _probe_col()), 6)
+    return (
+        e.select("vec_id", "label", cos.alias("cosine"))
+        .where(F.col("cosine") >= RADIUS_TAU)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+SIM_RADIUS_SQL = f"""
+WITH probe AS (SELECT {_probe_sql_list()}::DOUBLE[] AS p)
+SELECT vec_id, label, cosine
+FROM (
+  SELECT vec_id, label,
+         ROUND(
+           list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 64),
+                              i -> CAST(embedding[i] AS DOUBLE) * p[i])),
+             (s, x) -> s + x)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (s, x) -> s + x))
+              * sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(p, x -> x * x)), (s, x) -> s + x)))
+         , 6) AS cosine
+  FROM embeddings, probe
+  WHERE vec_id < {RADIUS_MAX_ID}
+)
+WHERE cosine >= {RADIUS_TAU}
+ORDER BY cosine DESC, vec_id ASC
+"""
+
+
 QUERIES = {
     "q_sim_topk": sim_topk,
+    "q_sim_radius": sim_radius,
     "q_sim_ann_lsh": sim_ann_lsh,
     "q_sim_ann_ivf": sim_ann_ivf,
 }
 
 ORACLE = {
     "q_sim_topk": SIM_TOPK_SQL,
+    "q_sim_radius": SIM_RADIUS_SQL,
     # q_sim_ann_lsh / q_sim_ann_ivf: approximate-recall ANN — rows-only.
 }
