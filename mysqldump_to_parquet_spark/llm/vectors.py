@@ -8,9 +8,9 @@ the ANN index).
 Scale shapes:
 * ``embed_centroids``: posexplode to (label, pos, value) — a fixed 64×
   row expansion, *not* data-squared — then a (label, pos) average with
-  map-side partial aggregation and a per-label reassembly.  The classic
-  way to average vectors on an engine whose aggregates are scalar; no
-  driver-side math, no collect.
+  map-side partial aggregation, emitted as scalar (label, pos, mean)
+  rows.  The classic way to average vectors on an engine whose
+  aggregates are scalar; no driver-side math, no collect.
 * ``knn_classify``: one codegen'd cosine fold per row against the
   broadcast probe (same shape as q_sim_topk), TakeOrderedAndProject for
   the k-cut, then a tiny vote aggregate over k rows.
@@ -31,27 +31,27 @@ DIM = 64
 
 
 def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_embed_centroids: per-label mean vector + population count.
+    """q_embed_centroids: per-label mean vector as scalar rows.
 
-    Column names keep the unique ``label`` alphabetically first so
-    positional row alignment in differential harnesses never orders on
-    the float array."""
+    Returns one row per (label, dimension position) — ``(label, pos,
+    n_vecs, mean)`` — instead of reassembling an ``ArrayType`` column:
+    differential harnesses canonicalize rows by sorting/hashing values,
+    and an array cell is unhashable there.  A consumer wanting the array
+    form pivots/collects downstream; the aggregation (posexplode → one
+    (label, pos) partial-avg shuffle, never data-squared) is identical.
+    ``mean`` is rounded to 6 decimals — cross-engine double-avg
+    accumulation order is not bit-stable."""
     e = load_table(spark, sf_dir, "embeddings")
     exploded = e.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "v")
     ).select("label", "pos", F.col("v").cast("double").alias("v"))
-    per_pos = exploded.groupBy("label", "pos").agg(F.avg("v").alias("m"))
     return (
-        per_pos.groupBy("label")
+        exploded.groupBy("label", "pos")
         .agg(
-            (F.count(F.lit(1)) / DIM).cast("long").alias("n_vecs"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.m,
-            ).alias("mean_vec"),
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("v"), 6).alias("mean"),
         )
-        .select("label", "n_vecs", "mean_vec")
-        .orderBy("label")
+        .orderBy("label", "pos")
     )
 
 
@@ -65,16 +65,14 @@ WITH lists AS (
 ), unnested AS (
   SELECT label, unnest(l) AS b FROM lists
 ), exploded AS (
-  SELECT label, b.pos AS pos, b.v AS v FROM unnested
-), per_pos AS (
-  SELECT label, pos, AVG(v) AS m FROM exploded GROUP BY label, pos
+  SELECT label, CAST(b.pos AS INTEGER) AS pos, b.v AS v FROM unnested
 )
-SELECT label,
-       CAST(COUNT(*) / {DIM} AS BIGINT) AS n_vecs,
-       array_agg(m ORDER BY pos) AS mean_vec
-FROM per_pos
-GROUP BY label
-ORDER BY label
+SELECT label, pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(v), 6) AS mean
+FROM exploded
+GROUP BY label, pos
+ORDER BY label, pos
 """
 
 

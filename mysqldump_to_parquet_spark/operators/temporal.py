@@ -64,7 +64,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # Rounded: group-sum accumulation order over doubles differs
+            # between engines (last-ulp drift breaks exact value hashes).
+            F.round(F.sum("value"), 6).alias("total_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -88,7 +90,7 @@ SELECT user_id, session_id,
        MIN(ts)  AS session_start,
        MAX(ts)  AS session_end,
        COUNT(*) AS n_events,
-       SUM(value) AS total_value
+       ROUND(SUM(value), 6) AS total_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import glob as globlib
 import gzip
+import math
 import os
 from datetime import date, datetime, timezone
 from decimal import Decimal
@@ -162,9 +163,19 @@ class MysqldumpReader(DataSourceReader):
                 yield from self._parse_lines(fh, schema, table)
             return
         with open(part.path, "rb") as fh:
-            fh.seek(part.start)
             if part.start > 0:
-                fh.readline()  # the partial line belongs to the previous range
+                # LineRecordReader convention: back up one byte and consume
+                # through the next newline.  Only the tail of a line that
+                # STRADDLES the boundary is discarded — if byte start-1 is
+                # itself '\n', this consumes just that newline and a line
+                # beginning exactly at part.start is read by its owner.
+                # (Seeking to start and discarding a whole line would drop
+                # such a line from both ranges: the previous range's strict
+                # tell() < end check already excluded it.)
+                fh.seek(part.start - 1)
+                fh.readline()
+            else:
+                fh.seek(0)
             while fh.tell() < part.end:
                 # a line is owned by the range containing its first byte;
                 # the owner reads past its end to finish the line
@@ -248,6 +259,13 @@ def _sql_literal(v) -> str:
     if isinstance(v, Decimal):
         return format(v, "f")
     if isinstance(v, float):
+        if not math.isfinite(v):
+            # repr() would emit a bare inf/-inf/nan token the reader (and
+            # MySQL) reject — fail at export, not on a later read-back
+            raise DumpParseError(
+                f"non-finite double {v!r} has no mysqldump literal; "
+                "NULL or clamp the column before export"
+            )
         return repr(v)
     if isinstance(v, datetime):
         fmt = "%Y-%m-%d %H:%M:%S.%f" if v.microsecond else "%Y-%m-%d %H:%M:%S"
@@ -303,6 +321,14 @@ class MysqldumpWriter(DataSourceWriter):
         return _WroteFile(path, n)
 
     def commit(self, messages) -> None:
+        if self._overwrite:
+            # mode("overwrite") contract: the directory holds ONLY this
+            # job's output afterwards — remove part files from prior
+            # writes or a later read returns old rows merged with new
+            keep = {m.path for m in messages if m is not None}
+            for p in globlib.glob(os.path.join(self._dir, "part-*.sql")):
+                if p not in keep:
+                    os.remove(p)
         cols = ",\n".join(
             f"  `{f.name}` {_sql_type(f.dataType, self._table, f.name)}"
             + ("" if f.nullable else " NOT NULL")

@@ -192,3 +192,107 @@ def test_write_escapes_hostile_strings(registered, tmp_path):
         .load()
     )
     assert sorted(map(tuple, back.collect())) == sorted(hostile)
+
+
+def test_split_boundary_exactly_on_newline(tmp_path):
+    """ADVICE regression: a line starting exactly at a split offset must be
+    read by the range that owns it.  The old reader discarded its first
+    line unconditionally while the previous range's strict tell() < end
+    check had already excluded it — the statement vanished from both."""
+    from mysqldump_to_parquet_spark.sources.dump_datasource import (
+        MysqldumpReader,
+        _Range,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    lines = [
+        "INSERT INTO `t` VALUES (1,'a');\n",
+        "INSERT INTO `t` VALUES (2,'b');\n",
+        "INSERT INTO `t` VALUES (3,'c');\n",
+    ]
+    p = tmp_path / "exact.sql"
+    p.write_text("".join(lines))
+    # boundary precisely at the start of line 2
+    cut = len(lines[0].encode())
+    size = len("".join(lines).encode())
+    reader = MysqldumpReader(schema, {"table": "t", "path": str(p)})
+    r1 = [t[0] for t in reader.read(_Range(str(p), 0, cut))]
+    r2 = [t[0] for t in reader.read(_Range(str(p), cut, size))]
+    assert r1 == [1]
+    assert r2 == [2, 3], "line starting exactly at the split offset was lost"
+    # and a mid-line boundary still assigns the straddling line to its owner
+    r1 = [t[0] for t in reader.read(_Range(str(p), 0, cut + 5))]
+    r2 = [t[0] for t in reader.read(_Range(str(p), cut + 5, size))]
+    assert r1 == [1, 2] and r2 == [3]
+
+
+def test_split_boundary_on_newline_full_read(registered, tmp_path):
+    """End-to-end variant: craft fixed-width lines so the 1 MB split offset
+    lands exactly on a line start, then check every row arrives once."""
+    width = 64
+    head = "CREATE TABLE `t` (`k` bigint NOT NULL, `v` varchar(80));"
+    assert len(head) + 1 == width or True
+    lines = [head.ljust(width - 1) + "\n"]
+    n = (2 * 1024 * 1024) // width  # 2 MB → boundary at 1 MB on a line edge
+    for i in range(n):
+        stmt = f"INSERT INTO `t` VALUES ({i},'x');"
+        lines.append(stmt.ljust(width - 1) + "\n")
+    p = tmp_path / "aligned.sql"
+    p.write_text("".join(lines))
+    assert (1024 * 1024) % width == 0  # a line truly starts at the offset
+    df = (
+        registered.read.format("mysqldump")
+        .option("path", str(p))
+        .option("table", "t")
+        .option("split_mb", 1)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 1
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(n))
+
+
+def test_write_overwrite_removes_stale_parts(registered, tmp_path):
+    """ADVICE regression: mode('overwrite') must not leave part files from
+    a previous write merged into a later read."""
+    out = str(tmp_path / "ow")
+    df1 = registered.createDataFrame([(1, "old"), (2, "old")], "k long, v string")
+    df2 = registered.createDataFrame([(10, "new")], "k long, v string")
+    for df, mode in ((df1, "append"), (df2, "overwrite")):
+        (
+            df.write.format("mysqldump")
+            .option("path", out)
+            .option("table", "t")
+            .mode(mode)
+            .save()
+        )
+    back = (
+        registered.read.format("mysqldump")
+        .option("path", f"{out}/*.sql")
+        .option("table", "t")
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == [(10, "new")]
+
+
+def test_write_nonfinite_float_fails_at_export(registered, tmp_path):
+    """ADVICE regression: inf/nan doubles have no dump literal — the writer
+    must fail loudly at export instead of emitting a file the reader
+    rejects later."""
+    df = registered.createDataFrame(
+        [(1, float("inf")), (2, 1.5)], "k long, v double"
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        (
+            df.write.format("mysqldump")
+            .option("path", str(tmp_path / "nf"))
+            .option("table", "t")
+            .mode("append")
+            .save()
+        )

@@ -2,10 +2,16 @@
 ``queries()`` entry with an ``oracle_sql()`` twin must match DuckDB on
 row count, column names, and an order-insensitive value multiset.
 
-Floats are compared after rounding to 6 significant decimals — double
-aggregation order differs legitimately between engines; anything beyond
-that tolerance is a real bug.  Keys without an oracle get a rows-only
-sanity check (runs, ≥0 rows, stable schema).
+Values are compared EXACTLY — including float bit patterns — mirroring
+the driver's order-insensitive value hash.  The repo convention (see
+q_sessionize's round-2 failure) is that every float column an oracle
+checks is made deterministic at the source: rounded to 6 decimals in
+BOTH twins, or derived from IEEE-exact arithmetic (whole-number doubles,
+sqrt).  A query needing tolerance is a bug in the query, not in this
+harness; the short ``_EXACT_WAIVED`` list documents the few audited
+exceptions (tolerance-compared at 1e-6, the pre-round-3 behavior).
+Keys without an oracle get a rows-only sanity check (runs, ≥0 rows,
+stable schema).
 """
 
 from __future__ import annotations
@@ -104,11 +110,24 @@ def _sort_key_cell(v):
     return repr(v)
 
 
-def _cells_equal(a, b) -> bool:
+#: Oracle-checked queries whose float output is NOT expected to be
+#: bit-identical across engines, compared at 1e-6 tolerance instead.
+#: Keep this empty: a new entry needs a comment explaining why the value
+#: cannot be made deterministic at the source.
+_EXACT_WAIVED: frozenset[str] = frozenset()
+
+
+def _cells_equal(a, b, exact: bool) -> bool:
     if isinstance(a, float) and isinstance(b, float):
+        if exact:
+            # Driver-hash mirror: bit-pattern equality (0.0 == -0.0 both
+            # serialize differently; NaN already normalized upstream).
+            return math.copysign(1.0, a) == math.copysign(1.0, b) and a == b
         return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-6)
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+        return len(a) == len(b) and all(
+            _cells_equal(x, y, exact) for x, y in zip(a, b)
+        )
     return a == b
 
 
@@ -164,26 +183,16 @@ def test_query_matches_oracle(name, spark, sf_dir):
     assert len(s_data) == len(d_data), (
         f"{name}: row count {len(s_data)} (spark) vs {len(d_data)} (duckdb)"
     )
+    exact = name not in _EXACT_WAIVED
     mismatches = [
         (i, a, b)
         for i, (a, b) in enumerate(zip(s_data, d_data))
-        if not _cells_equal(a, b)
+        if not _cells_equal(a, b, exact)
     ]
-    assert not mismatches, f"{name}: {len(mismatches)} row diffs; first: {mismatches[0]}"
-
-    # Driver-exact mirror: when neither side carries approximate types
-    # (float/Decimal), the driver's hash is an exact multiset compare —
-    # mirror it with zero tolerance to catch representation drift the
-    # tolerance sweep can't.
-    def _approx(cats):
-        return any(
-            c in ("float", "decimal") or (isinstance(c, tuple) and c[1] in ("float", "decimal"))
-            for c in cats
-            if c is not None
-        )
-
-    if not _approx(s_cats) and not _approx(d_cats):
-        assert s_data == d_data, f"{name}: exact-typed result differs from oracle"
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row diffs (exact={exact}); "
+        f"first: {mismatches[0]}"
+    )
 
 
 def test_type_cat_catches_r1_failure_modes():
