@@ -90,9 +90,11 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil("l_quantity").cast("long").alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
-        F.ln(F.col("l_extendedprice") + 1).alias("ln_price"),
-        F.log10(F.col("l_extendedprice") + 1).alias("log10_price"),
-        F.pow("l_tax", 2).alias("tax_sq"),
+        # transcendentals rounded to 9: JVM and DuckDB libm differ in the
+        # last ulp (values O(10), drift ~1e-15 ≪ the 5e-10 boundary)
+        F.round(F.ln(F.col("l_extendedprice") + 1), 9).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 9).alias("log10_price"),
+        F.round(F.pow("l_tax", 2), 9).alias("tax_sq"),
         (F.col("l_orderkey") % 7).alias("mod7"),
     )
 
@@ -103,9 +105,9 @@ SELECT l_orderkey, l_linenumber,
        ABS(l_discount - 0.05)                   AS disc_dev,
        CAST(CEIL(l_quantity) AS BIGINT)         AS qty_ceil,
        CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
-       LN(l_extendedprice + 1)                  AS ln_price,
-       LOG10(l_extendedprice + 1)               AS log10_price,
-       POW(l_tax, 2)                            AS tax_sq,
+       ROUND(LN(l_extendedprice + 1), 9)        AS ln_price,
+       ROUND(LOG10(l_extendedprice + 1), 9)     AS log10_price,
+       ROUND(POW(l_tax, 2), 9)                  AS tax_sq,
        l_orderkey % 7                           AS mod7
 FROM lineitem
 """

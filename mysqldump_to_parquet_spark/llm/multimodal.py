@@ -12,10 +12,12 @@ Model (SURVEY.md §2.2 "multimodal design"):
   — filterable + prunable without touching payload bytes (Parquet column
   projection means a metadata-only query never reads a single payload
   page; see tests/test_plans.py).
-* decode / feature-extract: ``mapInPandas`` over Arrow batches.  The image
-  codec libs are not in this container, so ``decode_image_batch`` raises
-  ``NotImplementedError`` unless a decoder is importable; the deterministic
-  fake (`fake_features`) exercises the identical batch path end-to-end.
+* decode / feature-extract: ``mapInPandas`` over Arrow batches, backed by
+  a REAL dependency-free codec (uncompressed 24-bit BI_RGB BMP + binary
+  PPM "P6") — header parsing, 4-byte row-stride padding, bottom-up vs
+  top-down row order.  Compressed formats (JPEG/PNG) dispatch to the same
+  ``decode_image`` entry point and fail loudly until a codec library is
+  present; ``fake_features`` remains as the codec-free batch-path smoke.
 """
 
 from __future__ import annotations
@@ -65,34 +67,156 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_batch(payloads: pd.Series) -> pd.Series:
-    """Real decoder slot — requires an image codec library.
+# --------------------------------------------------------------- BMP codec
+#
+# Real, dependency-free decode path: uncompressed 24-bit BI_RGB Windows
+# BMP (the interchange format every codec library writes).  Handles the
+# actual format semantics — 54-byte header pair, 4-byte-aligned rows,
+# bottom-up (positive height) vs top-down (negative height) storage —
+# so a wrong stride or row order produces wrong pixels, not a fake.
 
-    STUB: PIL/cv2 are not available in this container; the Spark-side
-    contract (bytes in, array out, Arrow-batched) is exercised through
-    ``fake_features`` instead.
-    """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image decode requires PIL/cv2 (not in this environment); "
-            "use fake_features for the plumbing path"
-        ) from exc
-    raise NotImplementedError("real decode path not implemented in v0")
+_BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def _bmp_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """``rgb`` is top-down row-major R,G,B triplets; output is a standard
+    bottom-up 24-bit BI_RGB file (the layout virtually every writer
+    emits)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb buffer is {len(rgb)} bytes, expected {width * height * 3}"
+        )
+    stride = _bmp_stride(width)
+    size = _BMP_HEADER_BYTES + stride * height
+    out = bytearray()
+    out += b"BM"
+    out += size.to_bytes(4, "little")
+    out += b"\x00\x00\x00\x00"
+    out += _BMP_HEADER_BYTES.to_bytes(4, "little")  # pixel data offset
+    out += (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+    out += width.to_bytes(4, "little")
+    out += height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+    out += (1).to_bytes(2, "little")  # planes
+    out += (24).to_bytes(2, "little")  # bpp
+    out += (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+    out += (stride * height).to_bytes(4, "little")
+    out += b"\x00" * 16  # ppm / palette fields
+    pad = b"\x00" * (stride - width * 3)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray(len(row))  # BMP stores BGR
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        out += bytes(bgr) + pad
+    return bytes(out)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit BI_RGB BMP → (width, height, top-down RGB bytes).
+
+    Fails loudly (ValueError naming the defect) on other bit depths or
+    compressions — silently wrong pixels are worse than no pixels."""
+    if len(data) < _BMP_HEADER_BYTES or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_off = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    raw_height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression}); "
+            "only uncompressed 24-bit BI_RGB is implemented"
+        )
+    top_down = raw_height < 0
+    height = -raw_height if top_down else raw_height
+    stride = _bmp_stride(width)
+    if len(data) < pixel_off + stride * height:
+        raise ValueError("BMP truncated: pixel array shorter than header claims")
+    rgb = bytearray(width * height * 3)
+    for out_y in range(height):
+        src_y = out_y if top_down else height - 1 - out_y
+        row = data[pixel_off + src_y * stride :][: width * 3]
+        dst = rgb[out_y * width * 3 : (out_y + 1) * width * 3]
+        dst[0::3] = row[2::3]  # BGR → RGB
+        dst[1::3] = row[1::3]
+        dst[2::3] = row[0::3]
+        rgb[out_y * width * 3 : (out_y + 1) * width * 3] = dst
+    return width, height, bytes(rgb)
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6, maxval 255) → (width, height, RGB bytes)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single-ws> raster
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":  # comment to EOL
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit)")
+    raster = data[i : i + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("PPM truncated: raster shorter than header claims")
+    return width, height, raster
+
+
+def decode_image(data: bytes) -> tuple[int, int, bytes]:
+    """Dispatch on magic bytes → (width, height, top-down RGB)."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    raise ValueError(
+        f"unrecognized image payload (magic {data[:2]!r}); "
+        "BMP (24-bit BI_RGB) and PPM (P6) are implemented"
+    )
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.Series:
+    """Vectorized decode over one Arrow batch: bytes in → dict rows
+    (width, height, rgb) out.  Pure-Python codec, no PIL/cv2 needed."""
+    def _one(b):
+        w, h, rgb = decode_image(bytes(b))
+        return {"width": w, "height": h, "rgb": rgb}
+
+    return payloads.map(_one)
 
 
 def resize_image_batch(payloads: pd.Series, width: int, height: int) -> pd.Series:
-    """Real resize slot — requires an image codec library (same env-gated
-    contract as :func:`decode_image_batch`)."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image resize requires PIL/cv2 (not in this environment); "
-            "use fake_resize for the plumbing path"
-        ) from exc
-    raise NotImplementedError("real resize path not implemented in v0")
+    """Nearest-neighbor resize to (width, height), re-encoded as BMP —
+    decode → sample → encode inside one Arrow batch."""
+    def _one(b):
+        sw, sh, rgb = decode_image(bytes(b))
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            sy = min(sh - 1, (y * sh) // height)
+            for x in range(width):
+                sx = min(sw - 1, (x * sw) // width)
+                src = (sy * sw + sx) * 3
+                dst = (y * width + x) * 3
+                out[dst : dst + 3] = rgb[src : src + 3]
+        return encode_bmp(width, height, bytes(out))
+
+    return payloads.map(_one)
 
 
 def fake_resize(batches: Iterator[pd.DataFrame], factor: int = 4) -> Iterator[pd.DataFrame]:
@@ -226,11 +350,127 @@ FROM documents
 """
 
 
+# ------------------------------------------------- real decode round-trip
+
+#: Synthesized image dimensions (small: the correctness fixture decodes
+#: every pixel in Python; the shape — encode on one side of an Arrow
+#: boundary, decode on the other — is what production inherits).
+DECODE_MAX_W = 16
+DECODE_MAX_H = 8
+
+
+def _synth_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic BMP per doc: pixel (x, y) of doc d is
+    r=(d+x)%256, g=(d+y)%256, b=(d+x*y)%256 — a formula a SQL oracle can
+    integrate analytically, so the decoder's output is checkable without
+    a second decoder."""
+    for pdf in batches:
+        rows = {"doc_id": [], "payload": []}
+        for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+            w = 1 + int(nc) % DECODE_MAX_W
+            h = 1 + int(nc) % DECODE_MAX_H
+            rgb = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    i = (y * w + x) * 3
+                    rgb[i] = (int(d) + x) % 256
+                    rgb[i + 1] = (int(d) + y) % 256
+                    rgb[i + 2] = (int(d) + x * y) % 256
+            rows["doc_id"].append(int(d))
+            rows["payload"].append(encode_bmp(w, h, bytes(rgb)))
+        yield pd.DataFrame(rows)
+
+
+_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The REAL decode: parse each BMP (header, stride padding, bottom-up
+    rows) and reduce to exact integer channel sums."""
+    for pdf in batches:
+        rows = {k.name: [] for k in _DECODE_SCHEMA.fields}
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_image(bytes(payload))
+            rows["doc_id"].append(int(d))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_pixels"].append(w * h)
+            rows["sum_r"].append(sum(rgb[0::3]))
+            rows["sum_g"].append(sum(rgb[1::3]))
+            rows["sum_b"].append(sum(rgb[2::3]))
+        yield pd.DataFrame(rows)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_multimodal_decode: encode → Arrow shuffle boundary → decode.
+
+    Two mapInPandas stages with a repartition between them, so the BMP
+    bytes genuinely cross an Arrow/serialization boundary before the
+    decoder parses them — the production topology (decode rarely runs
+    where the bytes were produced).  All Python work is per-batch
+    vectorized iteration; everything after the decode is exact integer
+    arithmetic, so the oracle hash has no float surface at all.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    imgs = d.mapInPandas(_synth_images, _SYNTH_SCHEMA)
+    stats = imgs.repartition("doc_id").mapInPandas(_decode_stats, _DECODE_SCHEMA)
+    return stats.orderBy("doc_id")
+
+
+#: Analytic twin: Σ_x Σ_y of the generator formula, integrated with
+#: generate_series — verifies header/stride/row-order handling because a
+#: decoder bug (e.g. dropped padding) shifts every channel sum.
+MULTIMODAL_DECODE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         1 + n_chars % {DECODE_MAX_W} AS w,
+         1 + n_chars % {DECODE_MAX_H} AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         p.i % w      AS x,
+         p.i // w     AS y
+  FROM dims, LATERAL (
+    SELECT unnest(generate_series(0, w * h - 1)) AS i
+  ) p
+)
+SELECT doc_id,
+       CAST(MIN(w) AS INTEGER)  AS width,
+       CAST(MIN(h) AS INTEGER)  AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM((doc_id + x) % 256) AS BIGINT)     AS sum_r,
+       CAST(SUM((doc_id + y) % 256) AS BIGINT)     AS sum_g,
+       CAST(SUM((doc_id + x * y) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": multimodal_features,
     "q_multimodal_frames": multimodal_frames,
+    "q_multimodal_decode": multimodal_decode,
 }
 ORACLE = {
     "q_multimodal_meta": MULTIMODAL_META_SQL,
     "q_multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "q_multimodal_decode": MULTIMODAL_DECODE_SQL,
 }

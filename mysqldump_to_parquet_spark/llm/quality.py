@@ -275,12 +275,14 @@ def entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ent = F.log(F.col("n_tokens").cast("double")) - F.col("s.sumcln") / F.col("n_tokens")
     max_ent = F.log(F.col("n_tokens").cast("double"))
+    # rounded to 9: Σ c·ln c accumulation order and libm ln last-ulps are
+    # engine-dependent (values O(1-10), drift ~1e-14 ≪ the 5e-10 boundary)
     return d.select(
         "doc_id",
         "n_tokens",
         F.col("s.nd").alias("n_distinct"),
-        ent.alias("entropy"),
-        (ent / F.nullif(max_ent, F.lit(0.0))).alias("norm_entropy"),
+        F.round(ent, 9).alias("entropy"),
+        F.round(ent / F.nullif(max_ent, F.lit(0.0)), 9).alias("norm_entropy"),
     )
 
 
@@ -297,8 +299,8 @@ WITH toks AS (
   FROM c GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, n_distinct,
-       ln(n_tokens) - sumcln / n_tokens AS entropy,
-       (ln(n_tokens) - sumcln / n_tokens) / NULLIF(ln(n_tokens), 0.0)
+       ROUND(ln(n_tokens) - sumcln / n_tokens, 9) AS entropy,
+       ROUND((ln(n_tokens) - sumcln / n_tokens) / NULLIF(ln(n_tokens), 0.0), 9)
          AS norm_entropy
 FROM s
 """

@@ -51,9 +51,13 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            (
+            # rounded to 9 BEFORE the rank window: libm ln differs in the
+            # last ulp across engines, and the top-K cut must order both
+            # engines identically (ties on the rounded value break by term)
+            F.round(
                 F.col("tf")
-                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                9,
             ).alias("weight"),
         )
     )
@@ -80,7 +84,7 @@ WITH tok AS (
   SELECT COUNT(*) AS n_docs FROM documents
 ), weighted AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
-         tf.tf * ln((n.n_docs + 1) / CAST(dfc.df + 1 AS DOUBLE)) AS weight
+         ROUND(tf.tf * ln((n.n_docs + 1) / CAST(dfc.df + 1 AS DOUBLE)), 9) AS weight
   FROM tf JOIN dfc USING (term) CROSS JOIN n
 )
 SELECT doc_id, rank, term, tf, df, weight
@@ -170,9 +174,10 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     are generated locally after one shuffle; the ``t1 < t2`` predicate
     halves the output and canonicalizes pair order.  Pair counts and
     per-term doc counts are both two-phase aggregates; the corpus size
-    joins as a broadcast single-row aggregate.  PMI's inputs are exact
-    BIGINT counts cast to double, so both engines produce bit-identical
-    logs.  Per-doc cost is quadratic in *distinct terms per doc* — at
+    joins as a broadcast single-row aggregate.  PMI's input ratio is a
+    deterministic function of exact BIGINT counts; the LN itself is
+    rounded to 9 (libm last-ulp divergence between engines).  Per-doc
+    cost is quadratic in *distinct terms per doc* — at
     100 TB cap it with the same MIN_TERM_LEN/stopword pruning used here
     (vocabulary, not corpus, controls the blowup) before widening.
     """
@@ -203,9 +208,15 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "n_pair",
-            F.log(
-                (F.col("n_pair").cast("double") * F.col("n_docs"))
-                / (F.col("n_w1").cast("double") * F.col("n_w2"))
+            # rounded to 9: libm ln last-ulp divergence (the argument is a
+            # deterministic ratio of exact counts); ordering + LIMIT below
+            # then cut both engines identically
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("n_docs"))
+                    / (F.col("n_w1").cast("double") * F.col("n_w2"))
+                ),
+                9,
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
@@ -228,8 +239,8 @@ pairs AS (
   HAVING COUNT(*) >= {PMI_MIN_PAIR}
 )
 SELECT w1, w2, n_pair,
-       LN((CAST(n_pair AS DOUBLE) * n_docs) /
-          (CAST(d1.n_term AS DOUBLE) * d2.n_term)) AS pmi
+       ROUND(LN((CAST(n_pair AS DOUBLE) * n_docs) /
+                (CAST(d1.n_term AS DOUBLE) * d2.n_term)), 9) AS pmi
 FROM pairs
 JOIN df d1 ON d1.term = w1
 JOIN df d2 ON d2.term = w2
@@ -270,9 +281,14 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.groupBy("lang")
         .agg(
-            F.regr_slope(
-                F.log(F.col("cnt").cast("double")),
-                F.log(F.col("rnk").cast("double")),
+            # rounded to 9: the regression state accumulates doubles in
+            # engine-dependent order (plus libm ln last-ulps)
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("cnt").cast("double")),
+                    F.log(F.col("rnk").cast("double")),
+                ),
+                9,
             ).alias("zipf_slope"),
             F.count(F.lit(1)).alias("n_terms"),
         )
@@ -293,7 +309,7 @@ ranked AS (
   FROM counts
 )
 SELECT lang,
-       regr_slope(LN(CAST(cnt AS DOUBLE)), LN(CAST(rnk AS DOUBLE))) AS zipf_slope,
+       ROUND(regr_slope(LN(CAST(cnt AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 9) AS zipf_slope,
        COUNT(*) AS n_terms
 FROM ranked
 GROUP BY lang

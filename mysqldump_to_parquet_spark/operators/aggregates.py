@@ -315,13 +315,27 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-            F.covar_pop("l_quantity", "l_extendedprice").alias("qty_price_covar_pop"),
-            F.stddev_samp("l_extendedprice").alias("price_stddev"),
-            F.var_samp("l_extendedprice").alias("price_var"),
-            F.regr_slope("l_extendedprice", "l_quantity").alias("fit_slope"),
-            F.regr_intercept("l_extendedprice", "l_quantity").alias("fit_intercept"),
+            # moment-state accumulation order is engine-dependent; each
+            # output is rounded so its absolute drift (≈ value × 1e-14)
+            # sits ≥10⁴ below the rounding boundary — hence scale-aware
+            # digits per column (corr ~1e-2 → 9; variance ~1e9 → 0)
+            F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias(
+                "qty_price_corr"
+            ),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 6
+            ).alias("qty_price_covar"),
+            F.round(
+                F.covar_pop("l_quantity", "l_extendedprice"), 6
+            ).alias("qty_price_covar_pop"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_extendedprice"), 0).alias("price_var"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 9).alias(
+                "fit_slope"
+            ),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("fit_intercept"),
         )
         .orderBy("l_returnflag")
     )
@@ -329,13 +343,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_STATS_SQL = """
 SELECT l_returnflag,
-       corr(l_quantity, l_extendedprice)        AS qty_price_corr,
-       covar_samp(l_quantity, l_extendedprice)  AS qty_price_covar,
-       covar_pop(l_quantity, l_extendedprice)   AS qty_price_covar_pop,
-       stddev_samp(l_extendedprice)             AS price_stddev,
-       var_samp(l_extendedprice)                AS price_var,
-       regr_slope(l_extendedprice, l_quantity)  AS fit_slope,
-       regr_intercept(l_extendedprice, l_quantity) AS fit_intercept
+       ROUND(corr(l_quantity, l_extendedprice), 9)        AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6)  AS qty_price_covar,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 6)   AS qty_price_covar_pop,
+       ROUND(stddev_samp(l_extendedprice), 4)             AS price_stddev,
+       ROUND(var_samp(l_extendedprice), 0)                AS price_var,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 9)  AS fit_slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS fit_intercept
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

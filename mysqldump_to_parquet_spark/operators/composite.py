@@ -50,7 +50,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
     )
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # rounded: double group-sum accumulation order is engine-dependent
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -63,7 +64,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -102,7 +103,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
     )
     l = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # rounded: double group-sum accumulation order is engine-dependent
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -119,7 +121,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q5_SQL = f"""
-SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -155,7 +157,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # rounded: double group-sum accumulation order is engine-dependent
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -169,7 +172,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -464,9 +467,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("volume")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -476,7 +479,7 @@ TPCH_Q7_SQL = f"""
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
-       SUM(l_extendedprice * (1 - l_discount)) AS volume
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS volume
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -503,7 +506,7 @@ Q11_MULTIPLIER = 1.5
 #: Shared verbatim: per-part value vs an avg-per-part scalar subquery.
 TPCH_Q11_SQL = f"""
 SELECT l_partkey,
-       SUM(l_extendedprice * (1 - l_discount)) AS part_value
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS part_value
 FROM lineitem
 GROUP BY l_partkey
 HAVING SUM(l_extendedprice * (1 - l_discount)) >
@@ -553,20 +556,30 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
+            # both sums rounded onto their decimal grid BEFORE the ratio:
+            # the division of two deterministic doubles is then itself
+            # bit-deterministic across engines — no rounding of the ratio
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0)))
-                / F.sum(rev)
+                * F.round(
+                    F.sum(
+                        F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                    4,
+                )
+                / F.round(F.sum(rev), 4)
             ).alias("promo_revenue_pct")
         )
     )
 
 
 TPCH_Q14_SQL = f"""
-SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+SELECT 100.0 * ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 4)
+             / ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
@@ -659,7 +672,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("c_acctbal").alias("totacctbal"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -668,7 +681,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q22_SQL = f"""
 SELECT c_mktsegment,
        COUNT(*) AS numcust,
-       SUM(c_acctbal) AS totacctbal
+       ROUND(SUM(c_acctbal), 6) AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -707,12 +720,14 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return l.agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+        ).alias("revenue")
     )
 
 
 TPCH_Q6_SQL = f"""
-SELECT SUM(l_extendedprice * l_discount) AS revenue
+SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
   AND l_shipdate <  TIMESTAMP '{Q6_TO} 00:00:00'
@@ -767,9 +782,17 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # grid-rounded sums → deterministic ratio (see q14)
             (
-                F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0.0)))
-                / F.sum(vol)
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == Q8_NATION, vol
+                        ).otherwise(F.lit(0.0))
+                    ),
+                    4,
+                )
+                / F.round(F.sum(vol), 4)
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -778,8 +801,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q8_SQL = f"""
 SELECT o_year,
-       SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN volume ELSE 0.0 END)
-         / SUM(volume) AS mkt_share
+       ROUND(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN volume ELSE 0.0 END), 4)
+         / ROUND(SUM(volume), 4) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -840,7 +863,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(profit).alias("sum_profit"))
+        .agg(F.round(F.sum(profit), 6).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -848,8 +871,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q9_SQL = f"""
 SELECT n_name AS nation,
        CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-       SUM(l_extendedprice * (1 - l_discount)
-           - {Q9_COST_FRACTION} * p_retailprice * l_quantity) AS sum_profit
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+           - {Q9_COST_FRACTION} * p_retailprice * l_quantity), 6) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1000,7 +1023,13 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.crossJoin(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            # display column rounded; the MAX-equality ran on raw sums
+            # (exact within each engine by element selection)
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -1014,7 +1043,7 @@ WITH revenue AS (
     AND l_shipdate <  TIMESTAMP '{Q15_TO} 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, ROUND(total_revenue, 6) AS total_revenue
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -1031,7 +1060,7 @@ Q17_MAX_SIZE = 15
 #: whole-numbered, so AVG = exact-integer-sum / count rounds identically
 #: on both engines and the 0.2× threshold comparison is deterministic.
 TPCH_Q17_SQL = f"""
-SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+SELECT ROUND(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = '{Q17_BRAND}'
@@ -1089,12 +1118,14 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return j.where(leg1 | leg2 | leg3).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue")
     )
 
 
 TPCH_Q19_SQL = """
-SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10

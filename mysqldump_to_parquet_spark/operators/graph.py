@@ -82,9 +82,15 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # every node has inflow (undirected edges ⇒ indegree ≥ 1), so the
         # update is a plain project over the aggregate — no outer join
+        # each round's rank is rounded to 12 decimals in BOTH twins: the
+        # inflow sum's accumulation order is engine-dependent, and the
+        # per-round re-sync keeps last-ulp drift from compounding across
+        # iterations (drift ~1e-17 ≪ the 5e-13 rounding boundary)
         new_ranks = contribs.select(
             F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(PR_DAMPING) * F.col("inflow")).alias("rank"),
+            F.round(
+                F.lit(base) + F.lit(PR_DAMPING) * F.col("inflow"), 12
+            ).alias("rank"),
         ).persist()
         ranks.unpersist()
         ranks = new_ranks
@@ -124,8 +130,8 @@ pr0 AS (
             f""",
 pr{i} AS (
   SELECT e.dst AS node,
-         (1 - {PR_DAMPING}) / (SELECT n_nodes FROM n)
-           + {PR_DAMPING} * SUM(p.rank * e.w) AS rank
+         ROUND((1 - {PR_DAMPING}) / (SELECT n_nodes FROM n)
+           + {PR_DAMPING} * SUM(p.rank * e.w), 12) AS rank
   FROM pr{i - 1} p JOIN wedges e ON p.node = e.src
   GROUP BY e.dst
 )"""

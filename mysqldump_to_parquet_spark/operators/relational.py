@@ -108,7 +108,10 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+            # rounded: double sum accumulation order is engine-dependent
+            F.round(
+                F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6
+            ).alias("total_spent"),
         )
     )
 
@@ -116,7 +119,7 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_LEFT_SQL = """
 SELECT c_custkey, c_name,
        COUNT(o_orderkey)                AS n_orders,
-       COALESCE(SUM(o_totalprice), 0.0) AS total_spent
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 6) AS total_spent
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """

@@ -204,16 +204,21 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
         F.count(F.lit(1)).over(w).alias("win_n_7d"),
-        F.sum("value").over(w).alias("win_sum_7d"),
-        F.avg("value").over(w).alias("win_avg_7d"),
+        # sum rounded (frame accumulation order is engine-dependent); the
+        # avg divides the ROUNDED sum by the exact count, so it is a
+        # ratio of two deterministic values — bit-identical by itself
+        F.round(F.sum("value").over(w), 6).alias("win_sum_7d"),
+        (
+            F.round(F.sum("value").over(w), 6) / F.count(F.lit(1)).over(w)
+        ).alias("win_avg_7d"),
     )
 
 
 WIN_TIME_RANGE_SQL = f"""
 SELECT user_id, event_id, ts, value,
        COUNT(*)   OVER w AS win_n_7d,
-       SUM(value) OVER w AS win_sum_7d,
-       AVG(value) OVER w AS win_avg_7d
+       ROUND(SUM(value) OVER w, 6) AS win_sum_7d,
+       ROUND(SUM(value) OVER w, 6) / COUNT(*) OVER w AS win_avg_7d
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL {RANGE_DAYS} DAY PRECEDING AND CURRENT ROW)

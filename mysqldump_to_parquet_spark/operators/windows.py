@@ -83,14 +83,15 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum("o_totalprice").over(w).alias("running_total"),
+        # rounded: running-frame double accumulation is engine-dependent
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
         F.count(F.lit(1)).over(w).alias("running_orders"),
     )
 
 
 WIN_RUNNING_SUM_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       SUM(o_totalprice) OVER w AS running_total,
+       ROUND(SUM(o_totalprice) OVER w, 6) AS running_total,
        COUNT(*)          OVER w AS running_orders
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
@@ -199,25 +200,28 @@ def win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum("c_acctbal").alias("nation_bal"))
+        # rounded onto the cent grid: group-sum accumulation order is
+        # engine-dependent; the window total below is re-rounded so the
+        # share is a ratio of two deterministic doubles (bit-identical)
+        .agg(F.round(F.sum("c_acctbal"), 6).alias("nation_bal"))
     )
     w = Window.partitionBy("r_name")
     return per_nation.select(
         "r_name",
         "n_name",
         "nation_bal",
-        (F.col("nation_bal") / F.sum("nation_bal").over(w)).alias(
-            "share_of_region"
-        ),
+        (
+            F.col("nation_bal") / F.round(F.sum("nation_bal").over(w), 6)
+        ).alias("share_of_region"),
     ).orderBy("r_name", "n_name")
 
 
 WIN_RATIO_SQL = """
 SELECT r_name, n_name, nation_bal,
-       nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name)
+       nation_bal / ROUND(SUM(nation_bal) OVER (PARTITION BY r_name), 6)
          AS share_of_region
 FROM (
-  SELECT r_name, n_name, SUM(c_acctbal) AS nation_bal
+  SELECT r_name, n_name, ROUND(SUM(c_acctbal), 6) AS nation_bal
   FROM customer
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey

@@ -179,8 +179,8 @@ def test_hash_split_stable_under_corpus_growth(spark, tmp_path):
 
 def test_fake_resize_batch_plumbing(spark):
     """Resize slot: the mapInPandas batch contract (bytes in, strided
-    bytes + metadata out) with deterministic output; the real decoder
-    (resize_image_batch) is env-gated exactly like decode_image_batch."""
+    bytes + metadata out) with deterministic output; non-image payloads
+    hitting the real resizer fail loudly, not silently."""
     import pytest
 
     from mysqldump_to_parquet_spark.llm.multimodal import (
@@ -197,10 +197,81 @@ def test_fake_resize_batch_plumbing(spark):
     for r in out:
         assert r.resized_bytes == len(r.payload)
         assert r.resized_bytes == (r.orig_bytes + 3) // 4  # stride 4
-    with pytest.raises(NotImplementedError, match="resize"):
+    with pytest.raises(ValueError, match="unrecognized image payload"):
         import pandas as pd
 
-        resize_image_batch(pd.Series([b"x"]), 8, 8)
+        resize_image_batch(pd.Series([b"x"]), 8, 8).tolist()
+
+
+def test_bmp_codec_round_trip_all_strides():
+    """encode→decode is identity for every row-padding case (w%4 ∈
+    0..3), and the decoder honors bottom-up vs top-down row order."""
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w in (1, 2, 3, 4, 5, 7, 16):
+        h = 3
+        rgb = bytes(
+            (x * 7 + y * 13 + c * 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+    # top-down variant: negative height, rows stored first-to-last
+    w, h = 3, 2
+    rgb = bytes(range(w * h * 3))
+    bmp = bytearray(encode_bmp(w, h, rgb))
+    stride = (w * 3 + 3) & ~3
+    rows = [bmp[54 + i * stride : 54 + (i + 1) * stride] for i in range(h)]
+    bmp[54:] = b"".join(reversed(rows))
+    bmp[22:26] = (-h).to_bytes(4, "little", signed=True)
+    assert decode_bmp(bytes(bmp)) == (w, h, rgb)
+
+
+def test_ppm_decode_and_dispatch():
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        decode_image,
+        decode_ppm,
+    )
+
+    rgb = bytes(range(18))
+    ppm = b"P6\n# comment\n3 2\n255\n" + rgb
+    assert decode_ppm(ppm) == (3, 2, rgb)
+    assert decode_image(ppm) == (3, 2, rgb)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n3 2\n255\n" + rgb[:-1])
+
+
+def test_resize_batch_nearest_neighbor():
+    """2x2 checkerboard upscaled 2× must replicate each source pixel into
+    a 2×2 block (nearest-neighbor), re-encoded as a valid BMP."""
+    import pandas as pd
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_image_batch,
+    )
+
+    px = {(0, 0): (255, 0, 0), (1, 0): (0, 255, 0),
+          (0, 1): (0, 0, 255), (1, 1): (9, 9, 9)}
+    rgb = bytes(
+        v for y in range(2) for x in range(2) for v in px[(x, y)]
+    )
+    out = resize_image_batch(pd.Series([encode_bmp(2, 2, rgb)]), 4, 4)
+    w, h, big = decode_bmp(out[0])
+    assert (w, h) == (4, 4)
+    for y in range(4):
+        for x in range(4):
+            i = (y * 4 + x) * 3
+            assert tuple(big[i : i + 3]) == px[(x // 2, y // 2)]
 
 
 def test_decontaminate_finds_planted_leak(spark, tmp_path):
