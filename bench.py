@@ -39,6 +39,12 @@ BENCH_QUERY_NAMES = [
     "q_dedup_near",
     "q_sim_topk",
     "q_text_stats",
+    # the expensive tail (round-3): multi-self-join, n-gram equi-join
+    # with a broadcast eval side, iterative graph rounds — so round-over-
+    # round tracking covers the operators most likely to regress at scale
+    "q_tpch_q21",
+    "q_decontaminate",
+    "q_pagerank",
 ]
 
 

@@ -75,12 +75,16 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load + spread across all cores.  For CPU-heavy per-row work (regex,
-    higher-order folds, vector math) over a corpus that arrives as few
-    input splits: without this the whole computation runs in the scan's
-    single task.  The shuffle it introduces is the price of parallelism on
-    a one-file input; many-file 100 TB inputs split naturally and should
-    use :func:`load_table` instead."""
-    return load_table(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """Load + spread across all cores when the scan under-splits.  For
+    CPU-heavy per-row work (regex, higher-order folds, vector math) over
+    a corpus that arrives as few input splits: without this the whole
+    computation runs in the scan's one task.  Adaptive: when the scan
+    already yields ≥ cores partitions (any real multi-file / 100 TB
+    input), this is a no-op — the repartition shuffle is paid only on
+    under-split inputs, where it is strictly cheaper than serializing
+    the downstream work onto one core."""
+    df = load_table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df

@@ -21,6 +21,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -328,14 +329,18 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each other" decisions (what to drop wholesale before per-document
     dedup even runs).
 
-    Scale shape: shingling collapses to DISTINCT (source, gram) first —
-    the big reduction, two-phase — so the self-join matches gram *sets*,
-    keyed on the gram (an ordinary shuffle equi-join co-partitioned on
-    the join key, never per-document all-pairs).  Per-source set sizes
-    are a tiny aggregate joined back by broadcast; Jaccard is exact
-    integer arithmetic.  Grams join as strings here so the DuckDB twin
-    is byte-identical; at 100 TB you'd join on xxhash64(gram) exactly as
-    q_decontaminate does (fixed-width shuffle rows).
+    Scale shape: ONE shuffle of the exploded gram table —
+    ``groupBy(gram).collect_set(source)`` (partial sets merge map-side,
+    and dedup happens inside the aggregate, so no separate DISTINCT
+    pass) — then each gram's pair contributions expand *locally* from
+    its sorted source-set (≤ C(|sources|, 2) rows per gram, a constant:
+    sources number dozens, not millions).  The old shape — DISTINCT then
+    a gram-keyed self-join — paid three full shuffles of the gram table
+    for the same answer.  Per-source set sizes reaggregate the already-
+    deduped per-gram sets (vocabulary-sized, sublinear in corpus);
+    Jaccard is exact integer arithmetic.  Grams group as strings here so
+    the DuckDB twin is byte-identical; at 100 TB you'd key on
+    xxhash64(gram) exactly as q_decontaminate does (fixed-width rows).
     """
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.split("text", " ").alias("toks")
@@ -344,16 +349,27 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, greatest(size(toks) - {OVERLAP_N}, 0)),"
         f" i -> concat_ws(' ', slice(toks, i + 1, {OVERLAP_N})))"
     )
-    sg = (
+    per_gram = (
         d.select("source", F.explode(grams_expr).alias("g"))
-        .distinct()
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        # vocabulary-sized (sublinear in corpus) — persisted so the two
+        # consumers below don't re-run the corpus shingle + shuffle
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = sg.select(F.col("source").alias("source_a"), "g")
-    b = sg.select(F.col("source").alias("source_b"), "g")
+    sizes = (
+        per_gram.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (a, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " b -> struct(a AS source_a, b AS source_b))))"
+    )
     shared = (
-        a.join(b, "g")
-        .where(F.col("source_a") < F.col("source_b"))
+        per_gram.select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -376,8 +392,8 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SOURCE_OVERLAP_SQL = f"""
-WITH sg AS (
-  SELECT DISTINCT source, g
+WITH per_gram AS (
+  SELECT g, list_sort(list_distinct(list(source))) AS ss
   FROM (
     SELECT source,
            UNNEST(list_transform(
@@ -386,12 +402,20 @@ WITH sg AS (
            )) AS g
     FROM documents
   )
+  GROUP BY g
 ),
-sizes AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+sizes AS (
+  SELECT s AS source, COUNT(*) AS n_grams
+  FROM (SELECT UNNEST(ss) AS s FROM per_gram)
+  GROUP BY s
+),
 shared AS (
-  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
-  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
-  GROUP BY a.source, b.source
+  SELECT ss[i.i] AS source_a, ss[j.j] AS source_b, COUNT(*) AS shared
+  FROM per_gram,
+       LATERAL (SELECT UNNEST(generate_series(1, len(ss))) AS i) i,
+       LATERAL (SELECT UNNEST(generate_series(1, len(ss))) AS j) j
+  WHERE i.i < j.j
+  GROUP BY 1, 2
 )
 SELECT source_a, source_b, shared,
        CAST(shared AS DOUBLE)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 from .sampling import TRAIN_MAX, VAL_MAX
 
 # --------------------------------------------------------------- corpus stats
@@ -366,6 +366,12 @@ FROM c
 #: collisions are negligible, short enough to catch partial inclusion).
 DECON_N = 8
 
+#: An 8-gram appearing in more eval documents than this is boilerplate
+#: (license headers, prompt templates) — it cannot witness contamination
+#: *uniquely*, and it is precisely the row whose train-side join fanout
+#: explodes, so it is dropped on the small side before the broadcast.
+DECON_MAX_EVAL_DF = 50
+
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_decontaminate: find train-split documents sharing ≥1 8-gram with
@@ -373,13 +379,16 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join every training pipeline runs before release.
 
     Shape: both sides shingle JVM-side into distinct 8-gram xxhash64 arrays
-    (fixed-width int64 rows after explode), the equi-join on the hash is an
-    ordinary shuffle join (co-partitioned on the n-gram key — never
-    all-pairs), and the per-(train, eval) match count aggregates two-phase.
-    At 100 TB the eval side is small → broadcast; dropping the hottest
-    n-grams (boilerplate, cap via q_dedup_near's bucket trick) bounds skew.
+    (fixed-width int64 rows after explode).  The eval side is benchmark-
+    sized by construction, so it is DF-pruned (grams in > DECON_MAX_EVAL_DF
+    eval docs are boilerplate that cannot witness contamination uniquely —
+    and are exactly the rows whose train-side fanout explodes) and then
+    BROADCAST: the train gram table — the 100 TB side — never shuffles at
+    all.  Only the matches reach the final (train, eval) two-phase count.
     Uses the q_split_hash assignment, so 'eval' is deterministic."""
-    d = load_table(spark, sf_dir, "documents").select(
+    # parallel load: the shingle fold is the dominant cost and must not
+    # serialize onto a single under-split scan task (no-op at real scale)
+    d = load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id",
         # bind split ONCE — slicing a materialized array per shingle is
         # O(tokens·N); re-evaluating split inside the lambda would be
@@ -402,8 +411,17 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = with_split.where(F.col("split") == "test").select(
         F.col("doc_id").alias("eval_id"), F.explode("grams").alias("g")
     )
+    # one aggregation pass over the small side does the DF-prune AND
+    # produces the broadcast payload (no separate hot-list + anti-join
+    # jobs, no second shingle of the eval docs)
+    pruned = (
+        test.groupBy("g")
+        .agg(F.collect_list("eval_id").alias("ids"))
+        .where(F.size("ids") <= DECON_MAX_EVAL_DF)
+        .select("g", F.explode("ids").alias("eval_id"))
+    )
     return (
-        train.join(test, "g")
+        train.join(F.broadcast(pruned), "g")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
@@ -424,9 +442,12 @@ WITH with_split AS (
   SELECT doc_id AS train_id, unnest(grams) AS g FROM with_split WHERE split = 'train'
 ), test AS (
   SELECT doc_id AS eval_id, unnest(grams) AS g FROM with_split WHERE split = 'test'
+), hot AS (
+  SELECT g FROM test GROUP BY g HAVING COUNT(*) > {DECON_MAX_EVAL_DF}
 )
 SELECT t.train_id, e.eval_id, COUNT(*) AS shared_ngrams
 FROM train t JOIN test e USING (g)
+WHERE g NOT IN (SELECT g FROM hot)
 GROUP BY t.train_id, e.eval_id
 """
 

@@ -405,13 +405,14 @@ def agg_histogram_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioners and skew diagnostics actually need (equi-width buckets
     collapse under skew; equi-depth buckets are the quantile sketch).
 
-    The window has no PARTITION BY, so this is the one operator family
-    where a global sort is inherent — Spark runs it as a range-
-    partitioned sort (not single-partition; asserted by the plan linter's
-    ``single-partition`` rule staying quiet at scale factors that
-    matter).  At 100 TB you'd use approx quantiles on a sample for the
-    boundaries; the exact form is the hash-checkable ground truth the
-    approximation is judged against.
+    The window has no PARTITION BY, so Spark plans it as **Exchange
+    SinglePartition** (an empty-spec window demands AllTuples
+    distribution) — a deliberate, driver-scale-only choice: exact global
+    ntile is inherently a total order through one consumer.  At 100 TB
+    you'd compute the boundaries with ``approx_percentile`` on a sample
+    (or ``repartitionByRange`` + per-partition counts merged on the
+    driver); the exact form here is the hash-checkable ground truth such
+    approximations are judged against.
     """
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))

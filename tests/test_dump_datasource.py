@@ -296,3 +296,36 @@ def test_write_nonfinite_float_fails_at_export(registered, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_datasource_shares_hardened_parser_paths(registered, tmp_path):
+    """Round-2 advisory regressions through the DataSource entry point:
+    the reader must route through the same hardened parse code as the
+    bulk convert_dump pipeline (escaped quote before ')' in DDL, quoted
+    option-keyword literals, a table named with a VALUES prefix, hostile
+    keyword strings inside data, hex-blob literals)."""
+    dump = tmp_path / "hardened.sql"
+    dump.write_text(
+        "CREATE TABLE `values_log` ("
+        "`id` bigint NOT NULL, "
+        "`a` varchar(20) DEFAULT 'don\\'t)', "
+        "`b` varchar(40) DEFAULT 'null' COMMENT 'not null soon', "
+        "`payload` blob);\n"
+        "INSERT INTO `values_log` VALUES "
+        "(1, 'x', 'INSERT INTO `t` VALUES (9);', 0x4142), "
+        "(2, ');', NULL, NULL);\n"
+    )
+    df = (
+        registered.read.format("mysqldump")
+        .option("path", str(dump))
+        .option("table", "values_log")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["id", "a", "b", "payload"]
+    by_name = {f.name: f for f in df.schema.fields}
+    assert by_name["b"].nullable is True  # comment text didn't flip it
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].a == "x"
+    assert rows[1].b == "INSERT INTO `t` VALUES (9);"
+    assert bytes(rows[1].payload) == b"AB"
+    assert rows[2].a == ");" and rows[2].b is None and rows[2].payload is None

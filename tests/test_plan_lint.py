@@ -105,15 +105,51 @@ _SWEEP_EXCLUDE = {
 }
 
 
-def test_registry_sweep_no_row_udfs(spark):
-    """Engine contract: no registered query's plan contains a
-    row-at-a-time Python UDF."""
+#: Queries ALLOWED to plan an Exchange SinglePartition, each with the
+#: reason it is inherent (not an accident to fix).  Anything else that
+#: starts single-partitioning is a regression the sweep catches.
+_SINGLE_PARTITION_ALLOWED = {
+    # exact global ntile = total order through one consumer by definition;
+    # the 100 TB path is approx_percentile on a sample (see docstring)
+    "q_agg_histogram_eq",
+    # global ORDER BY ... LIMIT k collapses to one partition for the final
+    # k-cut (TakeOrderedAndProject) — bounded by k, not by data
+    "q_sort_limit",
+    # single-row scalar-subquery / global-aggregate exchanges (1-row or
+    # sketch-state, size-independent): thresholds, corpus counts, sketch
+    # merges
+    "q_subquery_scalar",
+    "q_tpch_q6", "q_tpch_q11", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q19", "q_tpch_q22",
+    "q_agg_incremental",
+    "q_agg_sketch_distinct",
+    "q_tfidf", "q_cooccur_pmi",  # broadcast 1-row n_docs
+    "q_funnel",  # 1-row step-order literal spine
+    # whole-table profile/QA summaries: output is O(columns)/O(rules),
+    # partial-aggregated map-side, merged through one 1-row-ish exchange
+    "q_profile_columns", "q_group_skew", "q_check_constraints",
+    # full-result deterministic ORDER BY on an already-tiny aggregate
+    "q_win_ratio",
+}
+
+
+def test_registry_sweep_row_udfs_and_single_partition(spark):
+    """Engine contract, one pass over every registered plan: (a) no
+    row-at-a-time Python UDF anywhere; (b) Exchange SinglePartition only
+    where a total order / 1-row result makes it inherent (documented
+    allowlist above)."""
     registry = entrypoint.queries()
-    flagged = {}
+    flagged_udf = {}
+    flagged_single = {}
     for name, fn in registry.items():
         if name in _SWEEP_EXCLUDE:
             continue
         codes = _codes(lint_plan(fn(spark, SF)))
         if ROW_UDF in codes:
-            flagged[name] = codes
-    assert not flagged, flagged
+            flagged_udf[name] = codes
+        if SINGLE_PARTITION in codes and name not in _SINGLE_PARTITION_ALLOWED:
+            flagged_single[name] = codes
+    assert not flagged_udf, flagged_udf
+    assert not flagged_single, (
+        f"undocumented single-partition exchanges: {flagged_single}"
+    )
