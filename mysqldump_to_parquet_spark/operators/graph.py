@@ -43,13 +43,18 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Node ids are disjoint by namespace prefix."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct on the INT pair, then build node-id strings: the dedup
+    # shuffle moves two 8-byte keys per row instead of two strings, and
+    # the concat runs once per surviving pair (1:1 with the string form,
+    # so the result set is identical)
     pairs = (
         l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("a"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("b"),
         )
-        .distinct()
     )
     return pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")

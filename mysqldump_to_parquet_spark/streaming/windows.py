@@ -25,7 +25,11 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.window("ts", "1 hour")
     return (
         e.groupBy(w.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # rounded: cross-engine double-sum accumulation order
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -41,7 +45,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type,
        COUNT(*)   AS n_events,
-       SUM(value) AS sum_value
+       ROUND(SUM(value), 6) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -85,7 +89,11 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # rounded: cross-engine double-sum accumulation order
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -115,7 +123,7 @@ SELECT user_id,
        MIN(ts)                         AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*)                        AS n_events,
-       SUM(value)                      AS sum_value
+       ROUND(SUM(value), 6)            AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -151,10 +159,13 @@ def resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: (1) hourly aggregate — two-phase, one row per (user, bucket);
     (2) per-user grid via ``explode(sequence(t0, t1, 1h))`` — rows
     proportional to the span, generated map-side after a tiny per-user
-    min/max agg; (3) left join grid↔hourly co-partitioned on (user,
-    bucket); (4) LOCF = running ``last(ignorenulls)`` window per user.
-    Every shuffle keys on user_id (+bucket) — no global sort, no skew
-    beyond per-user event volume (AQE splits hot users).
+    min/max agg; (3) left join grid↔hourly — both sides repartitioned on
+    ``user_id`` ALONE, which satisfies the join's clustering requirement
+    (a subset of the equi-keys) and, crucially, is exactly the LOCF
+    window's partitioning, so (4) the running ``last(ignorenulls)``
+    reuses the join exchange instead of re-shuffling the full grid.
+    No global sort, no skew beyond per-user event volume (AQE splits
+    hot users).
     The grid starts at each user's first event, so bucket 0 is never null
     and LOCF needs no leading-edge default."""
     from pyspark.sql import Window
@@ -162,7 +173,12 @@ def resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # rounded: double sum accumulation order is engine-dependent, and
+        # LOCF carries the value forward across the whole grid
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
     span = e.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
         F.date_trunc("hour", F.max("ts")).alias("t1"),
@@ -170,8 +186,8 @@ def resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = span.select(
         "user_id",
         F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
-    )
-    joined = grid.join(hourly, ["user_id", "bucket"], "left")
+    ).repartition("user_id")
+    joined = grid.join(hourly.repartition("user_id"), ["user_id", "bucket"], "left")
     w = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -188,7 +204,7 @@ def resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESAMPLE_LOCF_SQL = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
-         COUNT(*) AS n_events, SUM(value) AS sum_value
+         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
   FROM events GROUP BY 1, 2
 ), span AS (
   SELECT user_id, date_trunc('hour', min(ts)) AS t0,
