@@ -367,11 +367,89 @@ FROM events e JOIN dev d USING (event_type)
 """
 
 
+# -------------------------------------------- unigram-LM perplexity proxy
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_unigram_logprob: per-document mean log-probability (and a
+    perplexity proxy) under the corpus's own add-one-smoothed unigram
+    LM — the cheapest LM-based quality score: documents far from the
+    corpus distribution (gibberish, wrong language, binary junk) score
+    low without training an actual model.
+
+    p(tok) = (count(tok) + 1) / (N + V).  Scale shape: one two-phase
+    count shuffle builds the vocabulary (sublinear in corpus size); the
+    token stream joins it on the term key (AQE broadcasts the vocab
+    while it fits; co-partitioned shuffle join beyond that) and
+    reaggregates per document — two data-sized shuffles total.
+
+    Determinism: each token's ln p is rounded to 9 (libm last-ulps);
+    the per-doc sum of those on-grid values is rounded to 6; mean and
+    exp derive from the rounded sum, so every float column is
+    engine-identical (see tests/test_oracle_parity.py conventions)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    nv = vocab.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    lnp = F.round(
+        F.log(
+            (F.col("cnt") + 1)
+            / (F.col("n_total") + F.col("v_size")).cast("double")
+        ),
+        9,
+    )
+    per_tok = (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(nv))
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    sum_lnp = F.round(F.sum("lnp"), 6)
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            sum_lnp.alias("sum_lnp"),
+            (sum_lnp / F.count(F.lit(1))).alias("mean_lnp"),
+            F.round(F.exp(-(sum_lnp / F.count(F.lit(1)))), 6).alias(
+                "ppl_proxy"
+            ),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+), nv AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total, COUNT(*) AS v_size FROM vocab
+), per_tok AS (
+  SELECT t.doc_id,
+         ROUND(LN((vocab.cnt + 1) / CAST(nv.n_total + nv.v_size AS DOUBLE)), 9)
+           AS lnp
+  FROM tok t JOIN vocab USING (term) CROSS JOIN nv
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(lnp), 6) AS sum_lnp,
+       ROUND(SUM(lnp), 6) / COUNT(*) AS mean_lnp,
+       ROUND(EXP(-(ROUND(SUM(lnp), 6) / COUNT(*))), 6) AS ppl_proxy
+FROM per_tok
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_repetition": repetition,
     "q_gopher_rules": gopher_rules,
     "q_entropy": entropy,
     "q_anomaly_mad": anomaly_mad,
+    "q_unigram_logprob": unigram_logprob,
 }
 
 ORACLE = {
@@ -379,4 +457,5 @@ ORACLE = {
     "q_gopher_rules": GOPHER_RULES_SQL,
     "q_entropy": ENTROPY_SQL,
     "q_anomaly_mad": ANOMALY_MAD_SQL,
+    "q_unigram_logprob": UNIGRAM_LOGPROB_SQL,
 }

@@ -184,11 +184,70 @@ WHERE rn <= CEIL({MIX_K} * sqrt(n_src))
 """
 
 
+# ------------------------------------------ sliding-window chunking
+
+#: Context-window chunking: window of CHUNK_W tokens advancing by
+#: CHUNK_S (overlap = W - S carries context across boundaries — the
+#: standard training-sample prep for documents longer than the model's
+#: context; cf. non-overlapping sub-document dedup in dedup.py).
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_chunk_tokens: explode each document into overlapping token
+    windows (start positions 0, S, 2S, … < n_tokens; the tail chunk may
+    be short), each with its token count and an md5 fingerprint.
+
+    Zero shuffles: the chunk transform and the posexplode are per-row
+    JVM expression work — output rows ≈ tokens/S, the same linear factor
+    any tokenizer pass pays.  Downstream stages (pack_sequences,
+    dedup-by-fingerprint) consume the chunks without re-reading text."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    chunk_expr = F.expr(
+        f"transform(sequence(0, (size(toks) - 1) DIV {CHUNK_S}),"
+        f" i -> concat_ws(' ', slice(toks, i * {CHUNK_S} + 1, {CHUNK_W})))"
+    )
+    n_in_chunk = F.expr(
+        f"size(slice(toks, chunk_idx * {CHUNK_S} + 1, {CHUNK_W}))"
+    )
+    return (
+        d.select("doc_id", "toks", F.posexplode(chunk_expr).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            n_in_chunk.cast("long").alias("n_chunk_tokens"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+CHUNK_TOKENS_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(0, (len(toks) - 1) // {CHUNK_S})) AS chunk_idx
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}])
+            AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+         toks[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}], ' '))
+         AS chunk_md5
+FROM idx
+"""
+
+
 QUERIES = {
     "q_split_hash": split_hash,
     "q_sample_stratified": sample_stratified,
     "q_sample_mixture": sample_mixture,
     "q_pack_sequences": pack_sequences,
+    "q_chunk_tokens": chunk_tokens,
 }
 
 ORACLE = {
@@ -196,4 +255,5 @@ ORACLE = {
     "q_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "q_sample_mixture": SAMPLE_MIXTURE_SQL,
     "q_pack_sequences": PACK_SEQUENCES_SQL,
+    "q_chunk_tokens": CHUNK_TOKENS_SQL,
 }
