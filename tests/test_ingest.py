@@ -670,3 +670,31 @@ def test_charset_introducers():
     # an introducer with no following literal is still a loud error
     with pytest.raises(DumpParseError, match="unsupported literal"):
         parse_insert("INSERT INTO `t` VALUES (1,_binary);")
+
+
+def test_progress_reporter_live_and_summary(spark, tmp_path, capsys):
+    """ProgressReporter: polls StatusTracker while jobs run and always
+    prints a final summary; convert_dump(progress=True) wires it in."""
+    import io
+
+    from mysqldump_to_parquet_spark.progress import ProgressReporter
+
+    buf = io.StringIO()
+    with ProgressReporter(spark, "t", interval=0.01, out=buf):
+        # a job slow enough for at least one poll tick
+        spark.range(0, 2_000_000, 1, 8).selectExpr("sum(id * id)").collect()
+    out = buf.getvalue()
+    assert "[t] done:" in out
+    assert "job(s) in" in out
+
+    dump = tmp_path / "p.sql"
+    dump.write_text(DEMO_DUMP)
+    buf2 = io.StringIO()
+    import contextlib
+
+    with contextlib.redirect_stderr(buf2):
+        convert_dump(spark, str(dump), str(tmp_path / "out"), progress=True)
+    err = buf2.getvalue()
+    assert "[ingest] 1 table(s)" in err
+    assert "[ingest] acct:" in err
+    assert "[ingest] done:" in err
