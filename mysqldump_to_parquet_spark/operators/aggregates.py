@@ -446,6 +446,44 @@ ORDER BY decile
 """
 
 
+def agg_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_histogram_approx: the 100 TB path for equi-depth histograms —
+    decile boundaries from ``approx_percentile`` (a mergeable KLL-style
+    sketch: two-phase aggregation, NO global sort or single-partition
+    exchange), then exact per-bucket counts by range.
+
+    This is the scale twin of :func:`agg_histogram_eq` (exact global
+    ntile, inherently single-partition): the sketch pass reads the data
+    once with partial aggregation; the bucketing pass is a broadcast of
+    10 boundaries folded into a scan-side CASE.  Approximate boundary
+    placement ⇒ rows-only driver check; the exact-twin agreement (every
+    bucket within sketch tolerance of N/10) is pytest-asserted.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    qs = [i / HIST_EQ_BUCKETS for i in range(1, HIST_EQ_BUCKETS)]
+    bounds = o.agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(q) for q in qs]), 10_000
+        ).alias("bs")
+    )
+    bucket = F.expr(
+        "1 + aggregate(bs, 0, (acc, b) -> acc + CASE WHEN o_totalprice > b "
+        "THEN 1 ELSE 0 END)"
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        # no ORDER BY: 10 output rows don't justify even a tiny global
+        # sort in the plan contract; consumers sort presentation-side
+    )
+
+
 # ----------------------------------- incremental aggregate maintenance
 
 #: The "delta" month: rows from here on arrive after the base rollup ran.
@@ -519,6 +557,7 @@ QUERIES = {
     "q_agg_stats": agg_stats,
     "q_agg_histogram": agg_histogram,
     "q_agg_histogram_eq": agg_histogram_eq,
+    "q_agg_histogram_approx": agg_histogram_approx,  # rows-only (sketch)
     "q_agg_groupby": tpch_q1,
     "q_agg_quantile": agg_quantile,
     "q_agg_distinct": agg_distinct,

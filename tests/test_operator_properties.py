@@ -177,3 +177,36 @@ def test_mad_outlier_flags_match_python(spark):
         want |= {(g, v) for v in vs if abs(v - m) / (1.4826 * mad) > 3.0}
     assert {(r.g, r.value) for r in flagged} == want
     assert {("a", 500.0), ("b", 500.0)} <= want  # planted outliers caught
+
+
+def test_histogram_approx_agrees_with_exact(spark):
+    """The sketch-boundary histogram (100 TB path) must bucket within
+    tolerance of the exact global-ntile deciles: 10 buckets, all rows
+    accounted for, every bucket within 20% of N/10, and no
+    single-partition exchange in the sketch plan."""
+    from mysqldump_to_parquet_spark.operators.aggregates import (
+        HIST_EQ_BUCKETS,
+        agg_histogram_approx,
+    )
+    from mysqldump_to_parquet_spark.plans.lint import lint_plan
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(agg_histogram_approx(spark, sf).collect(), key=lambda r: r.bucket)
+    n = sum(r.n_orders for r in rows)
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    assert n == load_table(spark, sf, "orders").count()
+    assert len(rows) == HIST_EQ_BUCKETS
+    target = n / HIST_EQ_BUCKETS
+    for r in rows:
+        assert abs(r.n_orders - target) <= 0.2 * target + 1, rows
+    # buckets are ordered, contiguous ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    # the scale contract: the data path has no GLOBAL SORT (the exact
+    # ntile form's cost); the only exchange-to-one is the 1-row boundary
+    # aggregate, documented in the plan-lint allowlist
+    from mysqldump_to_parquet_spark.plans.lint import GLOBAL_SORT
+
+    codes = {f.split(":", 1)[0] for f in lint_plan(agg_histogram_approx(spark, sf))}
+    assert GLOBAL_SORT not in codes
