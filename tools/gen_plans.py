@@ -83,9 +83,40 @@ NOTES = {
     ),
     "q_decontaminate": (
         "Benchmark-leakage detection: both splits shingle into distinct "
-        "8-gram hashes JVM-side; the equi-join on the hash is an ordinary "
-        "shuffle join (never all-pairs) and the per-pair match count "
-        "aggregates two-phase. At scale the eval side broadcasts."
+        "8-gram hashes JVM-side; the eval side is DF-pruned (grams in "
+        ">50 eval docs can't witness contamination uniquely) in the same "
+        "aggregation pass that builds the broadcast payload, and the "
+        "train side — the 100 TB side — never shuffles: only matches "
+        "reach the final two-phase pair count."
+    ),
+    "q_source_overlap": (
+        "Pairwise source Jaccard from ONE groupBy(gram).collect_set "
+        "shuffle; each gram's pair contributions expand locally from its "
+        "sorted source set (≤ C(S,2) rows, S = dozens), replacing "
+        "DISTINCT + gram-keyed self-join (3 full shuffles → 1)."
+    ),
+    "q_multimodal_decode": (
+        "Real BMP decode across an Arrow boundary: synth mapInPandas → "
+        "repartition → decode mapInPandas; everything after the decode "
+        "is exact integer arithmetic (channel sums), so the oracle "
+        "verifies stride/row-order handling analytically."
+    ),
+    "q_agg_histogram_approx": (
+        "Equi-depth at scale: approx_percentile is a mergeable sketch "
+        "(partial+final, no global order); the 9 boundaries broadcast as "
+        "one row and the bucket CASE folds into the scan — compare "
+        "q_agg_histogram_eq's inherent Exchange SinglePartition."
+    ),
+    "q_unigram_logprob": (
+        "Corpus-LM quality score: vocab counts partial-aggregate before "
+        "their shuffle; the token stream joins the vocab on the term key "
+        "(AQE broadcasts while it fits) and reaggregates per doc — two "
+        "data-sized shuffles total, floats rounded at source."
+    ),
+    "q_chunk_tokens": (
+        "Sliding-window chunking is pure per-row expression work "
+        "(transform(sequence) + posexplode + md5): zero Exchange; output "
+        "rows ≈ tokens/stride, the linear factor any tokenizer pays."
     ),
     "q_tpch_q5": (
         "Six-way join: orders ⋈ lineitem is the only shuffle join; "
@@ -123,8 +154,8 @@ NOTES = {
     ),
     "q_embed_centroids": (
         "Vector averaging by posexplode to (label, pos, v) — a fixed "
-        "64× expansion — with map-side partial_avg, then per-label "
-        "ordered reassembly. No driver-side math, no collect."
+        "64× expansion — with map-side partial_avg, emitted as scalar "
+        "(label, pos, mean) rows. No driver-side math, no collect."
     ),
     "q_dedup_fuzzy": (
         "Entity resolution: distinct entities first (the big reduction), "
