@@ -580,6 +580,70 @@ WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
 """
 
 
+# ------------------------------------------------ bucketed co-located join
+
+#: Bucket count for the demo tables (any fixed power of two; on a real
+#: cluster this is sized so each bucket file is ~128 MB-1 GB).
+BUCKETS = 8
+
+
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_join_bucketed: the repeated-large-×-large join pattern — both
+    sides written ``bucketBy`` the join key, so the sort-merge join reads
+    co-located buckets with NO exchange on either side (the only shuffle
+    left is the final small aggregate).
+
+    At 100 TB this is THE technique for a fact↔fact join that runs every
+    day: the shuffle is paid once at write time and amortized across every
+    subsequent join on that key.  ``tests/test_bucketing.py`` asserts the
+    exchange-free plan; this registry twin hash-checks the *values*
+    against a plain-join oracle (bucketing must never change results).
+    The writes are idempotent (mode=overwrite, per-sf table names)."""
+    suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    ob_name, lb_name = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ob_name)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lb_name)
+    )
+    ob = spark.table(ob_name)
+    lb = spark.table(lb_name)
+    return (
+        # MERGE hint pins sort-merge (broadcast would hide the point);
+        # with both sides bucketed on the key it plans with zero join-side
+        # exchanges
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_BUCKETED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q_project_filter": project_filter,
     "q_filter_null_in_like": filter_null_in_like,
@@ -600,6 +664,7 @@ QUERIES = {
     "q_set_except": set_except,
     "q_set_except_all": set_except_all,
     "q_set_intersect_all": set_intersect_all,
+    "q_join_bucketed": join_bucketed,
 }
 
 ORACLE = {
@@ -622,4 +687,5 @@ ORACLE = {
     "q_set_except": SET_EXCEPT_SQL,
     "q_set_except_all": SET_EXCEPT_ALL_SQL,
     "q_set_intersect_all": SET_INTERSECT_ALL_SQL,
+    "q_join_bucketed": JOIN_BUCKETED_SQL,
 }

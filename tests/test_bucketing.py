@@ -52,3 +52,19 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
         assert n == spark.read.parquet(f"{SF}/lineitem.parquet").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_registered_bucketed_join_plan_and_cleanup(spark):
+    """The q_join_bucketed registry query: its sort-merge join must read
+    co-located buckets with no join-side Exchange (the only exchange is
+    the final small aggregate)."""
+    from mysqldump_to_parquet_spark.operators.relational import join_bucketed
+
+    df = join_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # exactly the aggregate's exchange — never one under the join
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, join_part
+    rows = {r.o_orderpriority: r.n_lines for r in df.collect()}
+    assert sum(rows.values()) == spark.read.parquet(f"{SF}/lineitem.parquet").count()

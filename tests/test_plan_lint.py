@@ -98,6 +98,7 @@ _SWEEP_EXCLUDE = {
     "q_src_json",
     "q_src_orc",
     "q_join_dpp",
+    "q_join_bucketed",  # writes bucketed tables at plan-build time
     "q_udtf_python",  # intentional Python UDTF surface
     "q_dedup_components",  # iterative fixpoint executes jobs to converge
     "q_sim_ann_ivf",  # quantizer fit executes jobs
