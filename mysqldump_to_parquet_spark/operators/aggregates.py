@@ -41,15 +41,30 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantity sums/avgs are whole-double exact; the price-bearing
+            # sums round onto their decimal grid (cross-engine accumulation
+            # order), and each avg divides its ROUNDED sum by the exact
+            # count — bit-deterministic with no boundary risk
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
             ).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (
+                F.round(F.sum("l_extendedprice"), 6) / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (
+                F.round(F.sum("l_discount"), 6) / F.count(F.lit(1))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -60,12 +75,12 @@ TPCH_Q1_SQL = f"""
 SELECT l_returnflag,
        l_linestatus,
        SUM(l_quantity)                                         AS sum_qty,
-       SUM(l_extendedprice)                                    AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount))                 AS sum_disc_price,
-       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))   AS sum_charge,
+       ROUND(SUM(l_extendedprice), 6)                          AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)       AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
        AVG(l_quantity)                                         AS avg_qty,
-       AVG(l_extendedprice)                                    AS avg_price,
-       AVG(l_discount)                                         AS avg_disc,
+       ROUND(SUM(l_extendedprice), 6) / COUNT(*)               AS avg_price,
+       ROUND(SUM(l_discount), 6) / COUNT(*)                    AS avg_disc,
        COUNT(*)                                                AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
@@ -252,7 +267,8 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("val").alias("min_val"),
             F.max("val").alias("max_val"),
-            F.sum("val").alias("sum_val"),
+            # rounded: cross-engine double-sum accumulation order
+            F.round(F.sum("val"), 6).alias("sum_val"),
         )
         .orderBy("measure")
     )
@@ -260,7 +276,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_UNPIVOT_SQL = """
 SELECT measure, COUNT(*) AS n, MIN(val) AS min_val, MAX(val) AS max_val,
-       SUM(val) AS sum_val
+       ROUND(SUM(val), 6) AS sum_val
 FROM (
   UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
   ON l_quantity, l_extendedprice, l_discount, l_tax

@@ -167,7 +167,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("c_acctbal").alias("sum_acctbal"),
+            # rounded: cross-engine double-sum accumulation order
+            F.round(F.sum("c_acctbal"), 6).alias("sum_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -176,7 +177,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_BROADCAST_SQL = """
 SELECT r_name, n_name,
        COUNT(*)       AS n_customers,
-       SUM(c_acctbal) AS sum_acctbal
+       ROUND(SUM(c_acctbal), 6) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -397,14 +398,15 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id")
         .agg(
             F.count(F.lit(1)).alias("n_errors"),
-            F.sum("value").alias("sum_error_value"),
+            # rounded: cross-engine double-sum accumulation order
+            F.round(F.sum("value"), 6).alias("sum_error_value"),
         )
     )
 
 
 JOIN_INTERVAL_SQL = f"""
 SELECT p.event_id AS purchase_id, COUNT(*) AS n_errors,
-       SUM(e.value) AS sum_error_value
+       ROUND(SUM(e.value), 6) AS sum_error_value
 FROM events p
 JOIN events e
   ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL {_INTERVAL_MINUTES} MINUTE
@@ -599,9 +601,19 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-free plan; this registry twin hash-checks the *values*
     against a plain-join oracle (bucketing must never change results).
     The writes are idempotent (mode=overwrite, per-sf table names)."""
+    import shutil
+    from urllib.parse import urlparse
+
     suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     ob_name, lb_name = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (ob_name, lb_name):
+        # a PREVIOUS session may have left the managed location on disk
+        # without this session's catalog knowing the table — overwrite
+        # can't fix that (LOCATION_ALREADY_EXISTS), so drop both halves
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
     (
         load_table(spark, sf_dir, "orders")
         .write.mode("overwrite")

@@ -111,13 +111,19 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.avg("o_totalprice").over(w).alias("moving_avg_3"),
+        # rounded-sum / exact-count: Spark's sliding frame accumulates
+        # incrementally (add/remove), DuckDB recomputes — the raw avg's
+        # low bits are engine-dependent
+        (
+            F.round(F.sum("o_totalprice").over(w), 6)
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_3"),
     )
 
 
 WIN_MOVING_AVG_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       AVG(o_totalprice) OVER w AS moving_avg_3
+       ROUND(SUM(o_totalprice) OVER w, 6) / COUNT(*) OVER w AS moving_avg_3
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

@@ -174,7 +174,8 @@ def src_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum("o_totalprice").alias("total_price"),
+                # rounded: cross-engine double-sum accumulation order
+                F.round(F.sum("o_totalprice"), 6).alias("total_price"),
             )
             .orderBy("priority")
         )
@@ -185,7 +186,7 @@ SRC_EVOLUTION_SQL = f"""
 SELECT CASE WHEN o_orderkey % 2 = 0 THEN '{PRE_EVOLUTION}'
             ELSE o_orderpriority END AS priority,
        COUNT(*)           AS n_orders,
-       SUM(o_totalprice)  AS total_price
+       ROUND(SUM(o_totalprice), 6)  AS total_price
 FROM orders
 GROUP BY priority
 ORDER BY priority
