@@ -99,11 +99,13 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         ranks.unpersist()
         ranks = new_ranks
-    out = ranks.orderBy("node")
-    edges.unpersist()
-    wedges.unpersist()
-    nodes.unpersist()
-    return out
+    # edges/wedges/nodes stay cached: the returned DataFrame is LAZY, and
+    # every iteration's join hangs off wedges — unpersisting here would
+    # make the caller's action recompute the edge pipeline once per
+    # round.  Repeated calls reuse the same cache entries (the cache
+    # manager keys on the canonicalized plan), so entries don't
+    # accumulate; memory stays O(|V| + |E|).
+    return ranks.orderBy("node")
 
 
 def _pagerank_sql() -> str:

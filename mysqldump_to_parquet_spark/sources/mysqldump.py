@@ -581,7 +581,10 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                 j += 1
             tok = s[i:j]
             i = j
-            if tok.startswith("_") and "'" in tok:
+            # introducer tokens start with "_", which _NUM_DEL keeps, so
+            # they can never take the numeric branch — the glued-quote
+            # rewind check safely moves below it (off the hot path)
+            if tok[0] == "_" and "'" in tok:
                 # charset introducer glued to its string (_utf8mb4'x'):
                 # rewind to the quote; the next iteration parses the string.
                 q = tok.index("'")
