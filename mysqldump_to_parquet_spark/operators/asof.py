@@ -148,5 +148,149 @@ FROM purchases p
 """
 
 
-QUERIES = {"q_join_asof": join_asof}
-ORACLE = {"q_join_asof": JOIN_ASOF_SQL}
+# ------------------------------------------- nearest (bidirectional) as-of
+
+#: Match tolerance for the nearest-event join (µs): a candidate farther
+#: than this in either direction is no match.
+NEAREST_TOL_US = 6 * 3600 * 1_000_000
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_join_asof_nearest: for each purchase, the click by the same user
+    NEAREST in time (either direction) within a 6 h tolerance — the
+    bidirectional variant kdb's ``wj`` / pandas ``merge_asof
+    (direction='nearest')`` implement, which Spark lacks natively.
+
+    Same union-and-window shape as the backward as-of — ONE shuffle of
+    |L|+|R| rows — with two in-partition sorts over the same exchange:
+    an ascending scan carries the latest click ≤ ts forward, a descending
+    scan carries the earliest click ≥ ts backward, and a row-local CASE
+    picks the closer candidate (ties prefer the backward match; equal-ts
+    clicks break on click_id — every choice selects an *element*, so the
+    result hash-checks exactly with no float surface).
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    l2 = purchases.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__cid"),
+    )
+    r2 = clicks.select(
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col("click_id").alias("__cid"),
+    )
+    u = l2.unionByName(r2)
+    us = F.unix_micros("__ts")
+    # ascending scan: at equal ts the click (side 0) precedes the purchase
+    # (backward-inclusive); among equal-ts clicks the LAST scanned wins in
+    # last(), so ordering clicks by __cid ASC makes the max id the carried
+    # one — mirrored in the oracle's ORDER BY ... ts DESC, click_id DESC
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__cid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # descending scan: at equal ts the click still precedes the purchase
+    # (forward-inclusive); among equal-ts clicks __cid DESC makes the MIN
+    # id the carried one — mirrored by ORDER BY ts ASC, click_id ASC
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__cid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cid = F.when(F.col("__side") == 0, F.col("__cid"))
+    cts = F.when(F.col("__side") == 0, us)
+    scanned = u.select(
+        "user_id",
+        "event_id",
+        "__ts",
+        "__side",
+        F.last(cid, ignorenulls=True).over(wb).alias("__b_id"),
+        F.last(cts, ignorenulls=True).over(wb).alias("__b_us"),
+        F.last(cid, ignorenulls=True).over(wf).alias("__f_id"),
+        F.last(cts, ignorenulls=True).over(wf).alias("__f_us"),
+    )
+    p = scanned.where(F.col("__side") == 1)
+    db = us - F.col("__b_us")
+    df_ = F.col("__f_us") - us
+    b_ok = F.col("__b_us").isNotNull() & (db <= NEAREST_TOL_US)
+    f_ok = F.col("__f_us").isNotNull() & (df_ <= NEAREST_TOL_US)
+    pick_b = b_ok & (~f_ok | (db <= df_))
+    return p.select(
+        "user_id",
+        "event_id",
+        F.col("__ts").alias("ts"),
+        F.when(pick_b, F.col("__b_id"))
+        .when(f_ok, F.col("__f_id"))
+        .alias("nearest_click_id"),
+        F.when(pick_b, db).when(f_ok, df_).alias("delta_us"),
+        F.when(pick_b, F.lit("backward"))
+        .when(f_ok, F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+JOIN_ASOF_NEAREST_SQL = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.user_id, p.event_id, p.ts,
+         (SELECT c.click_id FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS b_id,
+         (SELECT epoch_us(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS b_us,
+         (SELECT c.click_id FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts >= p.ts
+          ORDER BY c.ts ASC, c.click_id ASC LIMIT 1) AS f_id,
+         (SELECT epoch_us(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts >= p.ts
+          ORDER BY c.ts ASC, c.click_id ASC LIMIT 1) AS f_us
+  FROM purchases p
+)
+SELECT user_id, event_id, ts,
+       CASE WHEN b_us IS NOT NULL AND epoch_us(ts) - b_us <= {NEAREST_TOL_US}
+                 AND (f_us IS NULL OR f_us - epoch_us(ts) > {NEAREST_TOL_US}
+                      OR epoch_us(ts) - b_us <= f_us - epoch_us(ts))
+            THEN b_id
+            WHEN f_us IS NOT NULL AND f_us - epoch_us(ts) <= {NEAREST_TOL_US}
+            THEN f_id END AS nearest_click_id,
+       CASE WHEN b_us IS NOT NULL AND epoch_us(ts) - b_us <= {NEAREST_TOL_US}
+                 AND (f_us IS NULL OR f_us - epoch_us(ts) > {NEAREST_TOL_US}
+                      OR epoch_us(ts) - b_us <= f_us - epoch_us(ts))
+            THEN epoch_us(ts) - b_us
+            WHEN f_us IS NOT NULL AND f_us - epoch_us(ts) <= {NEAREST_TOL_US}
+            THEN f_us - epoch_us(ts) END AS delta_us,
+       CASE WHEN b_us IS NOT NULL AND epoch_us(ts) - b_us <= {NEAREST_TOL_US}
+                 AND (f_us IS NULL OR f_us - epoch_us(ts) > {NEAREST_TOL_US}
+                      OR epoch_us(ts) - b_us <= f_us - epoch_us(ts))
+            THEN 'backward'
+            WHEN f_us IS NOT NULL AND f_us - epoch_us(ts) <= {NEAREST_TOL_US}
+            THEN 'forward' END AS direction
+FROM cand
+"""
+
+
+QUERIES = {
+    "q_join_asof": join_asof,
+    "q_join_asof_nearest": join_asof_nearest,
+}
+ORACLE = {
+    "q_join_asof": JOIN_ASOF_SQL,
+    "q_join_asof_nearest": JOIN_ASOF_NEAREST_SQL,
+}

@@ -44,6 +44,12 @@ QUERIES = [
     "q_dedup_chunks",
     "q_source_overlap",
     "q_sample_mixture",
+    # round-3 additions
+    "q_pagerank",
+    "q_multimodal_decode",
+    "q_unigram_logprob",
+    "q_chunk_tokens",
+    "q_agg_histogram_approx",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
