@@ -108,11 +108,12 @@ def main() -> None:
         )
     lines += [
         "",
-        "Expected outliers: `q_resample_locf` *output* (the gap-filled grid) and",
-        "`q_decontaminate`'s exploded n-gram join grow linearly with the data, so",
-        "their wall time tracks output size — still far below the 100× input",
-        "growth, and both shapes shard cleanly (per-user / per-gram keys) on a",
-        "real cluster.",
+        "Expected outlier: `q_resample_locf`'s *output* (the gap-filled grid)",
+        "grows linearly with users × span, so its wall tracks output size —",
+        "still far below the 100× input growth, and it shards cleanly on",
+        "user_id.  `q_decontaminate` (round 3) now DF-prunes and broadcasts",
+        "the eval side, so the train side never shuffles; its residual",
+        "growth is the shingle scan itself.",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
