@@ -225,11 +225,70 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# ----------------------------------------------------------------- EWMA
+
+#: Smoothing factor: y_t = (1-α)·y_{t-1} + α·x_t, seeded y_1 = x_1
+#: (pandas ``ewm(alpha, adjust=False)`` semantics).
+EWMA_ALPHA = 0.2
+
+
+def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ewma: per-user exponentially-weighted moving average of event
+    values over event time — the canonical *recursive* per-key stream
+    statistic no Spark window frame can express (each output depends on
+    the previous output, not on a frame of inputs).
+
+    This is the sanctioned escape hatch used correctly: ``applyInPandas``
+    per user, vectorized inside the batch by pandas' C ``ewm`` scan —
+    one shuffle on the key, O(rows/key) memory, no per-row Python.  The
+    oracle computes the same recursion in closed form
+    (y_t = (1-α)^(t-1)·x_1 + Σ α·(1-α)^(t-k)·x_k); both results are
+    rounded to 6 decimals — the iterative and closed forms differ in
+    float accumulation order by construction, and values are O(100) so
+    drift (~1e-12) sits far below the 5e-7 rounding boundary.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma_value"] = (
+            pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(6)
+        )
+        return pdf[["user_id", "event_id", "ts", "ewma_value"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        _ewma_group,
+        "user_id long, event_id long, ts timestamp, ewma_value double",
+    )
+
+
+EWMA_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT o.user_id, o.event_id, o.ts,
+       ROUND((SELECT SUM(x.value * CASE WHEN x.rn = 1
+                                        THEN pow(1 - {EWMA_ALPHA}, o.rn - 1)
+                                        ELSE {EWMA_ALPHA} * pow(1 - {EWMA_ALPHA}, o.rn - x.rn)
+                                   END)
+              FROM ordered x
+              WHERE x.user_id = o.user_id AND x.rn <= o.rn), 6) AS ewma_value
+FROM ordered o
+"""
+
+
 QUERIES = {
     "q_sessionize": sessionize,
     "q_merge_upsert": merge_upsert,
     "q_scd2": scd2,
     "q_win_time_range": win_time_range,
+    "q_ewma": ewma,
 }
 
 ORACLE = {
@@ -237,4 +296,5 @@ ORACLE = {
     "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_scd2": SCD2_SQL,
     "q_win_time_range": WIN_TIME_RANGE_SQL,
+    "q_ewma": EWMA_SQL,
 }
