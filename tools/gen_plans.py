@@ -118,6 +118,18 @@ NOTES = {
         "(transform(sequence) + posexplode + md5): zero Exchange; output "
         "rows ≈ tokens/stride, the linear factor any tokenizer pays."
     ),
+    "q_join_asof_nearest": (
+        "Bidirectional nearest as-of: union both sides, ONE exchange on "
+        "the key, two in-partition sorts (asc scan carries the latest "
+        "≤-candidate, desc scan the earliest ≥-candidate), row-local "
+        "closer-pick — never an inequality-join explosion."
+    ),
+    "q_ewma": (
+        "Recursive per-key statistic via FlatMapGroupsInPandas: one key "
+        "exchange, pandas' C ewm scan inside each Arrow batch — the "
+        "sanctioned Python escape hatch for recursions no window frame "
+        "expresses, with zero per-row Python overhead."
+    ),
     "q_tpch_q5": (
         "Six-way join: orders ⋈ lineitem is the only shuffle join; "
         "customer/supplier/nation/region all broadcast, and the "
