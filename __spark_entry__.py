@@ -23,6 +23,7 @@ from mysqldump_to_parquet_spark.llm import dedup as llm_dedup
 from mysqldump_to_parquet_spark.llm import multimodal as llm_multimodal
 from mysqldump_to_parquet_spark.llm import quality as llm_quality
 from mysqldump_to_parquet_spark.llm import sampling as llm_sampling
+from mysqldump_to_parquet_spark.llm import scrub as llm_scrub
 from mysqldump_to_parquet_spark.llm import similarity as llm_similarity
 from mysqldump_to_parquet_spark.llm import terms as llm_terms
 from mysqldump_to_parquet_spark.llm import vectors as llm_vectors
@@ -56,6 +57,7 @@ _MODULES = [
     llm_quality,
     llm_terms,
     llm_sampling,
+    llm_scrub,
     llm_multimodal,
     composite,
     graph,
