@@ -132,12 +132,257 @@ ORDER BY votes DESC, label ASC
 """
 
 
+# ---------------------------------------------------------------- k-means
+
+#: Lloyd's algorithm: cluster count, refinement iterations.  Init is
+#: deterministic (the K lowest vec_ids seed the centroids), so the whole
+#: trajectory — and the DuckDB oracle's unrolled twin — is reproducible.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _sqdist_to(centroid: list[float]):
+    """Squared distance |x - c|² as a LEFT-TO-RIGHT fold — the same
+    operand order as the oracle's ``list_reduce``, so the double result
+    is bit-identical across engines (no rounding needed before argmin)."""
+    arr = F.array(*[F.lit(float(c)) for c in centroid])
+
+    def term(x, c):
+        d = x.cast("double") - c
+        return d * d
+
+    return F.aggregate(
+        F.zip_with(F.col("embedding"), arr, term),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_kmeans: Lloyd k-means over the embeddings table, the MLlib
+    shape hand-built on DataFrames: per iteration, (1) assignment is a
+    zero-shuffle codegen'd argmin over the K broadcast centroid literals
+    (K·DIM flops per row — no join, no candidate explosion), (2) the
+    update is ONE (cluster, pos) partial-agg shuffle of posexploded
+    scalars, and the K×DIM rounded means come back to the driver (4 KB —
+    the same legitimate driver-side scalar traffic as MLlib's
+    ``KMeans.fit`` pays every iteration; the *data* never moves).
+
+    Determinism contract: init = K lowest vec_ids; squared distances are
+    left-fold bit-identical (see :func:`_sqdist_to`); argmin tiebreaks on
+    cluster id via struct ordering; means are rounded to 6 decimals at
+    every iteration boundary in both twins, so the trajectory is
+    cross-engine exact.  Output: final centroids as scalar (cluster,
+    pos, n_vecs, mean) rows — the :func:`embed_centroids` convention.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # deterministic seed: the K lowest vec_ids, cluster id = rank
+    seed_rows = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    # (cid, centroid) pairs — an emptied cluster drops out but survivors
+    # KEEP their ids (the oracle's unrolled CTEs never renumber)
+    centroids = [(cid, list(r.v)) for cid, r in enumerate(seed_rows)]
+
+    def _cands(cents):
+        # named_struct: F.array unifies element types and drops .alias()
+        # field names from plain F.struct literals
+        return F.array(
+            *[
+                F.named_struct(
+                    F.lit("d2"), _sqdist_to(c), F.lit("cid"), F.lit(cid)
+                )
+                for cid, c in cents
+            ]
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select(
+            F.array_min(_cands(centroids))["cid"].alias("cluster"),
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "v"
+            ),
+        )
+        upd = (
+            assigned.groupBy("cluster", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.round(F.avg("v"), 6).alias("mean"),
+            )
+        )
+        # K×DIM rounded scalars — the per-iteration driver traffic every
+        # distributed k-means pays (MLlib collects the same); never rows.
+        rows = upd.collect()
+        by_cid: dict[int, list[float]] = {}
+        for r in rows:
+            by_cid.setdefault(r.cluster, [0.0] * DIM)[r.pos] = r.mean
+        centroids = sorted(by_cid.items())
+
+    cands = _cands(centroids)
+    final = e.select(
+        F.array_min(cands)["cid"].alias("cluster"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    return (
+        final.groupBy("cluster", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("v"), 6).alias("mean"),
+        )
+        .orderBy("cluster", "pos")
+    )
+
+
+def _duck_d2(v: str, c: str) -> str:
+    """DuckDB squared-distance fold, same left-to-right operand order as
+    the Spark fold (explicit multiply, never ``^`` — pow() is not
+    guaranteed exact for squaring)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}),"
+        f" j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j]))), (s, x) -> s + x)"
+    )
+
+
+def _kmeans_round_sql(prev: str, n: int) -> str:
+    """One unrolled Lloyd round: assignment vs ``{prev}`` + rounded
+    per-(cluster, pos) means reassembled as list centroids ``c{n}``."""
+    return f"""
+d{n} AS (
+  SELECT e.vec_id, p.cid, {_duck_d2('e.v', 'p.c')} AS d2
+  FROM e CROSS JOIN {prev} p
+),
+a{n} AS (
+  SELECT vec_id, (min(struct_pack(d2 := d2, cid := cid))).cid AS cluster
+  FROM d{n} GROUP BY vec_id
+),
+u{n} AS (
+  SELECT a.cluster, j - 1 AS pos, ROUND(AVG(e.v[j]), 6) AS m
+  FROM a{n} a JOIN e USING (vec_id)
+       CROSS JOIN generate_series(1, {DIM}) g(j)
+  GROUP BY a.cluster, j
+),
+c{n} AS (
+  SELECT cluster AS cid, list(m ORDER BY pos) AS c
+  FROM u{n} GROUP BY cluster
+)"""
+
+
+KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+),{_kmeans_round_sql('c0', 1)},{_kmeans_round_sql('c1', 2)},
+dF AS (
+  SELECT e.vec_id, p.cid, {_duck_d2('e.v', 'p.c')} AS d2
+  FROM e CROSS JOIN c2 p
+),
+aF AS (
+  SELECT vec_id, (min(struct_pack(d2 := d2, cid := cid))).cid AS cluster
+  FROM dF GROUP BY vec_id
+)
+SELECT a.cluster, CAST(j - 1 AS INTEGER) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(e.v[j]), 6) AS mean
+FROM aF a JOIN e USING (vec_id)
+     CROSS JOIN generate_series(1, {DIM}) g(j)
+GROUP BY a.cluster, j
+ORDER BY a.cluster, pos
+"""
+
+
+# --------------------------------------------------------- int8 quantize
+
+#: Symmetric int8 quantization: scale = max|v| / 127, q = round(v/scale).
+Q_LEVELS = 127
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_embed_quantize: per-vector symmetric int8 quantization — the
+    4×-compression step vector stores apply before indexing — emitting
+    the scale, an exact integer checksum of the quantized codes
+    (Σ qᵢ·i, position-weighted so permutations don't collide), and the
+    mean absolute dequantization error.
+
+    Zero shuffle: everything is per-row JVM expression work.  Exactness:
+    ``scale`` is a single division of an exact float32 max (bit-identical
+    across engines); codes are integer; the error fold is left-to-right
+    in both twins, so even the unrounded double would match — rounded to
+    6 anyway per repo convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(dbl, F.abs))
+    scale = amax / Q_LEVELS
+    q = F.transform(dbl, lambda v: F.round(v / scale).cast("int"))
+    checksum = F.aggregate(
+        F.zip_with(
+            q,
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda qi, i: qi.cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    abs_err_sum = F.aggregate(
+        F.zip_with(dbl, q, lambda v, qi: F.abs(v - qi.cast("double") * scale)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return e.where(amax > 0).select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        checksum.alias("q_checksum"),
+        F.round(abs_err_sum / DIM, 6).alias("mean_abs_err"),
+    )
+
+
+EMBED_QUANTIZE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
+         CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              AS DOUBLE) / {Q_LEVELS} AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, label, d, scale,
+         list_transform(d, x -> CAST(round(x / scale) AS INTEGER)) AS codes
+  FROM v
+  WHERE scale > 0
+)
+SELECT vec_id, label, scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, {DIM}),
+                          j -> CAST(codes[j] AS BIGINT) * j)),
+         (s, x) -> s + x) AS q_checksum,
+       ROUND(
+         list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, {DIM}),
+                            j -> abs(d[j] - CAST(codes[j] AS DOUBLE) * scale))),
+           (s, x) -> s + x) / {DIM}, 6) AS mean_abs_err
+FROM q
+"""
+
+
 QUERIES = {
     "q_embed_centroids": embed_centroids,
     "q_knn_classify": knn_classify,
+    "q_kmeans": kmeans,
+    "q_embed_quantize": embed_quantize,
 }
 
 ORACLE = {
     "q_embed_centroids": EMBED_CENTROIDS_SQL,
     "q_knn_classify": KNN_CLASSIFY_SQL,
+    "q_kmeans": KMEANS_SQL,
+    "q_embed_quantize": EMBED_QUANTIZE_SQL,
 }
