@@ -586,7 +586,59 @@ FROM orders
 """
 
 
+# ----------------------------------------------------------- url parsing
+
+
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_url: URL component extraction — host, path, full query
+    string, and one named query parameter — via Spark's ``parse_url``
+    (the JVM-side java.net.URI family; no UDF).  The URL itself is a
+    deterministic per-row fixture (the documents table carries no
+    natural URLs); the DuckDB twin parses the same components with
+    engine-neutral regexes, so the oracle is an independent
+    implementation, not an echo."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&ref="),
+        F.col("source"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
+
+
+FN_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://www.example' || CAST(doc_id % 7 AS VARCHAR)
+         || '.com/articles/' || CAST(doc_id % 50 AS VARCHAR)
+         || '?page=' || CAST(doc_id % 5 AS VARCHAR)
+         || '&ref=' || source AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/?#]*)', 1)  AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1)           AS query,
+       regexp_extract(url, '[?&]page=([^&#]*)', 1)    AS page_param,
+       regexp_extract(url, '[?&]ref=([^&#]*)', 1)     AS ref_param
+FROM u
+"""
+
+
 QUERIES = {
+    "q_fn_url": fn_url,
     "q_fn_string": fn_string,
     "q_fn_date": fn_date,
     "q_fn_math": fn_math,
@@ -609,6 +661,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_fn_url": FN_URL_SQL,
     "q_fn_string": FN_STRING_SQL,
     "q_fn_date": FN_DATE_SQL,
     "q_fn_math": FN_MATH_SQL,

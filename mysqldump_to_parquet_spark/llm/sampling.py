@@ -242,8 +242,60 @@ FROM idx
 """
 
 
+# ------------------------------------------ weighted Bernoulli sampling
+
+#: Inclusion-probability scale: the longest document keeps with p = RATE,
+#: everything else proportionally to its length.
+WEIGHTED_RATE = 0.5
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sample_weighted: length-proportional Bernoulli sampling —
+    inclusion probability p ∝ n_chars (Poisson/PPS sampling, the
+    standard upweighting of long documents in corpus mixing).
+
+    Deterministic and engine-exact with NO float comparison against a
+    random draw: the keep test compares the first 8 md5 hex digits of
+    the doc_id (a uniform 32-bit integer in hex form) against
+    ``hex(floor(p·2³²))`` — integer/string machinery end-to-end, so
+    membership is a pure function of (doc_id, n_chars, max n_chars) and
+    the oracle checks the exact kept set.  Scale shape: one tiny
+    max-aggregate broadcast + a per-row filter; no shuffle of the data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("max_chars"))
+    p = (
+        F.lit(WEIGHTED_RATE)
+        * F.col("n_chars").cast("double")
+        / F.col("max_chars").cast("double")
+    )
+    thresh = F.floor(p * F.lit(4294967296.0)).cast("long")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < F.lpad(
+        F.lower(F.hex(thresh)), 8, "0"
+    )
+    return (
+        d.join(F.broadcast(mx))
+        .where(keep)
+        .select("doc_id", "n_chars", p.alias("keep_prob"))
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+SELECT doc_id, n_chars,
+       {WEIGHTED_RATE} * CAST(n_chars AS DOUBLE) / CAST(max_chars AS DOUBLE)
+         AS keep_prob
+FROM documents, mx
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(
+          {WEIGHTED_RATE} * CAST(n_chars AS DOUBLE)
+          / CAST(max_chars AS DOUBLE) * 4294967296.0) AS BIGINT))), 8, '0')
+"""
+
+
 QUERIES = {
     "q_split_hash": split_hash,
+    "q_sample_weighted": sample_weighted,
     "q_sample_stratified": sample_stratified,
     "q_sample_mixture": sample_mixture,
     "q_pack_sequences": pack_sequences,
@@ -252,6 +304,7 @@ QUERIES = {
 
 ORACLE = {
     "q_split_hash": SPLIT_HASH_SQL,
+    "q_sample_weighted": SAMPLE_WEIGHTED_SQL,
     "q_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "q_sample_mixture": SAMPLE_MIXTURE_SQL,
     "q_pack_sequences": PACK_SEQUENCES_SQL,

@@ -427,8 +427,117 @@ ORDER BY jaccard DESC, source_a ASC, source_b ASC
 """
 
 
+# ----------------------------------------------------------------- BM25
+
+#: Fixed retrieval query + standard BM25 constants.
+BM25_QUERY = ("spark", "table", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bm25: Okapi BM25 ranking of the corpus against a fixed query —
+    the retrieval-scoring counterpart of q_tfidf (length-normalized,
+    saturating term frequency).
+
+    score(d) = Σₜ idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Scale shape: explode → filter to the query's terms (the filter cuts
+    the exploded stream to |query|·N rows BEFORE any shuffle) → one
+    (doc, term) count, a broadcast join of the |query|-row df table, and
+    one per-doc sum + top-k.  Exactness: ``avgdl`` is exact (integer sum
+    / count, one division); per-term scores are rounded to 9 before the
+    per-doc sum (libm ln last-ulp), the sum to 6 before the rank cut;
+    ties break by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        # token sum is integer-exact in a double; ONE division → exact
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in BM25_QUERY])
+    tok = (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("double").alias("dl"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .where(F.array_contains(terms, F.col("term")))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    comp = F.round(idf * F.col("tf") * (BM25_K1 + 1) / denom, 9)
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(comp), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_TOP)
+    )
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+BM25_SQL = f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+  FROM tok WHERE term IN ({_bm25_terms_sql()})
+  GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT doc_id,
+         ROUND(SUM(ROUND(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+         , 9)), 6) AS bm25
+  FROM tf JOIN dfc USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP}
+"""
+
+
 QUERIES = {
     "q_tfidf": tfidf,
+    "q_bm25": bm25,
     "q_ngram_lm": ngram_lm,
     "q_cooccur_pmi": cooccur_pmi,
     "q_zipf_slope": zipf_slope,
@@ -437,6 +546,7 @@ QUERIES = {
 
 ORACLE = {
     "q_tfidf": TFIDF_SQL,
+    "q_bm25": BM25_SQL,
     "q_ngram_lm": NGRAM_LM_SQL,
     "q_cooccur_pmi": COOCCUR_PMI_SQL,
     "q_zipf_slope": ZIPF_SLOPE_SQL,

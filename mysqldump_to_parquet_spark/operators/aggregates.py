@@ -565,8 +565,56 @@ ORDER BY l_returnflag
 """
 
 
+# ------------------------------------------------- deterministic mode
+
+
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_mode: modal event_type per user — with a DETERMINISTIC
+    tiebreak (highest count, then lexicographically smallest type).
+
+    Built-in ``mode()`` returns an *arbitrary* modal value on ties in
+    both Spark and DuckDB — useless under a value-hash contract and a
+    reproducibility liability in any pipeline.  The portable form is
+    count → per-key argmax via min(struct), which is also the better
+    scale shape: two partial-aggregated hash shuffles (no window sort),
+    keyed on (user_id, event_type) then user_id — skew-bounded by the
+    per-user type alphabet, not event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # argmax via min over (-cnt, event_type): struct ordering gives the
+    # highest count, ties broken by the smallest type string
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("event_type").alias("et"))).alias("b"),
+        F.sum("cnt").alias("n_events"),
+    )
+    return best.select(
+        "user_id",
+        F.col("b.et").alias("modal_type"),
+        (-F.col("b.neg")).alias("modal_cnt"),
+        "n_events",
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       (min(struct_pack(neg := -cnt, et := event_type))).et AS modal_type,
+       -(min(struct_pack(neg := -cnt, et := event_type))).neg AS modal_cnt,
+       SUM(cnt) AS n_events
+FROM counts
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
+    "q_agg_mode": agg_mode,
     "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_incremental": agg_incremental,
     "q_agg_unpivot": agg_unpivot,
@@ -585,6 +633,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_mode": AGG_MODE_SQL,
     "q_agg_incremental": AGG_INCREMENTAL_SQL,
     "q_agg_unpivot": AGG_UNPIVOT_SQL,
     "q_agg_stats": AGG_STATS_SQL,

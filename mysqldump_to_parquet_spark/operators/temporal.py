@@ -283,8 +283,53 @@ FROM ordered o
 """
 
 
+# -------------------------------------------- hierarchical time rollup
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_time_rollup: multi-resolution time-bucket rollup — hour, day,
+    month, and grand-total grains of the events stream in ONE pass, the
+    hypertable "continuous aggregate" ladder (TimescaleDB / Druid
+    rollup) expressed as ROLLUP over nested ``date_trunc`` grains.
+
+    One Expand + one partial-aggregated hash shuffle computes all four
+    grains; at 100 TB this is the nightly rollup-maintenance job, and
+    the per-grain sums are mergeable states (see q_agg_incremental for
+    the delta-merge discipline).  ``sum_value`` is rounded (events.value
+    is a 2-decimal double — accumulation order is engine-dependent);
+    counts and bucket keys are exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("month", "ts").alias("bucket_month"),
+            F.date_trunc("day", "ts").alias("bucket_day"),
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            "value",
+        )
+        .rollup("bucket_month", "bucket_day", "bucket_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+TIME_ROLLUP_SQL = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_month,
+       CAST(date_trunc('day', ts) AS TIMESTAMP)   AS bucket_day,
+       date_trunc('hour', ts)                     AS bucket_hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (CAST(date_trunc('month', ts) AS TIMESTAMP),
+                 CAST(date_trunc('day', ts) AS TIMESTAMP),
+                 date_trunc('hour', ts))
+"""
+
+
 QUERIES = {
     "q_sessionize": sessionize,
+    "q_time_rollup": time_rollup,
     "q_merge_upsert": merge_upsert,
     "q_scd2": scd2,
     "q_win_time_range": win_time_range,
@@ -293,6 +338,7 @@ QUERIES = {
 
 ORACLE = {
     "q_sessionize": SESSIONIZE_SQL,
+    "q_time_rollup": TIME_ROLLUP_SQL,
     "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_scd2": SCD2_SQL,
     "q_win_time_range": WIN_TIME_RANGE_SQL,
