@@ -260,12 +260,86 @@ LIMIT {MB_TOP_K}
 """
 
 
+# ------------------------------------------------------- BFS shortest path
+
+#: BFS source node and hop cap (fixed — both engines run the identical
+#: bounded exploration).
+BFS_SOURCE = "c:1"
+BFS_MAX_HOPS = 6
+
+
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_graph_bfs: unweighted shortest hop distance from a fixed source
+    over the trade graph — synchronous frontier BFS, the Pregel
+    traversal primitive (reachability / radius / friend-of-friend).
+
+    Per round: frontier ⋈ edges (shuffle keyed on the node, the SAME key
+    every round so the persisted edge partitioning is reused), an
+    anti-join drops already-settled nodes, and the new frontier is
+    persisted while the previous round's is released — memory stays
+    O(|V| + frontier), lineage stays shallow.  Settled distances are
+    exact integers; no float surface at all.  The DuckDB twin is a
+    recursive CTE with the same hop cap — a genuinely independent
+    formulation (set-recursive vs frontier-iterative) of the same
+    semantics."""
+    edges = _edges(spark, sf_dir).persist()
+    dist = (
+        edges.sparkSession.createDataFrame(
+            [(BFS_SOURCE, 0)], "node string, dist int"
+        )
+        .persist()
+    )
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .persist()
+        )
+        new_dist = dist.unionByName(nxt).persist()
+        dist.unpersist()
+        if frontier is not dist:
+            frontier.unpersist()
+        dist, frontier = new_dist, nxt
+        if frontier.isEmpty():  # scalar driver check, same as pagerank's n
+            break
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+GRAPH_BFS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+walk(node, d) AS (
+  SELECT '{BFS_SOURCE}', 0
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk
+GROUP BY node
+"""
+
+
 QUERIES = {
     "q_pagerank": pagerank,
     "q_assoc_rules": assoc_rules,
+    "q_graph_bfs": graph_bfs,
 }
 
 ORACLE = {
     "q_pagerank": PAGERANK_SQL,
     "q_assoc_rules": ASSOC_RULES_SQL,
+    "q_graph_bfs": GRAPH_BFS_SQL,
 }

@@ -656,7 +656,70 @@ ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------------------- 2D skyline
+
+#: Deterministic block count for the distributed local-skyline stage.
+SKYLINE_BLOCKS = 32
+
+
+def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_skyline: 2-D Pareto frontier over distinct (quantity, price)
+    points — maximize ``l_quantity`` while minimizing
+    ``l_extendedprice`` (the multi-criteria "best offers" operator;
+    dominance: qty ≥ ∧ price ≤ with one strict).
+
+    Distributed two-stage shape: a global skyline point is a skyline
+    point of EVERY subset containing it, so stage 1 computes a local
+    skyline per deterministic hash block (parallel windows — never a
+    global sort of the data), and stage 2 re-runs the same sweep over
+    the ~blocks×|skyline| surviving candidates.  The sweep itself is
+    the classic sort-by-x-desc / running-min-y filter: a point is on
+    the frontier iff its price is strictly below every price seen at
+    higher-or-equal quantity.  Pure comparisons on stored values — no
+    float arithmetic, exact across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pts = l.select(
+        F.col("l_quantity").alias("qty"), F.col("l_extendedprice").alias("price")
+    ).distinct()
+
+    from pyspark.sql import Window
+
+    def sweep(df: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.desc("qty"), F.asc("price"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        min_prev = F.min("price").over(w)
+        return (
+            df.withColumn("__minprev", min_prev)
+            .where(F.col("__minprev").isNull() | (F.col("price") < F.col("__minprev")))
+            .drop("__minprev")
+        )
+
+    blocked = pts.withColumn(
+        "blk", (F.abs(F.hash("qty")) % SKYLINE_BLOCKS)
+    )
+    local = sweep(blocked, ["blk"]).drop("blk")
+    return sweep(local, [])
+
+
+SKYLINE_SQL = """
+WITH pts AS (
+  SELECT DISTINCT l_quantity AS qty, l_extendedprice AS price FROM lineitem
+)
+SELECT qty, price
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.qty >= p.qty AND q.price <= p.price
+    AND (q.qty > p.qty OR q.price < p.price)
+)
+"""
+
+
 QUERIES = {
+    "q_skyline": skyline,
     "q_project_filter": project_filter,
     "q_filter_null_in_like": filter_null_in_like,
     "q_join_inner": join_inner,
