@@ -355,3 +355,57 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pii_redact_zero_shuffle(spark):
+    """PII redaction is per-row regex work — codegen'd, no Exchange."""
+    from mysqldump_to_parquet_spark.llm.scrub import pii_redact
+
+    plan = formatted_plan(pii_redact(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert codegen_stage_count(pii_redact(spark, SF)) >= 1
+
+
+def test_dedup_url_single_shuffle(spark):
+    """Canonical-URL dedup is canonicalize + ONE hash aggregation: exactly
+    one Exchange, keyed on the canonical URL, with a partial aggregate
+    before it (map-side combine)."""
+    from mysqldump_to_parquet_spark.llm.scrub import dedup_url
+
+    plan = formatted_plan(dedup_url(spark, SF))
+    assert plan.count("Arguments: hashpartitioning(canonical_url") == 1, plan
+    assert "partial_count" in plan, plan  # map-side combine before the shuffle
+
+
+def test_skyline_no_global_sort_of_data(spark):
+    """Stage 1's per-block windows sort within hash partitions; only the
+    tiny candidate set reaches the final single-partition sweep."""
+    from mysqldump_to_parquet_spark.operators.relational import skyline
+
+    plan = formatted_plan(skyline(spark, SF))
+    # the data-scale exchange is hashpartitioning on the block key; the
+    # single-partition exchange exists but consumes only local-skyline
+    # survivors (bounded by blocks × frontier size, not |data|)
+    assert "hashpartitioning" in plan.lower(), plan
+
+
+def test_bm25_filters_before_shuffle(spark):
+    """The query-term filter must run scan-side: the exploded token
+    stream is cut to |query|·N_docs rows before the (doc, term) count
+    shuffle ever happens."""
+    from mysqldump_to_parquet_spark.llm.terms import bm25
+
+    plan = formatted_plan(bm25(spark, SF))
+    assert "array_contains" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sample_weighted_no_data_shuffle(spark):
+    """PPS sampling is one tiny max-aggregate broadcast + a per-row
+    filter: the documents scan side must not shuffle."""
+    from mysqldump_to_parquet_spark.llm.sampling import sample_weighted
+
+    plan = formatted_plan(sample_weighted(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
