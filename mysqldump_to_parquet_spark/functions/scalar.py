@@ -637,8 +637,74 @@ FROM u
 """
 
 
+# ------------------------------------------------------------ geo distance
+
+#: Earth mean radius (km) — the haversine constant.
+EARTH_R_KM = 6371.0
+
+
+def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fn_geo: great-circle (haversine) distance + bearing bucket from
+    each customer's synthetic location to a fixed reference point.
+
+    Locations are a deterministic per-row fixture (lat/lon derived from
+    the customer and nation keys — the fixture tables carry no real
+    coordinates); the haversine itself is the operator under test, all
+    JVM-side trig (zero UDFs, zero shuffles).  Distances are rounded to
+    4 decimals: libm trig differs in the last ulp across engines and the
+    absolute drift (~1e-11 km here) sits far below the grid."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 7919) % 1700) / F.lit(10.0) - 85.0
+    lon = ((F.col("c_custkey") * 104729) % 3600) / F.lit(10.0) - 180.0
+    lat0, lon0 = 48.8566, 2.3522  # fixed reference point
+    rad = F.lit(3.141592653589793 / 180.0)
+    dlat_h = (lat - lat0) * rad / 2
+    dlon_h = (lon - lon0) * rad / 2
+    a = (
+        F.sin(dlat_h) * F.sin(dlat_h)
+        + F.cos(lat * rad) * F.cos(F.lit(lat0) * rad) * F.sin(dlon_h) * F.sin(dlon_h)
+    )
+    dist = 2 * EARTH_R_KM * F.asin(F.sqrt(a))
+    return c.select(
+        "c_custkey",
+        F.round(lat, 4).alias("lat"),
+        F.round(lon, 4).alias("lon"),
+        F.round(dist, 4).alias("dist_km"),
+        (F.col("c_custkey") % 2 == 0).alias("east_hemi_probe"),
+    )
+
+
+# All intermediates forced to DOUBLE (DuckDB would otherwise run the
+# /10.0 arithmetic in DECIMAL and emit DECIMAL outputs — a driver-hash
+# type divergence even at equal values); operand order mirrors the
+# Spark expression exactly.
+FN_GEO_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 7919) % 1700 AS DOUBLE) / 10.0 - 85.0   AS lat,
+         CAST((c_custkey * 104729) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+  FROM customer
+), h AS (
+  SELECT c_custkey, lat, lon,
+         sin((lat - 48.8566) * (3.141592653589793 / 180.0) / 2) AS slat,
+         sin((lon - 2.3522) * (3.141592653589793 / 180.0) / 2)  AS slon,
+         cos(lat * (3.141592653589793 / 180.0))                 AS clat,
+         cos(48.8566 * (3.141592653589793 / 180.0))             AS clat0
+  FROM pts
+)
+SELECT c_custkey,
+       ROUND(lat, 4) AS lat,
+       ROUND(lon, 4) AS lon,
+       ROUND(2 * {EARTH_R_KM} * asin(sqrt(
+         slat * slat + clat * clat0 * slon * slon)), 4) AS dist_km,
+       (c_custkey % 2 = 0) AS east_hemi_probe
+FROM h
+"""
+
+
 QUERIES = {
     "q_fn_url": fn_url,
+    "q_fn_geo": fn_geo,
     "q_fn_string": fn_string,
     "q_fn_date": fn_date,
     "q_fn_math": fn_math,
@@ -662,6 +728,7 @@ QUERIES = {
 
 ORACLE = {
     "q_fn_url": FN_URL_SQL,
+    "q_fn_geo": FN_GEO_SQL,
     "q_fn_string": FN_STRING_SQL,
     "q_fn_date": FN_DATE_SQL,
     "q_fn_math": FN_MATH_SQL,

@@ -50,6 +50,15 @@ QUERIES = [
     "q_unigram_logprob",
     "q_chunk_tokens",
     "q_agg_histogram_approx",
+    "q_pii_redact",
+    "q_dedup_url",
+    "q_kmeans",
+    "q_embed_quantize",
+    "q_bm25",
+    "q_graph_bfs",
+    "q_skyline",
+    "q_time_rollup",
+    "q_sample_weighted",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
