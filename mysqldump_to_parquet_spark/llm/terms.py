@@ -489,11 +489,12 @@ def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(comp), 6).alias("bm25"))
     )
+    # k-cut FIRST (TakeOrderedAndProject — per-partition heaps, never a
+    # global sort of the scored set), then rank the k survivors; the
+    # remaining single-partition window is bounded by k, not data
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= BM25_TOP)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def _bm25_terms_sql() -> str:

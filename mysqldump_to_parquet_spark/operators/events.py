@@ -25,7 +25,7 @@ reference has no query surface); net-new per SURVEY §2.2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -154,12 +154,67 @@ ORDER BY cohort_week, week_no
 """
 
 
+# ------------------------------------------------- transition matrix
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_event_transitions: first-order Markov transition matrix over
+    per-user event sequences — (from_type → to_type) counts and row-
+    normalized probabilities, the sequence-mining primitive behind
+    next-action prediction and anomalous-flow detection.
+
+    Scale shape: ONE (user_id) exchange feeds the lead window (ordered
+    by ts with event_id tiebreak — timestamps collide); the pair count
+    is a two-phase hash aggregate on the tiny (from, to) alphabet; the
+    row totals come from a second window over that aggregate (no join).
+    Probability = exact-integer ratio — one division, deterministic, no
+    rounding needed."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wo).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")
+        ).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS p
+FROM counts
+"""
+
+
 QUERIES = {
     "q_funnel": funnel,
     "q_cohort_retention": cohort_retention,
+    "q_event_transitions": event_transitions,
 }
 
 ORACLE = {
     "q_funnel": FUNNEL_SQL,
     "q_cohort_retention": COHORT_RETENTION_SQL,
+    "q_event_transitions": EVENT_TRANSITIONS_SQL,
 }

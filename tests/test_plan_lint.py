@@ -133,6 +133,14 @@ _SINGLE_PARTITION_ALLOWED = {
     "q_profile_columns", "q_group_skew", "q_check_constraints",
     # full-result deterministic ORDER BY on an already-tiny aggregate
     "q_win_ratio",
+    # 1-row global max broadcast (the PPS probability denominator)
+    "q_sample_weighted",
+    # k-cut runs first (TakeOrderedAndProject); the rank window sees only
+    # the k survivors — bounded by k, not data
+    "q_bm25",
+    # stage-2 sweep consumes only local-skyline candidates — bounded by
+    # blocks × frontier size, not |data| (see skyline docstring)
+    "q_skyline",
 }
 
 
