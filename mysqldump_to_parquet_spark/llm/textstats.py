@@ -405,11 +405,18 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.alias("grams"),
         F.when(h < TRAIN_MAX, "train").when(h < VAL_MAX, "val").otherwise("test").alias("split"),
     )
+    # explode_OUTER, deliberately: plain explode makes Catalyst infer a
+    # ``size(grams) > 0`` constraint and push it below the spreading
+    # repartition — the ENTIRE shingle fold then re-runs serially inside
+    # the one-task scan stage (measured 2-9 s of the query's wall at
+    # sf0.1).  grams is never empty (the sequence() lower bound is 0),
+    # so outer-explode is result-identical and keeps the scan filter to
+    # the cheap md5 split test.
     train = with_split.where(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_id"), F.explode("grams").alias("g")
+        F.col("doc_id").alias("train_id"), F.explode_outer("grams").alias("g")
     )
     test = with_split.where(F.col("split") == "test").select(
-        F.col("doc_id").alias("eval_id"), F.explode("grams").alias("g")
+        F.col("doc_id").alias("eval_id"), F.explode_outer("grams").alias("g")
     )
     # one aggregation pass over the small side does the DF-prune AND
     # produces the broadcast payload (no separate hot-list + anti-join
