@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 
 # --------------------------------------------------------------- pii redact
 
@@ -85,8 +85,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     part could otherwise be chewed up by a later pass), then IPv4, then
     phones.  Counts come from ``regexp_count`` over the pre-redaction
     text; the redacted text itself is checked exactly via its md5 (the
-    full string would bloat the comparison for no extra evidence)."""
-    d = load_table(spark, sf_dir, "documents")
+    full string would bloat the comparison for no extra evidence).
+
+    The spreading repartition matters here: the fixture arrives as ONE
+    parquet split, and per-row regex work serialized onto a single scan
+    task measured 2.5× superlinear across the SF sweep; a no-op on any
+    properly-split input."""
+    d = load_table_parallel(spark, sf_dir, "documents")
     raw = _enriched_expr()
     redacted = F.regexp_replace(raw, EMAIL_RE, "<EMAIL>")
     redacted = F.regexp_replace(redacted, IPV4_RE, "<IP>")

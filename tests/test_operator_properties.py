@@ -210,3 +210,112 @@ def test_histogram_approx_agrees_with_exact(spark):
 
     codes = {f.split(":", 1)[0] for f in lint_plan(agg_histogram_approx(spark, sf))}
     assert GLOBAL_SORT not in codes
+
+
+def test_skyline_matches_naive_dominance(spark):
+    """Two-stage blocked skyline ≡ brute-force dominance filter on random
+    point sets (duplicate x/y values included so boundary ties occur)."""
+    rng = random.Random(7)
+    from mysqldump_to_parquet_spark.operators import relational as R
+
+    for trial in range(3):
+        pts = {
+            (float(rng.randint(0, 30)), float(rng.randint(0, 1000)) / 4)
+            for _ in range(250)
+        }
+        naive = {
+            p
+            for p in pts
+            if not any(
+                q[0] >= p[0] and q[1] <= p[1] and (q[0] > p[0] or q[1] < p[1])
+                for q in pts
+            )
+        }
+        df = spark.createDataFrame(
+            [(x, y) for x, y in pts], "qty double, price double"
+        )
+
+        def sweep(d, part):
+            from pyspark.sql import Window
+
+            w = (
+                Window.partitionBy(*part)
+                .orderBy(F.desc("qty"), F.asc("price"))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            mp = F.min("price").over(w)
+            return (
+                d.withColumn("__m", mp)
+                .where(F.col("__m").isNull() | (F.col("price") < F.col("__m")))
+                .drop("__m")
+            )
+
+        blocked = df.withColumn(
+            "blk", F.abs(F.hash("qty")) % R.SKYLINE_BLOCKS
+        )
+        got = {
+            (r.qty, r.price)
+            for r in sweep(sweep(blocked, ["blk"]).drop("blk"), []).collect()
+        }
+        assert got == naive, f"trial {trial}: {got ^ naive}"
+
+
+def test_canonicalize_url_idempotent_and_correct(spark):
+    """canon(canon(u)) == canon(u), and known messy spellings collapse to
+    the expected canonical form."""
+    from mysqldump_to_parquet_spark.llm.scrub import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example3.COM/a/b", "https://example3.com/a/b"),
+        ("https://example.com/a/?utm_source=x", "https://example.com/a"),
+        ("https://example.com/a?utm_source=x&id=7", "https://example.com/a?id=7"),
+        ("https://example.com/a?id=7#frag", "https://example.com/a?id=7"),
+        ("http://www.example.com/", "http://example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    got = [r.c for r in once.collect()]
+    assert got == [want for _, want in cases], got
+    twice = once.select(canonicalize_url(F.col("c")).alias("c2"))
+    assert [r.c2 for r in twice.collect()] == got
+
+
+def test_kmeans_partitions_the_corpus(spark, sf_dir):
+    """Final k-means centroids: every cluster id within [0, K), member
+    counts sum to the corpus size, all DIM positions present per cluster."""
+    from mysqldump_to_parquet_spark.llm import vectors as V
+
+    rows = V.kmeans(spark, sf_dir).collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster, set()).add(r.pos)
+        assert 0 <= r.cluster < V.KMEANS_K
+    for poss in clusters.values():
+        assert poss == set(range(V.DIM))
+    n_total = {r.cluster: r.n_vecs for r in rows}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(n_total.values()) == emb
+
+
+def test_bfs_distances_are_consistent(spark, sf_dir):
+    """BFS output: source at 0, hops within the cap, and every non-source
+    node at distance d has SOME neighbour at d-1 (spot-checked via the
+    edge list)."""
+    from mysqldump_to_parquet_spark.operators import graph as G
+
+    dist = {r.node: r.dist for r in G.graph_bfs(spark, sf_dir).collect()}
+    assert dist[G.BFS_SOURCE] == 0
+    assert all(0 <= d <= G.BFS_MAX_HOPS for d in dist.values())
+    edges = G._edges(spark, sf_dir).collect()
+    nbrs = {}
+    for e in edges:
+        nbrs.setdefault(e.dst, set()).add(e.src)
+    import random as _r
+
+    rng = _r.Random(3)
+    sample = rng.sample(sorted(dist), min(50, len(dist)))
+    for node in sample:
+        d = dist[node]
+        if d == 0:
+            continue
+        assert any(dist.get(p) == d - 1 for p in nbrs.get(node, ())), node

@@ -357,12 +357,14 @@ def test_runtime_bloom_filter_join_pruning(spark):
             spark.conf.set(k, v)
 
 
-def test_pii_redact_zero_shuffle(spark):
-    """PII redaction is per-row regex work — codegen'd, no Exchange."""
+def test_pii_redact_spreads_but_never_keys(spark):
+    """PII redaction is per-row regex work: the only Exchange allowed is
+    the round-robin spread of the under-split fixture scan (a no-op on
+    properly-split input) — never a key shuffle."""
     from mysqldump_to_parquet_spark.llm.scrub import pii_redact
 
     plan = formatted_plan(pii_redact(spark, SF))
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
     assert codegen_stage_count(pii_redact(spark, SF)) >= 1
 
 
