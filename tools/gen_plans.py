@@ -265,6 +265,46 @@ NOTES = {
         "and the previous round unpersists, so memory is O(V+E) at any "
         "iteration count. No collect, no driver-side graph state."
     ),
+    "q_graph_bfs": (
+        "Frontier BFS: every round's frontier and settled-distance frame "
+        "is localCheckpoint-ed (the MLlib iterative-frame discipline) — "
+        "plain persist is defeated here because the frontier's lineage "
+        "embeds the edge table and self-join attribute dedup re-aliases "
+        "it out of cache-canonical form; checkpointing makes each hop "
+        "O(frontier) against settled RDDs. The returned plan is just the "
+        "final settled scan."
+    ),
+    "q_kmeans": (
+        "Lloyd assignment is one vectorized Arrow batch pass (NumPy "
+        "broadcast argmin vs the K collected centroids — K·DIM "
+        "interpreted JVM folds measured 10× slower); the update is a "
+        "single (cluster, pos) partial-agg shuffle and a K×DIM scalar "
+        "collect per iteration, exactly MLlib's fit traffic."
+    ),
+    "q_skyline": (
+        "Two-stage Pareto sweep: local skylines inside deterministic "
+        "hash blocks (parallel windows — the data never global-sorts), "
+        "then the same sweep over only the surviving candidates; exact "
+        "because dominance is transitive."
+    ),
+    "q_bm25": (
+        "Query-term filter runs scan-side so the exploded token stream "
+        "shrinks to |query|·N before the (doc, term) count shuffle; the "
+        "df table (|query| rows) broadcasts; the k-cut is "
+        "TakeOrderedAndProject, and only the k survivors reach the "
+        "single-partition rank window."
+    ),
+    "q_dedup_url": (
+        "Canonicalization is pure per-row regex (codegen'd); the dedup "
+        "is ONE hash aggregation keyed on the canonical URL with "
+        "map-side partial counts — the q_dedup_exact shape."
+    ),
+    "q_event_transitions": (
+        "One user_id exchange feeds the lead window; the (from, to) pair "
+        "count is a two-phase hash aggregate over the tiny type "
+        "alphabet; row-normalization rides a second window over the "
+        "aggregate itself — no join back."
+    ),
 }
 
 
