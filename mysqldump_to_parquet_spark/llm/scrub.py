@@ -191,6 +191,11 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
     rest = F.regexp_replace(rest, _UTM_RE, "")          # tracking params
     rest = F.regexp_replace(rest, r"\?&", "?")          # ?&rest → ?rest
+    # a stripped LEADING ?utm_… leaves the next param glued with '&':
+    # promote the first '&' to '?' when no '?' survived before it
+    # (anchored → single match; '$1' is Java's group ref, the oracle's
+    # RE2 twin spells it '\\1')
+    rest = F.regexp_replace(rest, r"^([^?]*?)&", r"$1?")
     rest = F.regexp_replace(rest, r"\?$", "")           # bare trailing ?
     rest = F.regexp_replace(rest, r"/$", "")            # trailing slash
     return F.concat(prefix, rest)
@@ -232,9 +237,11 @@ WITH urls AS (
               regexp_replace(
                 regexp_replace(
                   regexp_replace(
-                    regexp_replace(rest, '#.*$', ''),
-                    '{_UTM_RE}', '', 'g'),
-                  '\\?&', '?'),
+                    regexp_replace(
+                      regexp_replace(rest, '#.*$', ''),
+                      '{_UTM_RE}', '', 'g'),
+                    '\\?&', '?'),
+                  '^([^?]*?)&', '\\1?'),
                 '\\?$', ''),
               '/$', '') AS canonical_url
   FROM split
