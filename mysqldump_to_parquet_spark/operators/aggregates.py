@@ -612,8 +612,71 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------------ Welch's t-test
+
+
+def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ab_test: Welch's unequal-variance t-test between every pair of
+    event types on ``value`` — the A/B-experiment readout (t statistic +
+    Welch–Satterthwaite degrees of freedom + a 5% two-sided flag).
+
+    Scale shape: ONE two-phase aggregate reduces the data to a
+    |types|-row moment table; the pair join is over that tiny table
+    (broadcast, |types|² bounded by the alphabet, not the data).  This
+    is the always-right way to run statistical tests on an engine: tests
+    consume sufficient statistics, never rows.  Exactness: the moments
+    are rounded at source (engine-dependent accumulation), so both twins
+    evaluate the identical formula on identical inputs."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.var_samp("value"), 6).alias("s2"),
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    )
+    se1 = F.col("a.s2") / F.col("a.n")
+    se2 = F.col("b.s2") / F.col("b.n")
+    t = (F.col("a.m") - F.col("b.m")) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("a.n") - 1) + se2 * se2 / (F.col("b.n") - 1)
+    )
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 4).alias("dof"),
+        (F.abs(t) > 1.96).alias("significant_5pct"),
+    )
+
+
+AB_TEST_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE)    AS n,
+         ROUND(AVG(value), 6)        AS m,
+         ROUND(var_samp(value), 6)   AS s2
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       ROUND((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS t_stat,
+       ROUND((a.s2 / a.n + b.s2 / b.n) * (a.s2 / a.n + b.s2 / b.n)
+             / ((a.s2 / a.n) * (a.s2 / a.n) / (a.n - 1)
+                + (b.s2 / b.n) * (b.s2 / b.n) / (b.n - 1)), 4) AS dof,
+       abs((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n)) > 1.96
+         AS significant_5pct
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+"""
+
+
 QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
+    "q_ab_test": ab_test,
     "q_agg_mode": agg_mode,
     "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_incremental": agg_incremental,
@@ -633,6 +696,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_ab_test": AB_TEST_SQL,
     "q_agg_mode": AGG_MODE_SQL,
     "q_agg_incremental": AGG_INCREMENTAL_SQL,
     "q_agg_unpivot": AGG_UNPIVOT_SQL,
