@@ -59,6 +59,12 @@ QUERIES = [
     "q_skyline",
     "q_time_rollup",
     "q_sample_weighted",
+    "q_agg_mode",
+    "q_win_rolling_corr",
+    "q_event_transitions",
+    "q_ab_test",
+    "q_fn_geo",
+    "q_fn_url",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
