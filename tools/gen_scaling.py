@@ -135,6 +135,10 @@ def main() -> None:
         "(`q_kmeans`, `q_graph_bfs`) pay a fixed per-round job-scheduling",
         "floor that dominates tiny inputs; their data-dependent cost is the",
         "assignment scan / frontier join, both shuffle-bounded per round.",
+        "`q_win_rolling_corr` partitions by the 5-value event-type alphabet",
+        "— parallelism is key-cardinality-bounded at this fixture's shape;",
+        "the deployed form keys the window by (entity, type) (per-symbol",
+        "series), where cardinality ≫ cores and the same plan scales flat.",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
