@@ -294,7 +294,57 @@ QUALIFY rn >= 3
 """
 
 
+# ------------------------------------------------- period-over-period
+
+
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_win_period_over_period: month-over-month revenue change per
+    order priority — the BI trend primitive (aggregate to the period
+    grain, then lag across periods for absolute and % deltas).
+
+    Scale shape: the raw data collapses in ONE two-phase aggregate to a
+    (priority × month) table; the lag window runs over that aggregate,
+    partitioned by priority — window input is grain-sized, never
+    row-sized, and the aggregate's exchange already clusters by the
+    window key's prefix.  `mom_pct` is a ratio of two at-source-rounded
+    sums: deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        (F.col("revenue") - prev).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 6).alias("mom_pct"),
+    )
+
+
+WIN_PERIOD_OVER_PERIOD_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders
+  GROUP BY o_orderpriority, strftime(o_orderdate, '%Y-%m')
+)
+SELECT o_orderpriority, month, revenue,
+       revenue - lag(revenue) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY month) AS mom_delta,
+       ROUND((revenue - lag(revenue) OVER (PARTITION BY o_orderpriority
+                                           ORDER BY month))
+             / lag(revenue) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY month) * 100, 6) AS mom_pct
+FROM monthly
+"""
+
+
 QUERIES = {
+    "q_win_period_over_period": win_period_over_period,
     "q_win_rolling_corr": win_rolling_corr,
     "q_win_cume": win_cume,
     "q_win_ratio": win_ratio,
@@ -306,6 +356,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_win_period_over_period": WIN_PERIOD_OVER_PERIOD_SQL,
     "q_win_rolling_corr": WIN_ROLLING_CORR_SQL,
     "q_win_cume": WIN_CUME_SQL,
     "q_win_ratio": WIN_RATIO_SQL,
