@@ -207,14 +207,137 @@ FROM counts
 """
 
 
+# ---------------------------------------------------- gaps and islands
+
+
+def streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_streaks: per-user consecutive-active-day streaks — the classic
+    gaps-and-islands rewrite (engagement streaks, uptime runs).
+
+    ``date − row_number`` is constant within a consecutive run, so the
+    island id falls out of one window over the deduped (user, day)
+    grid — no self-join, no recursion.  Scale shape: dedup to the
+    (user, day) grain (two-phase aggregate), ONE user-keyed window, one
+    (user, island) count, one per-user rollup; every stage keys on
+    user_id, so a single exchange's clustering serves the window and
+    both aggregates.  Integer/date-exact throughout."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), islands AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+), runs AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*)                 AS n_streaks,
+       MAX(len)                 AS longest_streak
+FROM runs
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------- sequence pattern matching
+
+#: Pattern window: an 'error' followed by a 'purchase' within this many
+#: subsequent events of the same user.
+PATTERN_LOOKAHEAD = 3
+
+
+def match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_match_pattern: MATCH_RECOGNIZE-lite — find every 'error' event
+    followed by a 'purchase' within the user's next 3 events, emitting
+    the anchor and how many steps the recovery took (the
+    error-then-converts sequence every funnel-debugging session asks
+    for).
+
+    Spark has no MATCH_RECOGNIZE; bounded-lookahead patterns compile to
+    lead() columns over ONE user-keyed window — per-row JVM work after a
+    single exchange, no self-join against the sequence.  (Unbounded
+    patterns become a sessionized aggregation instead; the bounded form
+    is the common fast path.)  Deterministic: (ts, event_id) ordering,
+    integer steps."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leads = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        *[
+            F.lead("event_type", i).over(w).alias(f"t{i}")
+            for i in range(1, PATTERN_LOOKAHEAD + 1)
+        ],
+    )
+    steps = F.when(F.col("t1") == "purchase", 1)
+    for i in range(2, PATTERN_LOOKAHEAD + 1):
+        steps = steps.when(F.col(f"t{i}") == "purchase", i)
+    return (
+        leads.where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            steps.alias("steps_to_purchase"),
+        )
+        .where(F.col("steps_to_purchase").isNotNull())
+    )
+
+
+MATCH_PATTERN_SQL = """
+WITH leads AS (
+  SELECT event_id, user_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(event_type, 3) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN t1 = 'purchase' THEN 1
+            WHEN t2 = 'purchase' THEN 2
+            WHEN t3 = 'purchase' THEN 3 END AS steps_to_purchase
+FROM leads
+WHERE event_type = 'error'
+  AND (t1 = 'purchase' OR t2 = 'purchase' OR t3 = 'purchase')
+"""
+
+
 QUERIES = {
     "q_funnel": funnel,
     "q_cohort_retention": cohort_retention,
     "q_event_transitions": event_transitions,
+    "q_streaks": streaks,
+    "q_match_pattern": match_pattern,
 }
 
 ORACLE = {
     "q_funnel": FUNNEL_SQL,
     "q_cohort_retention": COHORT_RETENTION_SQL,
     "q_event_transitions": EVENT_TRANSITIONS_SQL,
+    "q_streaks": STREAKS_SQL,
+    "q_match_pattern": MATCH_PATTERN_SQL,
 }

@@ -343,7 +343,64 @@ FROM monthly
 """
 
 
+# ---------------------------------------------- running distinct count
+
+
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_win_running_distinct: running count of distinct users per event
+    type over event time — the "cumulative unique visitors" curve.
+
+    COUNT(DISTINCT) OVER a running frame is either unsupported or a
+    per-frame set rebuild; the scalable rewrite is the first-seen-flag
+    trick: one window marks each (type, user)'s first event, a second
+    running-sums the flags.  Both windows order the same way; the flag
+    window's (type, user) clustering is a refinement of the outer
+    (type) partitioning, so AQE plans the second sort off the first
+    exchange.  Integer-exact, tiebreak (ts, event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "user_id",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("first_seen").over(w_run).alias("running_distinct_users"),
+    )
+
+
+WIN_RUNNING_DISTINCT_SQL = """
+WITH flagged AS (
+  SELECT event_id, event_type, ts, user_id,
+         CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_distinct_users
+FROM flagged
+"""
+
+
 QUERIES = {
+    "q_win_running_distinct": win_running_distinct,
     "q_win_period_over_period": win_period_over_period,
     "q_win_rolling_corr": win_rolling_corr,
     "q_win_cume": win_cume,
@@ -356,6 +413,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_win_running_distinct": WIN_RUNNING_DISTINCT_SQL,
     "q_win_period_over_period": WIN_PERIOD_OVER_PERIOD_SQL,
     "q_win_rolling_corr": WIN_ROLLING_CORR_SQL,
     "q_win_cume": WIN_CUME_SQL,

@@ -65,6 +65,7 @@ QUERIES = [
     "q_ab_test",
     "q_fn_geo",
     "q_fn_url",
+    "q_win_period_over_period",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
