@@ -536,8 +536,71 @@ QUALIFY rank <= {BM25_TOP}
 """
 
 
+# ------------------------------------------------------------ OOV rate
+
+#: Vocabulary size: the corpus's top-K terms by occurrence count.
+VOCAB_K = 100
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_oov_rate: per-source out-of-vocabulary rate against the
+    corpus's own top-K vocabulary — the tokenizer-fit diagnostic every
+    training mix tracks (a source whose OOV rate spikes is drifting
+    away from the tokenizer's training distribution).
+
+    Scale shape: one two-phase term count builds the vocabulary (k-cut
+    via TakeOrderedAndProject, deterministic count-then-term tiebreak);
+    the token stream left-joins the broadcast K-row vocab and one
+    (source) aggregate folds match flags into rates.  The token stream
+    never shuffles on the term — only on the tiny source key.
+    ``oov_rate`` is an exact-integer ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(VOCAB_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "term", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        (
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term FROM tok
+  GROUP BY term
+  ORDER BY COUNT(*) DESC, term ASC
+  LIMIT {VOCAB_K}
+)
+SELECT t.source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (term)
+GROUP BY t.source
+"""
+
+
 QUERIES = {
     "q_tfidf": tfidf,
+    "q_oov_rate": oov_rate,
     "q_bm25": bm25,
     "q_ngram_lm": ngram_lm,
     "q_cooccur_pmi": cooccur_pmi,
@@ -547,6 +610,7 @@ QUERIES = {
 
 ORACLE = {
     "q_tfidf": TFIDF_SQL,
+    "q_oov_rate": OOV_RATE_SQL,
     "q_bm25": BM25_SQL,
     "q_ngram_lm": NGRAM_LM_SQL,
     "q_cooccur_pmi": COOCCUR_PMI_SQL,
