@@ -38,6 +38,7 @@ from mysqldump_to_parquet_spark.operators import (
     profile,
     relational,
     skew,
+    spatial,
     temporal,
     windows,
 )
@@ -61,6 +62,7 @@ _MODULES = [
     llm_multimodal,
     composite,
     graph,
+    spatial,
     temporal,
     cogroup,
     profile,

@@ -319,3 +319,71 @@ def test_bfs_distances_are_consistent(spark, sf_dir):
         if d == 0:
             continue
         assert any(dist.get(p) == d - 1 for p in nbrs.get(node, ())), node
+
+
+def test_spatial_blocking_loses_no_pairs(spark):
+    """Grid-blocked spatial join ≡ naive cross-join + haversine filter on
+    random coordinates, including antimeridian-straddling and
+    high-latitude points (the two blocking failure modes)."""
+    from mysqldump_to_parquet_spark.operators import spatial as S
+
+    rng = random.Random(11)
+    pts = []
+    for i in range(200):
+        # bias toward the hard cases: the ±180 seam and high latitudes
+        lon = rng.choice(
+            [rng.uniform(-180, 180), rng.uniform(178, 180), rng.uniform(-180, -178)]
+        )
+        lat = rng.choice([rng.uniform(-85, 85), rng.uniform(80, 85)])
+        pts.append((i, round(lat, 3), round(lon, 3)))
+
+    probes = pts[:60]
+    import math as m
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(m.radians, (a[1], a[2], b[1], b[2]))
+        x = (
+            m.sin((la2 - la1) / 2) ** 2
+            + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0 * m.asin(min(1.0, m.sqrt(x)))
+
+    naive = {
+        (p[0], q[0])
+        for p in probes
+        for q in pts
+        if hav(p, q) <= S.RADIUS_KM
+    }
+
+    cdf = spark.createDataFrame(probes, "id long, lat double, lon double")
+    sdf = spark.createDataFrame(pts, "sid long, slat double, slon double")
+    band = S._band(F.col("lat"))
+    cust = cdf.select(
+        "id", "lat", "lon", band.alias("band"),
+        S._lon_cell(F.col("lon"), band).alias("lcell"),
+    )
+    nb = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("db")
+    sb = sdf.select("*", nb).select(
+        "sid", "slat", "slon",
+        (S._band(F.col("slat")) + F.col("db")).alias("band"),
+    )
+    nl = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dl")
+    sc = sb.select("*", nl).select(
+        "sid", "slat", "slon", "band",
+        F.pmod(
+            S._lon_cell(F.col("slon"), F.col("band")) + F.col("dl"),
+            S._ncells(F.col("band")),
+        ).alias("lcell"),
+    )
+    d = S._haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon"))
+    got = {
+        (r.id, r.sid)
+        for r in cust.join(sc, ["band", "lcell"])
+        .select("id", "sid", d.alias("km"))
+        .where(F.col("km") <= S.RADIUS_KM)
+        .distinct()
+        .collect()
+    }
+    missed = naive - got
+    assert not missed, f"blocking lost pairs: {sorted(missed)[:10]}"
+    assert got == naive  # verify step must also not ADD pairs
