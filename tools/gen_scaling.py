@@ -66,6 +66,11 @@ QUERIES = [
     "q_fn_geo",
     "q_fn_url",
     "q_win_period_over_period",
+    "q_win_running_distinct",
+    "q_streaks",
+    "q_match_pattern",
+    "q_oov_rate",
+    "q_join_spatial",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
