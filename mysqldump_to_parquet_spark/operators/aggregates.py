@@ -612,6 +612,70 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------------ weighted median
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_weighted_median: quantity-weighted median price per return
+    flag — the robust center of a value distribution where each row
+    carries a weight (shipment sizes, sample weights, dollar volumes).
+
+    No engine has a weighted-median aggregate; the standard rewrite is
+    a cumulative-weight window: sort the group by value, running-sum
+    the weights, and take the FIRST value whose cumulative weight
+    reaches half the group total.  Scale shape: one (flag) exchange
+    serves the ordering window, the total window (same partitioning,
+    unbounded frame), and the final min-pick aggregate — a single
+    shuffle end to end.  Ties order by (price, orderkey, linenumber),
+    so the crossing row is unique; weights are integral-valued doubles,
+    making every cumulative sum and the ≥ half-total test exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w_ord = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = (
+        l.select("l_returnflag", "l_extendedprice", "l_quantity",
+                 "l_orderkey", "l_linenumber")
+        .withColumn(
+            "cw",
+            F.sum("l_quantity").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("tw", F.sum("l_quantity").over(w_all))
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_WEIGHTED_MEDIAN_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey,
+                                        l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median_price,
+       ROUND(MAX(tw), 2)    AS total_weight
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ------------------------------------------------------ Welch's t-test
 
 
@@ -677,6 +741,7 @@ FROM stats a JOIN stats b ON a.event_type < b.event_type
 QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
     "q_ab_test": ab_test,
+    "q_agg_weighted_median": agg_weighted_median,
     "q_agg_mode": agg_mode,
     "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_incremental": agg_incremental,
@@ -697,6 +762,7 @@ QUERIES = {
 
 ORACLE = {
     "q_ab_test": AB_TEST_SQL,
+    "q_agg_weighted_median": AGG_WEIGHTED_MEDIAN_SQL,
     "q_agg_mode": AGG_MODE_SQL,
     "q_agg_incremental": AGG_INCREMENTAL_SQL,
     "q_agg_unpivot": AGG_UNPIVOT_SQL,
