@@ -464,13 +464,132 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------- audio path
+
+#: Raw PCM container: b"PCM1" + u32le sample_rate + u32le n_samples,
+#: then n int16le samples.  A real (if minimal) binary audio format —
+#: header parsing + fixed-width sample decode, the WAV 'data'-chunk shape.
+AUDIO_MAGIC = b"PCM1"
+AUDIO_SR = 8000
+AUDIO_MIN_N = 64
+AUDIO_MOD_N = 128
+
+
+def encode_pcm(sample_rate: int, samples: "list[int]") -> bytes:
+    import struct
+
+    head = AUDIO_MAGIC + struct.pack("<II", sample_rate, len(samples))
+    return head + struct.pack(f"<{len(samples)}h", *samples)
+
+
+def decode_pcm(data: bytes) -> tuple[int, "list[int]"]:
+    import struct
+
+    if data[:4] != AUDIO_MAGIC:
+        raise ValueError(f"not a PCM1 payload: {data[:4]!r}")
+    sr, n = struct.unpack("<II", data[4:12])
+    if len(data) != 12 + 2 * n:
+        raise ValueError(f"truncated PCM1 payload: {len(data)} bytes for n={n}")
+    return sr, list(struct.unpack(f"<{n}h", data[12:]))
+
+
+def _synth_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic waveform per doc: sample i of doc d is
+    ``((d*31 + i*7) % 2048) - 1024`` — integer-exact, so the SQL oracle
+    regenerates it with generate_series and any decoder bug (endianness,
+    header offset, sample width) shifts every aggregate."""
+    for pdf in batches:
+        rows = {"doc_id": [], "payload": []}
+        for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+            n = AUDIO_MIN_N + int(nc) % AUDIO_MOD_N
+            samples = [((int(d) * 31 + i * 7) % 2048) - 1024 for i in range(n)]
+            rows["doc_id"].append(int(d))
+            rows["payload"].append(encode_pcm(AUDIO_SR, samples))
+        yield pd.DataFrame(rows)
+
+
+_AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized decode + DSP reductions: int16 samples → peak, energy
+    (Σx², the RMS sufficient statistic — kept integer so the oracle has
+    no float surface), strict zero crossings."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {f.name: [] for f in _AUDIO_STATS_SCHEMA.fields}
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            sr, samples = decode_pcm(bytes(payload))
+            x = np.asarray(samples, dtype=np.int64)
+            rows["doc_id"].append(int(d))
+            rows["n_samples"].append(len(x))
+            rows["duration_ms"].append(len(x) * 1000 // sr)
+            rows["peak"].append(int(np.abs(x).max()))
+            rows["sum_sq"].append(int((x * x).sum()))
+            rows["zero_crossings"].append(int((x[:-1] * x[1:] < 0).sum()))
+        yield pd.DataFrame(rows)
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_multimodal_audio: PCM encode → Arrow/shuffle boundary → decode +
+    feature extraction — the audio sibling of q_multimodal_decode (same
+    production topology: the decoder never runs where the bytes were
+    produced).  Every emitted statistic is exact integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pcm = d.mapInPandas(_synth_audio, _SYNTH_SCHEMA)
+    stats = pcm.repartition("doc_id").mapInPandas(
+        _audio_stats, _AUDIO_STATS_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, {AUDIO_MIN_N} + n_chars % {AUDIO_MOD_N} AS n
+  FROM documents
+), samp AS (
+  SELECT doc_id, n, p.i,
+         ((doc_id * 31 + p.i * 7) % 2048) - 1024 AS x
+  FROM dims, LATERAL (
+    SELECT unnest(generate_series(0, n - 1)) AS i
+  ) p
+), lagged AS (
+  SELECT doc_id, n, x,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+  FROM samp
+)
+SELECT doc_id,
+       CAST(MIN(n) AS BIGINT)                           AS n_samples,
+       CAST(MIN(n) * 1000 // {AUDIO_SR} AS BIGINT)      AS duration_ms,
+       CAST(MAX(ABS(x)) AS BIGINT)                      AS peak,
+       CAST(SUM(x * x) AS BIGINT)                       AS sum_sq,
+       CAST(SUM(CASE WHEN px * x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM lagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": multimodal_features,
     "q_multimodal_frames": multimodal_frames,
     "q_multimodal_decode": multimodal_decode,
+    "q_multimodal_audio": multimodal_audio,
 }
 ORACLE = {
     "q_multimodal_meta": MULTIMODAL_META_SQL,
     "q_multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "q_multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "q_multimodal_audio": MULTIMODAL_AUDIO_SQL,
 }

@@ -396,3 +396,19 @@ def test_gopher_rules_each_rule_fires(spark, tmp_path):
     assert not out[3].ok_mean_word_len and not out[3].keep
     assert not out[4].ok_alpha_words and not out[4].keep
     assert not out[5].ok_stopwords and not out[5].keep
+
+
+def test_pcm_codec_round_trip_and_guards():
+    """PCM1 container: encode→decode round-trips exactly; wrong magic and
+    truncated payloads fail loudly (never silently return samples)."""
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm.multimodal import decode_pcm, encode_pcm
+
+    sr, xs = decode_pcm(encode_pcm(8000, [0, -1024, 1023, 5, -32768, 32767]))
+    assert sr == 8000
+    assert xs == [0, -1024, 1023, 5, -32768, 32767]
+    with pytest.raises(ValueError, match="PCM1"):
+        decode_pcm(b"WAVE" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pcm(encode_pcm(8000, [1, 2, 3])[:-2])
