@@ -581,15 +581,165 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------- video path
+
+#: Frame container: b"VID1" + u32le n_frames, then per frame a u32le
+#: byte length + a complete BMP blob — the length-prefixed-GOP shape a
+#: keyframe store uses.
+VIDEO_MAGIC = b"VID1"
+VIDEO_FRAMES = 4
+VIDEO_MAX_W = 12
+VIDEO_MAX_H = 5
+
+
+def encode_video(frames: "list[bytes]") -> bytes:
+    import struct
+
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_video(data: bytes) -> "list[tuple[int, int, bytes]]":
+    import struct
+
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError(f"not a VID1 payload: {data[:4]!r}")
+    (n,) = struct.unpack("<I", data[4:8])
+    frames, off = [], 8
+    for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated VID1 frame table")
+        (ln,) = struct.unpack("<I", data[off : off + 4])
+        off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated VID1 frame payload")
+        frames.append(decode_image(data[off : off + ln]))
+        off += ln
+    if off != len(data):
+        raise ValueError(f"trailing bytes after VID1 frames: {len(data) - off}")
+    return frames
+
+
+def _synth_videos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic clip per doc: frame f's pixel (x, y) has
+    r=(d+x+f)%256, g=(d+y+f)%256, b=(d+x*y+f)%256 — the +f drift gives
+    every frame pair a non-trivial, analytically-integrable motion
+    field."""
+    for pdf in batches:
+        rows = {"doc_id": [], "payload": []}
+        for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+            w = 1 + int(nc) % VIDEO_MAX_W
+            h = 1 + int(nc) % VIDEO_MAX_H
+            frames = []
+            for f in range(VIDEO_FRAMES):
+                rgb = bytearray(w * h * 3)
+                for y in range(h):
+                    for x in range(w):
+                        i = (y * w + x) * 3
+                        rgb[i] = (int(d) + x + f) % 256
+                        rgb[i + 1] = (int(d) + y + f) % 256
+                        rgb[i + 2] = (int(d) + x * y + f) % 256
+                frames.append(encode_bmp(w, h, bytes(rgb)))
+            rows["doc_id"].append(int(d))
+            rows["payload"].append(encode_video(frames))
+        yield pd.DataFrame(rows)
+
+
+_VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r_all", T.LongType()),
+        T.StructField("motion", T.LongType()),
+    ]
+)
+
+
+def _video_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode every frame through the real BMP codec, then reduce to the
+    cross-frame statistics: total red mass and the motion field
+    Σ_f Σ_px |r_f − r_{f−1}| (the shot-boundary / static-clip signal)."""
+    for pdf in batches:
+        rows = {f.name: [] for f in _VIDEO_STATS_SCHEMA.fields}
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = decode_video(bytes(payload))
+            w, h, _ = frames[0]
+            reds = [f[2][0::3] for f in frames]
+            motion = 0
+            for a, b in zip(reds[:-1], reds[1:]):
+                motion += sum(abs(p - q) for p, q in zip(a, b))
+            rows["doc_id"].append(int(d))
+            rows["n_frames"].append(len(frames))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sum_r_all"].append(sum(sum(r) for r in reds))
+            rows["motion"].append(motion)
+        yield pd.DataFrame(rows)
+
+
+def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_multimodal_video: length-prefixed frame container → per-frame
+    BMP decode → cross-frame motion statistics, across the same
+    encode → Arrow/shuffle → decode topology as the image and audio
+    legs.  All-integer outputs; the oracle integrates the generator
+    formula (motion per pixel is |Δr| = 1 except at the %256 wrap,
+    where it is 255 — a decoder that misorders frames or rows shifts
+    the wrap count)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vids = d.mapInPandas(_synth_videos, _SYNTH_SCHEMA)
+    stats = vids.repartition("doc_id").mapInPandas(
+        _video_stats, _VIDEO_STATS_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
+MULTIMODAL_VIDEO_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         1 + n_chars % {VIDEO_MAX_W} AS w,
+         1 + n_chars % {VIDEO_MAX_H} AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, p.i % w AS x
+  FROM dims, LATERAL (
+    SELECT unnest(generate_series(0, w * h - 1)) AS i
+  ) p
+), fr AS (
+  SELECT doc_id, w, h, x, f.f
+  FROM px, LATERAL (
+    SELECT unnest(generate_series(0, {VIDEO_FRAMES} - 1)) AS f
+  ) f
+)
+SELECT doc_id,
+       CAST({VIDEO_FRAMES} AS INTEGER) AS n_frames,
+       CAST(MIN(w) AS INTEGER) AS width,
+       CAST(MIN(h) AS INTEGER) AS height,
+       CAST(SUM((doc_id + x + f) % 256) AS BIGINT) AS sum_r_all,
+       CAST(SUM(CASE WHEN f = 0 THEN 0
+                     WHEN (doc_id + x + f) % 256 = 0 THEN 255
+                     ELSE 1 END) AS BIGINT) AS motion
+FROM fr
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": multimodal_features,
     "q_multimodal_frames": multimodal_frames,
     "q_multimodal_decode": multimodal_decode,
     "q_multimodal_audio": multimodal_audio,
+    "q_multimodal_video": multimodal_video,
 }
 ORACLE = {
     "q_multimodal_meta": MULTIMODAL_META_SQL,
     "q_multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "q_multimodal_decode": MULTIMODAL_DECODE_SQL,
     "q_multimodal_audio": MULTIMODAL_AUDIO_SQL,
+    "q_multimodal_video": MULTIMODAL_VIDEO_SQL,
 }

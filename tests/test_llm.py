@@ -412,3 +412,27 @@ def test_pcm_codec_round_trip_and_guards():
         decode_pcm(b"WAVE" + b"\x00" * 20)
     with pytest.raises(ValueError, match="truncated"):
         decode_pcm(encode_pcm(8000, [1, 2, 3])[:-2])
+
+
+def test_video_container_round_trip_and_guards():
+    """VID1 container: frames round-trip through the real BMP codec;
+    magic/truncation/trailing-bytes all fail loudly."""
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        decode_video,
+        encode_bmp,
+        encode_video,
+    )
+
+    f1 = encode_bmp(2, 2, bytes(range(12)))
+    f2 = encode_bmp(1, 1, b"\x09\x08\x07")
+    out = decode_video(encode_video([f1, f2]))
+    assert [(w, h) for w, h, _ in out] == [(2, 2), (1, 1)]
+    assert out[1][2] == b"\x09\x08\x07"
+    with pytest.raises(ValueError, match="VID1"):
+        decode_video(b"MOOV" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_video(encode_video([f1])[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_video(encode_video([f1]) + b"\x00")
