@@ -581,6 +581,74 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ resize path
+
+#: Fixed target geometry for the resize pipeline (the thumbnail shape).
+RESIZE_W = 8
+RESIZE_H = 4
+
+
+def _resize_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """resize (nearest-neighbor, through the real encode/decode pair) →
+    exact channel sums of the RESIZED image."""
+    for pdf in batches:
+        resized = resize_image_batch(pdf["payload"], RESIZE_W, RESIZE_H)
+        rows = {k.name: [] for k in _DECODE_SCHEMA.fields}
+        for d, payload in zip(pdf["doc_id"], resized):
+            w, h, rgb = decode_image(bytes(payload))
+            rows["doc_id"].append(int(d))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_pixels"].append(w * h)
+            rows["sum_r"].append(sum(rgb[0::3]))
+            rows["sum_g"].append(sum(rgb[1::3]))
+            rows["sum_b"].append(sum(rgb[2::3]))
+        yield pd.DataFrame(rows)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_multimodal_resize: synth → Arrow/shuffle boundary → nearest-
+    neighbor resize to ({RESIZE_W}×{RESIZE_H}) through the real
+    decode→sample→re-encode→decode chain, reduced to exact channel
+    sums.  The oracle evaluates the SAME sampling arithmetic
+    (sx = min(sw−1, ⌊x·sw/W⌋)) analytically over the generator formula,
+    so an off-by-one in the sampler or a stride bug in either codec pass
+    shifts the sums."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    imgs = d.mapInPandas(_synth_images, _SYNTH_SCHEMA)
+    stats = imgs.repartition("doc_id").mapInPandas(
+        _resize_stats, _DECODE_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         1 + n_chars % {DECODE_MAX_W} AS sw,
+         1 + n_chars % {DECODE_MAX_H} AS sh
+  FROM documents
+), px AS (
+  SELECT doc_id, sw, sh,
+         LEAST(sw - 1, ((p.i % {RESIZE_W}) * sw) // {RESIZE_W})  AS sx,
+         LEAST(sh - 1, ((p.i // {RESIZE_W}) * sh) // {RESIZE_H}) AS sy
+  FROM dims, LATERAL (
+    SELECT unnest(generate_series(0, {RESIZE_W} * {RESIZE_H} - 1)) AS i
+  ) p
+)
+SELECT doc_id,
+       CAST({RESIZE_W} AS INTEGER) AS width,
+       CAST({RESIZE_H} AS INTEGER) AS height,
+       CAST(COUNT(*) AS BIGINT)    AS n_pixels,
+       CAST(SUM((doc_id + sx) % 256) AS BIGINT)      AS sum_r,
+       CAST(SUM((doc_id + sy) % 256) AS BIGINT)      AS sum_g,
+       CAST(SUM((doc_id + sx * sy) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------- video path
 
 #: Frame container: b"VID1" + u32le n_frames, then per frame a u32le
@@ -735,6 +803,7 @@ QUERIES = {
     "q_multimodal_decode": multimodal_decode,
     "q_multimodal_audio": multimodal_audio,
     "q_multimodal_video": multimodal_video,
+    "q_multimodal_resize": multimodal_resize,
 }
 ORACLE = {
     "q_multimodal_meta": MULTIMODAL_META_SQL,
@@ -742,4 +811,5 @@ ORACLE = {
     "q_multimodal_decode": MULTIMODAL_DECODE_SQL,
     "q_multimodal_audio": MULTIMODAL_AUDIO_SQL,
     "q_multimodal_video": MULTIMODAL_VIDEO_SQL,
+    "q_multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }
