@@ -71,6 +71,10 @@ QUERIES = [
     "q_match_pattern",
     "q_oov_rate",
     "q_join_spatial",
+    "q_agg_weighted_median",
+    "q_multimodal_audio",
+    "q_multimodal_video",
+    "q_multimodal_resize",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -140,10 +144,13 @@ def main() -> None:
         "(`q_kmeans`, `q_graph_bfs`) pay a fixed per-round job-scheduling",
         "floor that dominates tiny inputs; their data-dependent cost is the",
         "assignment scan / frontier join, both shuffle-bounded per round.",
-        "`q_win_rolling_corr` partitions by the 5-value event-type alphabet",
-        "— parallelism is key-cardinality-bounded at this fixture's shape;",
-        "the deployed form keys the window by (entity, type) (per-symbol",
-        "series), where cardinality ≫ cores and the same plan scales flat.",
+        "`q_win_rolling_corr` and `q_agg_weighted_median` partition their",
+        "windows by tiny fixture alphabets (5 event types / 3 return",
+        "flags) — parallelism is key-cardinality-bounded at this shape;",
+        "the deployed forms key by (entity, type) / real group keys, where",
+        "cardinality ≫ cores and the same plans scale flat (the weighted",
+        "median's 100 TB escape is a weighted percentile sketch, with this",
+        "exact form as its ground truth).",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
