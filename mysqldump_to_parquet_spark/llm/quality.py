@@ -444,7 +444,103 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------ distribution drift (PSI)
+
+#: Fixed-width length bins; split membership reuses sampling.py's
+#: md5 thresholds so 'train'/'test' is the engine's standard
+#: deterministic assignment.
+PSI_BIN = 50
+
+from .sampling import TRAIN_MAX, VAL_MAX  # noqa: E402
+
+
+def split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_split_drift: population stability index of the document-length
+    distribution between the train and test splits — the drift monitor
+    every production split/refresh pipeline runs (PSI > 0.25 = the
+    splits no longer come from the same distribution).
+
+    Per fixed-width length bin: train share p, test share q,
+    contribution (p−q)·ln(p/q), summed over bins populated on BOTH
+    sides (the standard PSI convention; one-sided bins are reported in
+    the dropped counts so the truncation is visible, per the no-silent-
+    caps rule).  Scale shape: one (bin, split) two-phase count → tiny
+    pivot — the data is read once and reduced immediately.  Shares are
+    exact single divisions; only ln's last ulp drifts → per-bin
+    contributions rounded to 9, the sum to 6."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < TRAIN_MAX, "train").when(h < VAL_MAX, "val").otherwise("test")
+    )
+    binned = d.select(
+        # integer DIV in both twins: a double-divide-then-cast would
+        # diverge (Spark casts by truncation, DuckDB by rounding)
+        F.expr(f"n_chars DIV {PSI_BIN}").cast("int").alias("bin"),
+        split.alias("split"),
+    ).where(F.col("split") != "val")
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_te"),
+    )
+    tot = counts.agg(
+        F.sum("n_tr").alias("t_tr"), F.sum("n_te").alias("t_te")
+    )
+    both = counts.join(F.broadcast(tot)).where(
+        (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+    )
+    p = F.col("n_tr").cast("double") / F.col("t_tr").cast("double")
+    q = F.col("n_te").cast("double") / F.col("t_te").cast("double")
+    contrib = F.round((p - q) * F.log(p / q), 9)
+    one_sided = counts.where(
+        ((F.col("n_tr") > 0) & (F.col("n_te") == 0))
+        | ((F.col("n_tr") == 0) & (F.col("n_te") > 0))
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_bins_common"),
+        F.round(F.sum(contrib), 6).alias("psi"),
+    ).crossJoin(
+        F.broadcast(
+            one_sided.agg(F.count(F.lit(1)).alias("n_bins_one_sided"))
+        )
+    )
+
+
+SPLIT_DRIFT_SQL = f"""
+WITH binned AS (
+  SELECT CAST(n_chars // {PSI_BIN} AS INTEGER) AS bin,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{TRAIN_MAX}' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), counts AS (
+  SELECT bin,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)  AS n_te
+  FROM binned WHERE split <> 'val'
+  GROUP BY bin
+), tot AS (
+  SELECT SUM(n_tr) AS t_tr, SUM(n_te) AS t_te FROM counts
+), common_bins AS (
+  SELECT ROUND(
+           (CAST(n_tr AS DOUBLE) / CAST(t_tr AS DOUBLE)
+            - CAST(n_te AS DOUBLE) / CAST(t_te AS DOUBLE))
+           * ln((CAST(n_tr AS DOUBLE) / CAST(t_tr AS DOUBLE))
+                / (CAST(n_te AS DOUBLE) / CAST(t_te AS DOUBLE))), 9)
+           AS contrib
+  FROM counts, tot
+  WHERE n_tr > 0 AND n_te > 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM common_bins)  AS n_bins_common,
+       (SELECT ROUND(SUM(contrib), 6) FROM common_bins)    AS psi,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM counts
+        WHERE (n_tr > 0 AND n_te = 0) OR (n_tr = 0 AND n_te > 0))
+         AS n_bins_one_sided
+"""
+
+
 QUERIES = {
+    "q_split_drift": split_drift,
     "q_repetition": repetition,
     "q_gopher_rules": gopher_rules,
     "q_entropy": entropy,
@@ -453,6 +549,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_split_drift": SPLIT_DRIFT_SQL,
     "q_repetition": REPETITION_SQL,
     "q_gopher_rules": GOPHER_RULES_SQL,
     "q_entropy": ENTROPY_SQL,

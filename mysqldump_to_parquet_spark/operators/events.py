@@ -326,12 +326,79 @@ WHERE event_type = 'error'
 """
 
 
+# --------------------------------------------------- conversion latency
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_conversion_latency: per-user view→purchase latency — each
+    purchase paired with the user's MOST RECENT preceding view (the
+    within-table as-of pattern: ``last(…, ignorenulls)`` over one user
+    window, no self-join), then per-user conversion count and median
+    latency.
+
+    Scale shape: ONE user_id exchange; the carry-forward window and the
+    final aggregate share its clustering.  Latencies are exact integer
+    microsecond differences; the median interpolates exact integers with
+    the same lower+frac·(upper−lower) formula in both engines, rounded
+    to 6 per repo convention."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(wo)
+    conv = (
+        e.withColumn("last_view_ts", last_view)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            (
+                F.unix_micros("ts") - F.unix_micros("last_view_ts")
+            ).alias("latency_us"),
+        )
+    )
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(
+            F.percentile("latency_us", F.lit(0.5)) / 1_000_000.0, 6
+        ).alias("median_latency_s"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_ts
+  FROM events
+), conv AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(last_view_ts) AS latency_us
+  FROM marked
+  WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
+)
+SELECT user_id,
+       COUNT(*) AS n_conversions,
+       ROUND(quantile_cont(latency_us, 0.5) / 1000000.0, 6)
+         AS median_latency_s
+FROM conv
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_funnel": funnel,
     "q_cohort_retention": cohort_retention,
     "q_event_transitions": event_transitions,
     "q_streaks": streaks,
     "q_match_pattern": match_pattern,
+    "q_conversion_latency": conversion_latency,
 }
 
 ORACLE = {
@@ -340,4 +407,5 @@ ORACLE = {
     "q_event_transitions": EVENT_TRANSITIONS_SQL,
     "q_streaks": STREAKS_SQL,
     "q_match_pattern": MATCH_PATTERN_SQL,
+    "q_conversion_latency": CONVERSION_LATENCY_SQL,
 }
