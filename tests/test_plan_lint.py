@@ -141,6 +141,10 @@ _SINGLE_PARTITION_ALLOWED = {
     # stage-2 sweep consumes only local-skyline candidates — bounded by
     # blocks × frontier size, not |data| (see skyline docstring)
     "q_skyline",
+    # PSI reduces to O(bins) (bin, split) counts map-side; the global
+    # total / final sum exchanges carry 1-row results, and the two
+    # crossJoins broadcast those 1-row aggregates (scalar-subquery shape)
+    "q_split_drift",
 }
 
 
