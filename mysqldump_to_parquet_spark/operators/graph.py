@@ -274,23 +274,42 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversal primitive (reachability / radius / friend-of-friend).
 
     Per round: frontier ⋈ edges, an anti-join drops already-settled
-    nodes, and every new frame is ``localCheckpoint``-ed — the MLlib
+    nodes, and the new frontier is ``localCheckpoint``-ed — the MLlib
     discipline for iterative frames.  Plain ``persist`` is NOT enough
-    here: the frontier's lineage contains ``edges`` itself, and Spark's
-    self-join attribute dedup re-aliases that embedded subtree so it no
-    longer canonical-matches the cache entry — every later hop then
-    recomputes the whole edge pipeline from the raw scans (measured
-    6.4× superlinear wall; checkpointing makes each hop O(frontier)
-    against a settled RDD).  Settled distances are exact integers; no
-    float surface at all.  The DuckDB twin is a recursive CTE with the
-    same hop cap — a genuinely independent formulation (set-recursive
-    vs frontier-iterative) of the same semantics."""
-    edges = _edges(spark, sf_dir).localCheckpoint()
-    dist = edges.sparkSession.createDataFrame(
+    for the *frontier*: its lineage contains ``edges`` itself, and
+    Spark's self-join attribute dedup re-aliases that embedded subtree
+    so it no longer canonical-matches the cache entry — every later hop
+    then recomputes the whole edge pipeline from the raw scans
+    (measured 6.4× superlinear wall; checkpointing makes each hop
+    O(frontier) against a settled RDD).  The *edge* side is the
+    opposite: it is hash-repartitioned + sorted on ``src`` and
+    ``persist``-ed, because ``InMemoryTableScan`` preserves the cached
+    plan's outputPartitioning/ordering while ``localCheckpoint``'s
+    LogicalRDD reports UnknownPartitioning — so each hop's sort-merge
+    join exchanges ONLY the (tiny) frontier, never the edge table, and
+    the checkpointed frontier keeps the cache canonical-matchable.
+    ``dist`` is never re-checkpointed: it is a union of the per-hop
+    checkpointed frontiers (each already a settled RDD), saving one
+    eager materialization job per round.  Settled distances are exact
+    integers; no float surface at all.  The DuckDB twin is a recursive
+    CTE with the same hop cap — a genuinely independent formulation
+    (set-recursive vs frontier-iterative) of the same semantics."""
+    n_part = spark.sparkContext.defaultParallelism
+    edges = (
+        _edges(spark, sf_dir)
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    d0 = spark.createDataFrame(
         [(BFS_SOURCE, 0)], "node string, dist int"
     ).localCheckpoint()
-    frontier = dist
+    settled = [d0]
+    frontier = d0
     for hop in range(1, BFS_MAX_HOPS + 1):
+        dist = settled[0]
+        for s in settled[1:]:
+            dist = dist.unionByName(s)
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
@@ -301,9 +320,13 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():  # already materialized — a metadata-cheap probe
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        settled.append(nxt)
         frontier = nxt
-    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+    edges.unpersist()
+    out = settled[0]
+    for s in settled[1:]:
+        out = out.unionByName(s)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 
 GRAPH_BFS_SQL = f"""
