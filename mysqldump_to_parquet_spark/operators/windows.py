@@ -356,7 +356,17 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sums the flags.  Both windows order the same way; the flag
     window's (type, user) clustering is a refinement of the outer
     (type) partitioning, so AQE plans the second sort off the first
-    exchange.  Integer-exact, tiebreak (ts, event_id)."""
+    exchange.  Integer-exact, tiebreak (ts, event_id).
+
+    Scale note: the running-sum window parallelizes only across
+    event_type (5 here) — fine while one type's history fits an
+    executor's sort spill.  The 100 TB escape is a segmented scan:
+    local running sums within (type, day) chunks + a broadcast prefix
+    of per-chunk totals added back — parallelism becomes days×types.
+    Measured at sf0.1 the extra agg+join stages cost more than the
+    5-way window saves (0.72 s vs 0.57 s), so this exact form stays
+    the deployed plan at bench scale and the segmented rewrite is the
+    documented escape hatch, not the default."""
     e = load_table(spark, sf_dir, "events")
     w_first = Window.partitionBy("event_type", "user_id").orderBy(
         "ts", "event_id"

@@ -144,9 +144,10 @@ def main() -> None:
         "(`q_kmeans`, `q_graph_bfs`) pay a fixed per-round job-scheduling",
         "floor that dominates tiny inputs; their data-dependent cost is the",
         "assignment scan / frontier join, both shuffle-bounded per round.",
-        "`q_win_rolling_corr` and `q_agg_weighted_median` partition their",
-        "windows by tiny fixture alphabets (5 event types / 3 return",
-        "flags) — parallelism is key-cardinality-bounded at this shape;",
+        "`q_win_rolling_corr`, `q_agg_weighted_median` and",
+        "`q_win_running_distinct` partition their windows by tiny fixture",
+        "alphabets (5 event types / 3 return flags) — parallelism is",
+        "key-cardinality-bounded at this shape;",
         "the deployed forms key by (entity, type) / real group keys, where",
         "cardinality ≫ cores and the same plans scale flat (the weighted",
         "median's 100 TB escape is a weighted percentile sketch, with this",
