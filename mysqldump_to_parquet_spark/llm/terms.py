@@ -598,7 +598,105 @@ GROUP BY t.source
 """
 
 
+# ------------------------------------------------------- heavy hitters
+
+#: Frequency threshold as an inverse: a heavy hitter is a token with
+#: count · THETA_INV ≥ total token count (θ = 1/500 = 0.2 %).  Kept as
+#: integer math — the threshold test is exact in both engines, no
+#: float division anywhere.
+HH_THETA_INV = 500
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary over whitespace tokens.
+
+    Exact Counter per Arrow batch (C-speed), merged into a running
+    ≤k-counter summary with the Misra-Gries subtraction step: when the
+    merged summary exceeds k entries, subtract the (k+1)-th largest
+    count from every entry and keep the positive ones.  Mergeable-
+    summaries bound (Agarwal et al., PODS'12): the retained count of
+    any token underestimates its true partition count by at most
+    N_p/(k+1), so every token with partition frequency > N_p/(k+1)
+    survives — and a globally-θ-heavy token is ≥ N_p/k-frequent in at
+    least one partition by pigeonhole, hence always emitted."""
+    from collections import Counter
+
+    import pandas as pd
+
+    k = HH_THETA_INV
+    summary: Counter = Counter()
+    for pdf in batches:
+        batch = Counter()
+        for text in pdf["text"]:
+            if text is not None:
+                batch.update(text.split(" "))
+        summary.update(batch)
+        if len(summary) > k:
+            cut = sorted(summary.values(), reverse=True)[k]
+            summary = Counter(
+                {t: c - cut for t, c in summary.items() if c > cut}
+            )
+    yield pd.DataFrame({"term": list(summary.keys()) or []}, dtype="object")
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_heavy_hitters: every token making up ≥ 1/{HH_THETA_INV} of the
+    corpus, with its EXACT count — the two-pass Misra-Gries frequent-
+    items operator.
+
+    Naive groupBy-count works until the vocabulary explodes (URLs, ids,
+    typos: token cardinality grows with corpus size, and the count
+    shuffle carries one row per distinct token).  The sketch path
+    bounds memory AND shuffle by construction:
+
+    * Pass 1 (``mapInPandas``): a ≤k-counter Misra-Gries summary per
+      partition — O(k) state regardless of partition vocabulary; emits
+      at most k candidate tokens per partition (P·k rows total, data-
+      size-independent).
+    * Pass 2: exact counts for the candidate set only — the token
+      stream semi-joins a broadcast of the candidates, so the count
+      shuffle carries ≤ P·k distinct keys instead of the vocabulary.
+    * The final filter ``cnt · θ⁻¹ ≥ N`` (integer compare, N joins as
+      a broadcast 1-row total) makes the output EXACT: MG guarantees
+      every θ-heavy token is a candidate, and exact recounting removes
+      the false positives — so the result is identical to the full
+      groupBy, at bounded memory.  That determinism is what lets an
+      approximation-shaped operator carry a hash-exact SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    candidates = (
+        d.select("text")
+        .mapInPandas(_mg_candidates, "term string")
+        .distinct()
+    )
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(candidates), "term", "semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+        .join(F.broadcast(total))
+        .where(F.col("n_term") * HH_THETA_INV >= F.col("n_total"))
+        .select("term", "n_term", "n_total")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM tok
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT)   AS n_term,
+       CAST(MIN(n_total) AS BIGINT) AS n_total
+FROM tok CROSS JOIN tot
+GROUP BY term
+HAVING COUNT(*) * {HH_THETA_INV} >= MIN(n_total)
+"""
+
+
 QUERIES = {
+    "q_heavy_hitters": heavy_hitters,
     "q_tfidf": tfidf,
     "q_oov_rate": oov_rate,
     "q_bm25": bm25,
@@ -609,6 +707,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_heavy_hitters": HEAVY_HITTERS_SQL,
     "q_tfidf": TFIDF_SQL,
     "q_oov_rate": OOV_RATE_SQL,
     "q_bm25": BM25_SQL,

@@ -327,7 +327,68 @@ GROUP BY ROLLUP (CAST(date_trunc('month', ts) AS TIMESTAMP),
 """
 
 
+# ------------------------------------------------------------- CDC apply
+
+#: Deterministic tombstone rule for the synthetic changelog: every 20th
+#: event_id is a DELETE, the rest are UPSERTs.  Integer modulo — both
+#: engines derive the identical op column.
+CDC_DELETE_MOD = 20
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cdc_apply: materialize the current state from an ordered CDC
+    changelog with delete tombstones — the Debezium-feed → lakehouse-
+    table primitive (events = the changelog, user_id = the key, every
+    {CDC_DELETE_MOD}th event a DELETE).
+
+    Unlike q_merge_upsert's window form, compaction here is a PARTIAL
+    AGGREGATE: ``max_by(struct(op, ts, value), struct(ts, event_id))``
+    reduces each map task to one candidate row per key before the
+    shuffle, so the exchange carries |keys| rows instead of the full
+    changelog and no per-partition sort ever runs — the shape that lets
+    a 100 TB changelog compact through a cores-bounded shuffle.  Keys
+    whose final op is the tombstone drop AFTER the aggregate (a deleted
+    key must still consume its earlier versions).  (ts, event_id) is a
+    unique ordering per key, so the selected row — and its pass-through
+    stored double — is deterministic, bit-exact in both engines.  The
+    DuckDB twin is the independent row_number-desc formulation."""
+    e = load_table(spark, sf_dir, "events")
+    ch = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % CDC_DELETE_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    latest = ch.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("op", "ts", "value"), F.struct("ts", "event_id")
+        ).alias("last")
+    )
+    return latest.where(F.col("last.op") != "D").select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.value").alias("last_value"),
+    )
+
+
+CDC_APPLY_SQL = f"""
+SELECT user_id, ts AS last_ts, value AS last_value
+FROM (
+  SELECT user_id, ts, value,
+         CASE WHEN event_id % {CDC_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
 QUERIES = {
+    "q_cdc_apply": cdc_apply,
     "q_sessionize": sessionize,
     "q_time_rollup": time_rollup,
     "q_merge_upsert": merge_upsert,
@@ -337,6 +398,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_cdc_apply": CDC_APPLY_SQL,
     "q_sessionize": SESSIONIZE_SQL,
     "q_time_rollup": TIME_ROLLUP_SQL,
     "q_merge_upsert": MERGE_UPSERT_SQL,

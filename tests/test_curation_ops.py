@@ -95,3 +95,51 @@ def test_source_overlap_identical_sources_hit_jaccard_one(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].source_a == "sA" and rows[0].source_b == "sB"
     assert rows[0].jaccard == pytest.approx(1.0)
+
+
+# ----------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark, tmp_path):
+    """Two-pass Misra-Gries result == brute-force groupBy HAVING, on a
+    corpus whose vocabulary (2000 distinct fillers) exceeds the k=500
+    counter budget — so the MG subtraction path actually runs and the
+    completeness guarantee (every θ-heavy token survives pass 1) is
+    what makes the sets equal."""
+    from mysqldump_to_parquet_spark.llm.terms import HH_THETA_INV, heavy_hitters
+
+    rng = __import__("random").Random(7)
+    fillers = [f"w{i}" for i in range(2000)]
+    docs = []
+    for d in range(20):
+        toks = [rng.choice(fillers) for _ in range(500)]
+        toks += ["heavy"] * 30  # 600/10600 ≈ 5.7% >> θ = 0.2%
+        rng.shuffle(toks)
+        docs.append((" ".join(toks), f"s{d % 3}"))
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = {(r.term, r.n_term) for r in heavy_hitters(spark, sf).collect()}
+
+    toks = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    n_total = toks.count()
+    want = {
+        (r.term, r.cnt)
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r.cnt * HH_THETA_INV >= n_total
+    }
+    assert ("heavy", 600) in want  # the plant is actually heavy
+    assert got == want
+
+
+def test_heavy_hitters_empty_when_flat(spark, tmp_path):
+    """A corpus where every token appears once and vocabulary > θ⁻¹ has
+    no heavy hitters at all."""
+    from mysqldump_to_parquet_spark.llm.terms import heavy_hitters
+
+    docs = [
+        (" ".join(f"u{d}_{i}" for i in range(120)), "s0") for d in range(10)
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    assert heavy_hitters(spark, sf).count() == 0

@@ -387,3 +387,41 @@ def test_spatial_blocking_loses_no_pairs(spark):
     missed = naive - got
     assert not missed, f"blocking lost pairs: {sorted(missed)[:10]}"
     assert got == naive  # verify step must also not ADD pairs
+
+
+def test_cdc_apply_tombstone_semantics(spark, tmp_path):
+    """CDC compaction: last-op-wins per key, tombstoned keys vanish,
+    surviving keys carry the exact latest (ts, value)."""
+    from datetime import datetime
+
+    from mysqldump_to_parquet_spark.operators.temporal import cdc_apply
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # event_id % 20 == 0 is a DELETE
+    rows = [
+        # user 1: upsert then tombstone LAST -> absent
+        (1, t(1), 1, "click", 10.0, "{}"),
+        (20, t(2), 1, "click", 11.0, "{}"),
+        # user 2: tombstone then upsert LAST -> present, value 30.5
+        (40, t(1), 2, "click", 99.0, "{}"),
+        (3, t(5), 2, "click", 30.5, "{}"),
+        # user 3: same ts twice; higher event_id wins -> value 2.0
+        (5, t(7), 3, "click", 1.0, "{}"),
+        (7, t(7), 3, "click", 2.0, "{}"),
+        # user 4: only a tombstone -> absent
+        (60, t(9), 4, "click", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.user_id: (r.last_ts, r.last_value)
+        for r in cdc_apply(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {2, 3}
+    assert got[2] == (t(5), 30.5)
+    assert got[3] == (t(7), 2.0)

@@ -125,6 +125,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "q_agg_incremental",
     "q_agg_sketch_distinct",
     "q_tfidf", "q_cooccur_pmi",  # broadcast 1-row n_docs
+    "q_heavy_hitters",  # broadcast 1-row total-token count (θ·N threshold)
     "q_unigram_logprob",  # broadcast 1-row (N, V) smoothing constants
     "q_agg_histogram_approx",  # broadcast 1-row sketch-boundary array
     "q_funnel",  # 1-row step-order literal spine
