@@ -75,6 +75,9 @@ QUERIES = [
     "q_multimodal_audio",
     "q_multimodal_video",
     "q_multimodal_resize",
+    "q_heavy_hitters",
+    "q_cdc_apply",
+    "q_split_drift",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
