@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysqldump_to_parquet_spark.functions import scalar as fn_scalar
 from mysqldump_to_parquet_spark.functions import udfs as fn_udfs
+from mysqldump_to_parquet_spark.llm import bpe as llm_bpe
 from mysqldump_to_parquet_spark.llm import dedup as llm_dedup
 from mysqldump_to_parquet_spark.llm import multimodal as llm_multimodal
 from mysqldump_to_parquet_spark.llm import quality as llm_quality
@@ -51,6 +52,7 @@ from mysqldump_to_parquet_spark.streaming import windows as stream_windows
 #: order is the module's QUERIES dict order; cross-module order is
 #: normalized by ``_ordered`` below.
 _MODULES = [
+    llm_bpe,
     llm_dedup,
     llm_similarity,
     llm_vectors,

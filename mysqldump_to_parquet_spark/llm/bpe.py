@@ -1,0 +1,152 @@
+"""Distributed BPE merge learning — the pair-count/merge loop at the heart
+of tokenizer training, run as synchronous Spark rounds.
+
+Byte-pair-encoding training is the canonical "iterative counting over the
+whole corpus" job a training-data platform runs before any model sees a
+token: repeatedly find the most frequent adjacent symbol pair and fuse it
+into a new vocabulary symbol.  Each round here is ordinary DataFrame work
+(split → zip_with pair explode → two-phase count → TakeOrdered 1), so
+Catalyst/AQE optimize every superstep, exactly like the engine's other
+iterative frames (PageRank, BFS, k-means).
+
+Symbol representation — the key design choice: a word's symbol sequence is
+ONE STRING with a two-space separator (``"h  e  l  l  o"``).  Merging pair
+(a, b) is then a literal ``replace(sym, "a  b", "ab")``: both Spark and
+DuckDB scan the source left-to-right and substitute non-overlapping
+occurrences, and because the separator is two characters no two matches can
+share a boundary — so the two engines provably perform the IDENTICAL merge
+(greedy left-to-right, ``"a  a  a  a"`` → ``"aa  aa"``), which is what lets
+an iterative tokenizer-training step carry a hash-exact SQL oracle (the
+DuckDB twin unrolls the same K rounds as chained CTEs).
+
+Scale shape per round: one partial-aggregated pair count (shuffle carries
+one row per distinct pair, not per occurrence) and one map-only string
+replace; the corpus is re-checkpointed per round (the BFS/MLlib iterative-
+frame discipline) and only the single winning (pair, count) row ever
+reaches the driver — the corpus itself never does.  Word-level parallelism
+is unbounded: no window, no sort, no per-key state.
+
+No reference counterpart (ingest-only engine); net-new per SURVEY §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Number of merge rounds (fixed — both engines run the identical
+#: computation; real tokenizers run tens of thousands of rounds of this
+#: exact shape).
+BPE_MERGES = 4
+
+#: Symbol separator.  Two characters wide so adjacent pair patterns
+#: ``a<sep>b`` can never share a boundary character — literal replace is
+#: then order-independent across engines (see module docstring).
+BPE_SEP = "  "
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_merges: the first {BPE_MERGES} BPE merge rules learned from
+    the corpus — ``(merge_idx, left_sym, right_sym, pair_count)``, where
+    pair_count is the exact corpus-wide frequency that won the round
+    (ties broken lexicographically so the winner is deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .select(
+            F.expr(
+                "array_join(transform(sequence(1, length(w)),"
+                f" i -> substr(w, i, 1)), '{BPE_SEP}')"
+            ).alias("sym")
+        )
+        .localCheckpoint()
+    )
+    rules: list[tuple[int, str, str, int]] = []
+    cur = words
+    for r in range(1, BPE_MERGES + 1):
+        pairs = (
+            cur.select(F.split("sym", BPE_SEP).alias("l"))
+            .where(F.size("l") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(l, 1, size(l) - 1),"
+                        " slice(l, 2, size(l) - 1),"
+                        " (x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # exactly ONE row per round — the merge rule
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        rules.append((r, a, b, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("sym"), F.lit(a + BPE_SEP + b), F.lit(a + b)
+            ).alias("sym")
+        ).localCheckpoint()  # truncate lineage: next round is O(corpus)
+    return spark.createDataFrame(
+        rules, "merge_idx int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _bpe_sql() -> str:
+    """The identical {BPE_MERGES} rounds, unrolled as chained CTEs."""
+    parts = [
+        f"""WITH w0 AS (
+  SELECT list_aggregate(list_transform(generate_series(1, length(w)),
+                                       i -> substr(w, i, 1)),
+                        'string_agg', '{BPE_SEP}') AS sym
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE length(w) > 0
+)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        p = r - 1
+        parts.append(
+            f""", p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS cnt
+  FROM (SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1),
+                               list_slice(l, 2, len(l)))) AS pr
+        FROM (SELECT string_split(sym, '{BPE_SEP}') AS l FROM w{p}) t
+        WHERE len(l) >= 2) u
+  GROUP BY 1, 2
+), t{r} AS (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), w{r} AS (
+  SELECT replace(sym,
+                 (SELECT a || '{BPE_SEP}' || b FROM t{r}),
+                 (SELECT a || b FROM t{r})) AS sym
+  FROM w{p}
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_idx, a AS left_sym, b AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "".join(parts) + sel
+
+
+BPE_MERGES_SQL = _bpe_sql()
+
+
+QUERIES = {
+    "q_bpe_merges": bpe_merges,
+}
+
+ORACLE = {
+    "q_bpe_merges": BPE_MERGES_SQL,
+}

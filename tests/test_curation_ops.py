@@ -143,3 +143,57 @@ def test_heavy_hitters_empty_when_flat(spark, tmp_path):
     ]
     sf = _write_documents(spark, tmp_path, docs)
     assert heavy_hitters(spark, sf).count() == 0
+
+
+# -------------------------------------------------------------- BPE merges
+
+
+def test_bpe_merges_match_python_reference(spark, tmp_path):
+    """Distributed BPE rounds == a pure-Python reference implementation
+    (greedy left-to-right merge, count-then-lexicographic tie-break) on
+    a corpus engineered so a round-2 pair only exists BECAUSE of the
+    round-1 merge — proving the iteration actually feeds forward."""
+    from collections import Counter
+
+    from mysqldump_to_parquet_spark.llm.bpe import BPE_MERGES, bpe_merges
+
+    docs = [
+        ("abab abab cabd", "s0"),
+        ("abab baba abba", "s0"),
+        ("aaaa bbbb abab", "s1"),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+
+    # pure-Python reference
+    words = [list(w) for d, _ in docs for w in d.split(" ") if w]
+    expect = []
+    for r in range(1, BPE_MERGES + 1):
+        cnt = Counter()
+        for w in words:
+            for i in range(len(w) - 1):
+                cnt[(w[i], w[i + 1])] += 1
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((r, a, b, c))
+        new_words = []
+        for w in words:
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_words.append(out)
+        words = new_words
+
+    got = [
+        (r.merge_idx, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merges(spark, sf).collect()
+    ]
+    assert got == expect
+    # the feed-forward check: some later rule must involve a multi-char
+    # symbol created by an earlier merge
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in expect[1:])

@@ -101,6 +101,7 @@ _SWEEP_EXCLUDE = {
     "q_join_bucketed",  # writes bucketed tables at plan-build time
     "q_udtf_python",  # intentional Python UDTF surface
     "q_dedup_components",  # iterative fixpoint executes jobs to converge
+    "q_bpe_merges",  # iterative merge rounds execute jobs at plan-build
     "q_sim_ann_ivf",  # quantizer fit executes jobs
     "q_sim_ann_lsh",  # probe signature prep
 }
