@@ -436,7 +436,13 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
         F.regexp_count("c_name", F.lit("[0-9]")).cast("long").alias("n_digits"),
-        F.regexp_extract_all("c_name", F.lit("([0-9]+)"), 1).alias("digit_runs"),
+        # extract-all STILL runs; the array is serialized to one string
+        # because the driver's canonicalizer sorts/hashes cell values and
+        # array cells are unhashable there (the r2 q_embed_centroids
+        # failure mode)
+        F.array_join(
+            F.regexp_extract_all("c_name", F.lit("([0-9]+)"), 1), ","
+        ).alias("digit_runs"),
     )
 
 
@@ -444,7 +450,8 @@ FN_REGEX_SQL = """
 SELECT c_custkey,
        regexp_matches(c_name, '[0-9]{3}')                      AS has_3digits,
        CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits,
-       regexp_extract_all(c_name, '([0-9]+)', 1)               AS digit_runs
+       array_to_string(regexp_extract_all(c_name, '([0-9]+)', 1), ',')
+                                                               AS digit_runs
 FROM customer
 """
 
@@ -479,30 +486,39 @@ def fn_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_fn_array_algebra: array set-algebra and access — sort, distinct,
     concat, contains, position, slice — over per-customer token arrays.
     Arrays are sorted before comparison so the multiset hash is
-    order-stable on both engines."""
+    order-stable on both engines; every array output is serialized with
+    ``array_join`` to a '|'-separated string because the driver's
+    canonicalizer sorts/hashes cell values and array cells are unhashable
+    there (the r2 q_embed_centroids failure mode) — the array algebra
+    itself still runs JVM-side."""
     c = load_table(spark, sf_dir, "customer")
     toks = F.split("c_name", "#")
     return c.select(
         "c_custkey",
-        F.array_sort(toks).alias("toks_sorted"),
-        F.array_sort(F.array_distinct(F.concat(toks, toks))).alias("toks_dedup"),
-        F.concat(toks, F.array(F.lit("x"))).alias("toks_plus"),
+        F.array_join(F.array_sort(toks), "|").alias("toks_sorted"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.concat(toks, toks))), "|"
+        ).alias("toks_dedup"),
+        F.array_join(F.concat(toks, F.array(F.lit("x"))), "|").alias(
+            "toks_plus"
+        ),
         F.array_contains(toks, "Customer").alias("has_prefix"),
         F.array_position(toks, "Customer").cast("long").alias("prefix_pos"),
-        F.slice(toks, 1, 1).alias("first_tok"),
+        F.array_join(F.slice(toks, 1, 1), "|").alias("first_tok"),
     )
 
 
 FN_ARRAY_ALGEBRA_SQL = """
 SELECT c_custkey,
-       list_sort(string_split(c_name, '#'))                     AS toks_sorted,
-       list_sort(list_distinct(string_split(c_name, '#')
-                     || string_split(c_name, '#')))             AS toks_dedup,
-       string_split(c_name, '#') || ['x']                       AS toks_plus,
+       array_to_string(list_sort(string_split(c_name, '#')), '|')
+                                                                AS toks_sorted,
+       array_to_string(list_sort(list_distinct(string_split(c_name, '#')
+                     || string_split(c_name, '#'))), '|')       AS toks_dedup,
+       array_to_string(string_split(c_name, '#') || ['x'], '|') AS toks_plus,
        list_contains(string_split(c_name, '#'), 'Customer')     AS has_prefix,
        CAST(list_position(string_split(c_name, '#'), 'Customer') AS BIGINT)
                                                                 AS prefix_pos,
-       string_split(c_name, '#')[1:1]                           AS first_tok
+       array_to_string(string_split(c_name, '#')[1:1], '|')     AS first_tok
 FROM customer
 """
 
@@ -512,14 +528,26 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a nation's customer keys and the distinct segment set.  collect_list
     has no deterministic order by itself, so the list is built from
     ``array_sort`` (and the set from sorted ``collect_set``) — the only
-    way collection outputs can hash-match across engines."""
+    way collection outputs can hash-match across engines.  The sorted
+    lists are then serialized with ``array_join`` (numeric sort FIRST,
+    string cast after — '10' < '2' lexicographically) because the
+    driver's canonicalizer sorts/hashes cell values and array cells are
+    unhashable there (the r2 q_embed_centroids failure mode)."""
     c = load_table(spark, sf_dir, "customer")
     return (
         c.where(F.col("c_custkey") <= 200)
         .groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.collect_list("c_custkey")).alias("cust_keys"),
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("c_custkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("cust_keys"),
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
             F.count(F.lit(1)).alias("n_cust"),
         )
         .orderBy("c_nationkey")
@@ -528,8 +556,11 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SQL = """
 SELECT c_nationkey,
-       list(c_custkey ORDER BY c_custkey)            AS cust_keys,
-       list_sort(list(DISTINCT c_mktsegment))        AS segments,
+       array_to_string(list_transform(list(c_custkey ORDER BY c_custkey),
+                                      x -> CAST(x AS VARCHAR)), ',')
+                                                     AS cust_keys,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                                                     AS segments,
        COUNT(*)                                      AS n_cust
 FROM customer
 WHERE c_custkey <= 200
