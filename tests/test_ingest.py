@@ -698,3 +698,148 @@ def test_progress_reporter_live_and_summary(spark, tmp_path, capsys):
     assert "[ingest] 1 table(s)" in err
     assert "[ingest] acct:" in err
     assert "[ingest] done:" in err
+
+
+# ------------------------------------------------------ Arrow-CSV fast path
+
+
+class TestArrowFastPath:
+    """The vectorized VALUES fast path must (a) trigger on canonical
+    mysqldump output, (b) refuse anything structurally surprising, and
+    (c) agree byte-for-byte with the exhaustive tokenizer end-to-end."""
+
+    def test_canonical_statement_is_eligible(self):
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+        )
+
+        stmt = "INSERT INTO `t` VALUES (1,'a'),(2,'b''s'),(3,NULL);"
+        out = _values_csv_bytes(stmt)
+        assert out is not None
+        csv, n = out
+        assert n == 3
+        assert csv == b"1,'a'\n2,'b''s'\n3,NULL"
+
+    def test_paren_comma_inside_string_not_split(self):
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+        )
+
+        stmt = "INSERT INTO `t` VALUES (1,'x),(y'),(2,'z');"
+        csv, n = _values_csv_bytes(stmt)
+        assert n == 2
+        assert csv == b"1,'x),(y'\n2,'z'"
+
+    @pytest.mark.parametrize(
+        "stmt",
+        [
+            "INSERT INTO `t` VALUES (1, 'a');",  # top-level whitespace
+            "INSERT INTO `t` VALUES (1,'a'), (2,'b');",  # spaced separator
+            "INSERT INTO `t` VALUES (1,'a\\nb');",  # backslash escape
+            "INSERT INTO `t` VALUES (1,'a\");",  # unbalanced quote
+            "INSERT INTO `t` VALUES (1,(2));",  # nested tuple
+        ],
+    )
+    def test_surprises_fall_back(self, stmt):
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+        )
+
+        assert _values_csv_bytes(stmt) is None
+
+    def test_fast_and_exhaustive_agree_end_to_end(self, spark, tmp_path):
+        """A dump mixing fast-path statements (quotes doubled, commas and
+        parens inside strings, NULLs, decimals, negative floats) with a
+        slow-path statement (backslash escapes) converts to the same rows
+        the exhaustive grammar produces."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            convert_dump,
+            parse_insert_full,
+        )
+
+        dump = (
+            "CREATE TABLE `t1` (\n"
+            "  `id` bigint NOT NULL,\n"
+            "  `name` varchar(64) NOT NULL,\n"
+            "  `score` double DEFAULT NULL,\n"
+            "  `bal` decimal(12,2) NOT NULL,\n"
+            "  `ok` boolean NOT NULL,\n"
+            "  `ts` datetime NOT NULL,\n"
+            "  PRIMARY KEY (`id`)\n"
+            ") ENGINE=InnoDB;\n"
+            "INSERT INTO `t1` VALUES "
+            "(1,'alice',1.5,100.25,1,'2024-01-02 03:04:05'),"
+            "(2,'bo''b',NULL,0.10,0,'2024-02-03 04:05:06'),"
+            "(3,'it''s, a (test), ok',-2.75,99999999.99,1,'2024-03-04 05:06:07');\n"
+            "INSERT INTO `t1` VALUES "
+            "(4,'line\\nbreak \\'q\\'',3.25,1.00,TRUE,'2024-04-05 06:07:08');\n"
+        )
+        p = tmp_path / "x.sql"
+        p.write_text(dump)
+        out = str(tmp_path / "out")
+        counts = convert_dump(spark, str(p), out)
+        assert counts == {"t1": 4}
+        rows = {
+            r.id: r for r in spark.read.parquet(f"{out}/t1").collect()
+        }
+        assert rows[2].name == "bo'b" and rows[2].score is None
+        assert rows[3].name == "it's, a (test), ok"
+        assert str(rows[3].bal) == "99999999.99"  # exact decimal digits
+        assert rows[4].name == "line\nbreak 'q'" and rows[4].ok is True
+        assert rows[1].ts == datetime.datetime(2024, 1, 2, 3, 4, 5)
+
+    def test_fast_path_matches_exhaustive_on_generated_rows(self):
+        """Differential: the Arrow path and the exhaustive tokenizer parse
+        the ingest-bench statement shape to identical carrier values."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            FloatLit,
+            _arrow_fast_types,
+            _arrow_read_values,
+            _values_csv_bytes,
+            parse_insert_full,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("bal", T.DecimalType(12, 2)),
+                T.StructField("ok", T.BooleanType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+
+        def row(i):
+            return (
+                f"({i},'user''s_{i}',{i / 7.0:.6f},{i}.{i % 100:02d},"
+                f"{i % 2},'2023-{i % 12 + 1:02d}-01 10:{i % 60:02d}:00')"
+            )
+
+        stmt = "INSERT INTO `b` VALUES " + ",".join(
+            row(i) for i in range(500)
+        ) + ";"
+        _, _, slow_rows = parse_insert_full(stmt)
+        csv, n = _values_csv_bytes(stmt)
+        tbl = _arrow_read_values(
+            csv, [f.name for f in schema.fields], _arrow_fast_types(schema)
+        )
+        assert tbl.num_rows == n == len(slow_rows) == 500
+        fast = tbl.to_pylist()
+        for srow, frow in zip(slow_rows, fast):
+            conv = []
+            for v, f in zip(srow, schema.fields):
+                if isinstance(f.dataType, T.DecimalType) and isinstance(
+                    v, FloatLit
+                ):
+                    conv.append(v.raw)
+                elif isinstance(f.dataType, T.BooleanType) and isinstance(
+                    v, int
+                ):
+                    conv.append(bool(v))
+                else:
+                    conv.append(v)
+            assert conv == list(frow.values())
