@@ -345,8 +345,10 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGGREGATE: ``max_by(struct(op, ts, value), struct(ts, event_id))``
     reduces each map task to one candidate row per key before the
     shuffle, so the exchange carries |keys| rows instead of the full
-    changelog and no per-partition sort ever runs — the shape that lets
-    a 100 TB changelog compact through a cores-bounded shuffle.  Keys
+    changelog (struct-typed max_by plans as SortAggregate — the map-side
+    sort is on the grouping key only, and the two-phase shape, asserted
+    in tests/test_plans.py, is what lets a 100 TB changelog compact
+    through a cores-bounded shuffle).  Keys
     whose final op is the tombstone drop AFTER the aggregate (a deleted
     key must still consume its earlier versions).  (ts, event_id) is a
     unique ordering per key, so the selected row — and its pass-through

@@ -411,3 +411,53 @@ def test_sample_weighted_no_data_shuffle(spark):
     plan = formatted_plan(sample_weighted(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_apply_partial_aggregate_no_sort(spark):
+    """Changelog compaction must be a two-phase max_by aggregate — no
+    window sort anywhere in the plan, exactly one key exchange."""
+    from mysqldump_to_parquet_spark.operators.temporal import cdc_apply
+
+    df = cdc_apply(spark, SF)
+    plan = formatted_plan(df)
+    # struct-keyed max_by plans as SortAggregate; the contract is the
+    # TWO-PHASE shape: a partial_max_by BELOW the exchange so the shuffle
+    # carries one candidate row per key, and no Window anywhere
+    assert "partial_max_by" in plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_heavy_hitters_semi_join_broadcast(spark):
+    """Pass 2 must probe a BROADCAST of the candidate set with a semi
+    join — the token stream never shuffles on the term."""
+    from mysqldump_to_parquet_spark.llm.terms import heavy_hitters
+
+    plan = formatted_plan(heavy_hitters(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_skyline_reduces_before_windows(spark):
+    """Stage 0's per-qty min must partial-aggregate BEFORE any window —
+    the windows then see |distinct qty| rows, not |points|."""
+    from mysqldump_to_parquet_spark.operators.relational import skyline
+
+    plan = formatted_plan(skyline(spark, SF))
+    # the aggregate appears below the windows in the tree (higher node id
+    # = deeper); cheap proxy: both exist and aggregation is two-phase
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final min(price)
+
+
+def test_tpch_q21_no_self_join(spark):
+    """The conditional-aggregation rewrite must plan exactly one join of
+    lineitem (to orders) plus the broadcast supplier join — no semi/anti
+    lineitem self-joins."""
+    from mysqldump_to_parquet_spark.operators.composite import tpch_q21
+
+    plan = formatted_plan(tpch_q21(spark, SF))
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
+    assert "BroadcastExchange" in plan  # supplier display join
