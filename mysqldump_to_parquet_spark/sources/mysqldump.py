@@ -696,23 +696,82 @@ def _arrow_fast_types(schema: T.StructType):
     return out
 
 
+#: Byte-level MySQL escape substitutions for the fast path — mirrors
+#: ``_ESCAPES`` exactly, except ``\'`` becomes CSV ``''`` doubling so the
+#: result stays parseable under single-quote quoting.
+_ESC_BYTES = {
+    39: b"''",  # \'  → '' (CSV-doubled)
+    34: b'"',
+    48: b"\x00",
+    98: b"\x08",
+    110: b"\n",
+    114: b"\r",
+    116: b"\t",
+    90: b"\x1a",
+    92: b"\\",
+    37: b"\\%",
+    95: b"\\_",
+}
+
+
+def _unescape_bytes(data: bytes) -> bytes | None:
+    """Resolve MySQL backslash escapes byte-level, BEFORE the structural
+    scan (escaped quotes must not count toward quote parity).
+
+    A backslash starts an escape iff it is preceded by an even number of
+    consecutive backslashes — computed vectorized (run starts via a
+    shifted mask + searchsorted offsets), then the sparse escape sites
+    are spliced with C-speed byte slices.  ``\\'`` becomes ``''`` so the
+    output stays CSV-quotable; every other mapping mirrors ``_ESCAPES``
+    (default: drop the backslash, keep the byte — multibyte UTF-8 chars
+    work because only their lead byte follows the backslash and the
+    continuation bytes copy verbatim).  Returns None for a trailing lone
+    backslash (truncated statement — exhaustive path raises properly)."""
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    bs = arr == 92
+    pos = np.nonzero(bs)[0]
+    if pos.size == 0:
+        return data
+    prev = np.zeros_like(bs)
+    prev[1:] = bs[:-1]
+    run_starts = np.nonzero(bs & ~prev)[0]
+    idx = np.searchsorted(run_starts, pos, side="right") - 1
+    starts = pos[((pos - run_starts[idx]) % 2) == 0]
+    if starts.size and int(starts[-1]) + 1 >= len(data):
+        return None
+    parts = []
+    prev_end = 0
+    for p in starts.tolist():
+        parts.append(data[prev_end:p])
+        nxt = data[p + 1]
+        parts.append(_ESC_BYTES.get(nxt, data[p + 1 : p + 2]))
+        prev_end = p + 2
+    parts.append(data[prev_end:])
+    return b"".join(parts)
+
+
 def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
     """Rewrite one canonical extended-INSERT statement's VALUES text into
     CSV bytes (one line per row, outer parens stripped), or None when any
     structural guard trips.
 
-    The numpy scan proves three invariants before any byte is moved:
-    quote parity is balanced, every top-level ``(`` is exactly a row
-    opener, and every top-level ``)`` is exactly a row closer — so a
-    ``),(`` inside a quoted string can never split a row, and any stray
+    Backslash escapes are resolved first by :func:`_unescape_bytes` (so
+    text-corpus dumps full of ``\\'`` stay on the fast path), then the
+    numpy scan proves three invariants before any byte is moved: quote
+    parity is balanced, every top-level ``(`` is exactly a row opener,
+    and every top-level ``)`` is exactly a row closer — so a ``),(``
+    inside a quoted string can never split a row, and any stray
     top-level paren (whitespace-separated rows, nested tuples, truncated
     statements) routes to the exhaustive parser instead.  Returns the CSV
     payload and the row count the caller must see back from Arrow."""
     import numpy as np
 
-    if "\\" in stmt:
-        return None  # backslash escapes: exhaustive path owns the semantics
-    vpos = stmt.upper().find("VALUES")
+    tm = _INSERT_TABLE_RE.match(stmt)
+    # search from the table-name end: a table named `values_log` must not
+    # match its own name as the keyword (same rule as parse_insert_full)
+    vpos = stmt.upper().find("VALUES", tm.end() if tm else 0)
     if vpos < 0:
         return None
     seg = stmt[vpos + 6 :].strip(" \t\r\n")
@@ -721,6 +780,10 @@ def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
     if len(seg) < 2 or not (seg.startswith("(") and seg.endswith(")")):
         return None
     data = seg[1:-1].encode("utf-8")
+    if b"\\" in data:
+        data = _unescape_bytes(data)
+        if data is None:
+            return None
     arr = np.frombuffer(data, dtype=np.uint8)
     if arr.size == 0:
         return None

@@ -735,9 +735,9 @@ class TestArrowFastPath:
         [
             "INSERT INTO `t` VALUES (1, 'a');",  # top-level whitespace
             "INSERT INTO `t` VALUES (1,'a'), (2,'b');",  # spaced separator
-            "INSERT INTO `t` VALUES (1,'a\\nb');",  # backslash escape
             "INSERT INTO `t` VALUES (1,'a\");",  # unbalanced quote
             "INSERT INTO `t` VALUES (1,(2));",  # nested tuple
+            "INSERT INTO `t` VALUES (1,'a\\);",  # trailing lone backslash
         ],
     )
     def test_surprises_fall_back(self, stmt):
@@ -746,6 +746,50 @@ class TestArrowFastPath:
         )
 
         assert _values_csv_bytes(stmt) is None
+
+    def test_escapes_resolved_on_fast_path(self):
+        """Backslash escapes stay on the fast path: semantic escapes map
+        to their control bytes, \\' becomes CSV '' doubling, escaped
+        backslash runs pair greedily left-to-right."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+        )
+
+        stmt = (
+            "INSERT INTO `t` VALUES "
+            "(1,'a\\nb'),(2,'q\\'s'),(3,'c:\\\\dir'),(4,'pct\\%');"
+        )
+        csv, n = _values_csv_bytes(stmt)
+        assert n == 4
+        assert csv == b"1,'a\nb'\n2,'q''s'\n3,'c:\\dir'\n4,'pct\\%'"
+
+    def test_escaped_quote_does_not_break_parity(self):
+        """A \\' inside a string must not flip quote parity — the ),( that
+        follows it still splits rows correctly."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+            parse_insert_full,
+        )
+
+        stmt = "INSERT INTO `t` VALUES (1,'it\\'s ),( fine'),(2,'x');"
+        csv, n = _values_csv_bytes(stmt)
+        assert n == 2
+        assert csv == b"1,'it''s ),( fine'\n2,'x'"
+        # differential: exhaustive grammar agrees on the decoded values
+        _, _, rows = parse_insert_full(stmt)
+        assert rows == [(1, "it's ),( fine"), (2, "x")]
+
+    def test_values_keyword_anchored_past_table_name(self):
+        """A table whose NAME contains 'values' must not anchor the fast
+        path mid-name."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+        )
+
+        stmt = "INSERT INTO `my_values_log` VALUES (1,'a'),(2,'b');"
+        csv, n = _values_csv_bytes(stmt)
+        assert n == 2
+        assert csv == b"1,'a'\n2,'b'"
 
     def test_fast_and_exhaustive_agree_end_to_end(self, spark, tmp_path):
         """A dump mixing fast-path statements (quotes doubled, commas and

@@ -138,3 +138,72 @@ def test_bmp_codec_roundtrip_fuzz(w, h, _seed, rnd):
 
     rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
     assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+def test_arrow_fast_path_matches_exhaustive_on_hostile_strings():
+    """Randomized differential for the escape-resolving Arrow fast path:
+    strings mixing both quote-escape forms (\\' and ''), backslash runs,
+    semantic escapes, unknown escapes, multibyte UTF-8, and top-level
+    lookalike bytes (commas/parens) must decode identically to the
+    exhaustive tokenizer — and must never silently fall back en masse."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        _arrow_fast_types,
+        _arrow_read_values,
+        _values_csv_bytes,
+        parse_insert_full,
+    )
+
+    rng = random.Random(42)
+    chars = ["a", "b", "é", "中", " ", ",", "(", ")", "'", "\\", "\n", "\t",
+             "%", "_", "0", "x"]
+
+    def mk_string():
+        out = []
+        for _ in range(rng.randint(0, 12)):
+            c = rng.choice(chars)
+            if c == "'":
+                out.append(rng.choice(["''", "\\'"]))
+            elif c == "\\":
+                out.append(rng.choice(["\\\\", "\\n", "\\t", "\\0", "\\Z",
+                                       "\\b", "\\r", "\\%", "\\_", "\\q"]))
+            elif c == "\n":
+                out.append("\\n")
+            elif c == "\t":
+                out.append("\\t")
+            else:
+                out.append(c)
+        return "".join(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+    ft = _arrow_fast_types(schema)
+    names = [f.name for f in schema.fields]
+    fallbacks = 0
+    for _ in range(150):
+        body = ",".join(
+            f"({i},'{mk_string()}',{rng.choice(['NULL', '1.5', '-2.25', '3'])})"
+            for i in range(rng.randint(1, 8))
+        )
+        stmt = f"INSERT INTO `t` VALUES {body};"
+        _, _, slow = parse_insert_full(stmt)
+        fb = _values_csv_bytes(stmt)
+        if fb is None:
+            fallbacks += 1
+            continue
+        tbl = _arrow_read_values(fb[0], names, ft)
+        fast = [tuple(d.values()) for d in tbl.to_pylist()]
+        conv = [
+            tuple(float(v) if isinstance(v, float) else v for v in r)
+            for r in slow
+        ]
+        assert fast == conv, stmt[:200]
+    assert fallbacks == 0  # every generated statement is fast-path-eligible
