@@ -78,6 +78,7 @@ QUERIES = [
     "q_heavy_hitters",
     "q_cdc_apply",
     "q_split_drift",
+    "q_bpe_merges",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -144,9 +145,10 @@ def main() -> None:
         "growth is the shingle scan itself.  `q_embed_quantize` runs as",
         "one vectorized Arrow pass (mapInPandas) — the interpreted JVM",
         "array folds it replaced measured 3× superlinear.  Iterative frames",
-        "(`q_kmeans`, `q_graph_bfs`) pay a fixed per-round job-scheduling",
-        "floor that dominates tiny inputs; their data-dependent cost is the",
-        "assignment scan / frontier join, both shuffle-bounded per round.",
+        "(`q_kmeans`, `q_graph_bfs`, `q_bpe_merges`) pay a fixed per-round",
+        "job-scheduling floor that dominates tiny inputs; their",
+        "data-dependent cost is the assignment scan / frontier join /",
+        "pair-count + merge pass, each shuffle- or map-bounded per round.",
         "`q_win_rolling_corr`, `q_agg_weighted_median` and",
         "`q_win_running_distinct` partition their windows by tiny fixture",
         "alphabets (5 event types / 3 return flags) — parallelism is",
