@@ -47,11 +47,10 @@ BPE_MERGES = 4
 BPE_SEP = "  "
 
 
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_bpe_merges: the first {BPE_MERGES} BPE merge rules learned from
-    the corpus — ``(merge_idx, left_sym, right_sym, pair_count)``, where
-    pair_count is the exact corpus-wide frequency that won the round
-    (ties broken lexicographically so the winner is deterministic)."""
+def _learn(spark: SparkSession, sf_dir: str):
+    """Run the {BPE_MERGES} merge rounds; returns (rules, final corpus)
+    — shared by q_bpe_merges (reports the rules) and q_bpe_apply
+    (reports the transformed corpus statistics)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -97,12 +96,51 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sym"), F.lit(a + BPE_SEP + b), F.lit(a + b)
             ).alias("sym")
         ).localCheckpoint()  # truncate lineage: next round is O(corpus)
+    return rules, cur
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_merges: the first {BPE_MERGES} BPE merge rules learned from
+    the corpus — ``(merge_idx, left_sym, right_sym, pair_count)``, where
+    pair_count is the exact corpus-wide frequency that won the round
+    (ties broken lexicographically so the winner is deterministic)."""
+    rules, _ = _learn(spark, sf_dir)
     return spark.createDataFrame(
         rules, "merge_idx int, left_sym string, right_sym string, pair_count long"
     )
 
 
-def _bpe_sql() -> str:
+#: Vocabulary-head size reported by q_bpe_apply.
+BPE_VOCAB_TOP = 20
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_apply: tokenize the corpus with the learned merges and
+    report the vocabulary head — the top-{BPE_VOCAB_TOP} symbols by
+    occurrence count after all {BPE_MERGES} merges, with each symbol's
+    length (>1 ⇔ a merge product).  The apply step is the other half of
+    the tokenizer-training loop: learn rules (q_bpe_merges), then
+    re-segment every document with them — here both run in the same K
+    synchronous rounds, so the reported counts are the exact
+    frequencies a {BPE_MERGES}-rule tokenizer would produce.  Scale
+    shape: one explode + partial-aggregated count over the transformed
+    corpus, global cut via TakeOrderedAndProject."""
+    _, cur = _learn(spark, sf_dir)
+    return (
+        cur.select(F.explode(F.split("sym", BPE_SEP)).alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .select(
+            "sym",
+            F.length("sym").cast("long").alias("sym_len"),
+            "n_occ",
+        )
+        .orderBy(F.desc("n_occ"), F.asc("sym"))
+        .limit(BPE_VOCAB_TOP)
+    )
+
+
+def _bpe_cte_prefix() -> str:
     """The identical {BPE_MERGES} rounds, unrolled as chained CTEs."""
     parts = [
         f"""WITH w0 AS (
@@ -132,21 +170,36 @@ def _bpe_sql() -> str:
   FROM w{p}
 )"""
         )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {r} AS merge_idx, a AS left_sym, b AS right_sym,"
-        f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
-        for r in range(1, BPE_MERGES + 1)
-    )
-    return "".join(parts) + sel
+    return "".join(parts)
 
 
-BPE_MERGES_SQL = _bpe_sql()
+BPE_MERGES_SQL = _bpe_cte_prefix() + "\nUNION ALL\n".join(
+    f"SELECT {r} AS merge_idx, a AS left_sym, b AS right_sym,"
+    f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+    for r in range(1, BPE_MERGES + 1)
+)
+
+BPE_APPLY_SQL = (
+    _bpe_cte_prefix()
+    + f"""
+SELECT sym,
+       CAST(length(sym) AS BIGINT) AS sym_len,
+       CAST(COUNT(*) AS BIGINT)   AS n_occ
+FROM (SELECT unnest(string_split(sym, '{BPE_SEP}')) AS sym
+      FROM w{BPE_MERGES}) t
+GROUP BY sym
+ORDER BY n_occ DESC, sym ASC
+LIMIT {BPE_VOCAB_TOP}
+"""
+)
 
 
 QUERIES = {
     "q_bpe_merges": bpe_merges,
+    "q_bpe_apply": bpe_apply,
 }
 
 ORACLE = {
     "q_bpe_merges": BPE_MERGES_SQL,
+    "q_bpe_apply": BPE_APPLY_SQL,
 }

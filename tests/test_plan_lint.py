@@ -102,6 +102,7 @@ _SWEEP_EXCLUDE = {
     "q_udtf_python",  # intentional Python UDTF surface
     "q_dedup_components",  # iterative fixpoint executes jobs to converge
     "q_bpe_merges",  # iterative merge rounds execute jobs at plan-build
+    "q_bpe_apply",  # same learn loop runs before the apply aggregation
     "q_sim_ann_ivf",  # quantizer fit executes jobs
     "q_sim_ann_lsh",  # probe signature prep
 }
