@@ -97,10 +97,11 @@ def main() -> int:
                     )
             cols = sorted(sdf.columns)
             s = sorted(tuple(canon(r[c]) for c in cols) for r in sdf.collect())
-            d = sorted(
+            sel = ", ".join(f'"{c}"' for c in cols)  # "offset" etc. are
+            d = sorted(                              # reserved words
                 tuple(canon(v) for v in row)
                 for row in con.execute(
-                    f"SELECT {', '.join(cols)} FROM ({o[name]}) t"
+                    f"SELECT {sel} FROM ({o[name]}) t"
                 ).fetchall()
             )
             if s != d:
