@@ -1423,9 +1423,21 @@ def convert_dump(
             )
     if progress:
         print(f"[ingest] {len(schemas)} table(s): {sorted(schemas)}", file=sys.stderr)
+    prev_mpb = None
     if use_multiline:
         lines = _whole_files_df(spark, dump_path)
     else:
+        # Scope the file-split size to the parse-task granularity for the
+        # duration of the convert: the text scan then yields ~bytes/2MB
+        # native splits, so the spreading ``repartition`` in
+        # insert_rows_df becomes a no-op (cur ≥ threshold) and the raw
+        # dump text is never shuffled — splits come from parallel file
+        # reads instead.  Restored in the ``finally`` below; gzip members
+        # stay unsplittable regardless (their parallelism is per file).
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(PARSE_TASK_BYTES)
+        )
         lines = spark.read.text(dump_path).where(_dml_line_pred())
     if len(schemas) > 1:
         lines = lines.persist()
@@ -1485,6 +1497,8 @@ def convert_dump(
     finally:
         if len(schemas) > 1:
             lines.unpersist()
+        if prev_mpb is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
 
 # --------------------------------------------------------------------------
