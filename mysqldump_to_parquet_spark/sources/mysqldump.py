@@ -1407,50 +1407,56 @@ def convert_dump(
 
     if multiline not in ("auto", "never"):
         raise ValueError(f"multiline must be 'auto' or 'never', got {multiline!r}")
+    # Scope the file-split size to the parse-task granularity for the
+    # duration of the convert (restored in the ``finally`` below): every
+    # text scan — the DDL pass included, which otherwise decodes the whole
+    # dump in ONE task at the default 128 MB split — yields ~bytes/2MB
+    # native splits, and the spreading ``repartition`` in insert_rows_df
+    # becomes a no-op (cur ≥ threshold), so the raw dump text is never
+    # shuffled: parallelism comes from parallel file reads.  Gzip members
+    # stay unsplittable regardless (their parallelism is per file); the
+    # whole-file reassembly path reads ``wholetext`` records, which ignore
+    # the split size.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(PARSE_TASK_BYTES))
     use_multiline = False
+    cached = None  # the persisted multi-table line set, if any
     try:
-        schemas = collect_schemas(spark, dump_path)
-    except MultilineDumpError:
-        if multiline == "never":
-            raise
-        use_multiline = True
-        schemas = collect_schemas_multiline(spark, dump_path)
+        try:
+            schemas = collect_schemas(spark, dump_path)
+        except MultilineDumpError:
+            if multiline == "never":
+                raise
+            use_multiline = True
+            schemas = collect_schemas_multiline(spark, dump_path)
+            if progress:
+                print(
+                    "[ingest] multi-line INSERT layout detected — whole-file "
+                    "reassembly path (parallel per file)",
+                    file=sys.stderr,
+                )
         if progress:
             print(
-                "[ingest] multi-line INSERT layout detected — whole-file "
-                "reassembly path (parallel per file)",
+                f"[ingest] {len(schemas)} table(s): {sorted(schemas)}",
                 file=sys.stderr,
             )
-    if progress:
-        print(f"[ingest] {len(schemas)} table(s): {sorted(schemas)}", file=sys.stderr)
-    prev_mpb = None
-    if use_multiline:
-        lines = _whole_files_df(spark, dump_path)
-    else:
-        # Scope the file-split size to the parse-task granularity for the
-        # duration of the convert: the text scan then yields ~bytes/2MB
-        # native splits, so the spreading ``repartition`` in
-        # insert_rows_df becomes a no-op (cur ≥ threshold) and the raw
-        # dump text is never shuffled — splits come from parallel file
-        # reads instead.  Restored in the ``finally`` below; gzip members
-        # stay unsplittable regardless (their parallelism is per file).
-        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        spark.conf.set(
-            "spark.sql.files.maxPartitionBytes", str(PARSE_TASK_BYTES)
-        )
-        lines = spark.read.text(dump_path).where(_dml_line_pred())
-    if len(schemas) > 1:
-        lines = lines.persist()
-    parse_parts: dict[str, int] = {}
-    if not use_multiline and len(schemas) > 1:
-        # One cheap aggregate over the cached lines sizes each table's
-        # parse stage to its byte share (see parse_partition_counts).
-        cores = spark.sparkContext.defaultParallelism
-        parse_parts = {
-            t.lower(): n
-            for t, n in parse_partition_counts(lines, cores, len(schemas)).items()
-        }
-    try:
+        if use_multiline:
+            lines = _whole_files_df(spark, dump_path)
+        else:
+            lines = spark.read.text(dump_path).where(_dml_line_pred())
+        if len(schemas) > 1:
+            lines = cached = lines.persist()
+        parse_parts: dict[str, int] = {}
+        if not use_multiline and len(schemas) > 1:
+            # One cheap aggregate over the cached lines sizes each table's
+            # parse stage to its byte share (see parse_partition_counts).
+            cores = spark.sparkContext.defaultParallelism
+            parse_parts = {
+                t.lower(): n
+                for t, n in parse_partition_counts(
+                    lines, cores, len(schemas)
+                ).items()
+            }
 
         def _one_table(item: tuple[str, T.StructType]) -> tuple[str, int]:
             table, schema = item
@@ -1495,9 +1501,10 @@ def convert_dump(
                     counts = dict(pool.map(_one_table, items))
         return {t: counts[t] for t in schemas}  # deterministic table order
     finally:
-        if len(schemas) > 1:
-            lines.unpersist()
-        if prev_mpb is not None:
+        try:
+            if cached is not None:
+                cached.unpersist()
+        finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
 
