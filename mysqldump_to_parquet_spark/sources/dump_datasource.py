@@ -57,7 +57,11 @@ from pyspark.sql.datasource import (
 )
 
 from .mysqldump import (
+    _INSERT_COLS_RE,
     DumpParseError,
+    _arrow_fast_types,
+    _arrow_read_values,
+    _values_csv_bytes,
     align_row,
     coerce_row,
     insert_table_name,
@@ -135,7 +139,75 @@ def _finalize_row(row: tuple, schema: T.StructType, table: str) -> tuple:
     return tuple(out)
 
 
+#: Rows accumulated per Arrow RecordBatch emitted by the reader.
+READER_BATCH_ROWS = 65536
+
+
+def _pa_schema(schema: T.StructType):
+    """PyArrow schema matching the Spark result schema (None when a field
+    has no Arrow mapping — then the reader falls back to tuple yields)."""
+    import pyarrow as pa
+
+    out = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.LongType):
+            t = pa.int64()
+        elif isinstance(dt, T.IntegerType):
+            t = pa.int32()
+        elif isinstance(dt, T.DoubleType):
+            t = pa.float64()
+        elif isinstance(dt, T.FloatType):
+            t = pa.float32()
+        elif isinstance(dt, T.BooleanType):
+            t = pa.bool_()
+        elif isinstance(dt, T.StringType):
+            t = pa.string()
+        elif isinstance(dt, T.TimestampType):
+            t = pa.timestamp("us", tz="UTC")  # dumps carry naive UTC
+        elif isinstance(dt, T.DateType):
+            t = pa.date32()
+        elif isinstance(dt, T.DecimalType):
+            t = pa.decimal128(dt.precision, dt.scale)
+        elif isinstance(dt, T.BinaryType):
+            t = pa.binary()
+        else:
+            return None
+        out.append(pa.field(f.name, t, nullable=True))
+    return pa.schema(out)
+
+
+def _carrier_to_target(tbl, schema: T.StructType, pa_schema):
+    """Cast the fast path's carrier columns (timestamps/dates/decimals as
+    strings) to the target Arrow types — C++ casts, no Python objects.
+    Raises on any unconvertible value (caller falls back to the exhaustive
+    path, which raises the proper contextual error)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = []
+    for f, pf, col in zip(schema.fields, pa_schema, tbl.columns):
+        if isinstance(f.dataType, T.TimestampType):
+            c = pc.assume_timezone(pc.cast(col, pa.timestamp("us")), "UTC")
+        else:
+            c = pc.cast(col, pf.type)
+        cols.append(c)
+    return pa.Table.from_arrays(cols, schema=pa_schema)
+
+
 class MysqldumpReader(DataSourceReader):
+    """Splittable dump reader emitting Arrow ``RecordBatch``es.
+
+    Statements eligible for the shared Arrow-CSV fast path (see
+    ``mysqldump._values_csv_bytes``) accumulate into one ``read_csv`` +
+    typed-cast call per ~{READER_BATCH_ROWS} rows — string→timestamp/
+    date/decimal casts run in Arrow C++ and the batch crosses into the
+    JVM without ever materializing per-row Python objects.  Statements
+    the fast path refuses (and any batch whose typed cast fails) re-parse
+    through the exhaustive tokenizer into the same Arrow schema, so
+    error semantics (C1–C3, loud with column context) are identical on
+    both paths."""
+
     def __init__(self, schema: T.StructType, options: dict):
         self._schema = schema
         self._table = options["table"].lower()
@@ -157,47 +229,129 @@ class MysqldumpReader(DataSourceReader):
         return parts
 
     def read(self, part: _Range):
-        schema, table = self._schema, self._table
         if part.end is None:  # gz: stream the whole file
             with _open_text(part.path) as fh:
-                yield from self._parse_lines(fh, schema, table)
+                yield from self._batches(fh)
             return
-        with open(part.path, "rb") as fh:
-            if part.start > 0:
-                # LineRecordReader convention: back up one byte and consume
-                # through the next newline.  Only the tail of a line that
-                # STRADDLES the boundary is discarded — if byte start-1 is
-                # itself '\n', this consumes just that newline and a line
-                # beginning exactly at part.start is read by its owner.
-                # (Seeking to start and discarding a whole line would drop
-                # such a line from both ranges: the previous range's strict
-                # tell() < end check already excluded it.)
-                fh.seek(part.start - 1)
-                fh.readline()
-            else:
-                fh.seek(0)
-            while fh.tell() < part.end:
-                # a line is owned by the range containing its first byte;
-                # the owner reads past its end to finish the line
-                raw = fh.readline()
-                if not raw:
-                    break
-                line = raw.decode("utf-8", errors="replace")
-                yield from self._parse_one(line, schema, table)
 
-    def _parse_lines(self, fh, schema, table):
-        for line in fh:
-            yield from self._parse_one(line, schema, table)
+        def lines():
+            with open(part.path, "rb") as fh:
+                if part.start > 0:
+                    # LineRecordReader convention: back up one byte and
+                    # consume through the next newline.  Only the tail of a
+                    # line that STRADDLES the boundary is discarded — if
+                    # byte start-1 is itself '\n', this consumes just that
+                    # newline and a line beginning exactly at part.start is
+                    # read by its owner.  (Seeking to start and discarding
+                    # a whole line would drop such a line from both ranges:
+                    # the previous range's strict tell() < end check
+                    # already excluded it.)
+                    fh.seek(part.start - 1)
+                    fh.readline()
+                else:
+                    fh.seek(0)
+                while fh.tell() < part.end:
+                    # a line is owned by the range containing its first
+                    # byte; the owner reads past its end to finish the line
+                    raw = fh.readline()
+                    if not raw:
+                        break
+                    yield raw.decode("utf-8", errors="replace")
 
-    def _parse_one(self, line: str, schema: T.StructType, table: str):
-        stmt = line.strip()
-        if insert_table_name(stmt) != table:
-            return
+        yield from self._batches(lines())
+
+    def _slow_rows(self, stmt: str) -> list[dict]:
+        """One statement through the exhaustive tokenizer, finalized."""
+        schema, table = self._schema, self._table
+        names = [f.name for f in schema.fields]
         _t, columns, rows = parse_insert_full(stmt)
+        out = []
         for row in rows:
             if columns is not None:
                 row = align_row(row, columns, schema, table)
-            yield _finalize_row(coerce_row(row, schema, table), schema, table)
+            out.append(
+                dict(
+                    zip(
+                        names,
+                        _finalize_row(
+                            coerce_row(row, schema, table), schema, table
+                        ),
+                    )
+                )
+            )
+        return out
+
+    def _batches(self, lines):
+        """Accumulate statements into Arrow RecordBatches (module
+        docstring); tuple-yield fallback only when the schema has no
+        Arrow mapping."""
+        import pyarrow as pa
+
+        schema, table = self._schema, self._table
+        pa_schema = _pa_schema(schema)
+        if pa_schema is None:  # unmappable type: legacy row-at-a-time path
+            for line in lines:
+                stmt = line.strip()
+                if insert_table_name(stmt) != table:
+                    continue
+                for d in self._slow_rows(stmt):
+                    yield tuple(d.values())
+            return
+        fast_types = _arrow_fast_types(schema)
+        chunks: list[bytes] = []
+        chunk_stmts: list[str] = []
+        n_fast = 0
+        slow: list[dict] = []
+
+        def flush_fast():
+            nonlocal chunks, chunk_stmts, n_fast
+            if not chunks:
+                return []
+            try:
+                tbl = _arrow_read_values(
+                    b"\n".join(chunks),
+                    [f.name for f in schema.fields],
+                    fast_types,
+                )
+                if tbl.num_rows != n_fast:
+                    raise DumpParseError("fast-path row-count drift")
+                out = _carrier_to_target(tbl, schema, pa_schema)
+            except Exception:
+                # typed-cast or structural surprise: the exhaustive path
+                # either parses correctly or raises the loud contextual
+                # error — identical semantics to the pre-Arrow reader
+                rows = [d for s in chunk_stmts for d in self._slow_rows(s)]
+                out = pa.Table.from_pylist(rows, schema=pa_schema)
+            chunks, chunk_stmts, n_fast = [], [], 0
+            return out.to_batches()
+
+        def flush_slow():
+            nonlocal slow
+            if not slow:
+                return []
+            out = pa.Table.from_pylist(slow, schema=pa_schema)
+            slow = []
+            return out.to_batches()
+
+        for line in lines:
+            stmt = line.strip()
+            if insert_table_name(stmt) != table:
+                continue
+            fb = None
+            if fast_types is not None and not _INSERT_COLS_RE.match(stmt):
+                fb = _values_csv_bytes(stmt)
+            if fb is not None:
+                chunks.append(fb[0])
+                chunk_stmts.append(stmt)
+                n_fast += fb[1]
+                if n_fast >= READER_BATCH_ROWS:
+                    yield from flush_fast()
+            else:
+                slow.extend(self._slow_rows(stmt))
+                if len(slow) >= READER_BATCH_ROWS:
+                    yield from flush_slow()
+        yield from flush_fast()
+        yield from flush_slow()
 
 
 # ------------------------------------------------------------ write path
