@@ -672,6 +672,28 @@ def _next_is_literal(s: str, i: int, n: int) -> bool:
 _ARROW_SENTINEL = object()
 
 
+def _carrier_pa_type(dt: T.DataType):
+    """Arrow type of one CARRIER column (see :func:`carrier_field` — the
+    carrier StructType has already rewritten temporal/decimal to string)."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    raise DumpParseError(f"no carrier Arrow type for {dt.simpleString()}")
+
+
 def _arrow_fast_types(schema: T.StructType):
     """Arrow CSV target types in CARRIER representation, or None when the
     schema has a column the fast path does not handle (BinaryType: hex
@@ -1243,13 +1265,14 @@ def insert_rows_df(
 ) -> DataFrame:
     """Pass 2 (per table): parallel parse of that table's INSERT lines.
 
-    The Python tokenizer runs inside ``mapInPandas`` — statement batches
-    arrive and parsed columns leave as Arrow blocks, avoiding the
-    row-at-a-time pickle path of an RDD ``createDataFrame`` (measured ~5×
-    end-to-end).  Lines are spread across all cores first: a dump file
-    yields few input splits relative to the CPU cost of parsing."""
-    import pandas as pd
-
+    The parse runs inside ``mapInArrow`` — statement batches arrive as
+    Arrow and parsed CARRIER columns leave as Arrow, so the fast path's
+    ``read_csv`` output crosses into the JVM with no pandas round-trip
+    and no per-row Python objects (the row-at-a-time pickle path of an
+    RDD ``createDataFrame`` measured ~5× slower end-to-end even via
+    pandas; dropping pandas removed the nullable-dtype hop too).  Lines
+    are spread across all cores first: a dump file yields few input
+    splits relative to the CPU cost of parsing."""
     carrier = T.StructType([carrier_field(f) for f in schema.fields])
     if lines_df is None:
         lines_df = spark.read.text(dump_path).where(_dml_line_pred())
@@ -1294,40 +1317,41 @@ def insert_rows_df(
         lines_df = lines_df.coalesce(target)
     names = [f.name for f in schema.fields]
 
-    def parse_batches(batches):
+    def parse_batches(arrow_batches):
+        """Statement batches in, CARRIER-typed Arrow batches out — via
+        ``mapInArrow``, so the fast path's ``read_csv`` output crosses
+        into the JVM with no pandas round-trip and no per-row Python
+        objects; only fallback statements materialize Python values."""
         import numpy as np
+        import pyarrow as pa
 
         fast_types = _arrow_fast_types(schema)
         has_col_list_re = _INSERT_COLS_RE
+        carrier_pa = pa.schema(
+            [
+                pa.field(f.name, _carrier_pa_type(f.dataType), True)
+                for f in carrier.fields
+            ]
+        )
 
-        def slow_frame(stmts):
-            cols: list[list] = [[] for _ in names]
+        def slow_batches(stmts):
+            rows: list[dict] = []
             for stmt in stmts:
                 _, ins_cols, tuples = parse_insert_full(stmt)
                 for tup in tuples:
                     if ins_cols is not None:  # --complete-insert dumps
                         tup = align_row(tup, ins_cols, schema, table)
-                    for i, v in enumerate(coerce_row(tup, schema, table)):
-                        cols[i].append(v)
-            return pd.DataFrame(
-                {n: pd.Series(c, dtype="object") for n, c in zip(names, cols)}
-            )
+                    rows.append(
+                        dict(zip(names, coerce_row(tup, schema, table)))
+                    )
+            return pa.Table.from_pylist(rows, schema=carrier_pa).to_batches()
 
-        # pandas nullable carriers: a plain to_pandas() would promote an
-        # int64 column with NULLs to float64 and corrupt big integers
-        import pyarrow as pa
-
-        _dtype_map = {
-            pa.int64(): pd.Int64Dtype(),
-            pa.bool_(): pd.BooleanDtype(),
-        }
-
-        for pdf in batches:
+        for batch in arrow_batches:
             slow_stmts: list[str] = []
             fast_stmts: list[str] = []
             fast_chunks: list[bytes] = []
             fast_rows = 0
-            for stmt in pdf["value"]:
+            for stmt in batch.column(0).to_pylist():
                 stmt = stmt.strip().rstrip(";") + ";"
                 if insert_table_name(stmt) != table:
                     continue
@@ -1353,16 +1377,16 @@ def insert_rows_df(
                                 # inf/nan literals: the exhaustive parser
                                 # rejects them with the proper error
                                 raise DumpParseError("non-finite double")
-                    yield tbl.to_pandas(types_mapper=_dtype_map.get)
+                    yield from tbl.to_batches()
                 except Exception:
                     # any conversion surprise: re-parse those statements
                     # through the exhaustive grammar, which parses them
                     # correctly or raises the contextual DumpParseError
                     slow_stmts = fast_stmts + slow_stmts
             if slow_stmts or not fast_chunks:
-                yield slow_frame(slow_stmts)
+                yield from slow_batches(slow_stmts)
 
-    raw = lines_df.mapInPandas(parse_batches, carrier)
+    raw = lines_df.mapInArrow(parse_batches, carrier)
     return finish_casts(raw, schema)
 
 
