@@ -887,3 +887,18 @@ class TestArrowFastPath:
                 else:
                     conv.append(v)
             assert conv == list(frow.values())
+
+    def test_escaped_multibyte_char(self):
+        """A backslash before a multibyte UTF-8 char drops the backslash
+        and keeps the full character (lead byte substituted, continuation
+        bytes copied verbatim)."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+            parse_insert_full,
+        )
+
+        stmt = "INSERT INTO `t` VALUES (1,'caf\\é 中\\文');"
+        csv, n = _values_csv_bytes(stmt)
+        assert n == 1 and csv.decode() == "1,'café 中文'"
+        _, _, rows = parse_insert_full(stmt)
+        assert rows == [(1, "café 中文")]
