@@ -340,3 +340,52 @@ def test_datasource_shares_hardened_parser_paths(registered, tmp_path):
     assert rows[1].b == "INSERT INTO `t` VALUES (9);"
     assert bytes(rows[1].payload) == b"AB"
     assert rows[2].a == ");" and rows[2].b is None and rows[2].payload is None
+
+
+def test_arrow_writer_selected_and_roundtrips_types(registered, spark, tmp_path):
+    """Binary-free schemas use the vectorized Arrow writer; its literals
+    (escaped strings, always-microsecond timestamps, exact decimals,
+    shortest-repr floats) reparse to identical values."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from mysqldump_to_parquet_spark.sources.dump_datasource import (
+        MysqldumpArrowWriter,
+        MysqldumpDataSource,
+        MysqldumpWriter,
+    )
+
+    ds = MysqldumpDataSource({"path": str(tmp_path / "o"), "table": "t"})
+    sch_plain = T.StructType([T.StructField("s", T.StringType())])
+    sch_bin = T.StructType([T.StructField("b", T.BinaryType())])
+    assert isinstance(ds.writer(sch_plain, True), MysqldumpArrowWriter)
+    w = ds.writer(sch_bin, True)
+    assert isinstance(w, MysqldumpWriter) and not isinstance(
+        w, MysqldumpArrowWriter
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's\na\\path", 0.1, Decimal("12345678.90"), None,
+             datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+            (2, None, 1e-7, None, True,
+             datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        ],
+        "id long, s string, d double, dec decimal(12,2), ok boolean,"
+        " ts timestamp",
+    )
+    out = str(tmp_path / "rt")
+    df.write.format("mysqldump").option("table", "t").mode(
+        "overwrite"
+    ).save(out)
+    back = (
+        spark.read.format("mysqldump")
+        .option("path", f"{out}/*.sql")
+        .option("table", "t")
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
