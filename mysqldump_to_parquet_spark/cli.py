@@ -4,8 +4,10 @@
     python -m mysqldump_to_parquet_spark.cli dump.sql[.gz] --output out/
 
 Differences from the reference, by design:
-* no stdin mode (a distributed engine reads paths; ``-`` is rejected with
-  a pointer to this note);
+* stdin (``-``) is supported by SPOOLING to a local temp file first — a
+  pipe is inherently one sequential stream, so spooling costs one disk
+  write and buys back the splittable parallel parse (the reference
+  streams stdin single-threaded, src/main.rs:56; same ceiling, no spool);
 * output is one Parquet *directory* per table (multi-part, scalable), not
   one file;
 * ``--compression`` exposes the Parquet codec (default snappy, like the
@@ -16,7 +18,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import shutil
 import sys
+import tempfile
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -26,9 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "input",
-        help="path to .sql or .sql.gz dump (glob ok). stdin ('-') is not "
-        "supported — a distributed engine reads paths; pipe users should "
-        "spool first: mysqldump db > /tmp/db.sql && %(prog)s /tmp/db.sql -o out/",
+        help="path to .sql or .sql.gz dump (glob ok), or '-' to read the "
+        "dump from stdin (spooled to a local temp file, then parsed with "
+        "full parallelism: mysqldump db | %(prog)s - -o out/)",
     )
     ap.add_argument("--output", "-o", required=True, help="output directory")
     ap.add_argument("--compression", default="snappy")
@@ -51,15 +56,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    spool_dir = None
     if args.input == "-":
+        if args.export:
+            print("--export reads a Parquet path; '-' is dump-only", file=sys.stderr)
+            return 2
+        # Reference parity (src/main.rs:56 reads stdin): a pipe is one
+        # sequential stream, so spool it to a local temp file — one disk
+        # write buys back the splittable parallel parse.
+        spool_dir = tempfile.mkdtemp(prefix="mtps_stdin_")
+        spooled = os.path.join(spool_dir, "stdin.sql")
+        with open(spooled, "wb") as fh:
+            shutil.copyfileobj(sys.stdin.buffer, fh, length=8 * 1024 * 1024)
         print(
-            "stdin is not supported: a distributed engine reads (many) paths; "
-            "spool first (mysqldump db > /tmp/db.sql) and pass the file path "
-            "(reference parity note: src/main.rs:56 reads stdin — single-node "
-            "streaming has no distributed analog)",
+            f"[ingest] spooled {os.path.getsize(spooled):,} bytes from stdin",
             file=sys.stderr,
         )
-        return 2
+        args.input = spooled
 
     from .session import get_spark
     from .sources.mysqldump import convert_dump
@@ -96,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     finally:
         spark.stop()
+        if spool_dir is not None:
+            shutil.rmtree(spool_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

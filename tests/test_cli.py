@@ -1,5 +1,5 @@
 """CLI surface tests — reference parity for src/main.rs:26–37 (positional
-input + --output), the stdin rejection policy, and flag propagation."""
+input + --output), the stdin spool mode, and flag propagation."""
 
 from __future__ import annotations
 
@@ -26,11 +26,34 @@ class _NoStop:
         pass
 
 
-def test_cli_rejects_stdin(capsys):
-    assert cli.main(["-", "--output", "/tmp/nowhere"]) == 2
-    err = capsys.readouterr().err
-    assert "stdin is not supported" in err
-    assert "spool" in err  # remediation pattern present
+def test_cli_stdin_spools_and_converts(spark, tmp_path, capsys, monkeypatch):
+    """Reference parity for `mysqldump db | tool` (src/main.rs:56): stdin
+    is spooled to a temp file, converted with full parallelism, and the
+    spool is removed afterwards."""
+    import io
+    import sys as _sys
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: _NoStop(spark))
+
+    class _Stdin:
+        buffer = io.BytesIO(DEMO_DUMP.encode())
+
+    monkeypatch.setattr(_sys, "stdin", _Stdin())
+    rc = cli.main(["-", "--output", str(tmp_path / "out")])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "spooled" in captured.err
+    payload = json.loads(captured.out.strip().splitlines()[-1])
+    assert payload["tables"] == {"acct": 3}
+    assert spark.read.parquet(str(tmp_path / "out/acct")).count() == 3
+    import glob as _glob
+
+    assert not _glob.glob("/tmp/mtps_stdin_*")  # spool cleaned up
+
+
+def test_cli_stdin_export_rejected(capsys):
+    assert cli.main(["-", "--output", "/tmp/nowhere", "--export", "t"]) == 2
+    assert "dump-only" in capsys.readouterr().err
 
 
 def test_cli_happy_path(spark, tmp_path, capsys, monkeypatch):
