@@ -389,3 +389,58 @@ def test_arrow_writer_selected_and_roundtrips_types(registered, spark, tmp_path)
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_arrow_writer_randomized_roundtrip(registered, spark, tmp_path):
+    """Randomized export → read round-trip through BOTH Arrow paths:
+    strings with quotes/backslashes/newlines/CR/NUL/unicode, extreme and
+    subnormal doubles, negative decimals, microsecond timestamps, and
+    nulls in every column must come back value-exact."""
+    import datetime
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(99)
+    alphabet = ["a", "'", "\\", "\n", "\r", "\0", "é", "中", ",", "(", ")",
+                " ", "NULL", "0x41"]
+
+    def rand_str():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                None if rng.random() < 0.1 else rand_str(),
+                None if rng.random() < 0.1 else rng.choice(
+                    [0.0, -0.0, 1e-300, -1e300, 5e-324, 0.1 * i, float(i)]
+                ),
+                None if rng.random() < 0.1 else Decimal(
+                    f"{rng.randint(-10**9, 10**9)}.{rng.randint(0, 99):02d}"
+                ),
+                None if rng.random() < 0.1 else bool(i % 2),
+                None if rng.random() < 0.1 else datetime.datetime(
+                    2024, 1 + i % 12, 1 + i % 28, i % 24, i % 60, i % 60,
+                    rng.choice([0, 1, 999999, 123456]),
+                ),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "id long, s string, d double, dec decimal(12,2), ok boolean,"
+        " ts timestamp",
+    )
+    out = str(tmp_path / "rt")
+    df.write.format("mysqldump").option("table", "r").mode("overwrite").save(out)
+    back = (
+        spark.read.format("mysqldump")
+        .option("path", f"{out}/*.sql")
+        .option("table", "r")
+        .load()
+    )
+    a = {r[0]: tuple(r) for r in df.collect()}
+    b = {r[0]: tuple(r) for r in back.collect()}
+    assert set(a) == set(b)
+    mismatches = [(a[k], b[k]) for k in a if a[k] != b[k]]
+    assert not mismatches, mismatches[:3]
