@@ -392,7 +392,94 @@ GROUP BY user_id
 """
 
 
+# ----------------------------------------- multi-touch channel attribution
+
+#: Attribution window and channel count (channel derives from the JSON
+#: ``props.k`` — deterministic in both engines).
+ATTR_WINDOW_HOURS = 6
+ATTR_CHANNELS = 4
+
+
+def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_attribution_channels: LINEAR multi-touch attribution — every
+    purchase splits one unit of credit equally across the user's
+    view/click touches in the preceding {ATTR_WINDOW_HOURS} h, rolled up
+    per marketing channel (the JSON ``props.k`` mod {ATTR_CHANNELS} —
+    exercising JSON extraction inside an analytic pipeline).
+
+    Complements q_stream_attribution (per-purchase touch counts — the
+    stream-stream join twin): this is the *marketing* rollup a spend
+    optimizer consumes.  Plan: one user-keyed equi-join with the time
+    bound as a residual, a per-purchase count window that reuses the
+    join's exchange, then a tiny per-channel aggregate.  Credit
+    fractions are exact single divisions; the channel sum is rounded to
+    6 per the repo's float-sum oracle convention."""
+    e = load_table(spark, sf_dir, "events")
+    touches = e.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.pmod(
+            F.get_json_object("props", "$.k").cast("int"), ATTR_CHANNELS
+        ).alias("channel"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = touches.join(
+        purchases,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("t_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("t_ts") + F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+        ),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = joined.withColumn(
+        "credit", F.lit(1.0) / F.count(F.lit(1)).over(w)
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.round(F.sum("credit"), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_CHANNELS_SQL = f"""
+WITH touches AS (
+  SELECT user_id AS t_user, ts AS t_ts,
+         CAST(json_extract_string(props, '$.k') AS INTEGER)
+           % {ATTR_CHANNELS} AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+), purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT channel, purchase_id,
+         1.0 / COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+  FROM touches JOIN purchases
+    ON t_user = p_user
+   AND p_ts >= t_ts
+   AND p_ts <= t_ts + INTERVAL {ATTR_WINDOW_HOURS} HOUR
+)
+SELECT channel,
+       COUNT(*)                     AS n_touches,
+       COUNT(DISTINCT purchase_id)  AS n_purchases,
+       ROUND(SUM(credit), 6)        AS credit
+FROM joined
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 QUERIES = {
+    "q_attribution_channels": attribution_channels,
     "q_funnel": funnel,
     "q_cohort_retention": cohort_retention,
     "q_event_transitions": event_transitions,
@@ -402,6 +489,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_attribution_channels": ATTRIBUTION_CHANNELS_SQL,
     "q_funnel": FUNNEL_SQL,
     "q_cohort_retention": COHORT_RETENTION_SQL,
     "q_event_transitions": EVENT_TRANSITIONS_SQL,
