@@ -305,6 +305,33 @@ NOTES = {
         "alphabet; row-normalization rides a second window over the "
         "aggregate itself — no join back."
     ),
+    "q_heavy_hitters": (
+        "Two-pass Misra-Gries: pass 1 is a mapInPandas sketch emitting "
+        "at most P·k candidate rows; pass 2 semi-joins the token stream "
+        "against a BROADCAST of the candidates, so the count shuffle "
+        "carries candidate keys only, never the vocabulary; the final "
+        "threshold compares against a broadcast 1-row total — exact "
+        "output at bounded memory."
+    ),
+    "q_cdc_apply": (
+        "Changelog compaction as a PARTIAL aggregate: partial_max_by of "
+        "a (op, ts, value) struct under the (ts, event_id) order runs "
+        "map-side (SortAggregate — struct max_by is not hash-aggregable), "
+        "so the single exchange carries one candidate row per key; "
+        "tombstones drop after the final aggregate."
+    ),
+    "q_tpch_q21": (
+        "Conditional-aggregation rewrite of EXISTS/NOT EXISTS: per-"
+        "(order, supplier) late fold then per-order supplier counts — "
+        "two partial-aggregated exchanges instead of semi/anti lineitem "
+        "self-joins; supplier broadcast only for display columns."
+    ),
+    "q_attribution_channels": (
+        "User-keyed equi-join with the 6h bound as a residual; the per-"
+        "purchase credit window re-uses the join's exchange (purchase_id "
+        "is a refinement of the join key side); the channel rollup is a "
+        "4-row aggregate."
+    ),
 }
 
 
