@@ -79,6 +79,7 @@ QUERIES = [
     "q_cdc_apply",
     "q_split_drift",
     "q_bpe_merges",
+    "q_attribution_channels",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
