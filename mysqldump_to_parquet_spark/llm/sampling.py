@@ -293,7 +293,53 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+# -------------------------------------------- k examples per group
+
+#: Examples kept per (lang, source) cell.
+KPG_K = 5
+
+
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sample_k_per_group: a deterministic uniform k-sample per
+    (lang, source) cell — the "show me K examples from every slice"
+    primitive behind eval-set construction and data inspection UIs.
+
+    Reservoir-sampling-equivalent without RNG state: rank by
+    ``md5(doc_id)`` inside each cell and keep the first {KPG_K} — the
+    hash order is uniform wrt content, stable across runs/partitions,
+    and the rank window shuffles once on the (high-cardinality at
+    scale) group key with WindowGroupLimit pruning map-side, exactly
+    like q_topk_per_group.  Differs from lateral/topk ops by SEMANTICS:
+    those pick extremes by a value; this picks a uniform sample."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "source", h.alias("__h"))
+        .withColumn("rank_in_cell", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_cell") <= KPG_K)
+        .drop("__h")
+    )
+
+
+SAMPLE_K_PER_GROUP_SQL = f"""
+SELECT doc_id, lang, source, rank_in_cell
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rank_in_cell
+  FROM documents
+) t
+WHERE rank_in_cell <= {KPG_K}
+"""
+
+
 QUERIES = {
+    "q_sample_k_per_group": sample_k_per_group,
     "q_split_hash": split_hash,
     "q_sample_weighted": sample_weighted,
     "q_sample_stratified": sample_stratified,
@@ -303,6 +349,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_sample_k_per_group": SAMPLE_K_PER_GROUP_SQL,
     "q_split_hash": SPLIT_HASH_SQL,
     "q_sample_weighted": SAMPLE_WEIGHTED_SQL,
     "q_sample_stratified": SAMPLE_STRATIFIED_SQL,
