@@ -711,9 +711,16 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep(local, [])
 
 
+# The twin applies the same provably-lossless stage-0 reduction (only the
+# min-price point per qty can reach the frontier) and then the INDEPENDENT
+# NOT EXISTS dominance formulation over the ≤|distinct qty| survivors —
+# without the reduction the quadratic NOT EXISTS over all distinct points
+# made an oracle infeasible at sf0.01, which is why this key was
+# rows-only until the skyline rewrite.
 SKYLINE_SQL = """
 WITH pts AS (
-  SELECT DISTINCT l_quantity AS qty, l_extendedprice AS price FROM lineitem
+  SELECT l_quantity AS qty, MIN(l_extendedprice) AS price
+  FROM lineitem GROUP BY l_quantity
 )
 SELECT qty, price
 FROM pts p
@@ -750,6 +757,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_skyline": SKYLINE_SQL,
     "q_project_filter": PROJECT_FILTER_SQL,
     "q_filter_null_in_like": FILTER_NULL_IN_LIKE_SQL,
     "q_join_inner": JOIN_INNER_SQL,
