@@ -197,3 +197,36 @@ def test_bpe_merges_match_python_reference(spark, tmp_path):
     # the feed-forward check: some later rule must involve a multi-char
     # symbol created by an earlier merge
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in expect[1:])
+
+
+# ---------------------------------------------------- k examples per group
+
+
+def test_sample_k_per_group_quota_and_stability(spark):
+    from mysqldump_to_parquet_spark.llm.sampling import (
+        KPG_K,
+        sample_k_per_group,
+    )
+
+    full = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cell_sizes = {
+        (r.lang, r.source): r.n
+        for r in full.groupBy("lang", "source").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    got = sample_k_per_group(spark, SF_SMOKE).collect()
+    per_cell: dict = {}
+    for r in got:
+        per_cell.setdefault((r.lang, r.source), []).append(r)
+    # exact quota: min(K, cell size) rows per cell, ranks 1..n contiguous
+    for cell, n in cell_sizes.items():
+        rows = per_cell.get(cell, [])
+        assert len(rows) == min(KPG_K, n), cell
+        assert sorted(r.rank_in_cell for r in rows) == list(
+            range(1, min(KPG_K, n) + 1)
+        )
+    # deterministic: identical membership on a second run
+    again = {(r.doc_id, r.rank_in_cell) for r in
+             sample_k_per_group(spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.rank_in_cell) for r in got}
