@@ -266,13 +266,15 @@ NOTES = {
         "iteration count. No collect, no driver-side graph state."
     ),
     "q_graph_bfs": (
-        "Frontier BFS: every round's frontier and settled-distance frame "
-        "is localCheckpoint-ed (the MLlib iterative-frame discipline) — "
-        "plain persist is defeated here because the frontier's lineage "
-        "embeds the edge table and self-join attribute dedup re-aliases "
-        "it out of cache-canonical form; checkpointing makes each hop "
-        "O(frontier) against settled RDDs. The returned plan is just the "
-        "final settled scan."
+        "Frontier BFS over a cached ADJACENCY-LIST table (one "
+        "collect_list row per node, built once): each hop joins the "
+        "checkpointed frontier against |V| adjacency rows — not |E| "
+        "edge rows — and explodes only matched neighborhoods. Every "
+        "round's frontier is localCheckpoint-ed (the MLlib iterative-"
+        "frame discipline): plain persist is defeated because the "
+        "frontier's lineage embeds the adjacency table and self-join "
+        "attribute dedup re-aliases it out of cache-canonical form. "
+        "The returned plan is just the final settled scan."
     ),
     "q_kmeans": (
         "Lloyd assignment is one vectorized Arrow batch pass (NumPy "
