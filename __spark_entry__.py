@@ -88,9 +88,10 @@ _MODULES = [
 #: driver's sweep covers a bounded registry prefix (~50 entries both
 #: rounds), so these are demoted to the back of the registry; every
 #: never-verified key — and any newly added operator — automatically
-#: packs ahead of them.  ``q_sessionize`` / ``q_embed_centroids`` are
-#: deliberately NOT here: their r2 rows were red (float-sum hash drift /
-#: unhashable array column), so the fixed versions re-enter the window.
+#: packs ahead of them.  ``q_sessionize`` / ``q_src_dump_datasource``
+#: are deliberately NOT here: their r3 rows were red (DuckDB
+#: HUGEINT→float64 / DECIMAL→float64 under the driver's pandas
+#: canonicalization), so the fixed versions re-enter the window.
 #: ``tests/test_registry.py`` asserts the packing invariant.
 _VERIFIED = frozenset(
     {
@@ -125,41 +126,58 @@ _VERIFIED = frozenset(
         "q_cogroup_pandas", "q_resample_locf", "q_src_json", "q_src_orc",
         "q_agg_sketch_distinct", "q_agg_unpivot", "q_join_interval",
         "q_win_cume",
+        # --- round 3 (CORRECTNESS_r03.json) — all green except the two
+        # reds (q_sessionize / q_src_dump_datasource), which re-enter
+        # the round-4 window with their dtype fixes ---
+        "q_agg_bool", "q_agg_collect", "q_agg_grouping",
+        "q_agg_histogram", "q_agg_histogram_eq", "q_agg_incremental",
+        "q_agg_minmax_by", "q_agg_stats", "q_assoc_rules",
+        "q_check_constraints", "q_cohort_retention", "q_embed_centroids",
+        "q_fn_array_algebra", "q_fn_bitwise", "q_fn_date_calendar",
+        "q_fn_explode_outer", "q_fn_hash", "q_fn_regex",
+        "q_fn_string_pad", "q_fn_variant", "q_funnel", "q_group_skew",
+        "q_join_null_safe", "q_multimodal_decode", "q_pagerank",
+        "q_profile_columns", "q_set_except_all", "q_set_intersect_all",
+        "q_src_evolution", "q_src_nested", "q_tpch_q2", "q_tpch_q4",
+        "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+        "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+        "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q19",
+        "q_tpch_q20", "q_tpch_q21", "q_tpch_q22", "q_win_ratio",
     }
 )
 
 
-#: The 50 keys packed into the driver's round-3 checked window: the two
-#: round-2 red rows (fixed this round) first, then the highest-value
-#: never-driver-checked keys (all 17 remaining TPC-H queries, graph /
-#: profiling / events ops, the scalar+agg function families, set-ALL
-#: ops, extra sources, and the new multimodal decode).  Pinned so
-#: operators added *after* the window filled cannot displace a key that
-#: is waiting on its driver-correctness row mid-round: new keys slot in
-#: *behind* this block (still ahead of the verified tail, next in line
-#: if the driver's sweep covers more than 50 entries).  Never-checked
-#: keys that did not fit (q_dedup_chunks, q_sim_radius,
-#: q_lang_confusion, q_cooccur_pmi, q_zipf_slope, q_source_overlap,
-#: q_sample_mixture) queue first for round 4 via the fresh bucket.
-_R3_WINDOW = (
-    "q_sessionize", "q_embed_centroids",
-    "q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q21", "q_tpch_q22",
-    "q_pagerank", "q_assoc_rules",
-    "q_profile_columns", "q_group_skew", "q_check_constraints",
-    "q_funnel", "q_cohort_retention",
-    "q_fn_variant", "q_fn_bitwise", "q_fn_hash", "q_fn_date_calendar",
-    "q_fn_string_pad", "q_fn_regex", "q_fn_explode_outer",
-    "q_fn_array_algebra",
-    "q_agg_bool", "q_agg_grouping", "q_agg_minmax_by", "q_agg_collect",
-    "q_set_except_all", "q_set_intersect_all",
-    "q_src_evolution", "q_src_nested", "q_src_dump_datasource",
-    "q_win_ratio", "q_join_null_safe",
-    "q_agg_incremental", "q_agg_stats", "q_agg_histogram",
-    "q_agg_histogram_eq",
-    "q_multimodal_decode",
+#: The 50 keys packed into the driver's round-4 checked window: the two
+#: round-3 red rows (dtype fixes this round — DuckDB HUGEINT→float64
+#: session_id / DECIMAL→float64 balance) first, then EVERY key that has
+#: never received a driver-correctness row (47, the whole backlog), plus
+#: the one key added this round (``q_agg_weighted_median_approx``, the
+#: scale-safe sketch twin VERDICT r3 item 7 prescribes).  Registry
+#: growth is otherwise frozen this round so the backlog fully drains:
+#: after this window lands, every registered key is driver-evidenced.
+#: Pinned so late additions cannot displace a waiting key; new keys slot
+#: in *behind* this block via the fresh bucket.
+_R4_WINDOW = (
+    # round-3 reds, fixed
+    "q_sessionize", "q_src_dump_datasource",
+    # the 47 never-driver-checked keys (VERDICT r3 backlog, complete)
+    "q_ab_test", "q_agg_histogram_approx", "q_agg_mode",
+    "q_agg_weighted_median", "q_attribution_channels", "q_bm25",
+    "q_bpe_apply", "q_bpe_merges", "q_cdc_apply", "q_chunk_tokens",
+    "q_conversion_latency", "q_cooccur_pmi", "q_dedup_chunks",
+    "q_dedup_url", "q_embed_quantize", "q_event_transitions", "q_ewma",
+    "q_fn_geo", "q_fn_url", "q_graph_bfs", "q_heavy_hitters",
+    "q_join_asof_nearest", "q_join_bucketed", "q_join_spatial",
+    "q_kmeans", "q_lang_confusion", "q_match_pattern",
+    "q_multimodal_audio", "q_multimodal_resize", "q_multimodal_video",
+    "q_oov_rate", "q_pii_redact", "q_sample_k_per_group",
+    "q_sample_mixture", "q_sample_weighted", "q_sim_radius", "q_skyline",
+    "q_source_overlap", "q_split_drift", "q_streaks",
+    "q_stream_attribution", "q_time_rollup", "q_unigram_logprob",
+    "q_win_period_over_period", "q_win_rolling_corr",
+    "q_win_running_distinct", "q_zipf_slope",
+    # round-4 addition (the only new key this round)
+    "q_agg_weighted_median_approx",
 )
 
 
@@ -167,7 +185,7 @@ def _ordered(full: dict) -> dict:
     """Driver-sweep packing: the pinned round-3 window first, then any
     never-driver-verified operator that did not fit (next in line), then
     the r1+r2-verified tail."""
-    window = {k: full[k] for k in _R3_WINDOW if k in full}
+    window = {k: full[k] for k in _R4_WINDOW if k in full}
     fresh = {
         k: v
         for k, v in full.items()

@@ -64,9 +64,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            # Rounded: group-sum accumulation order over doubles differs
-            # between engines (last-ulp drift breaks exact value hashes).
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # Exact: decimal addition is associative, so the sum is
+            # accumulation-order-independent in both engines (rounding a
+            # double sum is not — it flaked twice at a .5e-6 boundary).
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -82,15 +85,19 @@ WITH gapped AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, event_id, value,
-         SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         -- BIGINT cast: DuckDB's windowed SUM(int) returns HUGEINT,
+         -- which its pandas bridge converts to float64 ('1.0' vs the
+         -- Spark bigint's '1' — the actual round-2/3 hash red).
+         CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM gapped
 )
 SELECT user_id, session_id,
        MIN(ts)  AS session_start,
        MAX(ts)  AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id

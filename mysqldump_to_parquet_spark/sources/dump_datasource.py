@@ -636,8 +636,16 @@ def _src_dump_datasource(spark, sf_dir: str):
     ``format("mysqldump")`` source.  Unlike the side-effecting CLI path
     (``q_ingest_mysqldump``, rows-only), this read's values are
     hash-checked against a literal oracle — hard evidence the DataSource
-    parse/coerce path reproduces the dump byte-for-byte."""
+    parse/coerce path reproduces the dump byte-for-byte.
+
+    ``balance`` is cast DECIMAL→DOUBLE for the hash: DuckDB's pandas
+    bridge converts DECIMAL to float64 (``120.5``) while Spark's keeps
+    ``Decimal('120.50')`` — stringified, those hash differently (the
+    round-3 red).  Decimal round-trip fidelity stays covered by
+    tests/test_dump_datasource.py, where it belongs."""
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from .mysqldump import DEMO_DUMP, pin_result
 
@@ -651,6 +659,7 @@ def _src_dump_datasource(spark, sf_dir: str):
             .option("path", dump)
             .option("table", "acct")
             .load()
+            .withColumn("balance", F.col("balance").cast("double"))
             .orderBy("id")
         )
         return pin_result(df)
@@ -660,13 +669,13 @@ def _src_dump_datasource(spark, sf_dir: str):
 #: *expected parse*, independent of any engine.
 SRC_DUMP_DATASOURCE_SQL = """
 SELECT * FROM (VALUES
-  (CAST(1 AS BIGINT), 'alice',  CAST('120.50' AS DECIMAL(12,2)),
+  (CAST(1 AS BIGINT), 'alice',  CAST(120.50 AS DOUBLE),
    CAST(0.25 AS DOUBLE), TRUE,  TIMESTAMP '2024-01-02 03:04:05',
    DATE '1990-05-06'),
-  (CAST(2 AS BIGINT), 'bob',    CAST(NULL AS DECIMAL(12,2)),
+  (CAST(2 AS BIGINT), 'bob',    CAST(NULL AS DOUBLE),
    CAST(-1.5 AS DOUBLE), FALSE, TIMESTAMP '2024-02-03 04:05:06',
    CAST(NULL AS DATE)),
-  (CAST(3 AS BIGINT), 'carol''s', CAST('3.14' AS DECIMAL(12,2)),
+  (CAST(3 AS BIGINT), 'carol''s', CAST(3.14 AS DOUBLE),
    CAST(2 AS DOUBLE), TRUE,     CAST(NULL AS TIMESTAMP),
    DATE '2001-12-31')
 ) AS t(id, name, balance, ratio, active, created, birthday)

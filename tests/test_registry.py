@@ -26,14 +26,14 @@ def test_window_keys_occupy_registry_prefix():
     its submission-time order — operators added later must not displace
     any key still waiting on its correctness row."""
     qs = list(entrypoint.queries())
-    window = [k for k in entrypoint._R3_WINDOW if k in set(qs)]
+    window = [k for k in entrypoint._R4_WINDOW if k in set(qs)]
     assert len(window) <= DRIVER_WINDOW
     assert qs[: len(window)] == window
 
 
 def test_new_keys_slot_behind_window_before_verified_tail():
     qs = list(entrypoint.queries())
-    window = set(entrypoint._R3_WINDOW)
+    window = set(entrypoint._R4_WINDOW)
     fresh = [
         k for k in qs if k not in window and k not in entrypoint._VERIFIED
     ]
@@ -63,19 +63,20 @@ def test_verified_set_matches_driver_rows():
     assert not unearned, f"_VERIFIED keys with no green driver row: {unearned}"
 
 
-def test_r2_failures_reenter_window():
-    """q_sessionize (float-sum hash drift) and q_embed_centroids (array
-    column the driver canon can't hash) failed r2; the fixed queries must
-    sit inside the checked window to earn their green rows."""
+def test_r3_failures_reenter_window():
+    """q_sessionize (DuckDB HUGEINT session_id → float64 via the pandas
+    bridge) and q_src_dump_datasource (DECIMAL → float64) failed r3; the
+    fixed queries must sit inside the checked window to earn their green
+    rows."""
     qs = list(entrypoint.queries())
     assert qs.index("q_sessionize") < DRIVER_WINDOW
-    assert qs.index("q_embed_centroids") < DRIVER_WINDOW
+    assert qs.index("q_src_dump_datasource") < DRIVER_WINDOW
 
 
 def test_window_prioritizes_never_checked_keys():
     """No slot of the bounded window may be wasted on an already-verified
     key while any never-checked key queues behind it."""
-    overlap = set(entrypoint._R3_WINDOW) & entrypoint._VERIFIED
+    overlap = set(entrypoint._R4_WINDOW) & entrypoint._VERIFIED
     assert not overlap, f"window wastes slots on verified keys: {overlap}"
 
 
