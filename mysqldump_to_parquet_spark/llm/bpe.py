@@ -10,14 +10,28 @@ Catalyst/AQE optimize every superstep, exactly like the engine's other
 iterative frames (PageRank, BFS, k-means).
 
 Symbol representation — the key design choice: a word's symbol sequence is
-ONE STRING with a two-space separator (``"h  e  l  l  o"``).  Merging pair
-(a, b) is then a literal ``replace(sym, "a  b", "ab")``: both Spark and
-DuckDB scan the source left-to-right and substitute non-overlapping
-occurrences, and because the separator is two characters no two matches can
-share a boundary — so the two engines provably perform the IDENTICAL merge
-(greedy left-to-right, ``"a  a  a  a"`` → ``"aa  aa"``), which is what lets
-an iterative tokenizer-training step carry a hash-exact SQL oracle (the
-DuckDB twin unrolls the same K rounds as chained CTEs).
+ONE STRING with every symbol individually bracketed in control-char
+delimiters: ``\\x01h\\x02\\x01e\\x02…`` for ``"he…"``.  Merging pair
+(a, b) is then a literal ``replace(sym, \\x01a\\x02\\x01b\\x02,
+\\x01ab\\x02)``, and the brackets buy two guarantees a bare-separator
+encoding cannot give:
+
+* **whole-symbol matches only** — a pattern starts with ``\\x01`` and
+  ends with ``\\x02`` around *complete* symbols, so once multi-char
+  symbols exist it can never alias across a boundary (with a two-space
+  separator, pair (o,x) would match inside ``"lo  x"`` and fuse parts of
+  *different* symbols — the round-3 ADVICE finding);
+* **greedy left-to-right semantics** — adjacent occurrences share no
+  characters (match k ends at its own ``\\x02``; match k+1 starts at the
+  next ``\\x01``), so single-pass non-overlapping ``replace`` — in both
+  Spark and DuckDB — performs exactly the reference greedy scan:
+  ``a a a a a`` → ``(aa)(aa)a``, leftmost occurrence first, resume after.
+
+Both engines therefore perform the IDENTICAL merge, which is what lets an
+iterative tokenizer-training step carry a hash-exact SQL oracle (the
+DuckDB twin unrolls the same K rounds as chained CTEs).  The delimiters
+are control chars absent from any real text corpus; a document that did
+contain them would still be encoded identically by both twins.
 
 Scale shape per round: one partial-aggregated pair count (shuffle carries
 one row per distinct pair, not per occurrence) and one map-only string
@@ -41,16 +55,23 @@ from ..catalog import load_table
 #: exact shape).
 BPE_MERGES = 4
 
-#: Symbol separator.  Two characters wide so adjacent pair patterns
-#: ``a<sep>b`` can never share a boundary character — literal replace is
-#: then order-independent across engines (see module docstring).
-BPE_SEP = "  "
+#: Per-symbol bracket delimiters (see module docstring).
+BPE_OPEN = "\x01"
+BPE_CLOSE = "\x02"
 
 
 def _pairs_of(df: DataFrame) -> DataFrame:
-    """Adjacent symbol pairs of every word (one row per occurrence)."""
+    """Adjacent symbol pairs of every word (one row per occurrence).
+
+    ``substr`` strips the outer brackets, then splitting on the
+    ``\\x02\\x01`` inter-symbol seam yields the clean symbol list."""
     return (
-        df.select(F.split("sym", BPE_SEP).alias("l"))
+        df.select(
+            F.split(
+                F.expr("substr(sym, 2, length(sym) - 2)"),
+                BPE_CLOSE + BPE_OPEN,
+            ).alias("l")
+        )
         .where(F.size("l") >= 2)
         .select(
             F.explode(
@@ -63,6 +84,13 @@ def _pairs_of(df: DataFrame) -> DataFrame:
         )
         .select("p.a", "p.b")
     )
+
+
+def _bracketed(a: str, b: str | None = None) -> str:
+    out = BPE_OPEN + a + BPE_CLOSE
+    if b is not None:
+        out += BPE_OPEN + b + BPE_CLOSE
+    return out
 
 
 def _learn(spark: SparkSession, sf_dir: str):
@@ -89,7 +117,8 @@ def _learn(spark: SparkSession, sf_dir: str):
         .select(
             F.expr(
                 "array_join(transform(sequence(1, length(w)),"
-                f" i -> substr(w, i, 1)), '{BPE_SEP}')"
+                f" i -> '{BPE_OPEN}' || substr(w, i, 1) || '{BPE_CLOSE}'),"
+                " '')"
             ).alias("sym")
         )
         .localCheckpoint()
@@ -112,7 +141,7 @@ def _learn(spark: SparkSession, sf_dir: str):
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         rules.append((r, a, b, cnt))
-        pat, rep = a + BPE_SEP + b, a + b
+        pat, rep = _bracketed(a, b), _bracketed(a + b)
         affected = cur.where(F.col("sym").contains(pat)).localCheckpoint()
         replaced = affected.select(
             F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym")
@@ -176,7 +205,14 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, global cut via TakeOrderedAndProject."""
     _, cur = _learn(spark, sf_dir)
     return (
-        cur.select(F.explode(F.split("sym", BPE_SEP)).alias("sym"))
+        cur.select(
+            F.explode(
+                F.split(
+                    F.expr("substr(sym, 2, length(sym) - 2)"),
+                    BPE_CLOSE + BPE_OPEN,
+                )
+            ).alias("sym")
+        )
         .groupBy("sym")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .select(
@@ -189,13 +225,20 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB spellings of the bracket delimiters (chr() keeps the SQL text
+#: printable; string_split is literal, so no regex escaping concerns).
+_OPEN_SQL = "chr(1)"
+_CLOSE_SQL = "chr(2)"
+
+
 def _bpe_cte_prefix() -> str:
     """The identical {BPE_MERGES} rounds, unrolled as chained CTEs."""
     parts = [
         f"""WITH w0 AS (
   SELECT list_aggregate(list_transform(generate_series(1, length(w)),
-                                       i -> substr(w, i, 1)),
-                        'string_agg', '{BPE_SEP}') AS sym
+                                       i -> {_OPEN_SQL} || substr(w, i, 1)
+                                            || {_CLOSE_SQL}),
+                        'string_agg', '') AS sym
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
   WHERE length(w) > 0
 )"""
@@ -207,15 +250,19 @@ def _bpe_cte_prefix() -> str:
   SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS cnt
   FROM (SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1),
                                list_slice(l, 2, len(l)))) AS pr
-        FROM (SELECT string_split(sym, '{BPE_SEP}') AS l FROM w{p}) t
+        FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                  {_CLOSE_SQL} || {_OPEN_SQL}) AS l
+              FROM w{p}) t
         WHERE len(l) >= 2) u
   GROUP BY 1, 2
 ), t{r} AS (
   SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 ), w{r} AS (
   SELECT replace(sym,
-                 (SELECT a || '{BPE_SEP}' || b FROM t{r}),
-                 (SELECT a || b FROM t{r})) AS sym
+                 (SELECT {_OPEN_SQL} || a || {_CLOSE_SQL}
+                         || {_OPEN_SQL} || b || {_CLOSE_SQL} FROM t{r}),
+                 (SELECT {_OPEN_SQL} || a || b || {_CLOSE_SQL} FROM t{r}))
+           AS sym
   FROM w{p}
 )"""
         )
@@ -234,7 +281,8 @@ BPE_APPLY_SQL = (
 SELECT sym,
        CAST(length(sym) AS BIGINT) AS sym_len,
        CAST(COUNT(*) AS BIGINT)   AS n_occ
-FROM (SELECT unnest(string_split(sym, '{BPE_SEP}')) AS sym
+FROM (SELECT unnest(string_split(substr(sym, 2, length(sym) - 2),
+                                 {_CLOSE_SQL} || {_OPEN_SQL})) AS sym
       FROM w{BPE_MERGES}) t
 GROUP BY sym
 ORDER BY n_occ DESC, sym ASC

@@ -606,7 +606,9 @@ WITH counts AS (
 SELECT user_id,
        (min(struct_pack(neg := -cnt, et := event_type))).et AS modal_type,
        -(min(struct_pack(neg := -cnt, et := event_type))).neg AS modal_cnt,
-       SUM(cnt) AS n_events
+       -- BIGINT cast: DuckDB SUM(BIGINT) returns HUGEINT, which its
+       -- pandas bridge converts to float64 ('55.0' vs Spark's '55')
+       CAST(SUM(cnt) AS BIGINT) AS n_events
 FROM counts
 GROUP BY user_id
 """

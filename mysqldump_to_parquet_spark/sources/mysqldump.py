@@ -661,13 +661,17 @@ def _next_is_literal(s: str, i: int, n: int) -> bool:
 # Safety model: the fast path never guesses.  Any structural surprise —
 # a backslash anywhere in the statement, quote imbalance, a top-level paren
 # that is not exactly a row boundary, an Arrow conversion error (type
-# mismatch, int64 overflow, ragged row), a non-finite parsed double — drops
-# the statement (or the whole Arrow batch) back to the exhaustive tokenizer,
-# which either parses it correctly or raises the proper contextual
-# DumpParseError.  Fail-loud (C3) is therefore preserved for every input the
-# exhaustive grammar rejects with a *typed* mismatch; the one documented
-# acceptance-widening is hand-crafted malformed dumps whose bare unquoted
-# junk token sits in a StringType column (mysqldump never emits those).
+# mismatch, int64 overflow, ragged row), a non-finite parsed double or a
+# NaN literal, a quote byte off a field boundary (glued charset
+# introducers, half-quoted junk) — drops the statement (or the whole Arrow
+# batch) back to the exhaustive tokenizer, which either parses it
+# correctly or raises the proper contextual DumpParseError.  Fail-loud
+# (C3) is therefore preserved for every input the exhaustive grammar
+# rejects with a *typed* mismatch; the documented acceptance-widenings —
+# all only reachable from hand-crafted dumps mysqldump never emits — are
+# QUOTED literals that Arrow CSV converts where coerce_row would raise:
+# '7' in a BIGINT column, '1.5' in a DOUBLE column, '1'/'TRUE' in a
+# BOOLEAN column, and a bare unquoted junk token in a StringType column.
 
 _ARROW_SENTINEL = object()
 
@@ -823,6 +827,23 @@ def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
     ws = (arr == 32) | (arr == 9) | (arr == 13) | (arr == 10)
     if bool((ws & ((parity & 1) == 0)).any()):
         return None
+    # every quote must sit on a field boundary: an opening quote (odd
+    # inclusive parity) only after '(' ',' or another quote ('' doubling),
+    # a closing quote (even parity) only before ',' ')' or another quote.
+    # This rejects glued charset introducers (``_utf8mb4'abc'``) and
+    # half-quoted junk (``1.5'x'``) that Arrow CSV would keep as literal
+    # mid-field quote bytes — silently diverging from the exhaustive
+    # tokenizer, which resolves introducers via its rewind path.
+    qpos = np.nonzero(arr == 39)[0]
+    if qpos.size:
+        opening = qpos[(parity[qpos] % 2) == 1]
+        closing = qpos[(parity[qpos] % 2) == 0]
+        before = arr[opening[opening > 0] - 1]
+        if not np.isin(before, (40, 44, 39)).all():
+            return None
+        after_idx = closing[closing < arr.size - 1] + 1
+        if not np.isin(arr[after_idx], (44, 41, 39)).all():
+            return None
     cand = np.nonzero(
         (arr[:-2] == 41) & (arr[1:-1] == 44) & (arr[2:] == 40)
     )[0]
@@ -853,10 +874,33 @@ def _arrow_read_values(
 ) -> "object":
     """One pyarrow.csv read over the concatenated row lines of a batch of
     statements.  Raises on any conversion surprise — the caller falls back
-    statement-by-statement."""
-    import io
+    statement-by-statement.
 
+    Non-finite floats are rejected HERE, centrally: Arrow parses a bare
+    ``NaN``/``Inf`` literal into a float value the exhaustive parser
+    would refuse (``unsupported literal``), and a NaN is indistinguishable
+    from a null once it reaches a numpy view (nulls also surface as NaN)
+    — so the check compares Arrow-side valid-value NaN/inf counts, where
+    nulls are still tracked separately."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyarrow import csv as pacsv
+
+    tbl = _arrow_csv_read(csv_payload, names, col_types, pacsv)
+    for name, col in zip(tbl.column_names, tbl.columns):
+        if pa.types.is_floating(col.type):
+            bad = (pc.sum(pc.is_nan(col)).as_py() or 0) + (
+                pc.sum(pc.is_inf(col)).as_py() or 0
+            )
+            if bad:
+                raise DumpParseError(
+                    f"{name}: non-finite literal on fast path"
+                )
+    return tbl
+
+
+def _arrow_csv_read(csv_payload: bytes, names: list[str], col_types, pacsv):
+    import io
 
     return pacsv.read_csv(
         io.BytesIO(csv_payload),
@@ -1370,13 +1414,9 @@ def insert_rows_df(
                     )
                     if tbl.num_rows != fast_rows:
                         raise DumpParseError("fast-path row-count drift")
-                    for f, col in zip(schema.fields, tbl.columns):
-                        if isinstance(f.dataType, T.DoubleType):
-                            v = col.to_numpy(zero_copy_only=False)
-                            if not np.isfinite(v[~np.isnan(v)]).all():
-                                # inf/nan literals: the exhaustive parser
-                                # rejects them with the proper error
-                                raise DumpParseError("non-finite double")
+                    # non-finite literal rejection lives inside
+                    # _arrow_read_values (NaN must be counted Arrow-side,
+                    # before nulls blur into NaN in a numpy view)
                     yield from tbl.to_batches()
                 except Exception:
                     # any conversion surprise: re-parse those statements

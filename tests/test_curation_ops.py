@@ -148,20 +148,35 @@ def test_heavy_hitters_empty_when_flat(spark, tmp_path):
 # -------------------------------------------------------------- BPE merges
 
 
-def test_bpe_merges_match_python_reference(spark, tmp_path):
+@pytest.mark.parametrize(
+    "docs",
+    [
+        # round-2 pair only exists BECAUSE of the round-1 merge —
+        # proves the iteration actually feeds forward
+        [
+            ("abab abab cabd", "s0"),
+            ("abab baba abba", "s0"),
+            ("aaaa bbbb abab", "s1"),
+        ],
+        # suffix-aliasing trap (round-3 ADVICE, medium): round 1 learns
+        # (l,o) → "lo"; round 2's winner (o,x) must NOT match inside the
+        # symbol sequence [lo][x] of "lox" — a bare-separator encoding
+        # would fuse parts of two different symbols there ("lo  x" →
+        # "lox"), destroying the (lo,x) pairs a later round counts
+        [
+            ("lolo lolo lolo lox", "s0"),
+            ("lox lox ox ox ox", "s0"),
+            ("ox ox lo lo lox", "s1"),
+        ],
+    ],
+)
+def test_bpe_merges_match_python_reference(spark, tmp_path, docs):
     """Distributed BPE rounds == a pure-Python reference implementation
-    (greedy left-to-right merge, count-then-lexicographic tie-break) on
-    a corpus engineered so a round-2 pair only exists BECAUSE of the
-    round-1 merge — proving the iteration actually feeds forward."""
+    (greedy left-to-right merge, count-then-lexicographic tie-break)."""
     from collections import Counter
 
     from mysqldump_to_parquet_spark.llm.bpe import BPE_MERGES, bpe_merges
 
-    docs = [
-        ("abab abab cabd", "s0"),
-        ("abab baba abba", "s0"),
-        ("aaaa bbbb abab", "s1"),
-    ]
     sf = _write_documents(spark, tmp_path, docs)
 
     # pure-Python reference

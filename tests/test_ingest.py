@@ -902,3 +902,75 @@ class TestArrowFastPath:
         assert n == 1 and csv.decode() == "1,'café 中文'"
         _, _, rows = parse_insert_full(stmt)
         assert rows == [(1, "café 中文")]
+
+    @pytest.mark.parametrize(
+        "stmt",
+        [
+            # glued charset introducer: Arrow CSV would keep the
+            # mid-field quotes literal ("_utf8mb4'abc'") while the
+            # exhaustive tokenizer resolves the introducer to 'abc'
+            "INSERT INTO `t` VALUES (1,_utf8mb4'abc',1.5);",
+            "INSERT INTO `t` VALUES (1,_latin1'x');",
+            # half-quoted junk glued to a number
+            "INSERT INTO `t` VALUES (1,1.5'x');",
+            # junk after a closing quote
+            "INSERT INTO `t` VALUES (1,'a'x);",
+        ],
+    )
+    def test_off_boundary_quotes_fall_back(self, stmt):
+        """Any quote byte off a field boundary routes to the exhaustive
+        parser — the fast path must never silently keep introducer or
+        junk bytes inside a string value (round-3 ADVICE, high)."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+        )
+
+        assert _values_csv_bytes(stmt) is None
+
+    def test_glued_introducer_end_to_end_matches_tokenizer(self):
+        """Differential: the introducer statement parses through the
+        exhaustive grammar to the introducer-stripped value."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            parse_insert_full,
+        )
+
+        _, _, rows = parse_insert_full(
+            "INSERT INTO `t` VALUES (1,_utf8mb4'abc',1.5);"
+        )
+        assert rows[0][1] == "abc"
+
+    def test_doubled_quotes_stay_on_fast_path(self):
+        """The boundary guard must not reject '' doubling pairs (both
+        quotes of a pair sit next to another quote, not a delimiter)."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+        )
+
+        stmt = "INSERT INTO `t` VALUES (1,''),(2,'a''b''c'),(3,'''');"
+        csv, n = _values_csv_bytes(stmt)
+        assert n == 3
+        assert csv == b"1,''\n2,'a''b''c'\n3,''''"
+
+    def test_nan_literal_rejected_on_fast_path(self):
+        """A bare NaN in a DOUBLE column must raise (the exhaustive
+        parser rejects it as an unsupported literal); nulls in the same
+        column must not mask it (round-3 ADVICE, low)."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            DumpParseError,
+            _arrow_fast_types,
+            _arrow_read_values,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        types = _arrow_fast_types(schema)
+        with pytest.raises(DumpParseError, match="non-finite"):
+            _arrow_read_values(b"1,NULL\n2,NaN", ["id", "score"], types)
+        with pytest.raises(DumpParseError, match="non-finite"):
+            _arrow_read_values(b"1,Inf", ["id", "score"], types)
+        ok = _arrow_read_values(b"1,NULL\n2,2.5", ["id", "score"], types)
+        assert ok.column("score").to_pylist() == [None, 2.5]
