@@ -677,6 +677,74 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+#: Sketch resolution for the approximate weighted median.
+WMED_BUCKETS = 64
+
+
+def agg_weighted_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_weighted_median_approx: the 100 TB path for the weighted
+    median — sketch-bucketed cumulative weights instead of a per-group
+    sort window.
+
+    The exact twin (:func:`agg_weighted_median`) is correct but its
+    cumulative-weight window keys on ``l_returnflag`` — a 3-value
+    alphabet, so three window partitions serve the entire corpus
+    (measured 3.6× at 100× data).  The scale shape replaces the sort
+    with two scan passes and grain-sized state: (1) one mergeable
+    ``approx_percentile`` sketch pass yields {WMED_BUCKETS} global
+    price boundaries; (2) one partial-aggregated pass sums weight per
+    (flag, bucket) — the shuffle carries |flags|×{WMED_BUCKETS} rows,
+    never data rows; the half-total crossing bucket is then found by a
+    window over that tiny table, and its exact in-bucket price range
+    [lo, hi] brackets the true weighted median.  Approximate boundary
+    placement ⇒ rows-only driver check; the exact-twin agreement
+    (true weighted median ∈ [lo, hi]) is pytest-asserted."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qs = [i / WMED_BUCKETS for i in range(1, WMED_BUCKETS)]
+    bounds = l.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), 10_000
+        ).alias("bs")
+    )
+    bucket = F.expr(
+        "1 + aggregate(bs, 0, (acc, b) -> acc + CASE WHEN l_extendedprice > b "
+        "THEN 1 ELSE 0 END)"
+    )
+    per_bucket = (
+        l.crossJoin(F.broadcast(bounds))
+        .select("l_returnflag", bucket.alias("bucket"), "l_extendedprice",
+                "l_quantity")
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.sum("l_quantity").alias("w"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+    w_ord = Window.partitionBy("l_returnflag").orderBy("bucket")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = per_bucket.select(
+        "l_returnflag",
+        "bucket",
+        "lo",
+        "hi",
+        F.sum("w").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by("lo", "bucket").alias("median_lo"),
+            F.min_by("hi", "bucket").alias("median_hi"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+        # no ORDER BY: 3 output rows don't justify a global sort in the
+        # plan contract; consumers sort presentation-side
+    )
+
 
 # ------------------------------------------------------ Welch's t-test
 
@@ -744,6 +812,7 @@ QUERIES = {
     # never driver-checked (new in r2) → first, inside the bounded window
     "q_ab_test": ab_test,
     "q_agg_weighted_median": agg_weighted_median,
+    "q_agg_weighted_median_approx": agg_weighted_median_approx,  # rows-only (sketch)
     "q_agg_mode": agg_mode,
     "q_agg_sketch_distinct": agg_sketch_distinct,
     "q_agg_incremental": agg_incremental,

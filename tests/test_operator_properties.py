@@ -212,6 +212,39 @@ def test_histogram_approx_agrees_with_exact(spark):
     assert GLOBAL_SORT not in codes
 
 
+def test_weighted_median_approx_brackets_exact(spark):
+    """The sketch-bucketed weighted median (100 TB path) must bracket
+    the exact cumulative-weight-window answer: for every return flag the
+    exact weighted median lies in the crossing bucket's [lo, hi], the
+    total weight matches exactly, and the plan has no global sort."""
+    from mysqldump_to_parquet_spark.operators.aggregates import (
+        agg_weighted_median,
+        agg_weighted_median_approx,
+    )
+    from mysqldump_to_parquet_spark.plans.lint import GLOBAL_SORT, lint_plan
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.l_returnflag: r for r in agg_weighted_median(spark, sf).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in agg_weighted_median_approx(spark, sf).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert a.median_lo <= e.weighted_median_price <= a.median_hi, (
+            flag, a, e.weighted_median_price,
+        )
+        assert a.total_weight == e.total_weight
+    codes = {
+        f.split(":", 1)[0]
+        for f in lint_plan(agg_weighted_median_approx(spark, sf))
+    }
+    assert GLOBAL_SORT not in codes
+
+
 def test_skyline_matches_naive_dominance(spark):
     """Two-stage blocked skyline ≡ brute-force dominance filter on random
     point sets (duplicate x/y values included so boundary ties occur)."""

@@ -205,6 +205,43 @@ def test_type_cat_catches_r1_failure_modes():
     assert _type_cat([Decimal("1")]) != _type_cat([1])
 
 
+#: DuckDB result-column types whose pandas bridge silently changes the
+#: value's string form: HUGEINT/UHUGEINT → float64 ('1' → '1.0'),
+#: DECIMAL → float64 ('120.50' → '120.5').  Spark's toPandas keeps
+#: int64/Decimal for the same logical values, so an oracle whose result
+#: schema contains one of these types hash-mismatches in the driver even
+#: when every value is numerically identical — exactly the r3 red rows
+#: (q_sessionize windowed SUM(int) → HUGEINT; q_src_dump_datasource
+#: DECIMAL balance).
+_PANDAS_LOSSY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def test_oracle_result_types_survive_pandas_bridge():
+    """Structural lint (VERDICT r3 item 8): no oracle may produce a
+    result column of a pandas-lossy DuckDB type.  DuckDB's SUM over any
+    integer type returns HUGEINT, so every integer SUM in an oracle —
+    windowed or grouped — needs CAST(... AS BIGINT); decimals must be
+    cast to DOUBLE (round-trip fidelity belongs in ingest tests, not
+    hash contracts).  DESCRIBE binds without executing, so this sweep
+    is cheap and catches the class at commit time, structurally."""
+    con = _duck("/root/testdata/sf0.01")
+    bad = {}
+    for name, sql in sorted(_ORACLE.items()):
+        cols = con.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()
+        lossy = [
+            (cname, ctype)
+            for cname, ctype, *_ in cols
+            if any(t in ctype.upper() for t in _PANDAS_LOSSY_DUCK_TYPES)
+        ]
+        if lossy:
+            bad[name] = lossy
+    con.close()
+    assert not bad, (
+        f"oracle result columns that will not survive the driver's pandas "
+        f"canonicalization (add CAST AS BIGINT/DOUBLE in both twins): {bad}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrypoint.entry(spark)
     rows = df.collect()
