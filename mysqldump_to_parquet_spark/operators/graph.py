@@ -287,27 +287,64 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emits |frontier| rows BEFORE the explode (measured 28 % faster
     at sf0.1 than the partition-persisted edge-pair join it replaced —
     that variant's SMJ re-scanned all 1.2 M cached edge rows every hop).
-    Hub-skewed graphs (a node with millions of neighbors = one giant
-    array row) should cap/segment the lists or fall back to the pair
-    join; the trade graph's bounded degree is the list-friendly case.
+    Hub-skewed graphs (a node with millions of neighbors) never build
+    one giant array row: :func:`_adjacency` hash-segments any node's
+    neighbor list above {BFS_ADJ_SEGMENT} entries into multiple
+    (src, seg) rows, so per-row memory is bounded and a hub's expansion
+    parallelizes across however many segment rows it owns — the
+    frontier join semantics are unchanged because ``distinct`` already
+    unions the exploded segments (property-tested with a synthetic
+    50k-degree hub).
     ``dist`` is never re-checkpointed: it is a union of the per-hop
     checkpointed frontiers (each already a settled RDD), saving one
     eager materialization job per round.  Settled distances are exact
     integers; no float surface at all.  The DuckDB twin is a recursive
     CTE with the same hop cap — a genuinely independent formulation
     (set-recursive vs frontier-iterative) of the same semantics."""
-    adj = (
-        _edges(spark, sf_dir)
-        .groupBy("src")
+    return _bfs(spark, _edges(spark, sf_dir), BFS_SOURCE, BFS_MAX_HOPS)
+
+
+#: Per-adjacency-row neighbor cap: a node whose degree exceeds this is
+#: hash-segmented into ceil(degree / cap) (src, seg) rows, bounding both
+#: the collect_list row size and the per-task explode fan-out under hub
+#: skew.  Expected segment fill is the cap (hash splitting), tight whp.
+BFS_ADJ_SEGMENT = 10_000
+
+
+def _adjacency(edges: DataFrame, cap: int = BFS_ADJ_SEGMENT) -> DataFrame:
+    """Segmented adjacency lists: (src, nbrs) rows with |nbrs| ≈≤ cap.
+
+    The degree count rides the same src-hash exchange the grouping
+    needs; segment ids hash the neighbor so no per-node sort happens."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
+    return (
+        edges.withColumn(
+            "nsegs",
+            F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap)).cast("long"),
+        )
+        .withColumn("seg", F.pmod(F.xxhash64("dst"), F.col("nsegs")))
+        .groupBy("src", "seg")
         .agg(F.collect_list("dst").alias("nbrs"))
-        .persist()
+        .drop("seg")
     )
+
+
+def _bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: str,
+    max_hops: int,
+    adj_cap: int = BFS_ADJ_SEGMENT,
+) -> DataFrame:
+    adj = _adjacency(edges, adj_cap).persist()
     d0 = spark.createDataFrame(
-        [(BFS_SOURCE, 0)], "node string, dist int"
+        [(source, 0)], "node string, dist int"
     ).localCheckpoint()
     settled = [d0]
     frontier = d0
-    for hop in range(1, BFS_MAX_HOPS + 1):
+    for hop in range(1, max_hops + 1):
         dist = settled[0]
         for s in settled[1:]:
             dist = dist.unionByName(s)

@@ -354,6 +354,37 @@ def test_bfs_distances_are_consistent(spark, sf_dir):
         assert any(dist.get(p) == d - 1 for p in nbrs.get(node, ())), node
 
 
+def test_bfs_hub_degree_segmentation(spark):
+    """A synthetic 50k-degree hub must not produce one giant adjacency
+    row: the list is hash-segmented into ~degree/cap rows (bounded
+    per-row memory, parallel hub expansion), every neighbor lands in
+    exactly one segment, and BFS distances are unchanged."""
+    from mysqldump_to_parquet_spark.operators.graph import _adjacency, _bfs
+
+    n = 50_000
+    fwd = spark.range(n).select(
+        F.lit("h").alias("src"),
+        F.concat(F.lit("n"), F.col("id")).alias("dst"),
+    )
+    both = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    segs = [
+        r.sz
+        for r in _adjacency(both, cap=10_000)
+        .where(F.col("src") == "h")
+        .select(F.size("nbrs").alias("sz"))
+        .collect()
+    ]
+    assert len(segs) == 5  # ceil(50k / 10k) hash segments, none dropped
+    assert sum(segs) == n
+    assert max(segs) < 15_000  # hash fill stays near the cap — no straggler row
+    dist = {r.node: r.dist for r in _bfs(spark, both, "h", 3).collect()}
+    assert dist["h"] == 0
+    assert len(dist) == n + 1
+    assert all(d == 1 for node, d in dist.items() if node != "h")
+
+
 def test_spatial_blocking_loses_no_pairs(spark):
     """Grid-blocked spatial join ≡ naive cross-join + haversine filter on
     random coordinates, including antimeridian-straddling and
