@@ -45,10 +45,18 @@ BENCH_QUERY_NAMES = [
     "q_tpch_q21",
     "q_decontaminate",
     "q_pagerank",
+    # the iterative tail (round-4): the three slowest operators in the
+    # registry — frontier BFS, incremental BPE rounds, Lloyd k-means —
+    # were previously bench-invisible, so a superlinear regression in
+    # any checkpoint/persist discipline went unmeasured
+    "q_graph_bfs",
+    "q_bpe_merges",
+    "q_kmeans",
 ]
 
 
 def main() -> None:
+    load_start = os.getloadavg()  # pre-Spark: external load, falsifiable
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -89,6 +97,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host load (1/5/15-min) at start (external load — the
+                # falsifiability record; round-3's numbers were ~25%
+                # inflated by a loaded host) and at end (includes the
+                # bench's own 32-thread footprint)
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "cpus": cpus,
             }
         )
     )

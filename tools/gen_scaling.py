@@ -72,6 +72,7 @@ QUERIES = [
     "q_oov_rate",
     "q_join_spatial",
     "q_agg_weighted_median",
+    "q_agg_weighted_median_approx",
     "q_multimodal_audio",
     "q_multimodal_video",
     "q_multimodal_resize",
@@ -150,14 +151,13 @@ def main() -> None:
         "job-scheduling floor that dominates tiny inputs; their",
         "data-dependent cost is the assignment scan / frontier join /",
         "pair-count + merge pass, each shuffle- or map-bounded per round.",
-        "`q_win_rolling_corr`, `q_agg_weighted_median` and",
-        "`q_win_running_distinct` partition their windows by tiny fixture",
-        "alphabets (5 event types / 3 return flags) — parallelism is",
-        "key-cardinality-bounded at this shape;",
-        "the deployed forms key by (entity, type) / real group keys, where",
-        "cardinality ≫ cores and the same plans scale flat (the weighted",
-        "median's 100 TB escape is a weighted percentile sketch, with this",
-        "exact form as its ground truth).",
+        "Round 4 re-keyed `q_win_rolling_corr` on (user_id, event_type) —",
+        "parallelism now follows user cardinality, not the 5-value type",
+        "alphabet — and `q_agg_weighted_median` gained its sketch-bucketed",
+        "scale primary `q_agg_weighted_median_approx` (per-(flag,bucket)",
+        "weight sums replace the per-group sort window; the exact form",
+        "remains registered as its ground truth).  `q_win_running_distinct`",
+        "keys on user_id (high cardinality — fine as-is).",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
