@@ -130,7 +130,6 @@ _SINGLE_PARTITION_ALLOWED = {
     "q_heavy_hitters",  # broadcast 1-row total-token count (θ·N threshold)
     "q_unigram_logprob",  # broadcast 1-row (N, V) smoothing constants
     "q_agg_histogram_approx",  # broadcast 1-row sketch-boundary array
-    "q_agg_weighted_median_approx",  # same 1-row boundary broadcast shape
     "q_funnel",  # 1-row step-order literal spine
     # whole-table profile/QA summaries: output is O(columns)/O(rules),
     # partial-aggregated map-side, merged through one 1-row-ish exchange

@@ -161,7 +161,11 @@ def main() -> int:
                 alt = dict(
                     [("spark.sql.shuffle.partitions", "7"),
                      ("spark.sql.adaptive.coalescePartitions.enabled",
-                      "false")]
+                      "false"),
+                     # small scan splits: different file-partition layout
+                     # → different accumulation order at the SOURCE, not
+                     # just across the shuffle
+                     ("spark.sql.files.maxPartitionBytes", "1m")]
                 )
                 saved = {k: spark.conf.get(k) for k in alt}
                 try:

@@ -107,6 +107,27 @@ NOTES = {
         "one row and the bucket CASE folds into the scan — compare "
         "q_agg_histogram_eq's inherent Exchange SinglePartition."
     ),
+    "q_agg_weighted_median_approx": (
+        "Weighted median at scale (round-4 primary): a mergeable "
+        "percentile sketch yields 63 global price boundaries (63 "
+        "scalars to the driver — the kmeans broadcast-literal "
+        "contract), bucket assignment is a codegen'd binary-search "
+        "WHEN tree (log₂ comparisons/row; the interpreted aggregate() "
+        "fold it replaced measured 2.8 s vs 1.0 s at sf0.1), then ONE "
+        "partial-aggregated pass sums weight per (flag, bucket) — the "
+        "shuffle carries |flags|×64 rows, never data rows, vs the "
+        "exact twin's per-flag sort window whose parallelism is capped "
+        "by the 3-value flag alphabet. The crossing bucket's [lo, hi] "
+        "brackets the true weighted median (pytest-asserted)."
+    ),
+    "q_win_rolling_corr": (
+        "Two stacked windows (lag + rolling corr) share ONE "
+        "(user_id, event_type) exchange and sort. Re-keyed in round 4: "
+        "keying by event_type alone put the whole corpus through 5 "
+        "window partitions (measured 5.0× at 100× data); the composite "
+        "key follows user cardinality, so parallelism grows with the "
+        "data while frames stay ≤20 rows."
+    ),
     "q_unigram_logprob": (
         "Corpus-LM quality score: vocab counts partial-aggregate before "
         "their shuffle; the token stream joins the vocab on the term key "
@@ -266,9 +287,11 @@ NOTES = {
         "iteration count. No collect, no driver-side graph state."
     ),
     "q_graph_bfs": (
-        "Frontier BFS over a cached ADJACENCY-LIST table (one "
-        "collect_list row per node, built once): each hop joins the "
-        "checkpointed frontier against |V| adjacency rows — not |E| "
+        "Frontier BFS over a cached ADJACENCY-LIST table (built once; "
+        "any node above the 10k degree cap hash-segments into multiple "
+        "bounded (src, seg) rows, so hub skew can neither blow per-row "
+        "memory nor serialize a hub's expansion): each hop joins the "
+        "checkpointed frontier against ~|V| adjacency rows — not |E| "
         "edge rows — and explodes only matched neighborhoods. Every "
         "round's frontier is localCheckpoint-ed (the MLlib iterative-"
         "frame discipline): plain persist is defeated because the "
