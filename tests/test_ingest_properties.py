@@ -207,3 +207,37 @@ def test_arrow_fast_path_matches_exhaustive_on_hostile_strings():
         ]
         assert fast == conv, stmt[:200]
     assert fallbacks == 0  # every generated statement is fast-path-eligible
+
+
+def test_glued_introducers_always_fall_back_and_parse(spark=None):
+    """Randomized guard check (round-3 ADVICE, high): any statement with
+    a charset introducer glued to a quoted literal must be REJECTED by
+    the fast path's quote-boundary scan (never silently kept as literal
+    bytes) and parse introducer-free through the exhaustive grammar."""
+    import random
+
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        _values_csv_bytes,
+        parse_insert_full,
+    )
+
+    rng = random.Random(7)
+    intros = ["_utf8mb4", "_utf8", "_latin1", "_binary"]
+    for _ in range(100):
+        n = rng.randint(1, 5)
+        vals, want, intro_at = [], [], rng.randrange(n)
+        for i in range(n):
+            s = "".join(rng.choice("abxyz") for _ in range(rng.randint(1, 6)))
+            if i == intro_at:
+                vals.append(f"{rng.choice(intros)}'{s}'")
+            else:
+                vals.append(f"'{s}'")
+            want.append(s)
+        stmt = (
+            "INSERT INTO `t` VALUES ("
+            + "),(".join(f"{i},{v}" for i, v in enumerate(vals))
+            + ");"
+        )
+        assert _values_csv_bytes(stmt) is None, stmt
+        _, _, rows = parse_insert_full(stmt)
+        assert [r[1] for r in rows] == want, stmt
