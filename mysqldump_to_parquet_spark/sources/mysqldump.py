@@ -1449,6 +1449,16 @@ def convert_dump(
     the cluster behind one table at a time.  Row counts come from an
     ``observe`` metric on the write itself; nothing re-reads the output.
 
+    Design note (measured, round 4): a staged alternative — one pass
+    writing the lines ``partitionBy(table)`` to parquet, per-table jobs
+    reading only their pruned partition — was benchmarked at 1 GB / 16
+    tables and LOST to this shared cache (24.0 s vs 20.5 s; naive 2 MB-
+    split staging was 5× worse from small-file explosion).  The cache's
+    per-table re-scan is cheap relative to the extra full write+read the
+    staging pass costs at this table count; staging only pays when
+    |tables| is large enough that O(tables × corpus) cache scanning
+    dominates — worth revisiting for 1000-table dumps, not 16.
+
     ``multiline``: 'auto' (default) detects dumps whose INSERT statements
     span lines (no --extended-insert) and falls back to whole-file
     statement reassembly (reference parity, file-level parallelism);
