@@ -1289,11 +1289,16 @@ def parse_partition_counts(
     )
     # Fill the machine: aim for ~2×cores concurrently runnable tasks
     # across all table jobs, but never tasks smaller than ~1/8 of the
-    # target chunk.
+    # target chunk.  Parse tasks target 4×PARSE_TASK_BYTES (~8 MB): the
+    # mapInArrow worker round-trip dominates 2 MB tasks (single-table
+    # sweep: 2 MB tasks 1.77 s vs 8 MB tasks 1.07 s on 256 MB), and
+    # with T tables running concurrently the per-table fan-out only
+    # needs to fill its slice of the cores, not all of them.
     fair_share = max(1, (2 * cores) // max(1, n_tables))
+    chunk = 4 * PARSE_TASK_BYTES
     out = {}
     for r in rows:
-        by_bytes = -(-int(r["bytes"]) // PARSE_TASK_BYTES)  # ceil
+        by_bytes = -(-int(r["bytes"]) // chunk)  # ceil
         cap = max(1, -(-int(r["bytes"]) // (PARSE_TASK_BYTES // 8)))
         out[r["tbl"]] = max(1, min(max(by_bytes, min(fair_share, cap)), 2 * cores))
     return out
@@ -1359,6 +1364,15 @@ def insert_rows_df(
         # table): merge WITHOUT a shuffle — scheduling thousands of
         # near-empty Arrow tasks costs more than the parse itself.
         lines_df = lines_df.coalesce(target)
+    elif parse_partitions is None and cur > cores:
+        # Direct-call over-split (large single file at the 2 MB scan
+        # granularity): merge to one task per core, still shuffle-free.
+        # The mapInArrow worker round-trip dominates 2 MB tasks —
+        # measured on a 256 MB single-table dump: 129×2 MB tasks 1.77 s,
+        # 64 tasks 1.40 s, 32 tasks (= cores, one wave) 1.07 s.  Splits
+        # stay 2 MB on disk, so coalesced tasks read contiguous ranges
+        # of uniform byte size — no straggler risk from the merge.
+        lines_df = lines_df.coalesce(cores)
     names = [f.name for f in schema.fields]
 
     def parse_batches(arrow_batches):
