@@ -489,3 +489,92 @@ def test_cdc_apply_tombstone_semantics(spark, tmp_path):
     assert set(got) == {2, 3}
     assert got[2] == (t(5), 30.5)
     assert got[3] == (t(7), 2.0)
+
+
+def test_sessionize_matches_python_reference(spark, tmp_path):
+    """Differential for q_sessionize (red in driver rounds 2 AND 3 for
+    dtype reasons — this guards the SEMANTICS independently): randomized
+    event streams with gaps straddling the 6-hour threshold, equal
+    timestamps (event_id tiebreak), and exact-boundary gaps, checked
+    against a pure-Python gap-split reference.  The >-not-≥ boundary
+    rule (a gap of exactly 6 h continues the session) is exercised
+    explicitly."""
+    from datetime import datetime, timedelta
+
+    from mysqldump_to_parquet_spark.operators.temporal import (
+        SESSION_GAP_HOURS,
+        sessionize,
+    )
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(1, 7):
+        t = base
+        for _ in range(rng.randint(1, 25)):
+            # mix sub-gap, exact-gap (stays), and super-gap (splits) steps
+            step = rng.choice(
+                [
+                    timedelta(minutes=rng.randint(0, 90)),
+                    timedelta(hours=SESSION_GAP_HOURS),  # exact: same session
+                    timedelta(hours=SESSION_GAP_HOURS, microseconds=1),
+                    timedelta(hours=rng.randint(7, 30)),
+                ]
+            )
+            t = t + step
+            n_at_ts = rng.choice([1, 1, 1, 2])  # sometimes equal-ts pairs
+            for _ in range(n_at_ts):
+                eid += 1
+                rows.append(
+                    (eid, t, user, "click", round(rng.uniform(0, 50), 6), "{}")
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r.user_id, r.session_id): (
+            r.session_start,
+            r.session_end,
+            r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in sessionize(spark, str(tmp_path)).collect()
+    }
+
+    # pure-Python reference: sort by (ts, event_id), split on gap > 6 h
+    want = {}
+    by_user: dict = {}
+    for e_id, t, user, _typ, val, _props in rows:
+        by_user.setdefault(user, []).append((t, e_id, val))
+    gap = timedelta(hours=SESSION_GAP_HOURS)
+    for user, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        cur: list = []
+        for t, e_id, val in evs:
+            if prev is None or (t - prev) > gap:
+                if cur:
+                    want[(user, sid)] = (
+                        cur[0][0],
+                        cur[-1][0],
+                        len(cur),
+                        round(sum(v for _, _, v in cur), 6),
+                    )
+                sid += 1
+                cur = []
+            cur.append((t, e_id, val))
+            prev = t
+        if cur:
+            want[(user, sid)] = (
+                cur[0][0],
+                cur[-1][0],
+                len(cur),
+                round(sum(v for _, _, v in cur), 6),
+            )
+    assert got == want
