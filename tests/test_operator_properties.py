@@ -578,3 +578,140 @@ def test_sessionize_matches_python_reference(spark, tmp_path):
                 round(sum(v for _, _, v in cur), 6),
             )
     assert got == want
+
+
+def _write_random_events(spark, tmp_path, rng, n_users=6, max_n=30):
+    """Synthetic events.parquet with colliding timestamps, multi-day
+    spans, and all event types the sequence operators key on."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(1, n_users + 1):
+        t = base
+        for _ in range(rng.randint(2, max_n)):
+            t = t + timedelta(hours=rng.choice([0, 0, 1, 5, 26, 50]))
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    t,
+                    user,
+                    rng.choice(["view", "click", "error", "purchase"]),
+                    round(rng.uniform(0, 100), 6),
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return rows
+
+
+def _sorted_seq(rows, user):
+    return sorted(
+        ((t, e, typ, v) for e, t, u, typ, v, _ in rows if u == user)
+    )
+
+
+def test_ewma_matches_python_recursion(spark, tmp_path):
+    """applyInPandas EWMA ≡ the plain per-user Python recursion
+    y_t = α·x_t + (1-α)·y_{t-1}, rounded to 6 in both."""
+    from mysqldump_to_parquet_spark.operators.temporal import EWMA_ALPHA, ewma
+
+    rng = random.Random(29)
+    rows = _write_random_events(spark, tmp_path, rng)
+    got = {
+        r.event_id: r.ewma_value for r in ewma(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for user in {u for _, _, u, _, _, _ in rows}:
+        y = None
+        for t, e, typ, v in _sorted_seq(rows, user):
+            y = v if y is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * y
+            want[e] = round(y, 6)
+    assert got.keys() == want.keys()
+    for e in want:
+        assert abs(got[e] - want[e]) <= 1e-6, (e, got[e], want[e])
+
+
+def test_streaks_match_python_islands(spark, tmp_path):
+    """Gaps-and-islands streaks ≡ a direct consecutive-day scan over the
+    deduped per-user day set."""
+    from datetime import timedelta
+
+    from mysqldump_to_parquet_spark.operators.events import streaks
+
+    rng = random.Random(31)
+    rows = _write_random_events(spark, tmp_path, rng, n_users=8, max_n=40)
+    got = {
+        r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak)
+        for r in streaks(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for user in {u for _, _, u, _, _, _ in rows}:
+        days = sorted({t.date() for _, t, u, _, _, _ in rows if u == user})
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if (b - a) == timedelta(days=1):
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[user] = (len(days), len(runs), max(runs))
+    assert got == want
+
+
+def test_event_transitions_match_python_markov(spark, tmp_path):
+    """Lead-window Markov counts ≡ per-user adjacent-pair counting in
+    Python; probabilities are exact integer ratios."""
+    from mysqldump_to_parquet_spark.operators.events import event_transitions
+
+    rng = random.Random(37)
+    rows = _write_random_events(spark, tmp_path, rng)
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transitions(spark, str(tmp_path)).collect()
+    }
+    pairs: dict = {}
+    for user in {u for _, _, u, _, _, _ in rows}:
+        seq = [typ for _, _, typ, _ in _sorted_seq(rows, user)]
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    row_tot: dict = {}
+    for (a, _b), n in pairs.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    want = {k: (n, n / row_tot[k[0]]) for k, n in pairs.items()}
+    assert got == want
+
+
+def test_match_pattern_matches_python_scan(spark, tmp_path):
+    """Bounded-lookahead error→purchase matcher ≡ a Python scan of each
+    user's ordered sequence (first purchase within the next 3 events)."""
+    from mysqldump_to_parquet_spark.operators.events import (
+        PATTERN_LOOKAHEAD,
+        match_pattern,
+    )
+
+    rng = random.Random(41)
+    rows = _write_random_events(spark, tmp_path, rng, n_users=10, max_n=40)
+    got = {
+        r.event_id: r.steps_to_purchase
+        for r in match_pattern(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for user in {u for _, _, u, _, _, _ in rows}:
+        seq = _sorted_seq(rows, user)
+        for i, (_t, e, typ, _v) in enumerate(seq):
+            if typ != "error":
+                continue
+            for step in range(1, PATTERN_LOOKAHEAD + 1):
+                if i + step < len(seq) and seq[i + step][2] == "purchase":
+                    want[e] = step
+                    break
+    assert got == want
