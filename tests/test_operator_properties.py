@@ -715,3 +715,134 @@ def test_match_pattern_matches_python_scan(spark, tmp_path):
                     want[e] = step
                     break
     assert got == want
+
+
+def test_conversion_latency_matches_python_scan(spark, tmp_path):
+    """Carry-forward view→purchase pairing ≡ a Python scan keeping the
+    most recent STRICTLY-PRECEDING view (frame ends at -1: a purchase
+    sharing its timestamp row-order-after a view still pairs, but a
+    purchase BEFORE any view does not); median via the same
+    lower+frac·(upper−lower) interpolation."""
+    from mysqldump_to_parquet_spark.operators.events import conversion_latency
+
+    rng = random.Random(43)
+    rows = _write_random_events(spark, tmp_path, rng, n_users=10, max_n=40)
+    got = {
+        r.user_id: (r.n_conversions, r.median_latency_s)
+        for r in conversion_latency(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for user in {u for _, _, u, _, _, _ in rows}:
+        lat = []
+        last_view = None
+        for t, _e, typ, _v in _sorted_seq(rows, user):
+            if typ == "purchase" and last_view is not None:
+                lat.append(
+                    int(t.timestamp() * 1e6) - int(last_view.timestamp() * 1e6)
+                )
+            if typ == "view":  # AFTER the purchase check: frame ends at -1
+                last_view = t
+        if not lat:
+            continue
+        lat.sort()
+        n = len(lat)
+        if n % 2:
+            med = float(lat[n // 2])
+        else:
+            med = (lat[n // 2 - 1] + lat[n // 2]) / 2.0
+        want[user] = (n, round(med / 1_000_000.0, 6))
+    assert got == want
+
+
+def test_attribution_credit_conserves_and_matches_python(spark, tmp_path):
+    """Linear attribution ≡ Python: each purchase with ≥1 in-window
+    touch contributes exactly 1.0 credit split equally; per-channel
+    sums match and total credit equals the number of attributed
+    purchases."""
+    from datetime import datetime, timedelta
+
+    from mysqldump_to_parquet_spark.operators.events import (
+        ATTR_CHANNELS,
+        ATTR_WINDOW_HOURS,
+        attribution_channels,
+    )
+
+    rng = random.Random(47)
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(1, 9):
+        t = base
+        for _ in range(rng.randint(3, 30)):
+            t = t + timedelta(minutes=rng.choice([5, 30, 200, 500]))
+            eid += 1
+            typ = rng.choice(["view", "click", "purchase"])
+            rows.append(
+                (eid, t, user, typ, 1.0, '{"k": %d}' % rng.randint(0, 11))
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.channel: (r.n_touches, r.n_purchases, r.credit)
+        for r in attribution_channels(spark, str(tmp_path)).collect()
+    }
+
+    import json as _json
+
+    window = timedelta(hours=ATTR_WINDOW_HOURS)
+    per_channel: dict = {}
+    attributed = 0
+    for user in range(1, 9):
+        evs = sorted((t, e, typ, props) for e, t, u, typ, _v, props in rows if u == user)
+        touches = [
+            (t, _json.loads(props)["k"] % ATTR_CHANNELS)
+            for t, _e, typ, props in evs
+            if typ in ("view", "click")
+        ]
+        for t, pe, typ, _props in evs:
+            if typ != "purchase":
+                continue
+            hits = [ch for tt, ch in touches if tt <= t <= tt + window]
+            if not hits:
+                continue
+            attributed += 1
+            for ch in hits:
+                n_t, pids, cr = per_channel.get(ch, (0, set(), 0.0))
+                pids = set(pids) | {pe}
+                per_channel[ch] = (n_t + 1, pids, cr + 1.0 / len(hits))
+    want = {
+        ch: (n_t, len(pids), round(cr, 6))
+        for ch, (n_t, pids, cr) in per_channel.items()
+    }
+    assert got == want
+    total_credit = sum(c for _, _, c in got.values())
+    assert abs(total_credit - attributed) < 1e-4
+
+
+def test_running_distinct_matches_python_prefix_sets(spark, tmp_path):
+    """First-seen-flag running distinct ≡ Python prefix-set sizes over
+    each type's (ts, event_id)-ordered stream."""
+    from mysqldump_to_parquet_spark.operators.windows import (
+        win_running_distinct,
+    )
+
+    rng = random.Random(53)
+    rows = _write_random_events(spark, tmp_path, rng, n_users=12, max_n=25)
+    out = win_running_distinct(spark, str(tmp_path)).collect()
+    cols = set(out[0].asDict())
+    assert {"event_type", "event_id"} <= cols
+    got = {(r.event_type, r.event_id): r for r in out}
+    by_type: dict = {}
+    for e, t, u, typ, _v, _p in rows:
+        by_type.setdefault(typ, []).append((t, e, u))
+    run_col = next(c for c in cols if c not in ("event_type", "event_id", "ts", "user_id"))
+    for typ, evs in by_type.items():
+        evs.sort()
+        seen: set = set()
+        for t, e, u in evs:
+            seen.add(u)
+            assert got[(typ, e)][run_col] == len(seen), (typ, e)
