@@ -245,3 +245,89 @@ def test_sample_k_per_group_quota_and_stability(spark):
     again = {(r.doc_id, r.rank_in_cell) for r in
              sample_k_per_group(spark, SF_SMOKE).collect()}
     assert again == {(r.doc_id, r.rank_in_cell) for r in got}
+
+
+def test_zipf_slope_matches_python_ols(spark, tmp_path):
+    """regr_slope over (ln cnt, ln rank) ≡ a NumPy-free Python OLS on
+    the same per-language (count desc, term asc)-ranked vocabulary."""
+    import math
+    import random as _random
+    from collections import Counter
+
+    from mysqldump_to_parquet_spark.llm.terms import ZIPF_MIN_LEN, zipf_slope
+
+    rng = _random.Random(59)
+    vocab = [f"w{i}" for i in range(40)] + ["a"]  # incl. a below-min-len term
+    docs = []
+    for d in range(12):
+        # Zipf-ish draws: low ids much more frequent
+        toks = [vocab[min(int(rng.paretovariate(1.1)) - 1, 40)] for _ in range(200)]
+        docs.append((" ".join(toks), "s0"))
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = {r.lang: (r.zipf_slope, r.n_terms) for r in zipf_slope(spark, sf).collect()}
+
+    cnt = Counter()
+    for text, _src in docs:
+        for t in text.split(" "):
+            if len(t) >= ZIPF_MIN_LEN:
+                cnt[t] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(r + 1) for r in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert set(got) == {"en"}
+    s, n_terms = got["en"]
+    assert n_terms == n
+    assert abs(s - slope) < 1e-6
+    assert s < -0.3  # Zipf-shaped draws really are heavy-tailed
+
+
+def test_oov_rate_matches_python_vocab(spark, tmp_path):
+    """Top-K vocab + per-source OOV ≡ Python counting with the same
+    count-desc/term-asc K-cut; needs |vocabulary| > K so OOV is
+    non-trivial."""
+    import random as _random
+    from collections import Counter
+
+    from mysqldump_to_parquet_spark.llm.terms import VOCAB_K, oov_rate
+
+    rng = _random.Random(61)
+    common = [f"c{i}" for i in range(80)]
+    rare = [f"r{i}" for i in range(200)]  # 280 distinct > VOCAB_K=100
+    docs = []
+    for s, source in ((0, "s0"), (1, "s1")):
+        for d in range(10):
+            toks = [
+                rng.choice(common) if rng.random() < (0.9 if s == 0 else 0.5)
+                else rng.choice(rare)
+                for _ in range(120)
+            ]
+            docs.append((" ".join(toks), source))
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = {
+        r.source: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_rate(spark, sf).collect()
+    }
+
+    cnt = Counter()
+    for text, _src in docs:
+        cnt.update(text.split(" "))
+    vocab = {
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+    }
+    want = {}
+    for source in ("s0", "s1"):
+        toks = [
+            t for text, src in docs if src == source for t in text.split(" ")
+        ]
+        n_oov = sum(1 for t in toks if t not in vocab)
+        want[source] = (len(toks), n_oov, n_oov / len(toks))
+    assert got == want
+    assert got["s1"][1] > got["s0"][1]  # the rare-heavy source drifts more
