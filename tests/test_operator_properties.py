@@ -846,3 +846,124 @@ def test_running_distinct_matches_python_prefix_sets(spark, tmp_path):
         for t, e, u in evs:
             seen.add(u)
             assert got[(typ, e)][run_col] == len(seen), (typ, e)
+
+
+def test_ab_test_matches_python_welch(spark, tmp_path):
+    """Welch t + Welch–Satterthwaite dof ≡ the same formulas in Python
+    on identical rounded moments; a planted mean-shifted type must be
+    flagged significant and an identical-distribution pair must not."""
+    from mysqldump_to_parquet_spark.operators.aggregates import ab_test
+
+    rng = random.Random(67)
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+
+    def emit(typ, mu, n):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    base + timedelta(seconds=eid),
+                    rng.randint(1, 9),
+                    typ,
+                    round(rng.gauss(mu, 2.0), 6),
+                    "{}",
+                )
+            )
+
+    emit("aa", 10.0, 300)
+    emit("bb", 10.0, 300)   # same distribution as aa
+    emit("cc", 14.0, 300)   # clearly shifted
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.t_stat, r.dof, r.significant_5pct)
+        for r in ab_test(spark, str(tmp_path)).collect()
+    }
+
+    import statistics
+
+    by_type: dict = {}
+    for _e, _t, _u, typ, v, _p in rows:
+        by_type.setdefault(typ, []).append(v)
+    want = {}
+    types = sorted(by_type)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            xa, xb = by_type[ta], by_type[tb]
+            na, nb = float(len(xa)), float(len(xb))
+            ma = round(sum(xa) / na, 6)
+            mb = round(sum(xb) / nb, 6)
+            s2a = round(statistics.variance(xa), 6)
+            s2b = round(statistics.variance(xb), 6)
+            se = s2a / na + s2b / nb
+            t = (ma - mb) / math.sqrt(se)
+            dof = se * se / (
+                (s2a / na) ** 2 / (na - 1) + (s2b / nb) ** 2 / (nb - 1)
+            )
+            want[(ta, tb)] = (
+                int(na),
+                int(nb),
+                round(t, 6),
+                round(dof, 4),
+                abs(t) > 1.96,
+            )
+    for k in want:
+        ga, wa = got[k], want[k]
+        assert ga[:2] == wa[:2]
+        assert abs(ga[2] - wa[2]) < 1e-5, (k, ga, wa)
+        assert abs(ga[3] - wa[3]) < 1e-2
+        assert ga[4] == wa[4]
+    assert not got[("aa", "bb")][4]  # identical distributions: not significant
+    assert got[("aa", "cc")][4] and got[("bb", "cc")][4]  # shifted: flagged
+
+
+def test_agg_mode_matches_python_counter(spark, tmp_path):
+    """Deterministic mode (count desc, type asc tiebreak) ≡ Python
+    Counter with the same tiebreak, including planted exact ties."""
+    from mysqldump_to_parquet_spark.operators.aggregates import agg_mode
+
+    rng = random.Random(71)
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for user in range(1, 15):
+        kinds = rng.sample(["view", "click", "error", "purchase"], k=rng.randint(1, 4))
+        for _ in range(rng.randint(1, 20)):
+            eid += 1
+            rows.append(
+                (eid, base + timedelta(seconds=eid), user, rng.choice(kinds), 1.0, "{}")
+            )
+    # user 99: exact tie between 'click' and 'view' -> 'click' wins (asc)
+    for typ in ("view", "view", "click", "click"):
+        eid += 1
+        rows.append((eid, base + timedelta(seconds=eid), 99, typ, 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.user_id: (r.modal_type, r.modal_cnt, r.n_events)
+        for r in agg_mode(spark, str(tmp_path)).collect()
+    }
+    from collections import Counter
+
+    by_user: dict = {}
+    for _e, _t, u, typ, _v, _p in rows:
+        by_user.setdefault(u, []).append(typ)
+    want = {}
+    for u, typs in by_user.items():
+        cnt = Counter(typs)
+        typ, n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[u] = (typ, n, len(typs))
+    assert got == want
+    assert got[99][0] == "click"
