@@ -967,3 +967,100 @@ def test_agg_mode_matches_python_counter(spark, tmp_path):
         want[u] = (typ, n, len(typs))
     assert got == want
     assert got[99][0] == "click"
+
+
+def test_asof_nearest_matches_python_scan(spark, tmp_path):
+    """Bidirectional nearest as-of ≡ a Python scan choosing the closest
+    in-tolerance click (backward preferred on exact distance ties;
+    equal-ts clicks break to the highest click_id backward / lowest
+    forward, mirroring the carried-element rules)."""
+    from datetime import datetime, timedelta
+
+    from mysqldump_to_parquet_spark.operators.asof import (
+        NEAREST_TOL_US,
+        join_asof_nearest,
+    )
+
+    rng = random.Random(73)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(1, 12):
+        t = base
+        for _ in range(rng.randint(3, 35)):
+            t = t + timedelta(minutes=rng.choice([1, 30, 240, 500]))
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    t,
+                    user,
+                    rng.choice(["purchase", "click", "view"]),
+                    1.0,
+                    "{}",
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = join_asof_nearest(spark, str(tmp_path)).collect()
+    got = {r.event_id: r.nearest_click_id for r in out}
+
+    tol = timedelta(microseconds=NEAREST_TOL_US)
+    want = {}
+    for user in range(1, 12):
+        evs = sorted(
+            (t, e, typ) for e, t, u, typ, _v, _p in rows if u == user
+        )
+        clicks = [(t, e) for t, e, typ in evs if typ == "click"]
+        for t, e, typ in evs:
+            if typ != "purchase":
+                continue
+            # backward candidate: greatest ts ≤ t (tie → max id);
+            # forward: least ts ≥ t (tie → min id); backward wins equal
+            # distances — mirrors the two carried scans
+            back = [(ct, ce) for ct, ce in clicks if ct <= t and t - ct <= tol]
+            fwd = [(ct, ce) for ct, ce in clicks if ct >= t and ct - t <= tol]
+            b = max(back) if back else None
+            f = min(fwd) if fwd else None
+            if b is not None and (f is None or (t - b[0]) <= (f[0] - t)):
+                want[e] = b[1]
+            elif f is not None:
+                want[e] = f[1]
+            else:
+                want[e] = None  # unmatched purchases still emit a row
+    assert got == want
+
+
+def test_sim_radius_matches_bruteforce(spark, sf_dir):
+    """Radius search over the fixture ≡ brute-force cosine filter in
+    NumPy at the same τ and id bound."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm.similarity import (
+        PROBE,
+        RADIUS_MAX_ID,
+        RADIUS_TAU,
+        sim_radius,
+    )
+
+    got = {r.vec_id: r.cosine for r in sim_radius(spark, sf_dir).collect()}
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < RADIUS_MAX_ID)
+        .collect()
+    )
+    p = np.array(PROBE, dtype=np.float64)
+    want = {}
+    for r in rows:
+        x = np.array([float(v) for v in r.embedding], dtype=np.float64)
+        c = round(float(x @ p / (np.linalg.norm(x) * np.linalg.norm(p))), 6)
+        if c >= RADIUS_TAU:
+            want[r.vec_id] = c
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-6
