@@ -1064,3 +1064,61 @@ def test_sim_radius_matches_bruteforce(spark, sf_dir):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) <= 1e-6
+
+
+def test_fn_geo_haversine_matches_python(spark, sf_dir):
+    """JVM haversine ≡ math.* haversine on the same synthetic points."""
+    from mysqldump_to_parquet_spark.functions.scalar import EARTH_R_KM, fn_geo
+
+    got = {r.c_custkey: r for r in fn_geo(spark, sf_dir).collect()}
+    lat0, lon0 = 48.8566, 2.3522
+    rad = math.pi / 180.0
+    for k, r in got.items():
+        lat = ((k * 7919) % 1700) / 10.0 - 85.0
+        lon = ((k * 104729) % 3600) / 10.0 - 180.0
+        a = (
+            math.sin((lat - lat0) * rad / 2) ** 2
+            + math.cos(lat * rad)
+            * math.cos(lat0 * rad)
+            * math.sin((lon - lon0) * rad / 2) ** 2
+        )
+        d = 2 * EARTH_R_KM * math.asin(math.sqrt(a))
+        assert r.lat == round(lat, 4) and r.lon == round(lon, 4)
+        assert abs(r.dist_km - d) < 1e-3, (k, r.dist_km, d)
+        assert 0.0 <= r.dist_km <= math.pi * EARTH_R_KM  # on-sphere bound
+
+
+def test_embed_quantize_matches_numpy_reference(spark, sf_dir):
+    """int8 quantization outputs ≡ an independent per-vector NumPy
+    recomputation: exact scale, exact position-weighted checksum, codes
+    within [-127, 127], error mean within rounding."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm.vectors import (
+        DIM,
+        Q_LEVELS,
+        embed_quantize,
+    )
+
+    out = {r.vec_id: r for r in embed_quantize(spark, sf_dir).collect()}
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).collect()
+    checked = 0
+    for row in rows:
+        if row.vec_id not in out:
+            continue
+        x = np.array([float(v) for v in row.embedding], dtype=np.float64)
+        amax = np.abs(x).max()
+        if amax == 0:
+            continue
+        scale = amax / Q_LEVELS
+        y = x / scale
+        q = np.trunc(y + np.copysign(0.5, y)).astype(np.int64)
+        assert np.abs(q).max() <= Q_LEVELS + 1
+        checksum = int((q * np.arange(1, DIM + 1, dtype=np.int64)).sum())
+        err = float(np.abs(x - q * scale).sum() / DIM)
+        r = out[row.vec_id]
+        assert r.scale == scale, row.vec_id
+        assert r.q_checksum == checksum, row.vec_id
+        assert abs(r.mean_abs_err - round(err, 6)) <= 1e-6
+        checked += 1
+    assert checked >= 100
