@@ -331,3 +331,64 @@ def test_oov_rate_matches_python_vocab(spark, tmp_path):
         want[source] = (len(toks), n_oov, n_oov / len(toks))
     assert got == want
     assert got["s1"][1] > got["s0"][1]  # the rare-heavy source drifts more
+
+
+def test_chunk_tokens_matches_python_slices(spark, tmp_path):
+    """Overlapping token windows ≡ Python slicing: stride starts, window
+    widths, short tails, and md5 of the exact chunk text."""
+    import hashlib
+    import random as _random
+
+    from mysqldump_to_parquet_spark.llm.sampling import (
+        CHUNK_S,
+        CHUNK_W,
+        chunk_tokens,
+    )
+
+    rng = _random.Random(79)
+    docs = []
+    for d in range(8):
+        # lengths straddling multiples of the stride, incl. tiny docs
+        n = rng.choice([1, CHUNK_S - 1, CHUNK_S, CHUNK_S + 1, 3 * CHUNK_S + 2])
+        docs.append((" ".join(f"t{d}_{i}" for i in range(n)), "s0"))
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_md5)
+        for r in chunk_tokens(spark, sf).collect()
+    }
+    want = {}
+    for doc_id, (text, _src) in enumerate(docs):
+        toks = text.split(" ")
+        n = len(toks)
+        for i in range(0, (n - 1) // CHUNK_S + 1):
+            chunk = toks[i * CHUNK_S : i * CHUNK_S + CHUNK_W]
+            want[(doc_id, i)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == want
+
+
+def test_lang_confusion_is_lang_id_contingency(spark, sf_dir):
+    """The confusion matrix ≡ the contingency table of lang_id's own
+    per-document predictions vs labels (counts conserve exactly)."""
+    from collections import Counter
+
+    from mysqldump_to_parquet_spark.llm.textstats import (
+        lang_confusion,
+        lang_id,
+    )
+
+    pred = lang_id(spark, sf_dir).collect()
+    cols = pred[0].asDict()
+    assert {"labeled_lang", "predicted_lang"} <= set(cols)
+    want = Counter(
+        (r.labeled_lang, r.predicted_lang) for r in pred
+    )
+    got = {
+        (r.labeled_lang, r.predicted_lang): r.n_docs
+        for r in lang_confusion(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == len(pred)  # every document lands in one cell
