@@ -1122,3 +1122,104 @@ def test_embed_quantize_matches_numpy_reference(spark, sf_dir):
         assert abs(r.mean_abs_err - round(err, 6)) <= 1e-6
         checked += 1
     assert checked >= 100
+
+
+def test_time_rollup_grains_consistent(spark, sf_dir):
+    """ROLLUP ladder invariants on the fixture: the grand-total row
+    equals the table count/sum; each month row equals the sum of its
+    day rows; each day row equals the sum of its hour rows; and the
+    finest grain matches a direct groupBy."""
+    from mysqldump_to_parquet_spark.operators.temporal import time_rollup
+
+    rows = time_rollup(spark, sf_dir).collect()
+    total = [r for r in rows if r.bucket_month is None]
+    assert len(total) == 1
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_all = ev.count()
+    assert total[0].n_events == n_all
+
+    months = {
+        r.bucket_month: r.n_events
+        for r in rows
+        if r.bucket_month is not None and r.bucket_day is None
+    }
+    days = [
+        r for r in rows if r.bucket_day is not None and r.bucket_hour is None
+    ]
+    hours = [r for r in rows if r.bucket_hour is not None]
+    assert sum(months.values()) == n_all
+    by_month_from_days: dict = {}
+    for r in days:
+        by_month_from_days[r.bucket_month] = (
+            by_month_from_days.get(r.bucket_month, 0) + r.n_events
+        )
+    assert by_month_from_days == months
+    by_day_from_hours: dict = {}
+    for r in hours:
+        by_day_from_hours[r.bucket_day] = (
+            by_day_from_hours.get(r.bucket_day, 0) + r.n_events
+        )
+    assert by_day_from_hours == {r.bucket_day: r.n_events for r in days}
+    # finest grain equals a direct aggregate
+    direct = {
+        (r.m, r.d, r.h): r.n
+        for r in ev.groupBy(
+            F.date_trunc("month", "ts").alias("m"),
+            F.date_trunc("day", "ts").alias("d"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_fine = {
+        (r.bucket_month, r.bucket_day, r.bucket_hour): r.n_events for r in hours
+    }
+    assert got_fine == direct
+
+
+def test_period_over_period_matches_python(spark, sf_dir):
+    """Month-over-month deltas ≡ Python lag over the identical rounded
+    monthly revenue series per priority."""
+    from mysqldump_to_parquet_spark.operators.windows import (
+        win_period_over_period,
+    )
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    got = {
+        (r.o_orderpriority, r.month): (r.revenue, r.mom_delta, r.mom_pct)
+        for r in win_period_over_period(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders").collect()
+    monthly: dict = {}
+    for r in o:
+        key = (r.o_orderpriority, r.o_orderdate.strftime("%Y-%m"))
+        monthly[key] = monthly.get(key, 0.0) + r.o_totalprice
+    monthly = {k: round(v, 4) for k, v in monthly.items()}
+    by_prio: dict = {}
+    for (prio, month), rev in monthly.items():
+        by_prio.setdefault(prio, []).append((month, rev))
+    want = {}
+    for prio, series in by_prio.items():
+        series.sort()
+        prev = None
+        for month, rev in series:
+            if prev is None:
+                want[(prio, month)] = (rev, None, None)
+            else:
+                want[(prio, month)] = (
+                    rev,
+                    rev - prev,
+                    round((rev - prev) / prev * 100, 6),
+                )
+            prev = rev
+    assert got.keys() == want.keys()
+    for k in want:
+        gr, gd, gp = got[k]
+        wr, wd, wp = want[k]
+        assert abs(gr - wr) < 1e-6, k
+        assert (gd is None) == (wd is None) and (gp is None) == (wp is None)
+        if gd is not None:
+            assert abs(gd - wd) < 1e-6 and abs(gp - wp) < 1e-4, k
