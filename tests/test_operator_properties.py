@@ -1223,3 +1223,79 @@ def test_period_over_period_matches_python(spark, sf_dir):
         assert (gd is None) == (wd is None) and (gp is None) == (wp is None)
         if gd is not None:
             assert abs(gd - wd) < 1e-6 and abs(gp - wp) < 1e-4, k
+
+
+def test_rolling_corr_matches_python(spark, tmp_path):
+    """Trailing-frame rolling autocorrelation over (user, type) series ≡
+    a Python recomputation of corr(value, lag value) on each trailing
+    window (rows before the 3rd of a partition are cut)."""
+    import statistics
+
+    from mysqldump_to_parquet_spark.operators.windows import (
+        ROLL_CORR_ROWS,
+        win_rolling_corr,
+    )
+
+    rng = random.Random(83)
+    rows = _write_random_events(spark, tmp_path, rng, n_users=6, max_n=30)
+    got = {
+        r.event_id: r.roll_corr
+        for r in win_rolling_corr(spark, str(tmp_path)).collect()
+    }
+    series: dict = {}
+    for e, t, u, typ, v, _p in rows:
+        series.setdefault((u, typ), []).append((t, e, v))
+    want = {}
+    for key, evs in series.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        prev = [None] + vals[:-1]
+        for i, (_t, e, _v) in enumerate(evs):
+            if i < 2:  # rn >= 3 cut
+                continue
+            lo = max(0, i - (ROLL_CORR_ROWS - 1))
+            xs, ys = [], []
+            for j in range(lo, i + 1):
+                if prev[j] is not None:
+                    xs.append(vals[j])
+                    ys.append(prev[j])
+            if len(xs) < 2:
+                want[e] = None
+                continue
+            try:
+                c = statistics.correlation(xs, ys)
+                want[e] = round(c, 6)
+            except statistics.StatisticsError:  # zero variance frame
+                want[e] = None
+    assert got.keys() == want.keys()
+    for e in want:
+        if want[e] is None or got[e] is None:
+            assert got[e] == want[e], e
+        else:
+            assert abs(got[e] - want[e]) <= 1e-5, (e, got[e], want[e])
+
+
+def test_fn_url_matches_python_urllib(spark, sf_dir):
+    """parse_url extraction ≡ Python urllib.parse on the identical
+    synthetic URLs (host, path, query, named params)."""
+    from urllib.parse import parse_qs, urlparse
+
+    from mysqldump_to_parquet_spark.functions.scalar import fn_url
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    docs = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in fn_url(spark, sf_dir).collect():
+        url = (
+            f"https://www.example{r.doc_id % 7}.com/articles/{r.doc_id % 50}"
+            f"?page={r.doc_id % 5}&ref={docs[r.doc_id]}"
+        )
+        p = urlparse(url)
+        q = parse_qs(p.query)
+        assert r.host == p.hostname
+        assert r.path == p.path
+        assert r.query == p.query
+        assert r.page_param == q["page"][0]
+        assert r.ref_param == q["ref"][0]
