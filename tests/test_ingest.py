@@ -974,3 +974,32 @@ class TestArrowFastPath:
             _arrow_read_values(b"1,Inf", ["id", "score"], types)
         ok = _arrow_read_values(b"1,NULL\n2,2.5", ["id", "score"], types)
         assert ok.column("score").to_pylist() == [None, 2.5]
+
+
+def test_statement_longer_than_split_parses_once(spark, tmp_path):
+    """A single INSERT line LARGER than the 2 MB parse split must parse
+    exactly once with no row loss or duplication: Hadoop's line reader
+    assigns a line to the split containing its start and reads past the
+    split end — the splittable-parse contract this pins."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        PARSE_TASK_BYTES,
+        convert_dump,
+    )
+
+    n_rows = 90_000  # ~32 B/row -> one ~2.9 MB statement line
+    vals = ",".join(f"({i},'user_{i:08d}',{i}.5)" for i in range(n_rows))
+    stmt = f"INSERT INTO `t` VALUES {vals};\n"
+    assert len(stmt) > PARSE_TASK_BYTES
+    dump = tmp_path / "big.sql"
+    dump.write_text(
+        "CREATE TABLE `t` (`id` bigint NOT NULL, `name` varchar(20), "
+        "`score` double);\n" + stmt
+    )
+    out = tmp_path / "out"
+    counts = convert_dump(spark, str(dump), str(out))
+    assert counts == {"t": n_rows}
+    back = spark.read.parquet(f"{out}/t")
+    assert back.count() == n_rows
+    assert back.selectExpr("sum(id)").collect()[0][0] == n_rows * (n_rows - 1) // 2
+    row = back.where(back.id == 89_999).collect()[0]
+    assert row.name == "user_00089999" and row.score == 89999.5
