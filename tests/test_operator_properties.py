@@ -1299,3 +1299,49 @@ def test_fn_url_matches_python_urllib(spark, sf_dir):
         assert r.query == p.query
         assert r.page_param == q["page"][0]
         assert r.ref_param == q["ref"][0]
+
+
+def test_pii_redact_semantics(spark, sf_dir):
+    """PII redaction actually redacts: re-deriving the enriched text in
+    Python, the redacted md5 must equal Python's re.sub chain (same
+    order: email → IP → phone), counts must match Python's findall, and
+    no email/phone/IP pattern may survive redaction."""
+    import hashlib
+    import re
+
+    from mysqldump_to_parquet_spark.llm.scrub import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_redact,
+    )
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    out = {r.doc_id: r for r in pii_redact(spark, sf_dir).collect()}
+
+    # mirror _enriched_expr in Python against the raw fixture text
+    docs = load_table(spark, sf_dir, "documents").limit(300).collect()
+    checked = 0
+    for d in docs:
+        if d.doc_id not in out:
+            continue
+        raw = (
+            f"contact user{d.doc_id}@mail.example.com or call "
+            f"+1-555-{d.doc_id % 10000:04d} from 10.{d.doc_id % 256}."
+            f"{(d.doc_id * 7) % 256}.{(d.doc_id * 13) % 256} :: {d.text}"
+        )
+        red = re.sub(EMAIL_RE, "<EMAIL>", raw)
+        red = re.sub(IPV4_RE, "<IP>", red)
+        red = re.sub(PHONE_RE, "<PHONE>", red)
+        r = out[d.doc_id]
+        assert r.n_emails == len(re.findall(EMAIL_RE, raw))
+        assert r.n_ips == len(re.findall(IPV4_RE, raw))
+        assert r.n_phones == len(re.findall(PHONE_RE, raw))
+        assert r.n_emails >= 1 and r.n_ips >= 1 and r.n_phones >= 1
+        assert r.redacted_md5 == hashlib.md5(red.encode()).hexdigest(), d.doc_id
+        assert r.redacted_len == len(red)
+        # nothing PII-shaped survives
+        assert not re.search(EMAIL_RE, red)
+        assert not re.search(PHONE_RE, red)
+        checked += 1
+    assert checked >= 100
