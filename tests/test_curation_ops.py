@@ -392,3 +392,72 @@ def test_lang_confusion_is_lang_id_contingency(spark, sf_dir):
     }
     assert got == dict(want)
     assert sum(got.values()) == len(pred)  # every document lands in one cell
+
+
+def test_bm25_matches_python_okapi(spark, tmp_path):
+    """BM25 ranking ≡ a from-scratch Okapi implementation in Python on a
+    crafted corpus (same rounding ladder: per-term 9, per-doc 6; tie
+    break by doc_id), with relevance ordering sanity: a doc saturated
+    with query terms outranks one with a single mention."""
+    import math as _math
+    import random as _random
+
+    from mysqldump_to_parquet_spark.llm.terms import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP,
+        bm25,
+    )
+
+    rng = _random.Random(89)
+    filler = [f"f{i}" for i in range(50)]
+    docs = []
+    for i in range(40):
+        toks = [rng.choice(filler) for _ in range(rng.randint(10, 60))]
+        # seed query terms with varying density; doc 0 is saturated,
+        # doc 1 has a single mention, many docs have none
+        if i == 0:
+            toks += list(BM25_QUERY) * 6
+        elif i == 1:
+            toks.append(BM25_QUERY[0])
+        elif i % 3 == 0:
+            toks += rng.sample(list(BM25_QUERY), k=rng.randint(1, 3))
+        rng.shuffle(toks)
+        docs.append((" ".join(toks), "s0"))
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = [(r.doc_id, r.bm25, r.rank) for r in bm25(spark, sf).collect()]
+
+    n_docs = len(docs)
+    dls = [len(t.split(" ")) for t, _ in docs]
+    avgdl = sum(dls) / n_docs
+    df: dict = {}
+    for text, _ in docs:
+        toks = set(text.split(" "))
+        for q in BM25_QUERY:
+            if q in toks:
+                df[q] = df.get(q, 0) + 1
+    scores = {}
+    for i, (text, _) in enumerate(docs):
+        toks = text.split(" ")
+        s = 0.0
+        hit = False
+        for q in BM25_QUERY:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            hit = True
+            idf = _math.log(1 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            denom = tf + BM25_K1 * (1 - BM25_B + BM25_B * dls[i] / avgdl)
+            s += round(idf * tf * (BM25_K1 + 1) / denom, 9)
+        if hit:
+            scores[i] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOP]
+    want = [(d, s, r + 1) for r, (d, s) in enumerate(want)]
+    assert [(d, r) for d, _s, r in got] == [(d, r) for d, _s, r in want]
+    for (gd, gs, _), (_, ws, _) in zip(got, want):
+        assert abs(gs - ws) <= 1e-6, (gd, gs, ws)
+    ranks = {d: r for d, _s, r in got}
+    assert ranks[0] == 1            # saturated doc on top
+    assert ranks[1] > 1             # single-mention doc below it
