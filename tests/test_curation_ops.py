@@ -461,3 +461,62 @@ def test_bm25_matches_python_okapi(spark, tmp_path):
     ranks = {d: r for d, _s, r in got}
     assert ranks[0] == 1            # saturated doc on top
     assert ranks[1] > 1             # single-mention doc below it
+
+
+def test_cooccur_pmi_matches_python(spark, tmp_path):
+    """Top-K PMI pairs ≡ a Python recomputation from document-frequency
+    sets (min term length, min pair support, same rounding + ordering),
+    on a corpus with planted always-together and never-together pairs."""
+    import math as _math
+    import random as _random
+    from itertools import combinations
+
+    from mysqldump_to_parquet_spark.llm.terms import (
+        MIN_TERM_LEN,
+        PMI_MIN_PAIR,
+        PMI_TOP_K,
+        cooccur_pmi,
+    )
+
+    rng = _random.Random(97)
+    vocab = [f"word{i:02d}" for i in range(12)]
+    docs = []
+    for i in range(30):
+        toks = rng.sample(vocab, k=rng.randint(2, 6))
+        if i % 4 == 0:
+            toks += ["alpha_pair", "beta_pair"]  # planted co-occurrence
+        toks.append("sh")  # below MIN_TERM_LEN: must be ignored
+        rng.shuffle(toks)
+        docs.append((" ".join(toks), "s0"))
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = [
+        (r.w1, r.w2, r.n_pair, r.pmi)
+        for r in cooccur_pmi(spark, sf).collect()
+    ]
+
+    doc_terms = [
+        {t for t in text.split(" ") if len(t) >= MIN_TERM_LEN}
+        for text, _ in docs
+    ]
+    n_docs = len(docs)
+    df: dict = {}
+    for ts in doc_terms:
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    pair_n: dict = {}
+    for ts in doc_terms:
+        for a, b in combinations(sorted(ts), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = []
+    for (a, b), n in pair_n.items():
+        if n < PMI_MIN_PAIR:
+            continue
+        pmi = round(_math.log(n * n_docs / (df[a] * df[b])), 9)
+        want.append((a, b, n, pmi))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = want[:PMI_TOP_K]
+    assert got == want
+    assert ("alpha_pair", "beta_pair") in {(a, b) for a, b, _, _ in got}
+    # the planted pair co-occurs in every doc it appears in → max PMI
+    assert got[0][:2] == ("alpha_pair", "beta_pair")
