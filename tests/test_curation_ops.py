@@ -520,3 +520,57 @@ def test_cooccur_pmi_matches_python(spark, tmp_path):
     assert ("alpha_pair", "beta_pair") in {(a, b) for a, b, _, _ in got}
     # the planted pair co-occurs in every doc it appears in → max PMI
     assert got[0][:2] == ("alpha_pair", "beta_pair")
+
+
+def test_unigram_logprob_matches_python_lm(spark, tmp_path):
+    """Add-one unigram LM scores ≡ Python counting with the identical
+    rounding ladder (ln p → 9, doc sum → 6); a gibberish doc must score
+    strictly lower mean log-prob than an in-distribution one."""
+    import math as _math
+    import random as _random
+    from collections import Counter
+
+    from mysqldump_to_parquet_spark.llm.quality import unigram_logprob
+
+    rng = _random.Random(101)
+    common = [f"tok{i}" for i in range(10)]
+    docs = []
+    for _ in range(15):
+        docs.append(
+            (" ".join(rng.choice(common) for _ in range(30)), "s0")
+        )
+    docs.append((" ".join(f"zzz{i}" for i in range(25)), "s0"))  # gibberish
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_lnp, r.mean_lnp, r.ppl_proxy)
+        for r in unigram_logprob(spark, sf).collect()
+    }
+
+    cnt = Counter()
+    for text, _ in docs:
+        cnt.update(text.split(" "))
+    n_total, v_size = sum(cnt.values()), len(cnt)
+    want = {}
+    for doc_id, (text, _) in enumerate(docs):
+        toks = text.split(" ")
+        s = round(
+            sum(
+                round(_math.log((cnt[t] + 1) / (n_total + v_size)), 9)
+                for t in toks
+            ),
+            6,
+        )
+        mean = s / len(toks)
+        want[doc_id] = (len(toks), s, mean, round(_math.exp(-mean), 6))
+    assert got.keys() == want.keys()
+    for k in want:
+        g, w = got[k], want[k]
+        assert g[0] == w[0]
+        assert abs(g[1] - w[1]) <= 1e-6
+        assert abs(g[2] - w[2]) <= 1e-6
+        assert abs(g[3] - w[3]) <= max(1e-4, abs(w[3]) * 1e-5)
+    gib = len(docs) - 1
+    assert got[gib][2] < min(
+        got[d][2] for d in range(len(docs) - 1)
+    )  # gibberish scores lowest
