@@ -574,3 +574,51 @@ def test_unigram_logprob_matches_python_lm(spark, tmp_path):
     assert got[gib][2] < min(
         got[d][2] for d in range(len(docs) - 1)
     )  # gibberish scores lowest
+
+
+def test_split_drift_matches_python_psi(spark, sf_dir):
+    """PSI over length bins ≡ Python: same md5 split rule, integer-DIV
+    binning, both-sides convention, per-bin round-9 / sum round-6; the
+    one-sided bin count must account for every dropped bin."""
+    import hashlib
+    import math as _math
+    from collections import Counter
+
+    from mysqldump_to_parquet_spark.llm.quality import PSI_BIN, split_drift
+    from mysqldump_to_parquet_spark.llm.sampling import TRAIN_MAX, VAL_MAX
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    r = split_drift(spark, sf_dir).collect()[0]
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    tr: Counter = Counter()
+    te: Counter = Counter()
+    for d in docs:
+        h = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        if h < TRAIN_MAX:
+            tr[d.n_chars // PSI_BIN] += 1
+        elif h < VAL_MAX:
+            pass  # val excluded
+        else:
+            te[d.n_chars // PSI_BIN] += 1
+    common = set(tr) & set(te)
+    one_sided = (set(tr) | set(te)) - common
+    t_tr = sum(tr[b] for b in common) + sum(tr[b] for b in set(tr) - common)
+    t_te = sum(te[b] for b in common) + sum(te[b] for b in set(te) - common)
+    psi = round(
+        sum(
+            round(
+                (tr[b] / t_tr - te[b] / t_te)
+                * _math.log((tr[b] / t_tr) / (te[b] / t_te)),
+                9,
+            )
+            for b in common
+        ),
+        6,
+    )
+    assert r.n_bins_common == len(common)
+    assert r.n_bins_one_sided == len(one_sided)
+    assert abs(r.psi - psi) <= 1e-6
+    assert r.psi < 0.25  # same-distribution hash split: no drift
