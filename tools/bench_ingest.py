@@ -83,6 +83,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=64.0)
     ap.add_argument("--tables", type=int, default=8)
+    ap.add_argument(
+        "--gzip",
+        type=int,
+        default=0,
+        metavar="N",
+        help="compress the dump into N .sql.gz members (the unsplittable-"
+        "input path: parallelism is per member, like real mysqldump | "
+        "gzip output sharded by table or chunk)",
+    )
     args = ap.parse_args()
 
     from mysqldump_to_parquet_spark.session import get_spark
@@ -99,6 +108,28 @@ def main() -> None:
         dump = os.path.join(work, "bench.sql")
         rows = generate_dump(dump, args.mb, args.tables)
         dump_mb = os.path.getsize(dump) / 1024 / 1024
+        if args.gzip:
+            # shard the plain dump into N gzip members: DDL lines go to
+            # member 0; INSERT lines round-robin (statements are
+            # self-contained one-liners, so any sharding is valid)
+            import gzip as _gzip
+
+            outs = [
+                _gzip.open(os.path.join(work, f"part{i:03d}.sql.gz"), "wt")
+                for i in range(args.gzip)
+            ]
+            with open(dump) as fh:
+                i = 0
+                for line in fh:
+                    if line.startswith("INSERT"):
+                        outs[i % args.gzip].write(line)
+                        i += 1
+                    else:
+                        outs[0].write(line)
+            for o in outs:
+                o.close()
+            os.unlink(dump)
+            dump = os.path.join(work, "*.sql.gz")
 
         # Warmup on a small prefix so JVM/codegen startup stays out of the
         # measured number (same policy as bench.py).
