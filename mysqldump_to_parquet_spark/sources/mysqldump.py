@@ -817,7 +817,11 @@ def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
     # quotes STRICTLY BEFORE it is odd — for non-quote bytes that equals
     # parity[pos] (UTF-8 continuation bytes are ≥ 0x80, so multibyte text
     # can never alias the ASCII quote/paren/comma bytes tested here)
-    parity = np.cumsum(arr == 39)
+    # int32 accumulator: the default int64 cumsum doubles the memory
+    # traffic of the scan's largest intermediate, and at 32 concurrent
+    # parse workers this whole routine is memory-bandwidth-bound (a
+    # statement is at most a few MB — far under the int32 range)
+    parity = np.cumsum(arr == 39, dtype=np.int32)
     if int(parity[-1]) % 2 != 0:
         return None
     # any top-level whitespace (space/tab/CR/LF outside quotes) means the
