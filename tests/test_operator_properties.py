@@ -1345,3 +1345,58 @@ def test_pii_redact_semantics(spark, sf_dir):
         assert not re.search(PHONE_RE, red)
         checked += 1
     assert checked >= 100
+
+
+def test_scd2_interval_invariants(spark, tmp_path):
+    """SCD2 history invariants on a randomized stream: per user, exactly
+    one current row; intervals chain (each valid_to equals the next
+    valid_from); no overlaps; and the row set matches a Python lead."""
+    from mysqldump_to_parquet_spark.operators.temporal import scd2
+
+    rng = random.Random(103)
+    rows = _write_random_events(spark, tmp_path, rng, n_users=8, max_n=25)
+    out = scd2(spark, str(tmp_path)).collect()
+
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    src: dict = {}
+    for e, t, u, typ, _v, _p in rows:
+        src.setdefault(u, []).append((t, e, typ))
+    assert by_user.keys() == src.keys()
+    for u, history in by_user.items():
+        history.sort(key=lambda r: (r.valid_from, r.event_id))
+        evs = sorted(src[u])
+        assert len(history) == len(evs)
+        currents = [r for r in history if r.is_current]
+        assert len(currents) == 1
+        assert currents[0].valid_to is None
+        for cur, nxt in zip(history, history[1:]):
+            assert cur.valid_to == nxt.valid_from  # chained, no gaps
+        for r, (t, e, typ) in zip(history, evs):
+            assert (r.valid_from, r.event_id, r.state) == (t, e, typ)
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Retention-triangle invariants on the fixture: every cohort has a
+    week-0 row (everyone is active in their own first week), later-week
+    active counts never exceed the cohort's week-0 size, week offsets
+    are non-negative, and week-0 sizes sum to the distinct-user count
+    (each user belongs to exactly one cohort)."""
+    from mysqldump_to_parquet_spark.operators.events import cohort_retention
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    rows = cohort_retention(spark, sf_dir).collect()
+    assert rows
+    size0 = {
+        r.cohort_week: r.n_active for r in rows if r.week_no == 0
+    }
+    cohorts = {r.cohort_week for r in rows}
+    assert cohorts == set(size0)  # every cohort has its week-0 row
+    for r in rows:
+        assert r.week_no >= 0
+        assert 0 < r.n_active <= size0[r.cohort_week]
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(size0.values()) == n_users
