@@ -1400,3 +1400,95 @@ def test_cohort_retention_invariants(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert sum(size0.values()) == n_users
+
+
+def test_resample_locf_matches_python(spark, tmp_path):
+    """Hourly LOCF grid ≡ Python: complete hour coverage from each
+    user's first to last event hour, zero-filled counts, carried
+    forward rounded sums."""
+    from mysqldump_to_parquet_spark.streaming.windows import resample_locf
+
+    rng = random.Random(107)
+    rows = _write_random_events(spark, tmp_path, rng, n_users=5, max_n=15)
+    got = {
+        (r.user_id, r.bucket): (r.n_events, r.value_locf)
+        for r in resample_locf(spark, str(tmp_path)).collect()
+    }
+
+    from datetime import timedelta
+
+    def floor_h(t):
+        return t.replace(minute=0, second=0, microsecond=0)
+
+    by_user: dict = {}
+    for _e, t, u, _typ, v, _p in rows:
+        by_user.setdefault(u, []).append((t, v))
+    want = {}
+    for u, evs in by_user.items():
+        per_bucket: dict = {}
+        for t, v in evs:
+            b = floor_h(t)
+            n, s = per_bucket.get(b, (0, 0.0))
+            per_bucket[b] = (n + 1, s + v)
+        t0 = floor_h(min(t for t, _ in evs))
+        t1 = floor_h(max(t for t, _ in evs))
+        carried = None
+        b = t0
+        while b <= t1:
+            if b in per_bucket:
+                n, s = per_bucket[b]
+                carried = round(s, 6)
+                want[(u, b)] = (n, carried)
+            else:
+                want[(u, b)] = (0, carried)
+            b = b + timedelta(hours=1)
+    assert got.keys() == want.keys()
+    for k in want:
+        gn, gv = got[k]
+        wn, wv = want[k]
+        assert gn == wn, k
+        if wv is None:
+            assert gv is None
+        else:
+            assert abs(gv - wv) <= 1e-6, k
+
+
+def test_ngram_lm_matches_python_counter(spark, tmp_path):
+    """Top-K bigram MLE ≡ Python Counter with the identical ordering and
+    exact conditional probabilities."""
+    import random as _random
+    from collections import Counter
+
+    from mysqldump_to_parquet_spark.llm.terms import NGRAM_TOP_K, ngram_lm
+
+    # reuse the documents-fixture writer from the curation test module
+    from tests.test_curation_ops import _write_documents
+
+    rng = _random.Random(109)
+    vocab = [f"v{i}" for i in range(8)]
+    docs = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))), "s0")
+        for _ in range(25)
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+
+    got = [
+        (r.w1, r.w2, r.pair_cnt, r.first_cnt, r.p_cond)
+        for r in ngram_lm(spark, sf).collect()
+    ]
+    pairs: Counter = Counter()
+    for text, _ in docs:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] += 1
+    firsts: Counter = Counter()
+    for (a, _b), n in pairs.items():
+        firsts[a] += n
+    want = sorted(
+        (
+            (a, b, n, firsts[a], n / firsts[a])
+            for (a, b), n in pairs.items()
+        ),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:NGRAM_TOP_K]
+    assert got == want
