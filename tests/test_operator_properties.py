@@ -1492,3 +1492,100 @@ def test_ngram_lm_matches_python_counter(spark, tmp_path):
         key=lambda r: (-r[2], r[0], r[1]),
     )[:NGRAM_TOP_K]
     assert got == want
+
+
+def test_knn_classify_matches_numpy_vote(spark, sf_dir):
+    """K-NN label vote ≡ NumPy: identical K-cut (rounded cosine desc,
+    vec_id asc) and per-label votes/best-cosine."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm.vectors import KNN_K
+    from mysqldump_to_parquet_spark.llm.similarity import PROBE
+    from mysqldump_to_parquet_spark.llm.vectors import knn_classify
+
+    got = [
+        (r.label, r.votes, r.best_cosine)
+        for r in knn_classify(spark, sf_dir).collect()
+    ]
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    p = np.array(PROBE, dtype=np.float64)
+    scored = []
+    for r in rows:
+        x = np.array([float(v) for v in r.embedding], dtype=np.float64)
+        c = round(float(x @ p / (np.linalg.norm(x) * np.linalg.norm(p))), 6)
+        scored.append((-c, r.vec_id, r.label, c))
+    scored.sort()
+    top = scored[:KNN_K]
+    votes: dict = {}
+    for _negc, _vid, label, c in top:
+        n, best = votes.get(label, (0, -2.0))
+        votes[label] = (n + 1, max(best, c))
+    want = sorted(
+        ((lab, n, best) for lab, (n, best) in votes.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert [(l, v) for l, v, _ in got] == [(l, v) for l, v, _ in want]
+    for (gl, _gv, gb), (_wl, _wv, wb) in zip(got, want):
+        assert abs(gb - wb) <= 1e-6, gl
+
+
+def test_dedup_embedding_matches_numpy_top1(spark, sf_dir):
+    """Exact top-1 neighbor per query ≡ NumPy brute force with the same
+    (cosine desc, cand_id asc) tiebreak."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm.dedup import dedup_embedding
+
+    got = {
+        r.query_id: (r.nearest_id, r.cosine)
+        for r in dedup_embedding(spark, sf_dir).collect()
+    }
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = {
+        r.vec_id: np.array([float(v) for v in r.embedding], dtype=np.float64)
+        for r in rows
+    }
+    norms = {k: np.linalg.norm(v) for k, v in X.items()}
+    for qid in [k for k in X if k < 30]:
+        best = None
+        for cid, cv in X.items():
+            if cid == qid:
+                continue
+            c = float(X[qid] @ cv / (norms[qid] * norms[cid]))
+            if best is None or (-c, cid) < best[0]:
+                best = ((-c, cid), cid, c)
+        assert got[qid][0] == best[1], qid
+        assert abs(got[qid][1] - round(best[2], 6)) <= 1e-6, qid
+
+
+def test_text_clean_semantics(spark, sf_dir):
+    """Cleaning ≡ Python re chain on the raw text (URL → EMAIL →
+    whitespace collapse → trim), with chars_removed / was_modified
+    consistency."""
+    import re
+
+    from mysqldump_to_parquet_spark.llm.textstats import (
+        RE_EMAIL,
+        RE_MULTISPACE,
+        RE_URL,
+        text_clean,
+    )
+    from mysqldump_to_parquet_spark.catalog import load_table
+
+    raw = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").limit(300).collect()
+    }
+    checked = 0
+    for r in text_clean(spark, sf_dir).collect():
+        if r.doc_id not in raw:
+            continue
+        t = raw[r.doc_id]
+        want = re.sub(RE_URL, "<URL>", t)
+        want = re.sub(RE_EMAIL, "<EMAIL>", want)
+        want = re.sub(RE_MULTISPACE, " ", want).strip()
+        assert r.clean_text == want, r.doc_id
+        assert r.chars_removed == len(t) - len(want)
+        assert r.was_modified == (want != t)
+        checked += 1
+    assert checked >= 100
