@@ -733,11 +733,13 @@ class TestArrowFastPath:
     @pytest.mark.parametrize(
         "stmt",
         [
-            "INSERT INTO `t` VALUES (1, 'a');",  # top-level whitespace
-            "INSERT INTO `t` VALUES (1,'a'), (2,'b');",  # spaced separator
             "INSERT INTO `t` VALUES (1,'a\");",  # unbalanced quote
             "INSERT INTO `t` VALUES (1,(2));",  # nested tuple
             "INSERT INTO `t` VALUES (1,'a\\);",  # trailing lone backslash
+            # whitespace BETWEEN value tokens is malformed SQL — the
+            # exhaustive tokenizer raises; stripping would fuse tokens
+            "INSERT INTO `t` VALUES (1,2 3);",
+            "INSERT INTO `t` VALUES (1,'a' 'b');",  # would fuse strings
         ],
     )
     def test_surprises_fall_back(self, stmt):
@@ -746,6 +748,32 @@ class TestArrowFastPath:
         )
 
         assert _values_csv_bytes(stmt) is None
+
+    @pytest.mark.parametrize(
+        "stmt,want_csv,want_n",
+        [
+            # delimiter-adjacent top-level whitespace strips — pretty-
+            # printed and reassembled multiline dumps ride the fast path
+            ("INSERT INTO `t` VALUES (1, 'a');", b"1,'a'", 1),
+            ("INSERT INTO `t` VALUES (1,'a'), (2,'b');", b"1,'a'\n2,'b'", 2),
+            (
+                "INSERT INTO `t` VALUES\n(1,\n'a b'),\n( 2 , 'c, d' );",
+                b"1,'a b'\n2,'c, d'",
+                2,
+            ),
+        ],
+    )
+    def test_toplevel_whitespace_strips(self, stmt, want_csv, want_n):
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _values_csv_bytes,
+            parse_insert_full,
+        )
+
+        csv, n = _values_csv_bytes(stmt)
+        assert (csv, n) == (want_csv, want_n)
+        # differential: the exhaustive grammar yields the same values
+        _, _, rows = parse_insert_full(stmt)
+        assert len(rows) == want_n
 
     def test_escapes_resolved_on_fast_path(self):
         """Backslash escapes stay on the fast path: semantic escapes map
