@@ -182,9 +182,10 @@ _R4_WINDOW = (
 
 
 def _ordered(full: dict) -> dict:
-    """Driver-sweep packing: the pinned round-3 window first, then any
-    never-driver-verified operator that did not fit (next in line), then
-    the r1+r2-verified tail."""
+    """Driver-sweep packing: the pinned round-4 window first (the full
+    never-checked backlog + the two fixed r3 reds + the one new key),
+    then any never-driver-verified operator added later (next in line),
+    then the r1+r2+r3-verified tail."""
     window = {k: full[k] for k in _R4_WINDOW if k in full}
     fresh = {
         k: v

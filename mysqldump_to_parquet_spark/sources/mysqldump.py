@@ -848,14 +848,29 @@ def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
         run_break = np.diff(idx) > 1
         starts = idx[np.concatenate(([True], run_break))]
         ends = idx[np.concatenate((run_break, [True]))]
+        # neighbors with the stripped outer parens as boundary sentinels
+        prev_b = np.where(starts == 0, 40, arr[np.maximum(starts - 1, 0)])
+        next_b = np.where(
+            ends == arr.size - 1, 41, arr[np.minimum(ends + 1, arr.size - 1)]
+        )
         structural = (40, 41, 44)
-        prev_ok = (starts == 0) | np.isin(
-            arr[np.maximum(starts - 1, 0)], structural
+        if not bool(
+            (np.isin(prev_b, structural) | np.isin(next_b, structural)).all()
+        ):
+            return None
+        # empty-field guard (fail-loud C3): stripping must never CREATE
+        # an empty field — '( ,' ', )' ', ,' '( )' would reach Arrow as
+        # NULL where the exhaustive parser raises a row-arity error.
+        # The only legal structural adjacencies a strip may create are
+        # the row boundary's '),', ',(' (and ')(' is rejected by the
+        # paren-structure check downstream).
+        empty = (
+            ((prev_b == 40) & (next_b == 44))
+            | ((prev_b == 44) & (next_b == 41))
+            | ((prev_b == 44) & (next_b == 44))
+            | ((prev_b == 40) & (next_b == 41))
         )
-        next_ok = (ends == arr.size - 1) | np.isin(
-            arr[np.minimum(ends + 1, arr.size - 1)], structural
-        )
-        if not bool((prev_ok | next_ok).all()):
+        if bool(empty.any()):
             return None
         arr = arr[~top_ws]
         if arr.size == 0:

@@ -740,6 +740,14 @@ class TestArrowFastPath:
             # exhaustive tokenizer raises; stripping would fuse tokens
             "INSERT INTO `t` VALUES (1,2 3);",
             "INSERT INTO `t` VALUES (1,'a' 'b');",  # would fuse strings
+            # stripping must never CREATE an empty field (fail-loud C3:
+            # the exhaustive parser raises a row-arity error; the fast
+            # path would silently yield NULL)
+            "INSERT INTO `t` VALUES (1, );",
+            "INSERT INTO `t` VALUES ( ,1);",
+            "INSERT INTO `t` VALUES (1, ,2);",
+            "INSERT INTO `t` VALUES ( );",
+            "INSERT INTO `t` VALUES (1,'a'), (2, );",
         ],
     )
     def test_surprises_fall_back(self, stmt):

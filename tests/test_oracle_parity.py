@@ -224,7 +224,9 @@ def test_oracle_result_types_survive_pandas_bridge():
     cast to DOUBLE (round-trip fidelity belongs in ingest tests, not
     hash contracts).  DESCRIBE binds without executing, so this sweep
     is cheap and catches the class at commit time, structurally."""
-    con = _duck("/root/testdata/sf0.01")
+    from tests.conftest import SF_CORRECT
+
+    con = _duck(SF_CORRECT)  # DESCRIBE only binds — any sf's schema works
     bad = {}
     for name, sql in sorted(_ORACLE.items()):
         cols = con.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()

@@ -100,7 +100,11 @@ def canon_pdf(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     return out
 
 
-def spark_canon(q, spark, sf: str) -> list[tuple[str, ...]]:
+def spark_canon(q, spark, sf: str) -> tuple[list[tuple[str, ...]], list[str]]:
+    """(canonical rows, column names) — one build per call: iterative
+    builders (BPE, kmeans, weighted-median sketch) execute real Spark
+    jobs at build time, so the caller must never rebuild just to read
+    ``.columns``."""
     from pyspark.sql import types as T
 
     sdf = q(spark, sf)
@@ -111,7 +115,7 @@ def spark_canon(q, spark, sf: str) -> list[tuple[str, ...]]:
                 f"column {f.name!r} is {f.dataType.simpleString()} — "
                 "unhashable in the driver canonicalizer; serialize it"
             )
-    return canon_pdf(sdf.toPandas())
+    return canon_pdf(sdf.toPandas()), list(sdf.columns)
 
 
 def main() -> int:
@@ -145,11 +149,11 @@ def main() -> int:
                 # rows-only key: the driver still RUNS it (a raising
                 # query or unhashable schema is a red row) — execute and
                 # apply the same schema guard, skip the value compare
-                s = spark_canon(q[name], spark, sf)
+                s, _ = spark_canon(q[name], spark, sf)
                 print(f"ok   {name} (rows-only, {len(s)} rows)")
                 continue
-            s = spark_canon(q[name], spark, sf)
-            cols = sorted(q[name](spark, sf).columns)
+            s, columns = spark_canon(q[name], spark, sf)
+            cols = sorted(columns)
             sel = ", ".join(f'"{c}"' for c in cols)  # "offset" etc. are
             d = canon_pdf(                           # reserved words
                 con.execute(f"SELECT {sel} FROM ({o[name]}) t").df()
@@ -178,7 +182,7 @@ def main() -> int:
                 try:
                     for k, v in alt.items():
                         spark.conf.set(k, v)
-                    s2 = spark_canon(q[name], spark, sf)
+                    s2, _ = spark_canon(q[name], spark, sf)
                 finally:
                     for k, v in saved.items():
                         spark.conf.set(k, v)
