@@ -1589,3 +1589,65 @@ def test_text_clean_semantics(spark, sf_dir):
         assert r.was_modified == (want != t)
         checked += 1
     assert checked >= 100
+
+
+def test_funnel_matches_python_strict_order(spark, tmp_path):
+    """Strictly-ordered funnel ≡ a Python per-user scan: stage n's entry
+    is the first matching event strictly after stage n-1's entry; a
+    planted out-of-order user counts only up to where the order breaks,
+    and an equal-timestamp stage-2 event does NOT advance (strict >)."""
+    from datetime import datetime, timedelta
+
+    from mysqldump_to_parquet_spark.operators.events import (
+        FUNNEL_STAGES,
+        funnel,
+    )
+
+    rng = random.Random(113)
+    base = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+
+    def emit(user, seq):
+        nonlocal eid
+        t = base
+        for typ, dt in seq:
+            t = t + timedelta(minutes=dt)
+            eid += 1
+            rows.append((eid, t, user, typ, 1.0, "{}"))
+
+    a, b, c = FUNNEL_STAGES
+    emit(1, [(a, 1), (b, 1), (c, 1)])          # full conversion
+    emit(2, [(a, 1), (b, 1)])                  # stops at stage 2
+    emit(3, [(b, 1), (a, 1), (c, 1)])          # out of order: b before a
+    emit(4, [(a, 1), (c, 1)])                  # skips stage 2
+    emit(5, [(a, 1), (b, 0), (c, 1)])          # equal-ts b: strict > blocks
+    for u in range(6, 12):                     # random noise users
+        emit(u, [(rng.choice([a, b, c]), rng.randint(1, 9)) for _ in range(5)])
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    r = funnel(spark, str(tmp_path)).collect()[0]
+
+    by_user: dict = {}
+    for e, t, u, typ, _v, _p in rows:
+        by_user.setdefault(u, []).append((t, e, typ))
+    n = [0, 0, 0]
+    for u, evs in by_user.items():
+        evs.sort()
+        entry = None
+        for stage_i, stage in enumerate((a, b, c)):
+            nxt = min(
+                (t for t, _e, typ in evs
+                 if typ == stage and (entry is None or t > entry)),
+                default=None,
+            )
+            if nxt is None:
+                break
+            entry = nxt
+            n[stage_i] += 1
+    assert (r.n_stage1, r.n_stage2, r.n_stage3) == tuple(n)
+    assert r.conv_1_2 == n[1] / n[0] and r.conv_2_3 == n[2] / n[1]
