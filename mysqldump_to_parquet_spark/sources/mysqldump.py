@@ -527,6 +527,13 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
             raise DumpParseError(f"expected '(' at {i} in INSERT for {table}")
         i += 1
         row = []
+        # C3 fail-loud separator contract: between '(' and ')', values and
+        # commas must strictly alternate.  Adjacent values (``2 .5``),
+        # empty fields (``(1,,2)`` / ``(,1)`` / ``(1,)``) and the empty
+        # row ``()`` all raise instead of silently fusing or dropping
+        # tokens — a fused row that happens to match the table arity
+        # would otherwise write corrupt values without any error.
+        expect_value = True
         while True:
             while i < n and s[i] in " \t\r\n":
                 i += 1
@@ -534,11 +541,23 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                 raise DumpParseError(f"truncated INSERT for {table}: unterminated row")
             ch = s[i]
             if ch == ")":
+                if expect_value:
+                    raise DumpParseError(
+                        f"empty {'row' if not row else 'field'} in INSERT "
+                        f"for {table}"
+                    )
                 i += 1
                 break
             if ch == ",":
+                if expect_value:
+                    raise DumpParseError(f"empty field in INSERT for {table}")
+                expect_value = True
                 i += 1
                 continue
+            if not expect_value:
+                raise DumpParseError(
+                    f"adjacent values without ',' in INSERT for {table}"
+                )
             if ch == "'":
                 # Fast path: most string literals contain no backslash and
                 # no doubled quote — one C-speed find() + slice instead of
@@ -553,6 +572,7 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                 seg = s[i + 1 : k]
                 if "\\" not in seg and (k + 1 >= n or s[k + 1] != "'"):
                     row.append(seg)
+                    expect_value = False
                     i = k + 1
                     continue
                 # string literal: backslash escapes + '' doubling
@@ -574,6 +594,7 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                     buf.append(c)
                     i += 1
                 row.append("".join(buf))
+                expect_value = False
                 continue
             # unquoted token: number / NULL / TRUE / FALSE
             j = i
@@ -630,6 +651,7 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                 raise DumpParseError(
                     f"unsupported literal {tok[:40]!r} in INSERT for {table}"
                 )
+            expect_value = False
         rows.append(tuple(row))
     return rows
 
@@ -860,7 +882,7 @@ def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
             return None
         # empty-field guard (fail-loud C3): stripping must never CREATE
         # an empty field — '( ,' ', )' ', ,' '( )' would reach Arrow as
-        # NULL where the exhaustive parser raises a row-arity error.
+        # NULL where the exhaustive parser raises an empty-field error.
         # The only legal structural adjacencies a strip may create are
         # the row boundary's '),', ',(' (and ')(' is rejected by the
         # paren-structure check downstream).

@@ -537,6 +537,35 @@ def test_parse_insert_variants():
     assert table == "t" and cols == ["b", "a"] and rows == [(1, "x")]
 
 
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # adjacent values without a separator — silently fusing these
+        # could write corrupt rows whenever the fused arity happens to
+        # match the table (C3 fail-loud; ADVICE r4)
+        "INSERT INTO `t` VALUES (1,2 .5);",
+        "INSERT INTO `t` VALUES (1 2);",
+        "INSERT INTO `t` VALUES ('a' 'b');",
+        "INSERT INTO `t` VALUES (1,'a' 2);",
+        # empty fields / empty row
+        "INSERT INTO `t` VALUES (1,,2);",
+        "INSERT INTO `t` VALUES (,1);",
+        "INSERT INTO `t` VALUES (1,);",
+        "INSERT INTO `t` VALUES ();",
+        "INSERT INTO `t` VALUES (1,'a'),(2,);",
+    ],
+)
+def test_exhaustive_tokenizer_separator_contract(stmt):
+    """The exhaustive VALUES tokenizer enforces strict value/comma
+    alternation: adjacent values, empty fields, and empty rows raise
+    DumpParseError instead of silently fusing or dropping tokens — the
+    contract the fast path's structural guards assume when they defer."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import DumpParseError
+
+    with pytest.raises(DumpParseError):
+        parse_insert_full(stmt)
+
+
 def test_convert_dump_replace_and_ignore(spark, tmp_path):
     """End-to-end conversion of a dump written with --replace for one
     table and --insert-ignore for another."""
