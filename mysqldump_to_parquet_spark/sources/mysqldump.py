@@ -1232,163 +1232,345 @@ def build_schemas(stmts: Iterable[str]) -> dict[str, T.StructType]:
 
 
 # --------------------------------------------------------------------------
-# multi-line dump fallback (whole-file reassembly — reference parity for
-# dumps without --extended-insert, main.rs:110–145)
+# multi-line dump fallback (byte-range-splittable statement reassembly —
+# reference parity for dumps without --extended-insert, main.rs:110–145)
 # --------------------------------------------------------------------------
 
 
-#: Per-file ceilings for the whole-file path: one file = one in-memory
-#: string, and JVM/Arrow strings break near 2 GiB.  Gzip is bounded
-#: tighter because the *decompressed* text is what must fit (SQL text
-#: compresses ~4–10×).
-MAX_WHOLEFILE_BYTES = 1_500_000_000
-MAX_WHOLEFILE_GZ_BYTES = 250_000_000
+#: Byte-range size for splitting a plain multi-line .sql file across
+#: reassembly tasks.  Small enough that a single 68 MB file fans out
+#: across the cores (~17 ranges); single-table dumps then parse on the
+#: same partitions shuffle-free, and multi-table parse stages are sized
+#: separately by :func:`parse_partition_counts`.
+MULTILINE_SPLIT_BYTES = 4 * 1024 * 1024
+
+#: Statement-batch flush threshold inside a reassembly task (bounds task
+#: memory when streaming an unsplittable .gz member).
+_STMT_FLUSH_BYTES = 32 * 1024 * 1024
 
 
-def _whole_files_df(
-    spark: SparkSession, dump_path: str, max_bytes: int | None = None
-) -> DataFrame:
-    """One row per dump file (``wholetext``).  Statement reassembly then
-    runs per file on executors — the same single-stream grammar as the
-    reference, parallel across files.  Memory is bounded by the largest
-    single file, so oversized files are rejected loudly up front (a
-    silently OOM-ing executor is much harder to act on): re-export with
-    ``mysqldump --extended-insert`` to use the splittable line path, or
-    split the dump into smaller files."""
-    sizes = (
+def _is_terminator_line(raw: bytes) -> bool:
+    """Byte-level twin of the grammar :func:`iter_statements` applies per
+    line: a statement terminates at a NON-noise line whose stripped text
+    ends with ';' (noise — blank, ``--`` comment, one-line ``/*...*/;``
+    conditional — is skipped there, so it must not anchor a range
+    boundary either).  Both neighbors of every split boundary use this
+    same classifier, so each statement is owned by exactly one range."""
+    s = raw.strip()
+    if not s or s.startswith(b"--") or (s.startswith(b"/*") and s.endswith(b"*/;")):
+        return False
+    return s.endswith(b";")
+
+
+def _iter_range_statements(path: str, start: int, end: int) -> Iterator[str]:
+    """Reassembled statements owned by byte range ``[start, end)`` of a
+    plain-text dump file.
+
+    Ownership rule (the multi-line analogue of Hadoop's line ownership,
+    which ``dump_datasource.MysqldumpReader`` uses for the one-line
+    layout): define A(x) = the end offset of the first terminator line
+    whose first byte is ≥ the newline-aligned position of x (A(0) = 0).
+    Range [start, end) owns exactly the lines in (A(start), A(end)] —
+    region boundaries are statement-terminator line ends, so every
+    statement's lines fall in exactly one region, each region reads at
+    most one statement past its nominal end, and concatenating regions
+    in offset order reproduces the sequential single-stream reassembly
+    byte for byte.
+
+    The range body is read in ONE ``fh.read`` and line-split in C (a
+    per-line ``readline`` loop measured ~4× slower — it held the whole
+    68 MB single-file bench ~1 s behind the one-line layout); only the
+    handful of lines past ``end`` stream via ``readline``."""
+    lines = _range_owned_lines(path, start, end)
+    if not lines:
+        return
+    text = b"\n".join(lines).decode("utf-8", errors="replace")
+    yield from iter_statements(text.split("\n"))
+
+
+def _range_owned_lines(path: str, start: int, end: int) -> list[bytes]:
+    """The raw line set owned by byte range ``[start, end)`` under the
+    ownership rule of :func:`_iter_range_statements`."""
+    with open(path, "rb") as fh:
+        a = 0
+        if start > 0:
+            # newline-align (LineRecordReader convention: back up one
+            # byte so a line starting exactly at `start` is kept)
+            fh.seek(start - 1)
+            fh.readline()
+            a = fh.tell()
+        body = fh.read(end - a) if a < end else b""
+        if body and not body.endswith(b"\n"):
+            # complete the line straddling `end`: it starts before `end`,
+            # so it is never a boundary-stop candidate (the next range's
+            # alignment consumes it) — no terminator check here
+            body += fh.readline()
+        # forward scan: every further line starts ≥ end; consume through
+        # the first terminator (A(end)), the next range's boundary
+        tail: list[bytes] = []
+        while True:
+            raw = fh.readline()
+            if not raw:
+                break
+            tail.append(raw)
+            if _is_terminator_line(raw):
+                break
+    lines = body.split(b"\n")
+    if lines and lines[-1] == b"":
+        lines.pop()
+    lines.extend(ln.rstrip(b"\n") for ln in tail)
+    if start > 0:
+        # discard through the first terminator line — it ends a statement
+        # the PREVIOUS range owns and reads forward to finish.  If that
+        # boundary terminator already starts at/after `end`, the region
+        # (A(start), A(end)] is empty (range smaller than one statement).
+        off = a
+        keep = None
+        for i, ln in enumerate(lines):
+            if _is_terminator_line(ln):
+                if off >= end:
+                    return []
+                keep = i + 1
+                break
+            off += len(ln) + 1
+        if keep is None:
+            return []  # no terminator at/after start: own nothing
+        lines = lines[keep:]
+    return lines
+
+
+def _iter_gz_statements(path: str) -> Iterator[str]:
+    """Statements from an unsplittable .gz member, streamed line-by-line
+    (no whole-file string: memory is bounded by one statement, not one
+    file — arbitrarily large members are fine, just single-task)."""
+    import gzip
+
+    with gzip.open(path, "rt", encoding="utf-8", errors="replace") as fh:
+        yield from iter_statements(fh)
+
+
+def _local_path(uri: str) -> str:
+    """Hadoop file-status URI → OS path for Python ``open``."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return unquote(p.path) or uri
+    raise DumpParseError(
+        f"{uri}: multi-line reassembly reads byte ranges through the "
+        "local filesystem (file:// or a mounted path); stage the dump "
+        "locally or re-export with mysqldump --extended-insert for the "
+        "fully splittable one-line layout"
+    )
+
+
+def _multiline_ranges(
+    spark: SparkSession, dump_path: str, split_bytes: int | None = None
+) -> list[tuple[str, int, int]]:
+    """(path, start, end) reassembly ranges for a multi-line dump; end=-1
+    marks an unsplittable .gz member streamed whole."""
+    step = split_bytes or MULTILINE_SPLIT_BYTES
+    files = (
         spark.read.format("binaryFile")
         .load(dump_path)
-        .select("path", "length")  # length comes from file status — the
-        .collect()                 # content column is never materialized
+        .select("path", "length")  # file status only; content column is
+        .collect()                 # never materialized
     )
-    for r in sizes:
-        limit = max_bytes
-        if limit is None:
-            limit = (
-                MAX_WHOLEFILE_GZ_BYTES
-                if r.path.endswith(".gz")
-                else MAX_WHOLEFILE_BYTES
-            )
-        if r.length > limit:
-            raise DumpParseError(
-                f"{r.path} is {r.length:,} bytes — too large for whole-file "
-                "multi-line reassembly (per-file string memory bound); "
-                "re-export with mysqldump --extended-insert or split the dump"
-            )
-    return spark.read.text(dump_path, wholetext=True)
+    ranges: list[tuple[str, int, int]] = []
+    for r in files:
+        p = _local_path(r.path)
+        if p.endswith(".gz"):
+            ranges.append((p, 0, -1))  # -1 → stream whole member
+        else:
+            for off in range(0, max(int(r.length), 1), step):
+                ranges.append((p, off, min(off + step, int(r.length))))
+    if not ranges:
+        raise DumpParseError(f"{dump_path}: no dump files found")
+    return ranges
+
+
+def _range_statements(path: str, lo: int, hi: int) -> Iterator[str]:
+    """Statements owned by one reassembly range (gz-aware dispatch)."""
+    if hi < 0:
+        return _iter_gz_statements(path)
+    return _iter_range_statements(path, lo, hi)
+
+
+def _range_ddl_statements(path: str, lo: int, hi: int) -> Iterator[str]:
+    """CREATE TABLE / USE statements owned by one range, skipping INSERT
+    bodies at the bytes level (no decode, no join): a multi-line dump's
+    bytes are overwhelmingly tuple-continuation lines, and pass 1 only
+    needs the DDL.  Candidate statements are re-assembled through the
+    SAME grammar (:func:`iter_statements`) so cleanup/noise semantics
+    cannot drift; overcollection (e.g. a ``USES...`` statement) is
+    filtered there, and undercollection is impossible because every
+    statement start is prefix-tested."""
+    if hi < 0:
+        yield from (
+            s
+            for s in _iter_gz_statements(path)
+            if not s.startswith(DML_PREFIXES)
+        )
+        return
+    buf: list[bytes] = []
+    in_stmt = False
+    collecting = False
+    for ln in _range_owned_lines(path, lo, hi):
+        s = ln.strip()
+        if (
+            not s
+            or s.startswith(b"--")
+            or (s.startswith(b"/*") and s.endswith(b"*/;"))
+        ):
+            continue
+        if not in_stmt:
+            in_stmt = True
+            collecting = s.startswith(b"CREATE TABLE") or s[:3].upper() == b"USE"
+        if collecting:
+            buf.append(ln)
+        if s.endswith(b";"):
+            in_stmt = False
+            collecting = False
+    if buf:
+        text = b"\n".join(buf).decode("utf-8", errors="replace")
+        yield from (
+            s
+            for s in iter_statements(text.split("\n"))
+            if not s.startswith(DML_PREFIXES)
+        )
+
+
+def _ranges_df(spark: SparkSession, ranges) -> DataFrame:
+    """Ranges → one-row-per-range DataFrame at one range per task (the
+    reassembly is the scan stage; ranges are uniform-size by
+    construction).  ``parallelize(·, numSlices)`` pins the layout in a
+    single stage — a ``repartition`` achieves the same spread through an
+    extra shuffle stage that measured ~0.4 s of pure scheduling on the
+    68 MB bench."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "path string, start long, end long",
+    )
+
+
+def multiline_stmts_df(
+    spark: SparkSession, dump_path: str, split_bytes: int | None = None
+) -> DataFrame:
+    """One-statement-per-row DataFrame (column ``value``) for a dump
+    whose INSERT statements span lines (no ``--extended-insert``).
+
+    Plain ``.sql`` files are carved into ``MULTILINE_SPLIT_BYTES`` ranges
+    and reassembled in parallel under the ownership rule of
+    :func:`_iter_range_statements` — a 68 MB single file fans out across
+    the cores instead of occupying one task (the round-4 wholetext path's
+    ceiling, 9.1 MB/s).  ``.gz`` members are not seekable → one task per
+    member.  The result feeds the SAME downstream machinery as the
+    one-line layout (:func:`insert_rows_df` with ``lines_df=``): JVM-side
+    per-table prefix filter, byte-share parse sizing, Arrow-CSV fast
+    path."""
+    import pandas as pd
+
+    ranges = _multiline_ranges(spark, dump_path, split_bytes)
+
+    def reassemble(batches):
+        for pdf in batches:
+            for path, lo, hi in pdf.itertuples(index=False):
+                it = _range_statements(path, int(lo), int(hi))
+                out: list[str] = []
+                size = 0
+                for stmt in it:
+                    out.append(stmt)
+                    size += len(stmt)
+                    if size >= _STMT_FLUSH_BYTES:
+                        yield pd.DataFrame(
+                            {"value": pd.Series(out, dtype="object")}
+                        )
+                        out, size = [], 0
+                if out:
+                    yield pd.DataFrame(
+                        {"value": pd.Series(out, dtype="object")}
+                    )
+
+    return _ranges_df(spark, ranges).mapInPandas(reassemble, "value string")
 
 
 def collect_schemas_multiline(
-    spark: SparkSession, dump_path: str, files_df: DataFrame | None = None
+    spark: SparkSession, dump_path: str, stmts_df: DataFrame | None = None
 ) -> dict[str, T.StructType]:
-    """Pass 1 for multi-line dumps: per-file statement reassembly on
-    executors, CREATE TABLE statements (tiny) collected to the driver.
-    Pass the persisted wholetext ``files_df`` to avoid a second full
-    read+decode of every file."""
+    """Pass 1 for multi-line dumps: parallel range reassembly, then the
+    (tiny) CREATE TABLE / USE statement set collected to the driver.
+    Pass the persisted ``stmts_df`` to share one reassembly with the
+    per-table parse passes; without one, a map-only DDL scan filters
+    Python-side so INSERT text never crosses to the JVM."""
     import pandas as pd
 
-    def creates(batches):
+    if stmts_df is not None:
+        # iter_statements yields only CREATE TABLE / DML / USE, so the
+        # non-DML remainder is exactly the DDL+context set.
+        stmts = [r.value for r in stmts_df.where(~_dml_line_pred()).collect()]
+        return build_schemas(stmts)
+
+    def ddl_only(batches):
         for pdf in batches:
             out = []
-            for content in pdf["value"]:
-                for stmt in iter_statements(content.splitlines()):
-                    # USE statements ride along as db context for the
-                    # duplicate-table guard in build_schemas.
-                    if stmt.startswith("CREATE TABLE") or stmt.upper().startswith("USE"):
-                        out.append(stmt)
-            yield pd.DataFrame({"stmt": pd.Series(out, dtype="object")})
+            for path, lo, hi in pdf.itertuples(index=False):
+                out.extend(_range_ddl_statements(path, int(lo), int(hi)))
+            yield pd.DataFrame({"value": pd.Series(out, dtype="object")})
 
-    if files_df is None:
-        files_df = _whole_files_df(spark, dump_path)
-    stmts = [
-        r.stmt
-        for r in files_df.mapInPandas(creates, "stmt string").collect()
-    ]
+    rdf = _ranges_df(spark, _multiline_ranges(spark, dump_path))
+    stmts = [r.value for r in rdf.mapInPandas(ddl_only, "value string").collect()]
     return build_schemas(stmts)
 
 
-def insert_rows_df_multiline(
+def insert_rows_df_multiline_fused(
     spark: SparkSession,
     dump_path: str,
     table: str,
     schema: T.StructType,
-    files_df: DataFrame | None = None,
+    split_bytes: int | None = None,
 ) -> DataFrame:
-    """Pass 2 for multi-line dumps: reassemble + parse per file.  Same
-    Arrow-batched carrier/cast pipeline as :func:`insert_rows_df` —
-    including the Arrow-CSV fast path: reassembled statements carry
-    top-level newlines between tuples, which the structural scan strips
-    (delimiter-adjacent runs only), so a well-formed multiline dump
-    parses at fast-path speed (measured 6.1 → 19.6 MB/s on the 8-file
-    multiline bench shape).  Parallelism is per *file* (the statement
-    grammar is inherently sequential within one file — exactly the
-    reference's ceiling, which processes one stream on one thread)."""
+    """Pass 2 for a SINGLE-table multi-line dump: range reassembly and
+    statement parse fused into one ``mapInArrow`` stage.
+
+    The statements-DataFrame route (``multiline_stmts_df`` →
+    :func:`insert_rows_df`) crosses the full statement text
+    Python→JVM→Python around the persisted cache — measured ~1.3 s of a
+    3.5 s wall on the 68 MB single-file bench.  Fusing keeps the text
+    inside one Python worker per range; only parsed CARRIER batches
+    cross, exactly like the one-line layout's scan→parse stage.  The
+    multi-table path keeps the shared statements cache (JVM-side
+    per-table prefix filtering beats T× Python re-reads as T grows —
+    the same trade measured for the one-line layout's line cache)."""
     carrier = T.StructType([carrier_field(f) for f in schema.fields])
-    if files_df is None:
-        files_df = _whole_files_df(spark, dump_path)
-    names = [f.name for f in schema.fields]
+    ranges = _multiline_ranges(spark, dump_path, split_bytes)
 
-    def parse_file_batches(arrow_batches):
-        import pyarrow as pa
-
-        fast_types = _arrow_fast_types(schema)
-        has_col_list_re = _INSERT_COLS_RE
-        carrier_pa = pa.schema(
-            [
-                pa.field(f.name, _carrier_pa_type(f.dataType), True)
-                for f in carrier.fields
-            ]
-        )
-
-        def slow_batches(stmts):
-            rows: list[dict] = []
-            for stmt in stmts:
-                _, ins_cols, tuples = parse_insert_full(stmt)
-                for tup in tuples:
-                    if ins_cols is not None:
-                        tup = align_row(tup, ins_cols, schema, table)
-                    rows.append(
-                        dict(zip(names, coerce_row(tup, schema, table)))
-                    )
-            return pa.Table.from_pylist(rows, schema=carrier_pa).to_batches()
+    def fused(arrow_batches):
+        def grouped(it):
+            # flush in bounded statement groups: a plain range is ~one
+            # group; an unsplittable .gz member streams without ever
+            # holding its whole decompressed text
+            buf: list[str] = []
+            size = 0
+            for s in it:
+                buf.append(s)
+                size += len(s)
+                if size >= _STMT_FLUSH_BYTES:
+                    yield buf
+                    buf, size = [], 0
+            if buf:
+                yield buf
 
         for batch in arrow_batches:
-            slow_stmts: list[str] = []
-            fast_stmts: list[str] = []
-            fast_chunks: list[bytes] = []
-            fast_rows = 0
-            for content in batch.column(0).to_pylist():
-                for stmt in iter_statements(content.splitlines()):
-                    if not stmt.startswith(DML_PREFIXES):
-                        continue
-                    if insert_table_name(stmt) != table:
-                        continue
-                    if fast_types is not None and not has_col_list_re.match(
-                        stmt
-                    ):
-                        fb = _values_csv_bytes(stmt)
-                        if fb is not None:
-                            fast_stmts.append(stmt)
-                            fast_chunks.append(fb[0])
-                            fast_rows += fb[1]
-                            continue
-                    slow_stmts.append(stmt)
-            if fast_chunks:
-                try:
-                    tbl = _arrow_read_values(
-                        b"\n".join(fast_chunks), names, fast_types
+            for i in range(batch.num_rows):
+                path = batch.column(0)[i].as_py()
+                lo = batch.column(1)[i].as_py()
+                hi = batch.column(2)[i].as_py()
+                for group in grouped(_range_statements(path, lo, hi)):
+                    yield from _parse_stmts_to_arrow(
+                        group, table, schema, carrier
                     )
-                    if tbl.num_rows != fast_rows:
-                        raise DumpParseError("fast-path row-count drift")
-                    yield from tbl.to_batches()
-                except Exception:
-                    # any conversion surprise: the exhaustive grammar
-                    # parses those statements or raises contextually
-                    slow_stmts = fast_stmts + slow_stmts
-            if slow_stmts or not fast_chunks:
-                yield from slow_batches(slow_stmts)
 
-    raw = files_df.mapInArrow(parse_file_batches, carrier)
+    raw = _ranges_df(spark, ranges).mapInArrow(fused, carrier)
     return finish_casts(raw, schema)
 
 
@@ -1507,75 +1689,82 @@ def insert_rows_df(
         # stay 2 MB on disk, so coalesced tasks read contiguous ranges
         # of uniform byte size — no straggler risk from the merge.
         lines_df = lines_df.coalesce(cores)
-    names = [f.name for f in schema.fields]
-
     def parse_batches(arrow_batches):
         """Statement batches in, CARRIER-typed Arrow batches out — via
         ``mapInArrow``, so the fast path's ``read_csv`` output crosses
         into the JVM with no pandas round-trip and no per-row Python
         objects; only fallback statements materialize Python values."""
-        import numpy as np
-        import pyarrow as pa
-
-        fast_types = _arrow_fast_types(schema)
-        has_col_list_re = _INSERT_COLS_RE
-        carrier_pa = pa.schema(
-            [
-                pa.field(f.name, _carrier_pa_type(f.dataType), True)
-                for f in carrier.fields
-            ]
-        )
-
-        def slow_batches(stmts):
-            rows: list[dict] = []
-            for stmt in stmts:
-                _, ins_cols, tuples = parse_insert_full(stmt)
-                for tup in tuples:
-                    if ins_cols is not None:  # --complete-insert dumps
-                        tup = align_row(tup, ins_cols, schema, table)
-                    rows.append(
-                        dict(zip(names, coerce_row(tup, schema, table)))
-                    )
-            return pa.Table.from_pylist(rows, schema=carrier_pa).to_batches()
-
         for batch in arrow_batches:
-            slow_stmts: list[str] = []
-            fast_stmts: list[str] = []
-            fast_chunks: list[bytes] = []
-            fast_rows = 0
-            for stmt in batch.column(0).to_pylist():
-                stmt = stmt.strip().rstrip(";") + ";"
-                if insert_table_name(stmt) != table:
-                    continue
-                if fast_types is not None and not has_col_list_re.match(stmt):
-                    fb = _values_csv_bytes(stmt)
-                    if fb is not None:
-                        fast_stmts.append(stmt)
-                        fast_chunks.append(fb[0])
-                        fast_rows += fb[1]
-                        continue
-                slow_stmts.append(stmt)
-            if fast_chunks:
-                try:
-                    tbl = _arrow_read_values(
-                        b"\n".join(fast_chunks), names, fast_types
-                    )
-                    if tbl.num_rows != fast_rows:
-                        raise DumpParseError("fast-path row-count drift")
-                    # non-finite literal rejection lives inside
-                    # _arrow_read_values (NaN must be counted Arrow-side,
-                    # before nulls blur into NaN in a numpy view)
-                    yield from tbl.to_batches()
-                except Exception:
-                    # any conversion surprise: re-parse those statements
-                    # through the exhaustive grammar, which parses them
-                    # correctly or raises the contextual DumpParseError
-                    slow_stmts = fast_stmts + slow_stmts
-            if slow_stmts or not fast_chunks:
-                yield from slow_batches(slow_stmts)
+            yield from _parse_stmts_to_arrow(
+                batch.column(0).to_pylist(), table, schema, carrier
+            )
 
     raw = lines_df.mapInArrow(parse_batches, carrier)
     return finish_casts(raw, schema)
+
+
+def _parse_stmts_to_arrow(stmts, table: str, schema: T.StructType, carrier):
+    """One group of INSERT statements → CARRIER-typed Arrow batches (the
+    shared parse core of the line path and the fused multi-line path).
+
+    Statements for other tables are skipped; fast-path-eligible ones
+    accumulate into a single Arrow-CSV read; the rest (and any fast
+    group whose typed cast fails) go through the exhaustive tokenizer —
+    identical C1–C3 error semantics on both paths."""
+    import pyarrow as pa
+
+    names = [f.name for f in schema.fields]
+    fast_types = _arrow_fast_types(schema)
+    has_col_list_re = _INSERT_COLS_RE
+    carrier_pa = pa.schema(
+        [
+            pa.field(f.name, _carrier_pa_type(f.dataType), True)
+            for f in carrier.fields
+        ]
+    )
+
+    def slow_batches(group):
+        rows: list[dict] = []
+        for stmt in group:
+            _, ins_cols, tuples = parse_insert_full(stmt)
+            for tup in tuples:
+                if ins_cols is not None:  # --complete-insert dumps
+                    tup = align_row(tup, ins_cols, schema, table)
+                rows.append(dict(zip(names, coerce_row(tup, schema, table))))
+        return pa.Table.from_pylist(rows, schema=carrier_pa).to_batches()
+
+    slow_stmts: list[str] = []
+    fast_stmts: list[str] = []
+    fast_chunks: list[bytes] = []
+    fast_rows = 0
+    for stmt in stmts:
+        stmt = stmt.strip().rstrip(";") + ";"
+        if insert_table_name(stmt) != table:
+            continue
+        if fast_types is not None and not has_col_list_re.match(stmt):
+            fb = _values_csv_bytes(stmt)
+            if fb is not None:
+                fast_stmts.append(stmt)
+                fast_chunks.append(fb[0])
+                fast_rows += fb[1]
+                continue
+        slow_stmts.append(stmt)
+    if fast_chunks:
+        try:
+            tbl = _arrow_read_values(b"\n".join(fast_chunks), names, fast_types)
+            if tbl.num_rows != fast_rows:
+                raise DumpParseError("fast-path row-count drift")
+            # non-finite literal rejection lives inside
+            # _arrow_read_values (NaN must be counted Arrow-side,
+            # before nulls blur into NaN in a numpy view)
+            yield from tbl.to_batches()
+        except Exception:
+            # any conversion surprise: re-parse those statements
+            # through the exhaustive grammar, which parses them
+            # correctly or raises the contextual DumpParseError
+            slow_stmts = fast_stmts + slow_stmts
+    if slow_stmts or not fast_chunks:
+        yield from slow_batches(slow_stmts)
 
 
 def convert_dump(
@@ -1608,10 +1797,13 @@ def convert_dump(
     dominates — worth revisiting for 1000-table dumps, not 16.
 
     ``multiline``: 'auto' (default) detects dumps whose INSERT statements
-    span lines (no --extended-insert) and falls back to whole-file
-    statement reassembly (reference parity, file-level parallelism);
-    'never' raises :class:`MultilineDumpError` instead — use it to enforce
-    the splittable one-line layout on 100 TB pipelines.
+    span lines (no --extended-insert) and switches to byte-range
+    statement reassembly (reference parity with main.rs:110–145, but
+    parallel WITHIN a file: ranges align on statement-terminator lines,
+    see :func:`_iter_range_statements`); 'never' raises
+    :class:`MultilineDumpError` instead — the one-line layout remains
+    preferable at 100 TB (no reassembly stage at all), but a multi-line
+    dump no longer serializes onto one task per file.
 
     ``progress=True`` reports per-table rows to stderr AND renders live
     task-level progress while jobs run (``progress.ProgressReporter``
@@ -1637,8 +1829,8 @@ def convert_dump(
     # becomes a no-op (cur ≥ threshold), so the raw dump text is never
     # shuffled: parallelism comes from parallel file reads.  Gzip members
     # stay unsplittable regardless (their parallelism is per file); the
-    # whole-file reassembly path reads ``wholetext`` records, which ignore
-    # the split size.
+    # multi-line reassembly path carves its own byte ranges
+    # (MULTILINE_SPLIT_BYTES) and ignores this setting.
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(PARSE_TASK_BYTES))
     use_multiline = False
@@ -1650,16 +1842,19 @@ def convert_dump(
             if multiline == "never":
                 raise
             use_multiline = True
-            # persist the wholetext up front: the schema pass and every
-            # per-table parse share one read+decode of the files
-            lines = cached = _whole_files_df(spark, dump_path).persist()
-            schemas = collect_schemas_multiline(
-                spark, dump_path, files_df=lines
-            )
+            # map-only parallel DDL scan first (INSERT text never crosses
+            # to the JVM); the statements cache is built only for
+            # multi-table dumps, where per-table JVM prefix filtering
+            # needs it — a single table parses FUSED straight from the
+            # byte ranges
+            schemas = collect_schemas_multiline(spark, dump_path)
+            if len(schemas) > 1:
+                lines = cached = multiline_stmts_df(spark, dump_path).persist()
             if progress:
                 print(
-                    "[ingest] multi-line INSERT layout detected — whole-file "
-                    "reassembly path (parallel per file)",
+                    "[ingest] multi-line INSERT layout detected — "
+                    "byte-range statement reassembly (parallel within "
+                    "files)",
                     file=sys.stderr,
                 )
         if progress:
@@ -1671,8 +1866,10 @@ def convert_dump(
             lines = spark.read.text(dump_path).where(_dml_line_pred())
             if len(schemas) > 1:
                 lines = cached = lines.persist()
+        elif len(schemas) == 1:
+            lines = None  # single-table multiline: fused range parse
         parse_parts: dict[str, int] = {}
-        if not use_multiline and len(schemas) > 1:
+        if len(schemas) > 1:
             # One cheap aggregate over the cached lines sizes each table's
             # parse stage to its byte share (see parse_partition_counts).
             cores = spark.sparkContext.defaultParallelism
@@ -1686,11 +1883,17 @@ def convert_dump(
         def _one_table(item: tuple[str, T.StructType]) -> tuple[str, int]:
             table, schema = item
             t0 = _time.perf_counter()
-            if use_multiline:
-                df = insert_rows_df_multiline(
-                    spark, dump_path, table, schema, files_df=lines
+            if lines is None:
+                # single-table multiline: reassembly+parse fused in one
+                # stage, statement text never crosses to the JVM
+                df = insert_rows_df_multiline_fused(
+                    spark, dump_path, table, schema
                 )
             else:
+                # both layouts otherwise converge on insert_rows_df:
+                # ``lines`` holds one-line INSERT statements either way
+                # (native lines for --extended-insert dumps,
+                # range-reassembled statements for multi-line dumps)
                 df = insert_rows_df(
                     spark,
                     dump_path,

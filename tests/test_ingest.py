@@ -451,17 +451,104 @@ def test_multitable_conversion_fails_loudly_on_bad_table(spark, tmp_path):
         convert_dump(spark, str(dump), str(tmp_path / "out"))
 
 
-def test_wholefile_path_rejects_oversized_files(spark, tmp_path):
-    """The multi-line fallback holds whole files in memory — oversized
-    inputs must be rejected with remediation, not OOM an executor."""
-    from mysqldump_to_parquet_spark.sources.mysqldump import _whole_files_df
+class TestMultilineRangeOwnership:
+    """Byte-range statement reassembly: every split boundary assigns each
+    statement to exactly one range, and concatenating the ranges in
+    offset order reproduces the sequential single-stream reassembly."""
 
-    f = tmp_path / "big.sql"
-    f.write_text("INSERT INTO `t` VALUES\n(1);\n" * 10)
-    with pytest.raises(DumpParseError, match="extended-insert"):
-        _whole_files_df(spark, str(f), max_bytes=10)
-    # within bounds → fine
-    assert _whole_files_df(spark, str(f)).count() == 1
+    DUMP = (
+        "-- comment line\n"
+        "/*!40101 SET NAMES utf8mb4 */;\n"
+        "CREATE TABLE `t` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `v` varchar(32)\n"
+        ");\n"
+        + "".join(
+            f"INSERT INTO `t` VALUES\n({i},\n'row {i} text'),\n"
+            f"({i + 1000}, 'second {i}');\n"
+            for i in range(200)
+        )
+    )
+
+    def _sequential(self):
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            iter_statements,
+        )
+
+        return list(iter_statements(self.DUMP.splitlines()))
+
+    @pytest.mark.parametrize("step", [7, 64, 256, 1 << 20])
+    def test_every_split_size_partitions_statements(self, tmp_path, step):
+        """For any split granularity — down to ranges far smaller than a
+        statement — the union of range-owned statements equals the
+        sequential reassembly, in order, with no dup and no loss."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _iter_range_statements,
+        )
+
+        f = tmp_path / "ml.sql"
+        f.write_text(self.DUMP)
+        size = f.stat().st_size
+        got = []
+        for off in range(0, size, step):
+            got.extend(
+                _iter_range_statements(str(f), off, min(off + step, size))
+            )
+        assert got == self._sequential()
+
+    def test_boundary_on_every_byte_of_a_window(self, tmp_path):
+        """Two-range sweep: placing the single split boundary on EVERY
+        byte of a window spanning several terminators never duplicates
+        or drops a statement (exhaustive for the alignment edge cases:
+        boundary on '\\n', on ';', at a statement start, mid-line)."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            _iter_range_statements,
+        )
+
+        f = tmp_path / "ml.sql"
+        f.write_text(self.DUMP)
+        size = f.stat().st_size
+        want = self._sequential()
+        lo = self.DUMP.index("INSERT")
+        for cut in range(lo, lo + 120):
+            got = list(_iter_range_statements(str(f), 0, cut)) + list(
+                _iter_range_statements(str(f), cut, size)
+            )
+            assert got == want, f"boundary at byte {cut}"
+
+    def test_stmts_df_matches_sequential(self, spark, tmp_path):
+        """The Spark-side statements DataFrame (parallel ranges) yields
+        the same multiset of statements as the sequential grammar."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            multiline_stmts_df,
+        )
+
+        f = tmp_path / "ml.sql"
+        f.write_text(self.DUMP)
+        got = sorted(
+            r.value
+            for r in multiline_stmts_df(
+                spark, str(f), split_bytes=512
+            ).collect()
+        )
+        assert got == sorted(self._sequential())
+
+    def test_gz_member_streams(self, spark, tmp_path):
+        """.gz members are unsplittable: streamed whole on one task,
+        same statement set."""
+        import gzip
+
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            multiline_stmts_df,
+        )
+
+        f = tmp_path / "ml.sql.gz"
+        with gzip.open(f, "wt") as fh:
+            fh.write(self.DUMP)
+        got = sorted(
+            r.value for r in multiline_stmts_df(spark, str(f)).collect()
+        )
+        assert got == sorted(self._sequential())
 
 
 def test_enum_values_with_parens_and_keywords():

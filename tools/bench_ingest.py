@@ -92,6 +92,15 @@ def main() -> None:
         "input path: parallelism is per member, like real mysqldump | "
         "gzip output sharded by table or chunk)",
     )
+    ap.add_argument(
+        "--multiline",
+        type=int,
+        default=0,
+        metavar="FILES",
+        help="reformat to the no---extended-insert layout (one value "
+        "tuple per line, statements span lines) split across FILES "
+        "files; exercises the byte-range statement-reassembly path",
+    )
     args = ap.parse_args()
 
     from mysqldump_to_parquet_spark.session import get_spark
@@ -108,6 +117,35 @@ def main() -> None:
         dump = os.path.join(work, "bench.sql")
         rows = generate_dump(dump, args.mb, args.tables)
         dump_mb = os.path.getsize(dump) / 1024 / 1024
+        if args.multiline:
+            # rewrite each extended INSERT as a multi-line statement:
+            # header on its own line, one value tuple per line —
+            # the layout of a dump taken without --extended-insert or
+            # reformatted by a pretty-printer
+            outs = [
+                open(os.path.join(work, f"ml{i:03d}.sql"), "w")
+                for i in range(args.multiline)
+            ]
+            with open(dump) as fh:
+                i = 0
+                for line in fh:
+                    if line.startswith("INSERT"):
+                        head, vals = line.split(" VALUES ", 1)
+                        out = outs[i % args.multiline]
+                        out.write(head + " VALUES\n")
+                        out.write(vals.rstrip("\n").rstrip(";").replace("),(", "),\n(") + ";\n")
+                        i += 1
+                    else:
+                        outs[0].write(line)
+            for o in outs:
+                o.close()
+            os.unlink(dump)
+            dump = os.path.join(work, "*.sql")
+            dump_mb = sum(
+                os.path.getsize(os.path.join(work, f))
+                for f in os.listdir(work)
+                if f.endswith(".sql")
+            ) / 1024 / 1024
         if args.gzip:
             # shard the plain dump into N gzip members: DDL lines go to
             # member 0; INSERT lines round-robin (statements are
@@ -133,11 +171,22 @@ def main() -> None:
 
         # Warmup on a small prefix so JVM/codegen startup stays out of the
         # measured number (same policy as bench.py).
-        warm = os.path.join(work, "warm.sql")
+        warmdir = tempfile.mkdtemp(prefix="ingest_warm_")
+        warm = os.path.join(warmdir, "warm.sql")
         with open(warm, "w") as f:
             f.write(DDL.format(name="warm"))
-            f.write(f"INSERT INTO `warm` VALUES {_row(1)};\n")
-        convert_dump(spark, warm, os.path.join(work, "warm_out"))
+            if args.multiline:  # warm the same (reassembly) code path
+                f.write(f"INSERT INTO `warm` VALUES\n{_row(1)};\n")
+            else:
+                f.write(f"INSERT INTO `warm` VALUES {_row(1)};\n")
+        convert_dump(spark, warm, os.path.join(warmdir, "warm_out"))
+        # spawn the full Python-worker pool up front (same startup-cost
+        # policy as the JVM warmup: worker fork+import is session setup,
+        # not conversion throughput; both layouts benefit equally)
+        spark.sparkContext.parallelize(range(cpus * 2), cpus * 2).map(
+            lambda x: x
+        ).count()
+        shutil.rmtree(warmdir, ignore_errors=True)
 
         out = os.path.join(work, "out")
         t0 = time.perf_counter()
