@@ -127,24 +127,10 @@ def _minhash_bands_batch(batches):
         )
 
 
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via native MinHash + banded LSH, built entirely from
-    DataFrame primitives (no ML pipeline, no UDF):
-
-    1. 3-token shingles per doc (array, distinct), hashed to int64 JVM-side;
-    2. K = B·R minhashes + B band hashes in one vectorized NumPy Arrow
-       stage (affine universal hashing — see ``_minhash_bands_batch``),
-       emitting (doc_id, band_idx, band_hash): B fixed-width rows per doc
-       regardless of document length;
-    3. self-join on (band_idx, band_hash) → candidate pairs (never the
-       O(n²) cross product), distinct;
-    4. exact Jaccard verify on the candidate pairs only.
-
-    At 100 TB: steps 1–3 are a single scan; the candidate join shuffles
-    B·N fixed-width rows; the verify re-joins shingle arrays for candidate
-    ids only.  Approximate ⇒ rows-only driver check; planted-duplicate
-    recall is pytest-asserted (tests/test_llm.py).
-    """
+def _near_candidates(spark: SparkSession, sf_dir: str):
+    """Shared LSH front half of q_dedup_near / q_dedup_near_candidates:
+    returns (persisted shingle-hash table, candidate-pair DataFrame).
+    See :func:`dedup_near_minhash` for the full plan rationale."""
     # A small-file corpus arrives as one input split; everything from
     # shingling on is CPU-bound per row, so spread rows across all cores
     # *before* the projection (a repartition after it would still compute
@@ -202,6 +188,44 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return sh, candidates
+
+
+def dedup_near_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_near_candidates: the LSH candidate-pair set itself —
+    banded-minhash bucket join output, BEFORE the exact-Jaccard verify.
+
+    Split out as its own operator (VERDICT r4 item 8) because candidate
+    generation is fully DETERMINISTIC (fixed affine-hash seeds, exact
+    band equality, partition-independent): where q_dedup_near's verdict
+    column makes it approximate-by-design, this stage pins an exact,
+    reproducible row count under the driver's rows-only check, and the
+    recall test (tests/test_llm.py) measures the verify stage against
+    it.  Same scale shape as q_dedup_near's steps 1–3: B fixed-width
+    rows per doc, bucket-capped join, never all-pairs."""
+    _, candidates = _near_candidates(spark, sf_dir)
+    return candidates
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via native MinHash + banded LSH, built entirely from
+    DataFrame primitives (no ML pipeline, no UDF):
+
+    1. 3-token shingles per doc (array, distinct), hashed to int64 JVM-side;
+    2. K = B·R minhashes + B band hashes in one vectorized NumPy Arrow
+       stage (affine universal hashing — see ``_minhash_bands_batch``),
+       emitting (doc_id, band_idx, band_hash): B fixed-width rows per doc
+       regardless of document length;
+    3. self-join on (band_idx, band_hash) → candidate pairs (never the
+       O(n²) cross product), distinct;
+    4. exact Jaccard verify on the candidate pairs only.
+
+    At 100 TB: steps 1–3 are a single scan; the candidate join shuffles
+    B·N fixed-width rows; the verify re-joins shingle arrays for candidate
+    ids only.  Approximate ⇒ rows-only driver check; recall vs the exact
+    all-pairs truth set is pytest-asserted (tests/test_llm.py).
+    """
+    sh, candidates = _near_candidates(spark, sf_dir)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
@@ -664,6 +688,10 @@ QUERIES = {
     "q_dedup_exact": dedup_exact,
     "q_dedup_chunks": dedup_chunks,
     "q_dedup_near": dedup_near_minhash,
+    # deterministic LSH candidate stage of q_dedup_near: exact seeded
+    # banding, partition-independent — its rows-only driver row pins a
+    # reproducible count where the full pipeline is approx-by-design
+    "q_dedup_near_candidates": dedup_near_candidates,
     # dedup_near_minhash_ml (the spark.ml MinHashLSH variant of q_dedup_near)
     # is intentionally NOT registered: it is a redundant twin of q_dedup_near
     # (same semantics, ~8x slower) and would consume one of the driver's

@@ -161,8 +161,26 @@ IVF_FIT_SAMPLE = 20_000
 _IVF_CENTROIDS: dict[str, "object"] = {}
 
 
+def _unit_expr(col):
+    """L2-normalized copy of a float-array column (zero vectors pass
+    through unscaled rather than dividing by zero)."""
+    dbl = F.transform(col, lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(norm > 0, F.transform(dbl, lambda x: x / norm)).otherwise(dbl)
+
+
 def ivf_centroids(spark: SparkSession, sf_dir: str):
     """Coarse-quantizer centroids for ``sf_dir``, fit exactly once.
+
+    The quantizer is SPHERICAL: vectors are L2-normalized before the fit
+    (and before assignment), so squared-L2 cell geometry coincides with
+    cosine order (``‖â−b̂‖² = 2 − 2·cos``) — the metric the probe ranks
+    by.  Fitting raw vectors and probing by cosine mixes two geometries
+    and measured only 0.1 recall@10 on the sf0.01 fixture; the spherical
+    fit is the standard FAISS ``IndexIVF`` + normalized-input recipe for
+    cosine search.
 
     Subsequent calls (including every ``sim_ann_ivf`` probe) reuse the
     cached matrix — no KMeans stage appears in a probe's plan."""
@@ -173,9 +191,8 @@ def ivf_centroids(spark: SparkSession, sf_dir: str):
         from pyspark.ml.functions import array_to_vector
 
         e = load_table(spark, sf_dir, "embeddings")
-        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         sample = (
-            e.select(array_to_vector(dbl).alias("features"))
+            e.select(array_to_vector(_unit_expr(F.col("embedding"))).alias("features"))
             .limit(IVF_FIT_SAMPLE)
         )
         km = KMeans(k=IVF_CELLS, seed=42, featuresCol="features")
@@ -223,24 +240,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     centroids = ivf_centroids(spark, sf_dir)
-    probe = np.array(PROBE)
+    probe = np.array(PROBE, dtype=float)
+    probe_hat = probe / np.linalg.norm(probe)
 
-    def _cos(a, b):
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        return float(a @ b / (na * nb)) if na and nb else -1.0
-
-    probe_cells = sorted(
-        range(IVF_CELLS), key=lambda c: -_cos(centroids[c], probe)
-    )[:IVF_NPROBE]
+    # rank cells by the SAME squared-L2-on-unit-vectors metric the
+    # assignment uses (spherical quantizer, see ivf_centroids) — the
+    # ‖p̂‖² term is constant and drops out of the ordering
+    d2 = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ probe_hat)
+    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
 
     e = load_table(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    assigned = ivf_assign(e.select("vec_id", "label", dbl.alias("v")), "v", centroids)
+    assigned = ivf_assign(
+        e.select("vec_id", "label", _unit_expr(F.col("embedding")).alias("v")),
+        "v",
+        centroids,
+    )
     return (
         assigned.where(F.col("cell").isin(probe_cells))
         .select(
             "vec_id",
             "label",
+            # cosine is scale-invariant: ranking the unit vectors is
+            # exactly the raw-vector cosine rank
             F.round(cosine_expr(F.col("v"), _probe_col()), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -117,6 +117,105 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.3, f"recall {recall} (exact={exact}, approx={approx})"
 
 
+#: Pinned recall bounds on the sf0.01 driver fixture (VERDICT r4 item 6):
+#: every rows-only approx key carries a quantitative quality number vs its
+#: exact twin, recorded in COVERAGE.md.  Measured this round: IVF 0.7
+#: (spherical quantizer; was 0.1 before the fix), LSH 0.4, dedup_near 1.0
+#: (25/25 true pairs).  Bounds sit below the measured values only enough
+#: to absorb minor fixture regeneration drift, not algorithmic regression.
+SF_RECALL = "/root/testdata/sf0.01"
+
+
+def test_ann_recall_bounds_sf001(spark):
+    """sf0.01 recall@10 floors: IVF ≥ 0.6 (spherical coarse quantizer,
+    nprobe 4/16), hyperplane LSH ≥ 0.3 (5 planes, single probe)."""
+    from mysqldump_to_parquet_spark.llm.similarity import sim_ann_ivf
+
+    exact = set(r.vec_id for r in sim_topk(spark, SF_RECALL).collect())
+    ivf = set(r.vec_id for r in sim_ann_ivf(spark, SF_RECALL).collect())
+    lsh = set(r.vec_id for r in sim_ann_lsh(spark, SF_RECALL).collect())
+    assert len(exact & ivf) / 10 >= 0.6, f"IVF recall {len(exact & ivf) / 10}"
+    assert len(exact & lsh) / 10 >= 0.3, f"LSH recall {len(exact & lsh) / 10}"
+
+
+def test_dedup_near_recall_vs_exact_truth(spark):
+    """q_dedup_near against the EXACT all-pairs truth set on sf0.01: every
+    pair with true (hashed-shingle) Jaccard ≥ 0.4 must be found — with
+    B=8/R=2 banding the per-pair miss probability at s=0.4 is
+    (1−s²)⁸ ≈ 0.25, but the seeds are fixed, so the outcome is
+    deterministic and measured recall is 25/25 = 1.0; precision is
+    guaranteed by the exact verify stage."""
+    from mysqldump_to_parquet_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        _shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF_RECALL}/documents.parquet")
+    sh = (
+        _shingles(docs)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(shingles, s -> xxhash64(s)))"
+            ).alias("hs"),
+        )
+        .where(F.expr("size(hs) > 0"))
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                    / F.size(F.array_union("hs_a", "hs_b")).cast("double")
+                ).alias("j"),
+            )
+            .where(F.col("j") >= JACCARD_THRESHOLD)
+        ).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_near_minhash(spark, SF_RECALL).collect()
+    }
+    assert len(truth) == 25, f"fixture drift: {len(truth)} truth pairs"
+    recall = len(truth & found) / len(truth)
+    assert recall == 1.0, f"recall {recall}: missed {truth - found}"
+    # precision: the verify stage is exact, so no found pair is false
+    assert found <= truth
+
+
+def test_dedup_near_candidates_deterministic(spark):
+    """The LSH candidate stage (q_dedup_near_candidates) is exact and
+    partition-independent: same pair set under a different shuffle
+    layout, and a superset of the verified near-dup pairs."""
+    from mysqldump_to_parquet_spark.llm.dedup import dedup_near_candidates
+
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_near_candidates(spark, SF_RECALL).collect()
+    }
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_near_candidates(spark, SF_RECALL).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert cands == again
+    final = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_near_minhash(spark, SF_RECALL).collect()
+    }
+    assert final <= cands
+
+
 def test_ivf_quantizer_fit_once(spark, monkeypatch):
     """The coarse quantizer is fit exactly once per corpus: after the first
     probe the centroids are cached, and a second probe must not invoke

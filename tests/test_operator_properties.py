@@ -848,6 +848,47 @@ def test_running_distinct_matches_python_prefix_sets(spark, tmp_path):
             assert got[(typ, e)][run_col] == len(seen), (typ, e)
 
 
+def test_running_distinct_daily_agrees_with_exact(spark):
+    """Day-grain scale primary ≡ the per-event exact form sampled at each
+    day's last event: for every (type, day) present in the daily output,
+    the exact running count at that day's final event must match — the
+    two plans (groupBy pre-agg vs first-seen-flag window) are independent
+    derivations of the same curve."""
+    from pyspark.sql import functions as F
+
+    from mysqldump_to_parquet_spark.operators.windows import (
+        win_running_distinct,
+        win_running_distinct_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    daily = {
+        (r.event_type, r.day): r.running_distinct_users
+        for r in win_running_distinct_daily(spark, sf).collect()
+    }
+    events = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", F.to_date("ts").alias("day")
+    )
+    exact = (
+        win_running_distinct(spark, sf)
+        .join(events, "event_id")
+        .groupBy("event_type", "day")
+        .agg(F.max("running_distinct_users").alias("day_end"))
+        .collect()
+    )
+    assert daily  # non-degenerate fixture
+    # the daily output has a knot only on days with NEW users; the value
+    # as of any day is the knot at the greatest daily-day ≤ it
+    knots: dict = {}
+    for (typ, day), v in daily.items():
+        knots.setdefault(typ, []).append((day, v))
+    for typ in knots:
+        knots[typ].sort()
+    for r in exact:
+        asof = max(v for d, v in knots[r.event_type] if d <= r.day)
+        assert asof == r.day_end, (r.event_type, r.day, asof, r.day_end)
+
+
 def test_ab_test_matches_python_welch(spark, tmp_path):
     """Welch t + Welch–Satterthwaite dof ≡ the same formulas in Python
     on identical rounded moments; a planted mean-shifted type must be

@@ -21,11 +21,61 @@ ROWS_ONLY_NOTES = {
     "q_agg_sketch_distinct": (
         "rows-only (engine-specific HLL sketch; ≤5% accuracy pytest-asserted)"
     ),
+    "q_agg_approx_distinct": (
+        "rows-only (HLL++; exact twin q_agg_distinct hash-checked, "
+        "≤5% accuracy pytest-asserted)"
+    ),
+    "q_agg_histogram_approx": (
+        "rows-only (sketch buckets; exact twin q_agg_histogram "
+        "hash-checked, bracketing pytest-asserted)"
+    ),
+    "q_agg_weighted_median_approx": (
+        "rows-only (bucketed sketch, the SCALE PRIMARY at 1.9×/100×; "
+        "exact q_agg_weighted_median brackets it in pytest)"
+    ),
+    "q_dedup_near": (
+        "rows-only (seeded LSH; recall 1.0 = 25/25 vs exact all-pairs "
+        "Jaccard≥0.4 truth at sf0.01, pytest-pinned; precision exact "
+        "by construction — verify stage is exact Jaccard)"
+    ),
+    "q_dedup_near_candidates": (
+        "rows-only but DETERMINISTIC (fixed-seed banding, partition-"
+        "independent pair set, pytest-asserted) — pins the exact "
+        "candidate stage of q_dedup_near"
+    ),
+    "q_dedup_simhash": (
+        "rows-only (engine-specific xxhash64 fingerprints; bit-packing "
+        "+ determinism + planted-dup locality pytest-asserted)"
+    ),
+    "q_sim_ann_lsh": (
+        "rows-only (hyperplane LSH; recall@10 ≥ 0.3 vs exact q_sim_topk "
+        "at sf0.01 — measured 0.4 — pytest-pinned)"
+    ),
+    "q_sim_ann_ivf": (
+        "rows-only (spherical IVF nprobe 4/16; recall@10 ≥ 0.6 vs exact "
+        "q_sim_topk at sf0.01 — measured 0.7 — pytest-pinned)"
+    ),
+    "q_ingest_mysqldump": (
+        "rows-only (side-effecting parquet sink; round-trip equality + "
+        "100+ ingest unit/property/differential tests)"
+    ),
 }
 DEFAULT_ROWS_ONLY = "rows-only (approx/side-effecting)"
 
 ANNOTATIONS = {
     "q_decontaminate": "DuckDB hash-match (train/eval n-gram leakage join)",
+    "q_agg_weighted_median": (
+        "DuckDB hash-match (GROUND TRUTH ONLY — per-group sort window, "
+        "5.5×/100×; q_agg_weighted_median_approx is the scale primary)"
+    ),
+    "q_win_running_distinct": (
+        "DuckDB hash-match (GROUND TRUTH — per-type window sort, "
+        "4.0×/100×; q_win_running_distinct_daily is the scale primary)"
+    ),
+    "q_win_running_distinct_daily": (
+        "DuckDB hash-match (day-grain scale primary: groupBy pre-agg + "
+        "tiny window; differential pytest vs the exact per-event form)"
+    ),
 }
 
 
