@@ -92,6 +92,26 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, late_allowance: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1-hour/15-minute sliding counts — the true-streaming
+    twin of ``windows.stream_sliding`` (same window spec and aggregation;
+    each event lands in 4 overlapping windows, state per open window is
+    evicted once the watermark passes its end)."""
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.withWatermark("ts", late_allowance)
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, late_allowance: str = "10 minutes") -> DataFrame:
     """Watermarked stateful dedup: state for (user_id, event_type) pairs is
     evicted once the watermark passes — bounded state at any scale."""

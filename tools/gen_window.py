@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Generate the driver-check ordering for ``__spark_entry__.py`` — the
+permanent staleness-rotation policy (VERDICT r4 item 1).
+
+The driver's correctness sweep covers a bounded registry prefix (~50
+entries per round), so the registry must be ordered by CHECK PRIORITY:
+
+1. never-driver-checked keys (no green row in any CORRECTNESS_r*.json —
+   includes every key added this round);
+2. keys whose module changed since the round base commit but whose
+   latest driver row predates the round (code moved under an old green);
+3. everything else, oldest driver row first.
+
+Ties break alphabetically for determinism.  Output is the Python source
+of two pinned blocks (``_CHECK_ORDER``, ``_VERIFIED``) to paste into
+``__spark_entry__.py``; run at end of round, after the last code commit:
+
+    python tools/gen_window.py [--base <round-base-commit>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import textwrap
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def last_green_round(repo: pathlib.Path) -> dict[str, int]:
+    """key → latest round with a green driver row (hash-match, or the
+    rows-only ``no_oracle`` check approx/side-effecting ops maximally
+    get).  Red rows do NOT count — a key whose latest row failed
+    re-enters the front of the window."""
+    out: dict[str, int] = {}
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(c for c in path.stem if c.isdigit()))
+        for key, row in json.loads(path.read_text()).items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                out[key] = max(out.get(key, 0), rnd)
+    return out
+
+
+def touched_modules(base: str) -> set[str]:
+    """Module paths changed since the round base commit."""
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", f"{base}..HEAD"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    return {p for p in diff if p.startswith("mysqldump_to_parquet_spark/")}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--base",
+        default="f8277d6",
+        help="round base commit (the driver's end-of-previous-round "
+        "commit); modules diffed against it count as touched",
+    )
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--write",
+        action="store_true",
+        help="splice the generated blocks into __spark_entry__.py "
+        "between the GENERATED CHECK ORDER markers",
+    )
+    args = ap.parse_args()
+
+    import __spark_entry__ as ep
+
+    key_module: dict[str, str] = {}
+    for mod in ep._MODULES:
+        rel = mod.__file__.removeprefix(str(REPO) + "/")
+        for key in mod.QUERIES:
+            key_module[key] = rel
+
+    greens = last_green_round(REPO)
+    touched = touched_modules(args.base)
+
+    def prio(key: str):
+        rnd = greens.get(key)
+        if rnd is None:
+            bucket = 0  # never driver-checked
+        elif key_module[key] in touched:
+            bucket = 1  # green predates this round's code motion
+        else:
+            bucket = 2
+        return (bucket, rnd or 0, key)
+
+    order = sorted(key_module, key=prio)
+    n_new = sum(1 for k in order if greens.get(k) is None)
+    n_touch = sum(
+        1
+        for k in order
+        if greens.get(k) is not None and key_module[k] in touched
+    )
+    print(
+        f"# registry: {len(order)} keys — {n_new} never-checked, "
+        f"{n_touch} in touched modules, window {args.window}",
+        file=sys.stderr,
+    )
+    print(
+        f"# window tail round: "
+        f"{max((greens.get(k) or 0) for k in order[: args.window])}",
+        file=sys.stderr,
+    )
+
+    def block(name: str, keys, container: str) -> str:
+        body = " ".join(f'"{k}",' for k in keys)
+        wrapped = textwrap.fill(
+            body, width=72, initial_indent="        ", subsequent_indent="        "
+        )
+        open_, close = (
+            ("(", ")") if container == "tuple" else ("frozenset({", "})")
+        )
+        return f"{name} = {open_}\n{wrapped}\n{close}" + (
+            "" if container == "tuple" else ""
+        )
+
+    text = (
+        block("_CHECK_ORDER", order, "tuple")
+        + "\n\n"
+        + block("_VERIFIED", sorted(greens.keys() & key_module.keys()), "frozenset")
+    )
+    if args.write:
+        entry = REPO / "__spark_entry__.py"
+        src = entry.read_text()
+        begin = "# --- BEGIN GENERATED CHECK ORDER (tools/gen_window.py) ---\n"
+        end = "# --- END GENERATED CHECK ORDER ---"
+        i, j = src.index(begin) + len(begin), src.index(end)
+        entry.write_text(src[:i] + text + "\n" + src[j:])
+        print(f"wrote {entry}", file=sys.stderr)
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()
