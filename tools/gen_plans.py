@@ -50,6 +50,21 @@ NOTES = {
         "window count that shares the self-join's shuffle key, and exact "
         "Jaccard runs on candidate pairs only. No O(n²) stage."
     ),
+    "q_dedup_near_candidates": (
+        "The deterministic LSH candidate stage alone (r5): identical "
+        "banded plan as q_dedup_near steps 1–3 but stops at the bucket "
+        "join — no shingle re-join, no Jaccard. Fixed-seed and "
+        "partition-independent, so its row count is an exact reproducible "
+        "pin for the otherwise approx-by-design near-dup pipeline."
+    ),
+    "q_win_running_distinct_daily": (
+        "Day-grain scale primary for cumulative uniques (r5): "
+        "groupBy(type,user)→min(day) partial-aggregates map-side and "
+        "shuffles once on high-cardinality keys; the running sum then "
+        "windows over |days|×|types| rows — thousands, not the corpus. "
+        "Replaces the per-event window (parallelism = |types|) wherever "
+        "day resolution suffices; the exact form stays as ground truth."
+    ),
     "q_sim_topk": (
         "Brute-force cosine: the probe is a literal (broadcast-free), the "
         "dot product is a codegen'd fold per row, and TakeOrderedAndProject "
