@@ -139,6 +139,18 @@ def run_sf1(spark, registry, sf1_dir: str) -> None:
     ]
     for name, a, b in rows:
         lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | {b / a:.1f}× |")
+    lines += [
+        "",
+        "Round-5 reading: every primary is ≤2× for 10× data — the",
+        "iterative frames (bpe 1.3×, bfs 1.9×, kmeans 1.4×) confirm their",
+        "sf0.1 cost was scheduling floor, not data.  The two outliers are",
+        "exactly the documented ones: `q_agg_weighted_median` EXACT at",
+        "~8× is the per-group sort window this pair exists to retire",
+        "(its approx primary pays 1.2×), and `q_resample_locf` tracks its",
+        "OUTPUT (the gap-filled grid grew ~10× with users) — sublinear",
+        "per output row.  `q_win_running_distinct` exact holds ~1.8×",
+        "(user_id keying) with the day-grain primary at 1.3×.",
+    ]
     section = "\n".join(lines) + "\n"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
