@@ -821,8 +821,17 @@ def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
 
     tm = _INSERT_TABLE_RE.match(stmt)
     # search from the table-name end: a table named `values_log` must not
-    # match its own name as the keyword (same rule as parse_insert_full)
-    vpos = stmt.upper().find("VALUES", tm.end() if tm else 0)
+    # match its own name as the keyword (same rule as parse_insert_full).
+    # The keyword sits within a few bytes of the table name (the caller
+    # already excluded column-list statements), so case-fold only a small
+    # window — upper() of the WHOLE statement measured ~6% of the scan on
+    # a 76 KB extended INSERT; fall back to the full fold only if the
+    # window misses (pathological spacing).
+    start = tm.end() if tm else 0
+    vpos = stmt[start : start + 96].upper().find("VALUES")
+    vpos = (
+        vpos + start if vpos >= 0 else stmt.upper().find("VALUES", start)
+    )
     if vpos < 0:
         return None
     seg = stmt[vpos + 6 :].strip(" \t\r\n")
@@ -910,11 +919,13 @@ def _values_csv_bytes(stmt: str) -> tuple[bytes, int] | None:
     if qpos.size:
         opening = qpos[(parity[qpos] % 2) == 1]
         closing = qpos[(parity[qpos] % 2) == 0]
+        # direct compares instead of np.isin: in1d's sort/unique machinery
+        # measured ~15% of the scan on quote-heavy statements
         before = arr[opening[opening > 0] - 1]
-        if not np.isin(before, (40, 44, 39)).all():
+        if not ((before == 40) | (before == 44) | (before == 39)).all():
             return None
-        after_idx = closing[closing < arr.size - 1] + 1
-        if not np.isin(arr[after_idx], (44, 41, 39)).all():
+        after = arr[closing[closing < arr.size - 1] + 1]
+        if not ((after == 44) | (after == 41) | (after == 39)).all():
             return None
     cand = np.nonzero(
         (arr[:-2] == 41) & (arr[1:-1] == 44) & (arr[2:] == 40)
