@@ -78,6 +78,15 @@ LIMIT 10
 N_BANDS = 6
 N_PLANES = 5
 
+#: Multi-probe (Lv et al., VLDB'07): per band, also probe the buckets
+#: whose signature differs from the probe's in ≤ this many bits — a
+#: near-miss on one hyperplane (the common failure: the neighbor sits
+#: just across one cutting plane) still lands in a probed bucket.
+#: Raises the probed buckets per band from 1 to 1+N_PLANES, which at
+#: scale is still a bucket-pruned read, not a scan; measured recall@10
+#: on the sf0.01 fixture 0.4 → 0.6.
+MULTIPROBE_HAMMING = 1
+
 
 def _plane(band: int, j: int) -> list[float]:
     return [
@@ -131,7 +140,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     match_any = None
     for b in range(N_BANDS):
-        cond = band_sig(dbl, b) == probe_band_sig(b)
+        sig = probe_band_sig(b)
+        probes = [sig]
+        if MULTIPROBE_HAMMING >= 1:
+            probes += [sig ^ (1 << j) for j in range(N_PLANES)]
+        cond = band_sig(dbl, b).isin(probes)
         match_any = cond if match_any is None else (match_any | cond)
     return (
         e.where(match_any)

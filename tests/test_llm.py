@@ -128,14 +128,15 @@ SF_RECALL = "/root/testdata/sf0.01"
 
 def test_ann_recall_bounds_sf001(spark):
     """sf0.01 recall@10 floors: IVF ≥ 0.6 (spherical coarse quantizer,
-    nprobe 4/16), hyperplane LSH ≥ 0.3 (5 planes, single probe)."""
+    nprobe 4/16, measured 0.7), hyperplane LSH ≥ 0.5 (5 planes,
+    Hamming-1 multi-probe, measured 0.6)."""
     from mysqldump_to_parquet_spark.llm.similarity import sim_ann_ivf
 
     exact = set(r.vec_id for r in sim_topk(spark, SF_RECALL).collect())
     ivf = set(r.vec_id for r in sim_ann_ivf(spark, SF_RECALL).collect())
     lsh = set(r.vec_id for r in sim_ann_lsh(spark, SF_RECALL).collect())
     assert len(exact & ivf) / 10 >= 0.6, f"IVF recall {len(exact & ivf) / 10}"
-    assert len(exact & lsh) / 10 >= 0.3, f"LSH recall {len(exact & lsh) / 10}"
+    assert len(exact & lsh) / 10 >= 0.5, f"LSH recall {len(exact & lsh) / 10}"
 
 
 def test_dedup_near_recall_vs_exact_truth(spark):

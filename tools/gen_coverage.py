@@ -48,8 +48,9 @@ ROWS_ONLY_NOTES = {
         "+ determinism + planted-dup locality pytest-asserted)"
     ),
     "q_sim_ann_lsh": (
-        "rows-only (hyperplane LSH; recall@10 ≥ 0.3 vs exact q_sim_topk "
-        "at sf0.01 — measured 0.4 — pytest-pinned)"
+        "rows-only (hyperplane LSH, Hamming-1 multi-probe; recall@10 "
+        "≥ 0.5 vs exact q_sim_topk at sf0.01 — measured 0.6 — "
+        "pytest-pinned)"
     ),
     "q_sim_ann_ivf": (
         "rows-only (spherical IVF nprobe 4/16; recall@10 ≥ 0.6 vs exact "
