@@ -190,6 +190,65 @@ def test_dedup_near_recall_vs_exact_truth(spark):
     assert found <= truth
 
 
+def test_simhash_separates_true_pairs_sf001(spark):
+    """Quantitative simhash quality on sf0.01 (the last rows-only key to
+    get a pinned number): every one of the 25 true near-dup pairs
+    (exact Jaccard ≥ 0.4) lands within Hamming distance 8 of its twin
+    (measured max 5), while random pairs sit far away (measured median
+    18, 5th percentile 11) — the locality a Hamming-radius dedup at
+    scale relies on."""
+    import random
+
+    from mysqldump_to_parquet_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        _shingles,
+        dedup_simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_RECALL}/documents.parquet")
+    sh = (
+        _shingles(docs)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(shingles, s -> xxhash64(s)))"
+            ).alias("hs"),
+        )
+        .where(F.expr("size(hs) > 0"))
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    truth = [
+        (r.doc_a, r.doc_b)
+        for r in (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                    / F.size(F.array_union("hs_a", "hs_b")).cast("double")
+                ).alias("j"),
+            )
+            .where(F.col("j") >= JACCARD_THRESHOLD)
+        ).collect()
+    ]
+    assert len(truth) == 25
+    sims = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF_RECALL).collect()}
+
+    def ham(x: int, y: int) -> int:
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for x, y in truth:
+        assert ham(sims[x], sims[y]) <= 8, (x, y, ham(sims[x], sims[y]))
+    rng = random.Random(7)
+    ids = list(sims)
+    rand = sorted(
+        ham(sims[rng.choice(ids)], sims[rng.choice(ids)]) for _ in range(500)
+    )
+    assert rand[len(rand) // 2] >= 12, f"random median {rand[len(rand) // 2]}"
+
+
 def test_dedup_near_candidates_deterministic(spark):
     """The LSH candidate stage (q_dedup_near_candidates) is exact and
     partition-independent: same pair set under a different shuffle

@@ -44,8 +44,10 @@ ROWS_ONLY_NOTES = {
         "candidate stage of q_dedup_near"
     ),
     "q_dedup_simhash": (
-        "rows-only (engine-specific xxhash64 fingerprints; bit-packing "
-        "+ determinism + planted-dup locality pytest-asserted)"
+        "rows-only (engine-specific xxhash64 fingerprints; quantitative "
+        "bound pytest-pinned at sf0.01: all 25 true near-dup pairs "
+        "within Hamming ≤ 8 — measured max 5 — random-pair median ≥ 12 "
+        "— measured 18; plus bit-packing + determinism invariants)"
     ),
     "q_sim_ann_lsh": (
         "rows-only (hyperplane LSH, Hamming-1 multi-probe; recall@10 "
