@@ -52,6 +52,10 @@ BENCH_QUERY_NAMES = [
     "q_graph_bfs",
     "q_bpe_merges",
     "q_kmeans",
+    # round-5 scale primaries: day-grain cumulative uniques (replaces the
+    # per-type window at scale) and the deterministic LSH candidate stage
+    "q_win_running_distinct_daily",
+    "q_dedup_near_candidates",
 ]
 
 
