@@ -1259,6 +1259,14 @@ MULTILINE_SPLIT_BYTES = 4 * 1024 * 1024
 #: memory when streaming an unsplittable .gz member).
 _STMT_FLUSH_BYTES = 32 * 1024 * 1024
 
+#: Fused-vs-cached choice for multi-table multiline dumps: the fused
+#: path re-reads the raw ranges once PER TABLE (tables × corpus bytes of
+#: Python-side scan, ~106 MB/s/core), the cached path reassembles once
+#: and JVM-filters per table.  Fused measured 2× faster at 68 MB up to
+#: 32 tables (job overhead dominates); the cache wins once the aggregate
+#: re-read is large.  16 GB ≈ 5 s of aggregate scan CPU on 32 cores.
+MULTILINE_FUSED_SCAN_BUDGET = 16 * 1024**3
+
 
 def _is_terminator_line(raw: bytes) -> bool:
     """Byte-level twin of the grammar :func:`iter_statements` applies per
@@ -1540,7 +1548,7 @@ def insert_rows_df_multiline_fused(
     schema: T.StructType,
     split_bytes: int | None = None,
 ) -> DataFrame:
-    """Pass 2 for a SINGLE-table multi-line dump: range reassembly and
+    """Pass 2 for a multi-line dump table: range reassembly and
     statement parse fused into one ``mapInArrow`` stage.
 
     The statements-DataFrame route (``multiline_stmts_df`` →
@@ -1548,10 +1556,12 @@ def insert_rows_df_multiline_fused(
     Python→JVM→Python around the persisted cache — measured ~1.3 s of a
     3.5 s wall on the 68 MB single-file bench.  Fusing keeps the text
     inside one Python worker per range; only parsed CARRIER batches
-    cross, exactly like the one-line layout's scan→parse stage.  The
-    multi-table path keeps the shared statements cache (JVM-side
-    per-table prefix filtering beats T× Python re-reads as T grows —
-    the same trade measured for the one-line layout's line cache)."""
+    cross, exactly like the one-line layout's scan→parse stage.  For
+    multi-table dumps each table's job re-reads the raw ranges
+    (Python-side skip of foreign statements is cheap relative to the
+    cache's Arrow crossing: 2× end-to-end at 68 MB/8–32 tables); the
+    shared statements cache takes over once ``tables × corpus`` exceeds
+    MULTILINE_FUSED_SCAN_BUDGET — see ``convert_dump``."""
     carrier = T.StructType([carrier_field(f) for f in schema.fields])
     ranges = _multiline_ranges(spark, dump_path, split_bytes)
 
@@ -1854,12 +1864,25 @@ def convert_dump(
                 raise
             use_multiline = True
             # map-only parallel DDL scan first (INSERT text never crosses
-            # to the JVM); the statements cache is built only for
-            # multi-table dumps, where per-table JVM prefix filtering
-            # needs it — a single table parses FUSED straight from the
-            # byte ranges
+            # to the JVM).  Path choice, measured on the 68 MB bench:
+            # FUSED per-table parse (each table's job re-reads the raw
+            # ranges Python-side; statement text never crosses to the
+            # JVM) beat the shared statements cache 3.15 s vs 6.55 s at
+            # 8 tables and 9.8 s vs 16.5 s at 32 — per-job overhead and
+            # the cache's Arrow crossing dominate at this size.  The
+            # fused path's aggregate re-read is tables × corpus bytes,
+            # so it loses once that product is large; the cache (one
+            # reassembly + JVM-side per-table prefix filtering) takes
+            # over past MULTILINE_FUSED_SCAN_BUDGET.
             schemas = collect_schemas_multiline(spark, dump_path)
-            if len(schemas) > 1:
+            sizes = (
+                spark.read.format("binaryFile")
+                .load(dump_path)
+                .select("length")
+                .collect()
+            )
+            rescan = len(schemas) * sum(int(r.length) for r in sizes)
+            if len(schemas) > 1 and rescan > MULTILINE_FUSED_SCAN_BUDGET:
                 lines = cached = multiline_stmts_df(spark, dump_path).persist()
             if progress:
                 print(
@@ -1877,12 +1900,14 @@ def convert_dump(
             lines = spark.read.text(dump_path).where(_dml_line_pred())
             if len(schemas) > 1:
                 lines = cached = lines.persist()
-        elif len(schemas) == 1:
-            lines = None  # single-table multiline: fused range parse
+        elif cached is None:
+            lines = None  # multiline fused range parse (per-table jobs)
         parse_parts: dict[str, int] = {}
-        if len(schemas) > 1:
+        if len(schemas) > 1 and lines is not None:
             # One cheap aggregate over the cached lines sizes each table's
-            # parse stage to its byte share (see parse_partition_counts).
+            # parse stage to its byte share (see parse_partition_counts);
+            # the fused multiline path (lines is None) sizes itself by
+            # range instead.
             cores = spark.sparkContext.defaultParallelism
             parse_parts = {
                 t.lower(): n

@@ -533,6 +533,54 @@ class TestMultilineRangeOwnership:
         )
         assert got == sorted(self._sequential())
 
+    def test_cached_and_fused_paths_agree(self, spark, tmp_path):
+        """convert_dump picks fused-per-table below the re-scan budget
+        and the statements cache above it; both pipelines must produce
+        identical rows (the cache path otherwise loses end-to-end
+        coverage at test sizes)."""
+        from mysqldump_to_parquet_spark.sources.mysqldump import (
+            build_schemas,
+            insert_rows_df,
+            insert_rows_df_multiline_fused,
+            iter_statements,
+            multiline_stmts_df,
+        )
+
+        dump = (
+            "CREATE TABLE `a` (`id` bigint NOT NULL, `v` varchar(16));\n"
+            "CREATE TABLE `b` (`id` bigint NOT NULL, `w` double);\n"
+            + "".join(
+                f"INSERT INTO `a` VALUES\n({i},\n'x{i}');\n"
+                f"INSERT INTO `b` VALUES\n({i}, {i}.5),\n({i + 500}, NULL);\n"
+                for i in range(200)
+            )
+        )
+        f = tmp_path / "two.sql"
+        f.write_text(dump)
+        schemas = build_schemas(iter_statements(dump.splitlines()))
+        stmts = multiline_stmts_df(spark, str(f)).persist()
+        try:
+            for t, s in schemas.items():
+                cached = sorted(
+                    map(
+                        tuple,
+                        insert_rows_df(
+                            spark, str(f), t, s, lines_df=stmts
+                        ).collect(),
+                    )
+                )
+                fused = sorted(
+                    map(
+                        tuple,
+                        insert_rows_df_multiline_fused(
+                            spark, str(f), t, s
+                        ).collect(),
+                    )
+                )
+                assert cached == fused and len(cached) > 0, t
+        finally:
+            stmts.unpersist()
+
     def test_gz_member_streams(self, spark, tmp_path):
         """.gz members are unsplittable: streamed whole on one task,
         same statement set."""
