@@ -74,6 +74,69 @@ def test_statement_reassembly_single_insert(s):
         assert out == [stmt]
 
 
+# ------------------------------------------- multiline range ownership
+
+
+@st.composite
+def _random_dump(draw):
+    """A synthetic multi-line dump: statements with random line breaks,
+    noise lines, string values containing ';' and ')' at line ends."""
+    parts = ["-- header comment", "/*!40101 SET NAMES utf8mb4 */;"]
+    n = draw(st.integers(1, 12))
+    for i in range(n):
+        kind = draw(st.sampled_from(["create", "insert", "noise"]))
+        if kind == "noise":
+            parts.append(draw(st.sampled_from(["", "-- a comment", "  "])))
+            continue
+        if kind == "create":
+            parts += [f"CREATE TABLE `t{i}` (", "  `id` bigint NOT NULL,",
+                      "  `v` varchar(32)", ");"]
+            continue
+        vals = draw(st.lists(st.sampled_from(
+            ["'a;'", "'b)'", "'c,('", "42", "NULL", "'x'"]
+        ), min_size=1, max_size=4))
+        tuples = [f"({j},{v})" for j, v in enumerate(vals)]
+        layout = draw(st.sampled_from(["oneline", "tuple_lines", "ragged"]))
+        if layout == "oneline":
+            parts.append(f"INSERT INTO `t{i % 3}` VALUES {','.join(tuples)};")
+        elif layout == "tuple_lines":
+            parts.append(f"INSERT INTO `t{i % 3}` VALUES")
+            parts += [t + "," for t in tuples[:-1]]
+            parts.append(tuples[-1] + ";")
+        else:  # ragged: break after commas inside the VALUES list
+            text = f"INSERT INTO `t{i % 3}` VALUES {', '.join(tuples)};"
+            cut = draw(st.integers(10, max(11, len(text) - 2)))
+            at = text.rfind(",", 0, cut)
+            if at > 0:
+                parts += [text[: at + 1], text[at + 1 :].strip()]
+            else:
+                parts.append(text)
+    return "\n".join(parts) + "\n"
+
+
+@given(_random_dump(), st.integers(3, 200))
+@settings(max_examples=60, deadline=None)
+def test_range_ownership_partitions_any_dump(tmp_path_factory, dump, step):
+    """For ANY dump layout and ANY split size, concatenating each
+    range's owned statements in offset order reproduces the sequential
+    reassembly exactly — no statement lost, duplicated, or reordered."""
+    from mysqldump_to_parquet_spark.sources.mysqldump import (
+        _iter_range_statements,
+        iter_statements,
+    )
+
+    d = tmp_path_factory.mktemp("rng")
+    f = d / "dump.sql"
+    f.write_text(dump)
+    size = f.stat().st_size
+    got: list[str] = []
+    for off in range(0, max(size, 1), step):
+        got.extend(
+            _iter_range_statements(str(f), off, min(off + step, size))
+        )
+    assert got == list(iter_statements(dump.splitlines()))
+
+
 # --------------------------------------------------------- DDL fuzzing
 
 _ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
