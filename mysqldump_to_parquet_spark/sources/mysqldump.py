@@ -1615,8 +1615,13 @@ def parse_partition_counts(
     Sizing by bytes keeps every task ≥ ~PARSE_TASK_BYTES while still
     fanning wide enough to fill the cores across concurrent table jobs.
     """
+    # regexp over a 96-byte prefix, not the full (multi-KB) statement:
+    # halves this aggregate's cost at 2 GB (2.8 → 1.5 s measured).  96
+    # covers the longest prefix + a 64-char table name (MySQL's limit).
     tbl = F.regexp_extract(
-        "value", r'^(?:INSERT\s+(?:IGNORE\s+)?|REPLACE\s+)INTO\s+[`"]?([^`"\s(]+)', 1
+        F.substring("value", 1, 96),
+        r'^(?:INSERT\s+(?:IGNORE\s+)?|REPLACE\s+)INTO\s+[`"]?([^`"\s(]+)',
+        1,
     )
     rows = (
         lines_df.select(tbl.alias("tbl"), F.length("value").alias("len"))
