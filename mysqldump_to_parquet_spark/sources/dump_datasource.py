@@ -124,7 +124,11 @@ def _finalize_row(row: tuple, schema: T.StructType, table: str) -> tuple:
             try:
                 dt = datetime.fromisoformat(v)
             except ValueError as e:
-                raise DumpParseError(f"{table}.{f.name}: bad timestamp {v!r}") from e
+                # same wording as the JVM cast guard (finish_casts) so the
+                # C1/C3 error contract reads identically on every path
+                raise DumpParseError(
+                    f"{table}: cannot cast {f.name} value '{v}' to timestamp"
+                ) from e
             # dumps carry naive UTC (reference: parquet_writer.rs:186-191);
             # attach the zone so the result is session-tz independent
             out.append(dt.replace(tzinfo=timezone.utc))
@@ -132,7 +136,9 @@ def _finalize_row(row: tuple, schema: T.StructType, table: str) -> tuple:
             try:
                 out.append(date.fromisoformat(v))
             except ValueError as e:
-                raise DumpParseError(f"{table}.{f.name}: bad date {v!r}") from e
+                raise DumpParseError(
+                    f"{table}: cannot cast {f.name} value '{v}' to date"
+                ) from e
         elif isinstance(f.dataType, T.DecimalType):
             out.append(Decimal(v))
         else:

@@ -41,6 +41,7 @@ Execution model (replaces the reference's 3-thread pipeline, main.rs:88–108):
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass
@@ -1793,6 +1794,186 @@ def _parse_stmts_to_arrow(stmts, table: str, schema: T.StructType, carrier):
         yield from slow_batches(slow_stmts)
 
 
+#: Per-table statement-buffer flush threshold inside a one-pass task
+#: (one Arrow parse + one parquet row group per flush).
+_ONEPASS_FLUSH_BYTES = 32 * 1024 * 1024
+
+#: Input split size for the one-pass scan: big enough that a task's
+#: per-table row groups stay healthy even when tables interleave.
+_ONEPASS_SPLIT_BYTES = 64 * 1024 * 1024
+
+
+def convert_dump_onepass(
+    spark: SparkSession,
+    dump_path: str,
+    output_dir: str,
+    compression: str = "snappy",
+    schemas: dict[str, T.StructType] | None = None,
+) -> dict[str, int]:
+    """ONE-pass multi-table conversion: each task parses its byte range
+    of the dump and writes EVERY table it sees straight to parquet.
+
+    The classic per-table design persists the statement text and runs
+    one job per table — the JVM prefix filter then re-reads the whole
+    cache T times (T × corpus of storage traffic: measured the dominant
+    cost at 2 GB / 16 tables).  Here the dump text is read exactly once,
+    statements group by table inside the task, and per-table
+    ``pyarrow.parquet`` writers emit final-typed row groups (the same
+    carrier→target Arrow casts the DataSource reader uses — identical
+    C1–C3 semantics, fast-path fallbacks included).
+
+    Commit protocol (v1-style, speculation-safe): tasks write to
+    ``{output_dir}/_staging_{job}/`` under attempt-unique filenames and
+    RETURN (table, path, rows) rows; only files reported by the one
+    successful attempt per partition are moved into place by the
+    driver, then staging is deleted — an orphaned duplicate attempt can
+    never surface.  Executors must share the output filesystem with the
+    driver (local / NFS / fuse-mounted DFS — same contract as the
+    DataSource writer); ``convert_dump`` falls back to the per-table
+    path otherwise."""
+    import shutil as _shutil
+    import uuid
+
+    from .dump_datasource import _carrier_to_target, _pa_schema
+
+    if schemas is None:
+        schemas = collect_schemas(spark, dump_path)
+    pa_schemas = {t: _pa_schema(s) for t, s in schemas.items()}
+    if any(v is None for v in pa_schemas.values()):
+        raise DumpParseError(
+            "onepass: a table has a column type with no Arrow mapping"
+        )
+    carriers = {
+        t: T.StructType([carrier_field(f) for f in s.fields])
+        for t, s in schemas.items()
+    }
+    out_abs = os.path.abspath(output_dir)
+    staging = os.path.join(out_abs, f"_staging_{uuid.uuid4().hex}")
+    os.makedirs(staging, exist_ok=True)
+
+    def parse_all(arrow_batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        bufs: dict[str, list] = {}  # table -> [stmts, byte_size]
+        writers: dict[str, list] = {}  # table -> [writer, path, rows]
+
+        def flush(table: str) -> None:
+            stmts, _n = bufs.pop(table)
+            schema = schemas[table]
+            try:
+                batches = list(
+                    _parse_stmts_to_arrow(stmts, table, schema, carriers[table])
+                )
+                if not batches:
+                    return
+                final = _carrier_to_target(
+                    pa.Table.from_batches(batches), schema, pa_schemas[table]
+                )
+            except DumpParseError:
+                raise
+            except Exception:
+                # carrier→target cast surprise: exhaustive re-parse —
+                # values the slow path can represent still convert, and
+                # a genuinely bad value raises the contextual C1/C3
+                # error (same fallback contract as the DataSource reader)
+                from .dump_datasource import _finalize_row
+
+                names = [f.name for f in schema.fields]
+                rows = []
+                for stmt in stmts:
+                    _t, cols, tuples = parse_insert_full(stmt)
+                    for tup in tuples:
+                        if cols is not None:
+                            tup = align_row(tup, cols, schema, table)
+                        rows.append(
+                            dict(
+                                zip(
+                                    names,
+                                    _finalize_row(
+                                        coerce_row(tup, schema, table),
+                                        schema,
+                                        table,
+                                    ),
+                                )
+                            )
+                        )
+                if not rows:
+                    return
+                final = pa.Table.from_pylist(rows, schema=pa_schemas[table])
+            if table not in writers:
+                d = os.path.join(staging, table)
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(
+                    d, f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+                )
+                writers[table] = [
+                    pq.ParquetWriter(
+                        path, final.schema, compression=compression
+                    ),
+                    path,
+                    0,
+                ]
+            w = writers[table]
+            w[0].write_table(final)
+            w[2] += final.num_rows
+
+        for batch in arrow_batches:
+            for stmt in batch.column(0).to_pylist():
+                table = insert_table_name(stmt.strip())
+                if table not in schemas:
+                    continue  # orphan INSERT: no CREATE TABLE (W3 parity)
+                buf = bufs.setdefault(table, [[], 0])
+                buf[0].append(stmt)
+                buf[1] += len(stmt)
+                if buf[1] >= _ONEPASS_FLUSH_BYTES:
+                    flush(table)
+        for table in list(bufs):
+            flush(table)
+        report = [(t, w[1], w[2]) for t, w in writers.items()]
+        for w in writers.values():
+            w[0].close()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in report], pa.string()),
+                pa.array([r[1] for r in report], pa.string()),
+                pa.array([r[2] for r in report], pa.int64()),
+            ],
+            names=["table", "path", "nrows"],
+        )
+
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(_ONEPASS_SPLIT_BYTES)
+    )
+    try:
+        lines = spark.read.text(dump_path).where(_dml_line_pred())
+        rep = lines.mapInArrow(
+            parse_all, "table string, path string, nrows long"
+        ).collect()
+        counts = {t: 0 for t in schemas}
+        for t in schemas:
+            d = os.path.join(out_abs, t)
+            _shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        for r in rep:
+            _shutil.move(
+                r.path, os.path.join(out_abs, r.table, os.path.basename(r.path))
+            )
+            counts[r.table] += int(r.nrows)
+        for t, n in counts.items():
+            if n == 0:  # schema-only dataset, same as the per-table path
+                spark.createDataFrame([], schemas[t]).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(out_abs, t))
+        return counts
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
 def convert_dump(
     spark: SparkSession,
     dump_path: str,
@@ -1801,6 +1982,7 @@ def convert_dump(
     progress: bool = False,
     max_concurrency: int = 8,
     multiline: str = "auto",
+    strategy: str = "auto",
 ) -> dict[str, int]:
     """Full reference pipeline: dump → one Snappy Parquet dataset per table.
 
@@ -1847,6 +2029,10 @@ def convert_dump(
 
     if multiline not in ("auto", "never"):
         raise ValueError(f"multiline must be 'auto' or 'never', got {multiline!r}")
+    if strategy not in ("auto", "onepass", "per_table"):
+        raise ValueError(
+            f"strategy must be 'auto', 'onepass' or 'per_table', got {strategy!r}"
+        )
     # Scope the file-split size to the parse-task granularity for the
     # duration of the convert (restored in the ``finally`` below): every
     # text scan — the DDL pass included, which otherwise decodes the whole
@@ -1901,6 +2087,35 @@ def convert_dump(
                 f"[ingest] {len(schemas)} table(s): {sorted(schemas)}",
                 file=sys.stderr,
             )
+        # one-pass strategy: multi-table one-line dumps with a
+        # driver-reachable output filesystem read the text exactly once
+        # (see convert_dump_onepass — T× cache re-reads measured as the
+        # dominant per-table-path cost at ≥2 GB)
+        if strategy == "onepass" and use_multiline:
+            raise ValueError(
+                "strategy='onepass' supports the one-line layout only"
+            )
+        if not use_multiline and (
+            strategy == "onepass"
+            or (
+                strategy == "auto"
+                and len(schemas) > 1
+                and "://" not in output_dir
+            )
+        ):
+            t0 = _time.perf_counter()
+            counts = convert_dump_onepass(
+                spark, dump_path, output_dir, compression, schemas=schemas
+            )
+            if progress:
+                dt = _time.perf_counter() - t0
+                for t in schemas:
+                    print(
+                        f"[ingest] {t}: {counts[t]:,} rows (one-pass, "
+                        f"{dt:.1f}s total)",
+                        file=sys.stderr,
+                    )
+            return {t: counts[t] for t in schemas}
         if not use_multiline:
             lines = spark.read.text(dump_path).where(_dml_line_pred())
             if len(schemas) > 1:

@@ -672,6 +672,40 @@ def test_parse_insert_variants():
     assert table == "t" and cols == ["b", "a"] and rows == [(1, "x")]
 
 
+def test_onepass_matches_per_table_exactly(spark, tmp_path):
+    """strategy='onepass' (single scan, task-side pyarrow writers,
+    report-then-commit) must produce value-identical datasets to the
+    classic per-table path across every logical type, including a table
+    with zero INSERTs (schema-only dataset)."""
+    dump = tmp_path / "op.sql"
+    dump.write_text(
+        "CREATE TABLE `acct` (\n"
+        "  `id` bigint NOT NULL,\n  `name` varchar(64),\n"
+        "  `bal` decimal(12,2),\n  `ratio` double,\n"
+        "  `active` boolean NOT NULL,\n  `created` timestamp NULL,\n"
+        "  `birthday` date\n);\n"
+        "CREATE TABLE `log` (`id` int, `msg` text);\n"
+        "CREATE TABLE `empty_t` (`id` int);\n"
+        + "".join(
+            f"INSERT INTO `acct` VALUES ({i},'u{i}',{i}.25,{i % 7}.5,"
+            f"{i % 2},'2024-01-{i % 28 + 1:02d} 10:0{i % 6}:00',"
+            f"'199{i % 10}-05-06');\n"
+            f"INSERT INTO `log` VALUES ({i},'m''{i}\\n');\n"
+            for i in range(300)
+        )
+    )
+    a = convert_dump(spark, str(dump), str(tmp_path / "a"), strategy="onepass")
+    b = convert_dump(spark, str(dump), str(tmp_path / "b"), strategy="per_table")
+    assert a == b == {"acct": 300, "log": 300, "empty_t": 0}
+    for t in a:
+        da = spark.read.parquet(str(tmp_path / "a" / t))
+        db = spark.read.parquet(str(tmp_path / "b" / t))
+        assert da.schema == db.schema, t
+        assert sorted(map(tuple, da.collect())) == sorted(
+            map(tuple, db.collect())
+        ), t
+
+
 @pytest.mark.parametrize(
     "stmt",
     [
