@@ -1260,13 +1260,6 @@ MULTILINE_SPLIT_BYTES = 4 * 1024 * 1024
 #: memory when streaming an unsplittable .gz member).
 _STMT_FLUSH_BYTES = 32 * 1024 * 1024
 
-#: Fused-vs-cached choice for multi-table multiline dumps: the fused
-#: path re-reads the raw ranges once PER TABLE (tables × corpus bytes of
-#: Python-side scan, ~106 MB/s/core), the cached path reassembles once
-#: and JVM-filters per table.  Fused measured 2× faster at 68 MB up to
-#: 32 tables (job overhead dominates); the cache wins once the aggregate
-#: re-read is large.  16 GB ≈ 5 s of aggregate scan CPU on 32 cores.
-MULTILINE_FUSED_SCAN_BUDGET = 16 * 1024**3
 
 
 def _is_terminator_line(raw: bytes) -> bool:
@@ -1809,6 +1802,7 @@ def convert_dump_onepass(
     output_dir: str,
     compression: str = "snappy",
     schemas: dict[str, T.StructType] | None = None,
+    multiline: bool = False,
 ) -> dict[str, int]:
     """ONE-pass multi-table conversion: each task parses its byte range
     of the dump and writes EVERY table it sees straight to parquet.
@@ -1830,14 +1824,23 @@ def convert_dump_onepass(
     never surface.  Executors must share the output filesystem with the
     driver (local / NFS / fuse-mounted DFS — same contract as the
     DataSource writer); ``convert_dump`` falls back to the per-table
-    path otherwise."""
+    path otherwise.
+
+    ``multiline=True`` swaps the statement source from JVM text lines to
+    the byte-range reassembly (:func:`_range_statements`) — the same
+    single-scan/commit machinery then serves the no---extended-insert
+    layout, with no per-table re-read at any table count."""
     import shutil as _shutil
     import uuid
 
     from .dump_datasource import _carrier_to_target, _pa_schema
 
     if schemas is None:
-        schemas = collect_schemas(spark, dump_path)
+        schemas = (
+            collect_schemas_multiline(spark, dump_path)
+            if multiline
+            else collect_schemas(spark, dump_path)
+        )
     pa_schemas = {t: _pa_schema(s) for t, s in schemas.items()}
     if any(v is None for v in pa_schemas.values()):
         raise DumpParseError(
@@ -1851,7 +1854,9 @@ def convert_dump_onepass(
     staging = os.path.join(out_abs, f"_staging_{uuid.uuid4().hex}")
     os.makedirs(staging, exist_ok=True)
 
-    def parse_all(arrow_batches):
+    def run_task(stmt_iter):
+        """Shared task body: statements (any table, any source) →
+        per-table parquet files in staging + one report RecordBatch."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
@@ -1920,22 +1925,21 @@ def convert_dump_onepass(
             w[0].write_table(final)
             w[2] += final.num_rows
 
-        for batch in arrow_batches:
-            for stmt in batch.column(0).to_pylist():
-                table = insert_table_name(stmt.strip())
-                if table not in schemas:
-                    continue  # orphan INSERT: no CREATE TABLE (W3 parity)
-                buf = bufs.setdefault(table, [[], 0])
-                buf[0].append(stmt)
-                buf[1] += len(stmt)
-                if buf[1] >= _ONEPASS_FLUSH_BYTES:
-                    flush(table)
+        for stmt in stmt_iter:
+            table = insert_table_name(stmt.strip())
+            if table not in schemas:
+                continue  # orphan INSERT: no CREATE TABLE (W3 parity)
+            buf = bufs.setdefault(table, [[], 0])
+            buf[0].append(stmt)
+            buf[1] += len(stmt)
+            if buf[1] >= _ONEPASS_FLUSH_BYTES:
+                flush(table)
         for table in list(bufs):
             flush(table)
         report = [(t, w[1], w[2]) for t, w in writers.items()]
         for w in writers.values():
             w[0].close()
-        yield pa.RecordBatch.from_arrays(
+        return pa.RecordBatch.from_arrays(
             [
                 pa.array([r[0] for r in report], pa.string()),
                 pa.array([r[1] for r in report], pa.string()),
@@ -1944,15 +1948,50 @@ def convert_dump_onepass(
             names=["table", "path", "nrows"],
         )
 
+    def parse_lines(arrow_batches):
+        yield run_task(
+            s
+            for batch in arrow_batches
+            for s in batch.column(0).to_pylist()
+        )
+
+    def parse_ranges(arrow_batches):
+        def stmts():
+            for batch in arrow_batches:
+                for i in range(batch.num_rows):
+                    yield from _range_statements(
+                        batch.column(0)[i].as_py(),
+                        batch.column(1)[i].as_py(),
+                        batch.column(2)[i].as_py(),
+                    )
+
+        yield run_task(stmts())
+
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes", str(_ONEPASS_SPLIT_BYTES)
     )
     try:
-        lines = spark.read.text(dump_path).where(_dml_line_pred())
-        rep = lines.mapInArrow(
-            parse_all, "table string, path string, nrows long"
-        ).collect()
+        if multiline:
+            # reassembly range size: fill ~2 waves of cores, but keep
+            # ranges large enough for healthy per-table row groups
+            ranges = _multiline_ranges(spark, dump_path)
+            total = sum(hi - lo for _p, lo, hi in ranges if hi > 0)
+            cores = spark.sparkContext.defaultParallelism
+            split = min(
+                _ONEPASS_SPLIT_BYTES,
+                max(8 * 1024 * 1024, total // max(1, 2 * cores)),
+            )
+            ranges = _multiline_ranges(spark, dump_path, split)
+            src = _ranges_df(spark, ranges)
+            rep = src.mapInArrow(
+                parse_ranges, "table string, path string, nrows long"
+            ).collect()
+        else:
+            lines = spark.read.text(dump_path).where(_dml_line_pred())
+            rep = lines.mapInArrow(
+                parse_lines, "table string, path string, nrows long"
+            ).collect()
         counts = {t: 0 for t in schemas}
         for t in schemas:
             d = os.path.join(out_abs, t)
@@ -2055,25 +2094,36 @@ def convert_dump(
                 raise
             use_multiline = True
             # map-only parallel DDL scan first (INSERT text never crosses
-            # to the JVM).  Path choice, measured on the 68 MB bench:
-            # FUSED per-table parse (each table's job re-reads the raw
-            # ranges Python-side; statement text never crosses to the
-            # JVM) beat the shared statements cache 3.15 s vs 6.55 s at
-            # 8 tables and 9.8 s vs 16.5 s at 32 — per-job overhead and
-            # the cache's Arrow crossing dominate at this size.  The
-            # fused path's aggregate re-read is tables × corpus bytes,
-            # so it loses once that product is large; the cache (one
-            # reassembly + JVM-side per-table prefix filtering) takes
-            # over past MULTILINE_FUSED_SCAN_BUDGET.
+            # to the JVM).  Multi-table multiline dumps then convert
+            # ONE-PASS (range reassembly feeding the same single-scan
+            # task-writer machinery as the one-line layout — no per-table
+            # re-read at any table count); single-table dumps use the
+            # fused range parse (Spark's own parquet committer, one scan
+            # anyway); the statements cache remains for non-shared-FS
+            # output where task-side writers can't commit.
             schemas = collect_schemas_multiline(spark, dump_path)
-            sizes = (
-                spark.read.format("binaryFile")
-                .load(dump_path)
-                .select("length")
-                .collect()
-            )
-            rescan = len(schemas) * sum(int(r.length) for r in sizes)
-            if len(schemas) > 1 and rescan > MULTILINE_FUSED_SCAN_BUDGET:
+            if (
+                len(schemas) > 1
+                and strategy != "per_table"
+                and "://" not in output_dir
+            ):
+                counts = convert_dump_onepass(
+                    spark,
+                    dump_path,
+                    output_dir,
+                    compression,
+                    schemas=schemas,
+                    multiline=True,
+                )
+                if progress:
+                    for t in schemas:
+                        print(
+                            f"[ingest] {t}: {counts[t]:,} rows "
+                            "(multiline one-pass)",
+                            file=sys.stderr,
+                        )
+                return {t: counts[t] for t in schemas}
+            if len(schemas) > 1:
                 lines = cached = multiline_stmts_df(spark, dump_path).persist()
             if progress:
                 print(
@@ -2091,10 +2141,6 @@ def convert_dump(
         # driver-reachable output filesystem read the text exactly once
         # (see convert_dump_onepass — T× cache re-reads measured as the
         # dominant per-table-path cost at ≥2 GB)
-        if strategy == "onepass" and use_multiline:
-            raise ValueError(
-                "strategy='onepass' supports the one-line layout only"
-            )
         if not use_multiline and (
             strategy == "onepass"
             or (
