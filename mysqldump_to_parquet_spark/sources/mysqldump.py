@@ -2025,13 +2025,15 @@ def convert_dump(
 ) -> dict[str, int]:
     """Full reference pipeline: dump → one Snappy Parquet dataset per table.
 
-    Returns {table: row_count}.  Two-pass: driver-side DDL (bytes), then a
-    parallel INSERT parse per table.  Multi-table dumps cache the INSERT
-    lines once (the dump text is decoded exactly once, not once per table)
-    and submit the per-table write jobs from a thread pool — Spark's
-    scheduler runs them concurrently, so a 100-table dump doesn't serialize
-    the cluster behind one table at a time.  Row counts come from an
-    ``observe`` metric on the write itself; nothing re-reads the output.
+    Returns {table: row_count}.  ``strategy`` (default 'auto'): multi-table
+    dumps with driver-reachable output convert ONE-PASS — each task parses
+    its byte range once and writes every table it sees (see
+    :func:`convert_dump_onepass`; 86 → 359 MB/s at 2 GB/16 tables).
+    'per_table' forces the classic design: driver-side DDL pass, then a
+    parallel INSERT parse per table over a shared statement cache, write
+    jobs submitted from a thread pool with row counts from an ``observe``
+    metric on the write itself — still the path for single-table dumps
+    (Spark's committer, already single-scan) and object-store output.
 
     Design note (measured, round 4): a staged alternative — one pass
     writing the lines ``partitionBy(table)`` to parquet, per-table jobs
