@@ -2104,19 +2104,24 @@ def convert_dump(
             # anyway); the statements cache remains for non-shared-FS
             # output where task-side writers can't commit.
             schemas = collect_schemas_multiline(spark, dump_path)
-            if (
-                len(schemas) > 1
-                and strategy != "per_table"
-                and "://" not in output_dir
-            ):
-                counts = convert_dump_onepass(
-                    spark,
-                    dump_path,
-                    output_dir,
-                    compression,
-                    schemas=schemas,
-                    multiline=True,
+            if strategy != "per_table" and "://" not in output_dir:
+                # one-pass for ANY table count (single-table measured
+                # 96 vs 39 MB/s against the fused+Spark-sink path at
+                # 68 MB); fused remains the object-store-output fallback
+                live = (
+                    ProgressReporter(spark, "ingest")
+                    if progress
+                    else contextlib.nullcontext()
                 )
+                with live:
+                    counts = convert_dump_onepass(
+                        spark,
+                        dump_path,
+                        output_dir,
+                        compression,
+                        schemas=schemas,
+                        multiline=True,
+                    )
                 if progress:
                     for t in schemas:
                         print(
@@ -2139,22 +2144,26 @@ def convert_dump(
                 f"[ingest] {len(schemas)} table(s): {sorted(schemas)}",
                 file=sys.stderr,
             )
-        # one-pass strategy: multi-table one-line dumps with a
-        # driver-reachable output filesystem read the text exactly once
-        # (see convert_dump_onepass — T× cache re-reads measured as the
-        # dominant per-table-path cost at ≥2 GB)
+        # one-pass strategy: one-line dumps with a driver-reachable
+        # output filesystem read the text exactly once and write from
+        # the tasks (see convert_dump_onepass).  Multi-table: removes
+        # the T× cache re-reads (dominant cost at ≥2 GB).  Single-table:
+        # the pyarrow writers beat the JVM cast+sink stage 434 vs
+        # 112 MB/s at 1 GB, so auto uses one-pass there too.
         if not use_multiline and (
             strategy == "onepass"
-            or (
-                strategy == "auto"
-                and len(schemas) > 1
-                and "://" not in output_dir
-            )
+            or (strategy == "auto" and "://" not in output_dir)
         ):
             t0 = _time.perf_counter()
-            counts = convert_dump_onepass(
-                spark, dump_path, output_dir, compression, schemas=schemas
+            live = (
+                ProgressReporter(spark, "ingest")
+                if progress
+                else contextlib.nullcontext()
             )
+            with live:
+                counts = convert_dump_onepass(
+                    spark, dump_path, output_dir, compression, schemas=schemas
+                )
             if progress:
                 dt = _time.perf_counter() - t0
                 for t in schemas:
