@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> int:
         "for dumps whose INSERTs span lines (no --extended-insert); 'never' "
         "errors instead, enforcing the splittable one-line layout",
     )
+    ap.add_argument(
+        "--strategy",
+        choices=("auto", "onepass", "per_table"),
+        default="auto",
+        help="'auto' (default) converts one-pass (single scan, task-side "
+        "parquet writers) when the output filesystem is driver-reachable; "
+        "'per_table' forces the classic per-table jobs (object stores, "
+        "or Spark's own committer semantics)",
+    )
     ap.add_argument("--master", default=None, help="Spark master (default local[cores])")
     ap.add_argument(
         "--export",
@@ -104,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
             compression=args.compression,
             progress=True,
             multiline=args.multiline,
+            strategy=args.strategy,
         )
         print(json.dumps({"tables": counts, "output": args.output}))
         return 0
