@@ -151,3 +151,107 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(out_path, compression=compression)
     )
+
+
+# ------------------------------------------------------- driver-visible key
+#
+# ``write_zorder`` is a layout rewrite (physical outcome asserted in
+# tests/test_maintenance.py); ``q_zorder_cluster`` makes the Morton-code
+# *computation* itself driver-hash-checkable: it grids two integer key
+# columns, interleaves their bits, and summarizes the top-6-bit Z
+# buckets.  Each bucket's (min, max) extent on BOTH dimensions is the
+# rectangle-bounding property that makes z-clustered file statistics
+# prunable — the oracle recomputes the identical integer arithmetic in
+# DuckDB, so a hash match pins the interleave end-to-end.
+
+ZORDER_BITS = 10  # per-dimension grid bits; Z code spans 2*bits
+
+
+def _morton_terms(x: str, y: str, bits: int, spark_dialect: bool) -> str:
+    """Bitwise-interleave expression in either engine's SQL dialect.
+    Integer-only arithmetic → bit-identical across engines."""
+    terms = []
+    for i in range(bits):
+        if spark_dialect:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_zorder_cluster: Z-bucket summary of orders on
+    (o_custkey, o_orderkey).
+
+    One tiny min/max aggregate broadcasts the grid bounds; gridding is
+    integer multiply + integer divide (exact in both engines — no float
+    touches the key path); the Morton interleave is pure shift/mask
+    codegen.  Scale shape: map-only until the final 64-group aggregate.
+    """
+    from ..catalog import load_table
+
+    bits = ZORDER_BITS
+    grid = (1 << bits) - 1
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    span = o.agg(
+        F.min("o_custkey").alias("__minx"),
+        F.max("o_custkey").alias("__maxx"),
+        F.min("o_orderkey").alias("__miny"),
+        F.max("o_orderkey").alias("__maxy"),
+    )
+    gx = f"((o_custkey - __minx) * {grid}) div greatest(__maxx - __minx, 1)"
+    gy = f"((o_orderkey - __miny) * {grid}) div greatest(__maxy - __miny, 1)"
+    z = _morton_terms(f"({gx})", f"({gy})", bits, spark_dialect=True)
+    return (
+        o.join(F.broadcast(span))
+        .withColumn("z_bucket", F.expr(f"({z}) >> {2 * bits - 6}"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    bits = ZORDER_BITS
+    grid = (1 << bits) - 1
+    gx = f"((o_custkey - __minx) * {grid}) // greatest(__maxx - __minx, 1)"
+    gy = f"((o_orderkey - __miny) * {grid}) // greatest(__maxy - __miny, 1)"
+    z = _morton_terms(f"({gx})", f"({gy})", bits, spark_dialect=False)
+    return f"""
+WITH span AS (
+  SELECT MIN(o_custkey)  AS __minx, MAX(o_custkey)  AS __maxx,
+         MIN(o_orderkey) AS __miny, MAX(o_orderkey) AS __maxy
+  FROM orders
+),
+coded AS (
+  SELECT o_orderkey, o_custkey,
+         (({z})) >> {2 * bits - 6} AS z_bucket
+  FROM orders CROSS JOIN span
+)
+SELECT z_bucket,
+       COUNT(*)        AS n_orders,
+       MIN(o_custkey)  AS min_custkey,
+       MAX(o_custkey)  AS max_custkey,
+       MIN(o_orderkey) AS min_orderkey,
+       MAX(o_orderkey) AS max_orderkey
+FROM coded
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
+QUERIES = {
+    "q_zorder_cluster": zorder_cluster,
+}
+
+ORACLE = {
+    "q_zorder_cluster": _zorder_oracle_sql(),
+}

@@ -106,3 +106,29 @@ def test_cli_export_round_trip(spark, tmp_path, capsys, monkeypatch):
     a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pq/acct")).collect()))
     b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pq2/acct")).collect()))
     assert a == b
+
+
+def test_cli_strategy_per_table_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    """--strategy per_table drives the classic per-table jobs through the
+    full CLI path (arg parsing → convert → JSON report) and lands the
+    same dataset as the default one-pass path — the object-store-output
+    configuration stays exercised end-to-end, not just via the library
+    differential in test_ingest.py."""
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: _NoStop(spark))
+    dump = tmp_path / "demo.sql"
+    dump.write_text(DEMO_DUMP)
+    rc = cli.main(
+        [
+            str(dump),
+            "--output", str(tmp_path / "pt"),
+            "--strategy", "per_table",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["tables"] == {"acct": 3}
+    assert cli.main([str(dump), "--output", str(tmp_path / "op")]) == 0
+    a = spark.read.parquet(str(tmp_path / "pt/acct"))
+    b = spark.read.parquet(str(tmp_path / "op/acct"))
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -133,3 +133,47 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
 
     # and the rewrite is lossless
     assert spark.read.parquet(zpath).count() == l.count()
+
+
+def test_morton_interleave_matches_python_reference(spark):
+    """The shift/mask SQL interleave (Spark dialect) equals a bit-twiddling
+    Python reference across the grid-corner and mid-range values."""
+    from pyspark.sql import functions as F
+
+    from mysqldump_to_parquet_spark.sources.maintenance import _morton_terms
+
+    bits = 10
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [0, 1, 2, 3, 5, 255, 256, 511, 512, 777, 1022, 1023]
+    df = spark.createDataFrame(
+        [(x, y) for x in vals for y in vals], "x long, y long"
+    )
+    expr = _morton_terms("x", "y", bits, spark_dialect=True)
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", F.expr(expr)).collect()
+    }
+    assert got == {(x, y): ref(x, y) for x in vals for y in vals}
+
+
+def test_zorder_cluster_query_conserves_and_bounds(spark):
+    """q_zorder_cluster: buckets partition the table (counts conserve),
+    bucket ids live in [0, 64), and per-bucket key rectangles nest inside
+    the global extent."""
+    from mysqldump_to_parquet_spark.sources.maintenance import zorder_cluster
+
+    sf = "/root/testdata/sf0.001"
+    rows = zorder_cluster(spark, sf).collect()
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    assert sum(r.n_orders for r in rows) == orders.count()
+    assert all(0 <= r.z_bucket < 64 for r in rows)
+    for r in rows:
+        assert r.min_custkey <= r.max_custkey
+        assert r.min_orderkey <= r.max_orderkey

@@ -138,6 +138,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "q_win_ratio",
     # 1-row global max broadcast (the PPS probability denominator)
     "q_sample_weighted",
+    # 1-row grid-bounds broadcast (min/max per Z dimension) + final
+    # ORDER BY on the 64-row bucket summary — both size-independent
+    "q_zorder_cluster",
     # k-cut runs first (TakeOrderedAndProject); the rank window sees only
     # the k survivors — bounded by k, not data
     "q_bm25",
