@@ -56,6 +56,9 @@ BENCH_QUERY_NAMES = [
     # per-type window at scale) and the deterministic LSH candidate stage
     "q_win_running_distinct_daily",
     "q_dedup_near_candidates",
+    # round-5b: token-span exact dedup — the heaviest new operator of the
+    # round (two data-sized exchanges), kept regression-visible
+    "q_dedup_substring",
 ]
 
 

@@ -120,3 +120,29 @@ def test_substring_differential_on_fixture(spark):
     }
     assert got == ref
     assert got, "fixture should contain at least one duplicated span"
+
+
+def test_substring_randomized_corpora_match_reference(spark, tmp_path, monkeypatch):
+    """Property-style sweep: 150 seeded random corpora (tiny alphabets →
+    dense duplication, adjacency, and self-repeats), batched into ONE
+    Spark run via disjoint per-corpus token prefixes and doc_id ranges,
+    compared against the independent Python reference.  K=3 makes
+    single-token-gap and exact-adjacency layouts common."""
+    import random
+
+    from mysqldump_to_parquet_spark.llm import substring as mod
+
+    monkeypatch.setattr(mod, "DUP_WINDOW", 3)
+    rng = random.Random(20260814)
+    docs: dict[int, str] = {}
+    base = 0
+    for corpus in range(150):
+        alpha = [f"c{corpus}_t{i}" for i in range(rng.randint(2, 5))]
+        for d in range(rng.randint(1, 4)):
+            n = rng.randint(0, 12)
+            docs[base + d] = " ".join(rng.choice(alpha) for _ in range(n))
+        base += 10
+    # disjoint alphabets → per-corpus references union to the global one
+    ref = _ref_substring(docs, 3)
+    got = _run(spark, docs, tmp_path)
+    assert got == ref

@@ -135,6 +135,26 @@ NOTES = {
         "by the 3-value flag alphabet. The crossing bucket's [lo, hi] "
         "brackets the true weighted median (pytest-asserted)."
     ),
+    "q_dedup_substring": (
+        "Token-span exact dedup (round-5b): document text never leaves "
+        "its scan partition — only (doc_id, pos, 8-byte xxhash64) rows "
+        "shuffle. ONE exchange on the window hash feeds a count-window "
+        "that tags corpus-wide occurrence counts in place (1.8× faster "
+        "than groupBy + join-back, and linear — not quadratic — in the "
+        "occurrences of a degenerate boilerplate shingle); one exchange "
+        "on doc_id drives the interval-merge windows, whose partitioning "
+        "the two downstream groupBys reuse (subset-satisfied, no further "
+        "shuffle)."
+    ),
+    "q_zorder_cluster": (
+        "Z-order clustering key: a 1-row min/max broadcast sets the "
+        "grid; gridding + Morton interleave are integer-only codegen "
+        "(shift/mask, no UDF, no float on the key path); the plan is "
+        "map-only until the 64-group partial-aggregated summary. The "
+        "same interleave drives write_zorder's repartitionByRange, "
+        "whose per-file two-dimensional min/max tightness is asserted "
+        "physically in tests/test_maintenance.py."
+    ),
     "q_win_rolling_corr": (
         "Two stacked windows (lag + rolling corr) share ONE "
         "(user_id, event_type) exchange and sort. Re-keyed in round 4: "

@@ -81,6 +81,10 @@ QUERIES = [
     "q_split_drift",
     "q_bpe_merges",
     "q_attribution_channels",
+    # round-5b additions
+    "q_dedup_substring",
+    "q_src_xml",
+    "q_zorder_cluster",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
