@@ -638,6 +638,29 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                     raise DumpParseError(
                         f"bad hex literal {tok[:40]!r} in INSERT for {table}"
                     ) from exc
+            elif up[0] == "B" and len(tok) >= 2 and tok[1] == "'":
+                # BIT column literal (b'101') — numeric context, matching
+                # the BIT→integer DDL mapping.  The Arrow-CSV fast path
+                # never sees these: its quote-boundary guard routes any
+                # statement with a non-delimiter-adjacent quote here.
+                if len(tok) < 3 or tok[-1] != "'" or tok[2:-1].strip("01"):
+                    raise DumpParseError(
+                        f"bad bit literal {tok[:40]!r} in INSERT for {table}"
+                    )
+                row.append(int(tok[2:-1], 2) if len(tok) > 3 else 0)
+            elif up[0] == "X" and len(tok) >= 2 and tok[1] == "'":
+                # standard-SQL hex string literal (X'41') — byte string,
+                # same value class as 0x41
+                if len(tok) < 3 or tok[-1] != "'":
+                    raise DumpParseError(
+                        f"bad hex literal {tok[:40]!r} in INSERT for {table}"
+                    )
+                try:
+                    row.append(bytes.fromhex(tok[2:-1]))
+                except ValueError as exc:
+                    raise DumpParseError(
+                        f"bad hex literal {tok[:40]!r} in INSERT for {table}"
+                    ) from exc
             elif (
                 tok.startswith("_")
                 and tok[1:].replace("_", "").isalnum()
@@ -670,7 +693,8 @@ def _next_is_literal(s: str, i: int, n: int) -> bool:
 # --------------------------------------------------------------------------
 #
 # The per-character tokenizer above is the COMPLETE grammar (escapes, hex
-# blobs, charset introducers, arbitrary whitespace).  The overwhelming bulk
+# blobs, b'…' bit literals, X'…' hex strings, charset introducers,
+# arbitrary whitespace).  The overwhelming bulk
 # of a real mysqldump, though, is the canonical layout mysqldump itself
 # emits: ``INSERT INTO `t` VALUES (a,b,...),(a,b,...);`` with no backslash
 # escapes in sight.  For those statements the VALUES text IS a CSV dialect
@@ -1052,6 +1076,14 @@ def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
                 raise DumpParseError(f"{table}.{f.name}: {v!r} is not numeric")
             out.append(float(v))  # C2 widening
         elif isinstance(f.dataType, T.LongType):
+            if isinstance(v, (bytes, bytearray)):
+                # BIT column dumped with --hex-blob (0x05): MySQL numeric
+                # context — big-endian bytes are the integer value
+                if len(v) > 8:
+                    raise DumpParseError(
+                        f"{table}.{f.name}: {len(v)}-byte value overflows BIGINT"
+                    )
+                v = int.from_bytes(v, "big")
             if isinstance(v, bool) or not isinstance(v, int):
                 raise DumpParseError(f"{table}.{f.name}: {v!r} is not an integer")
             if not (-(2**63) <= v < 2**63):

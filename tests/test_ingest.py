@@ -1237,3 +1237,43 @@ def test_statement_longer_than_split_parses_once(spark, tmp_path):
     assert back.selectExpr("sum(id)").collect()[0][0] == n_rows * (n_rows - 1) // 2
     row = back.where(back.id == 89_999).collect()[0]
     assert row.name == "user_00089999" and row.score == 89999.5
+
+
+def test_bit_and_hex_string_literals(spark, tmp_path):
+    """BIT columns (DDL bit(n) → integer) convert from all three literal
+    layouts MySQL dumps produce: b'…' bit literals, 0x… hex (--hex-blob,
+    numeric context for an integer-typed column), and plain integers.
+    X'…' standard hex strings land in binary columns like 0x…."""
+    dump = tmp_path / "bits.sql"
+    dump.write_text(
+        "CREATE TABLE `flags` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `mask` bit(8),\n"
+        "  `payload` varbinary(4)\n"
+        ");\n"
+        "INSERT INTO `flags` VALUES "
+        "(1,b'101',X'DEAD'),(2,0x0F,x'41'),(3,5,0xBEEF),(4,b'',NULL);\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    got = {
+        r.id: (r.mask, bytes(r.payload) if r.payload is not None else None)
+        for r in spark.read.parquet(str(tmp_path / "out/flags")).collect()
+    }
+    assert got == {
+        1: (5, b"\xde\xad"),
+        2: (15, b"A"),
+        3: (5, b"\xbe\xef"),
+        4: (0, None),
+    }
+
+
+def test_bit_literal_into_string_column_fails_loud(spark, tmp_path):
+    """A bit literal parses to an integer; landing it in a VARCHAR column
+    violates C3 and must raise with column context, not stringify."""
+    dump = tmp_path / "badbit.sql"
+    dump.write_text(
+        "CREATE TABLE `t` (`name` varchar(8));\n"
+        "INSERT INTO `t` VALUES (b'101');\n"
+    )
+    with pytest.raises(Exception, match="t.name"):
+        convert_dump(spark, str(dump), str(tmp_path / "out"))
