@@ -9,8 +9,8 @@ duplicated windows merge into maximal spans that a curation pipeline
 would cut out of the training text.
 
 Instead of a distributed suffix array (the paper's single-machine
-structure), the Spark-first formulation is a **two-phase rolling-window
-join**, which is embarrassingly parallel and shuffle-bounded:
+structure), the Spark-first formulation is a **rolling-window count**,
+embarrassingly parallel and shuffle-bounded:
 
 1. every document emits one 8-byte ``xxhash64`` per K-token window
    (JVM-side ``transform`` over the token array — no explode of the
@@ -35,9 +35,11 @@ and the per-doc exchange is satisfied-by-subset for the two downstream
 groupBys (no further shuffles).
 
 The driver oracle groups the literal K-token strings (DuckDB has no
-xxhash64); the two agree unless xxhash64 collides (P ≈ n²/2⁶⁵ — at
-10¹² windows still < 3 %, and 0 observed at every test SF; for a
-collision-free production pass use a 128-bit hash pair the same way).
+xxhash64); the two agree unless xxhash64 collides.  Birthday bound:
+~n²/2⁶⁵ colliding pairs — ≈27 k at 10¹² windows, i.e. a 3×10⁻⁸
+fraction of windows falsely flagged (0 observed at every test SF);
+for a collision-free production pass use a 128-bit hash pair the
+same way.
 """
 
 from __future__ import annotations

@@ -461,3 +461,30 @@ def test_tpch_q21_no_self_join(spark):
     assert "LeftSemi" not in plan
     assert "LeftAnti" not in plan
     assert "BroadcastExchange" in plan  # supplier display join
+
+
+def test_substring_dedup_two_data_exchanges(spark):
+    """q_dedup_substring's scale contract: the document text never
+    shuffles (only hash/pos rows), exactly two data-sized exchanges —
+    count-window on win_hash, interval-merge on doc_id — and the two
+    downstream groupBys reuse the doc_id partitioning (subset-satisfied,
+    no aggregate exchange).  Third allowed Exchange = the tiny output
+    orderBy."""
+    from mysqldump_to_parquet_spark.llm.substring import dedup_substring
+
+    plan = formatted_plan(dedup_substring(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    # the only scanned column besides the key is text → pruned ReadSchema
+    assert "Cartesian" not in plan and "text" in plan, plan
+
+
+def test_zorder_cluster_map_only_until_bucket_agg(spark):
+    """q_zorder_cluster: the 1-row bounds aggregate broadcasts; the data
+    path is map-only codegen into a partial-aggregated 64-group summary —
+    no UDF, no data-sized sort before aggregation."""
+    from mysqldump_to_parquet_spark.sources.maintenance import zorder_cluster
+
+    plan = formatted_plan(zorder_cluster(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row bounds side
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
