@@ -136,6 +136,13 @@ _FLOAT_TYPES = {"float", "float4", "float8", "float64", "real", "double"}
 _DECIMAL_TYPES = {"decimal", "numeric", "dec", "bignumeric", "bigdecimal", "fixed"}
 _BINARY_TYPES = {
     "binary", "varbinary", "tinyblob", "blob", "mediumblob", "longblob",
+    # spatial types: mysqldump emits their values as binary payloads
+    # (SRID-prefixed WKB, via _binary '…' or --hex-blob 0x…) — the
+    # faithful conversion is the opaque bytes, decoded downstream by
+    # whatever geometry library consumes the parquet
+    "geometry", "point", "linestring", "polygon", "multipoint",
+    "multilinestring", "multipolygon", "geomcollection",
+    "geometrycollection",
 }
 
 _COL_RE = re.compile(r"^`(?P<q>[^`]+)`|^(?P<b>[A-Za-z_][A-Za-z0-9_]*)")

@@ -444,3 +444,25 @@ def test_arrow_writer_randomized_roundtrip(registered, spark, tmp_path):
     assert set(a) == set(b)
     mismatches = [(a[k], b[k]) for k in a if a[k] != b[k]]
     assert not mismatches, mismatches[:3]
+
+
+def test_bit_and_spatial_through_datasource(registered, tmp_path):
+    """BIT and geometry support lives in the shared parser/coercion
+    (mysqldump.py), so format("mysqldump") reads them identically: bit
+    literals as integers, WKB payloads as binary."""
+    p = tmp_path / "geo.sql"
+    p.write_text(
+        "CREATE TABLE `g` (`id` int, `mask` bit(8), `loc` point);\n"
+        "INSERT INTO `g` VALUES (1,b'11',0xCAFE),(2,0x05,NULL);\n"
+    )
+    df = (
+        registered.read.format("mysqldump")
+        .option("path", str(p))
+        .option("table", "g")
+        .load()
+    )
+    got = {
+        r.id: (r.mask, bytes(r.loc) if r.loc is not None else None)
+        for r in df.collect()
+    }
+    assert got == {1: (3, b"\xca\xfe"), 2: (5, None)}

@@ -1277,3 +1277,54 @@ def test_bit_literal_into_string_column_fails_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="t.name"):
         convert_dump(spark, str(dump), str(tmp_path / "out"))
+
+
+def test_generated_column_dump_layout(spark, tmp_path):
+    """MySQL dumps tables with generated columns as full DDL (including
+    the GENERATED ALWAYS AS (...) STORED clause — expression parens and
+    commas inside the column list) plus column-list INSERTs that exclude
+    the generated column.  The expression is not evaluable from a dump,
+    so the column lands NULL; everything else round-trips.  Also covers
+    MySQL-8 expression DEFAULTs and view statements (skipped as noise)."""
+    dump = tmp_path / "gen.sql"
+    dump.write_text(
+        "CREATE TABLE `t` (\n"
+        "  `a` int NOT NULL,\n"
+        "  `b` int,\n"
+        "  `total` int GENERATED ALWAYS AS ((`a` + `b`)) STORED,\n"
+        "  `name` varchar(20) DEFAULT (concat('x','-','y'))\n"
+        ");\n"
+        "INSERT INTO `t` (`a`, `b`, `name`) VALUES (1,2,'u'),(3,4,'v');\n"
+        "/*!50001 CREATE ALGORITHM=UNDEFINED VIEW `v` AS "
+        "select `t`.`a` AS `a` from `t` */;\n"
+    )
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"t": 2}
+    rows = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "out/t")).collect())
+    )
+    assert rows == [(1, 2, None, "u"), (3, 4, None, "v")]
+
+
+def test_spatial_types_convert_as_wkb_binary(spark, tmp_path):
+    """Geometry-family DDL types map to BinaryType; values arrive as
+    _binary-introduced strings or --hex-blob 0x literals (SRID-prefixed
+    WKB) and round-trip byte-faithfully as opaque payloads."""
+    # 25-byte WKB point with SRID prefix (SRID 0, little-endian, type 1)
+    wkb = "00000000" + "01" + "01000000" + "0" * 32
+    dump = tmp_path / "geo.sql"
+    dump.write_text(
+        "CREATE TABLE `places` (\n"
+        "  `id` int NOT NULL,\n  `loc` point,\n  `area` polygon\n);\n"
+        f"INSERT INTO `places` VALUES (1,0x{wkb},NULL),(2,NULL,0xDEAD);\n"
+    )
+    counts = convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"places": 2}
+    got = {
+        r.id: (
+            bytes(r.loc) if r.loc is not None else None,
+            bytes(r.area) if r.area is not None else None,
+        )
+        for r in spark.read.parquet(str(tmp_path / "out/places")).collect()
+    }
+    assert got == {1: (bytes.fromhex(wkb), None), 2: (None, b"\xde\xad")}
