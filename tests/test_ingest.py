@@ -1328,3 +1328,26 @@ def test_spatial_types_convert_as_wkb_binary(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out/places")).collect()
     }
     assert got == {1: (bytes.fromhex(wkb), None), 2: (None, b"\xde\xad")}
+
+
+def test_databases_dump_layout(spark, tmp_path):
+    """mysqldump --databases adds CREATE DATABASE / USE / LOCK TABLES /
+    conditional ALTER statements around each table; all are non-DDL
+    non-INSERT noise for conversion and must be skipped, not fatal."""
+    dump = tmp_path / "db.sql"
+    dump.write_text(
+        "CREATE DATABASE /*!32312 IF NOT EXISTS*/ `mydb` "
+        "/*!40100 DEFAULT CHARACTER SET utf8mb4 */;\n"
+        "USE `mydb`;\n"
+        "DROP TABLE IF EXISTS `t`;\n"
+        "CREATE TABLE `t` (`id` int);\n"
+        "LOCK TABLES `t` WRITE;\n"
+        "/*!40000 ALTER TABLE `t` DISABLE KEYS */;\n"
+        "INSERT INTO `t` VALUES (1),(2);\n"
+        "/*!40000 ALTER TABLE `t` ENABLE KEYS */;\n"
+        "UNLOCK TABLES;\n"
+    )
+    assert convert_dump(spark, str(dump), str(tmp_path / "out")) == {"t": 2}
+    assert sorted(
+        r.id for r in spark.read.parquet(str(tmp_path / "out/t")).collect()
+    ) == [1, 2]
