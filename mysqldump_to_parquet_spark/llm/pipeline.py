@@ -8,6 +8,8 @@ for, composed.
       → near dedup (MinHash+LSH pairs; keep lower doc_id)  q_dedup_near
       → decontaminate (drop train docs sharing n-grams
         with the eval split)                               q_decontaminate
+      → optional span-level cut (duplicated K-gram spans
+        excised from surviving text, Lee et al. 2022)      q_dedup_substring
       → deterministic split (train/val/test)               q_split_hash
       → sharded JSONL export, partitioned by split
 
@@ -34,10 +36,19 @@ def curate_corpus(
     sf_dir: str,
     out_dir: str | None = None,
     quality_min: float = 0.5,
+    cut_dup_spans: bool = False,
 ) -> dict:
     """Run the full curation chain; optionally export sharded JSONL to
     ``out_dir`` (a directory per split).  Returns the accounting dict:
-    input/output counts and per-gate drop counts."""
+    input/output counts and per-gate drop counts.
+
+    ``cut_dup_spans=True`` adds the span-level pass (Lee et al. 2022,
+    ``substring.cut_duplicated_spans``) AFTER the document-level gates:
+    duplicated K-token spans among the *surviving* docs' cleaned text
+    are excised in place (doc count unchanged; the accounting reports
+    ``dup_span_tokens_removed``).  Document-level near-dedup first,
+    span-level second — whole-doc twins are gone before span counting,
+    so boilerplate shared across surviving docs is what gets cut."""
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
 
@@ -95,15 +106,29 @@ def curate_corpus(
         .withColumn("split", split)
         .select("doc_id", "lang", "source", "split", F.col("clean_text").alias("text"))
     )
+
+    span_tokens_removed = None
+    if cut_dup_spans:
+        from .substring import cut_duplicated_spans
+
+        cut = cut_duplicated_spans(final.select("doc_id", "text"))
+        span_tokens_removed = (
+            cut.agg(F.sum("n_tokens_removed")).first()[0] or 0
+        )
+        final = final.drop("text").join(cut.drop("n_tokens_removed"), "doc_id")
+
     n_output = final.count()
 
     if out_dir is not None:
         final.write.mode("overwrite").partitionBy("split").json(out_dir)
 
-    return {
+    report = {
         "input_docs": n_input,
         "dropped": drops,
         "output_docs": n_output,
         "ngram_order": DECON_N,
         "quality_min": quality_min,
     }
+    if span_tokens_removed is not None:
+        report["dup_span_tokens_removed"] = int(span_tokens_removed)
+    return report

@@ -57,24 +57,17 @@ from ..catalog import load_table
 DUP_WINDOW = 8
 
 
-def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_dedup_substring: per-document maximal duplicated token spans.
+def _dup_span_frame(tokenized: DataFrame, k: int) -> DataFrame:
+    """Maximal duplicated-span frame for a tokenized corpus.
 
-    Returns one row per document that contains at least one K-token
-    window occurring ≥ 2 times corpus-wide (self-repetition included):
-    ``doc_id, n_tokens, n_dup_spans, dup_tokens`` where ``dup_tokens``
-    is the token count covered by the merged spans — the text a
-    span-level dedup pass would drop.
+    Input: ``(doc_id, toks, n_tokens)`` with ``n_tokens ≥ k`` already
+    filtered.  Output: one row per merged span —
+    ``(doc_id, n_tokens, span_id, span_start, span_end)``, token-index
+    inclusive.  This is the shared core of :func:`dedup_substring`
+    (reporting) and :func:`cut_duplicated_spans` (the curation action).
     """
-    k = DUP_WINDOW
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .withColumn("n_tokens", F.size("toks"))
-        .filter(F.col("n_tokens") >= k)
-    )
     # one 8-byte hash per K-token window, positions kept (phase 1)
-    windows = d.select(
+    windows = tokenized.select(
         "doc_id",
         "n_tokens",
         F.posexplode(
@@ -101,7 +94,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_max = F.max("pos").over(
         by_pos.rowsBetween(Window.unboundedPreceding, -1)
     )
-    spans = (
+    return (
         dup_pos.withColumn(
             "is_new",
             F.when(
@@ -115,6 +108,28 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pos") + k - 1).alias("span_end"),
         )
     )
+
+
+def _tokenize(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", F.split(text_col, " ").alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_substring: per-document maximal duplicated token spans.
+
+    Returns one row per document that contains at least one K-token
+    window occurring ≥ 2 times corpus-wide (self-repetition included):
+    ``doc_id, n_tokens, n_dup_spans, dup_tokens`` where ``dup_tokens``
+    is the token count covered by the merged spans — the text a
+    span-level dedup pass would drop.
+    """
+    k = DUP_WINDOW
+    d = _tokenize(load_table(spark, sf_dir, "documents"), "text").filter(
+        F.col("n_tokens") >= k
+    )
+    spans = _dup_span_frame(d, k)
     return (
         spans.groupBy("doc_id", "n_tokens")
         .agg(
@@ -124,6 +139,47 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+def cut_duplicated_spans(
+    docs: DataFrame, k: int = DUP_WINDOW, text_col: str = "text"
+) -> DataFrame:
+    """The curation ACTION on top of the span report: rebuild each
+    document's text with every duplicated span excised (Lee et al.'s
+    single cutting pass — not iterated, since cutting can butt new
+    K-grams together; one pass removes all *pre-existing* duplication).
+
+    Input: a DataFrame with ``doc_id`` and ``text_col``.  Output:
+    ``(doc_id, text, n_tokens_removed)`` for EVERY input doc — docs with
+    no duplicated span (or fewer than K tokens) pass through unchanged
+    with ``n_tokens_removed = 0``.
+
+    Scale shape: the span frame is the shared two-exchange pipeline of
+    ``q_dedup_substring``; spans collect per doc (bounded by doc
+    length), broadcast back onto the doc row by a doc_id join, and the
+    token excision is one codegen'd ``filter(toks, (t, i) -> NOT
+    exists(spans, …))`` — no Python, no extra shuffle beyond the join.
+    """
+    d = _tokenize(docs, text_col)
+    spans = _dup_span_frame(d.filter(F.col("n_tokens") >= k), k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    joined = d.join(per_doc, "doc_id", "left")
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.expr(
+            "filter(toks, (t, i) -> NOT exists(spans,"
+            " s -> i >= s.span_start AND i <= s.span_end))"
+        )
+    )
+    return (
+        joined.withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept")).alias("text"),
+            (F.size("toks") - F.size("kept")).alias("n_tokens_removed"),
+        )
     )
 
 

@@ -595,3 +595,32 @@ def test_video_container_round_trip_and_guards():
         decode_video(encode_video([f1])[:-3])
     with pytest.raises(ValueError, match="trailing"):
         decode_video(encode_video([f1]) + b"\x00")
+
+
+def test_curate_corpus_with_span_cutting(spark):
+    """cut_dup_spans=True keeps doc counts identical to the plain run but
+    excises duplicated-span tokens from surviving text; accounting gains
+    dup_span_tokens_removed.  On this synthetic fixture the count is 0
+    BY CONSTRUCTION — every duplicated span lives inside a near-dup doc
+    pair the earlier gate already dropped — so the stage's firing is
+    asserted on the raw corpus, where spans exist."""
+    from pyspark.sql import functions as F
+
+    from mysqldump_to_parquet_spark.llm.pipeline import curate_corpus
+    from mysqldump_to_parquet_spark.llm.substring import cut_duplicated_spans
+
+    SF = "/root/testdata/sf0.001"
+    plain = curate_corpus(spark, SF, quality_min=0.7)
+    cut = curate_corpus(spark, SF, quality_min=0.7, cut_dup_spans=True)
+    assert cut["output_docs"] == plain["output_docs"]
+    assert cut["dropped"] == plain["dropped"]
+    assert cut["dup_span_tokens_removed"] >= 0
+    assert "dup_span_tokens_removed" not in plain
+    # mechanism check: the same pass on the RAW corpus removes tokens
+    raw = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    removed = (
+        cut_duplicated_spans(raw).agg(F.sum("n_tokens_removed")).first()[0]
+    )
+    assert removed > 0

@@ -146,3 +146,66 @@ def test_substring_randomized_corpora_match_reference(spark, tmp_path, monkeypat
     ref = _ref_substring(docs, 3)
     got = _run(spark, docs, tmp_path)
     assert got == ref
+
+
+def _ref_cut(docs: dict[int, str], k: int) -> dict[int, tuple]:
+    """Reference cutting pass: doc_id -> (cut_text, n_removed)."""
+    from collections import Counter
+
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    counts: Counter = Counter()
+    for t in toks.values():
+        for i in range(len(t) - k + 1):
+            counts[" ".join(t[i : i + k])] += 1
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - k + 1):
+            if counts[" ".join(t[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        kept = [tok for i, tok in enumerate(t) if i not in covered]
+        out[d] = (" ".join(kept), len(t) - len(kept))
+    return out
+
+
+def test_cut_duplicated_spans_matches_reference(spark, tmp_path, monkeypatch):
+    """The cutting pass excises exactly the covered token indices —
+    checked against an independent reference on edge cases (cut-to-empty,
+    pass-through short docs, self-repeats) and on seeded random corpora."""
+    import random
+
+    from mysqldump_to_parquet_spark.llm import substring as mod
+    from mysqldump_to_parquet_spark.llm.substring import cut_duplicated_spans
+
+    k = 3
+    rng = random.Random(7)
+    docs = {
+        1: "a b c d e tail1 x",       # shares 'a b c d e' with doc 2
+        2: "pre a b c d e",
+        3: "s s s s s s",             # self-repeat: cut to empty
+        4: "too short",               # < k tokens: untouched
+        5: "u1 u2 u3 u4 u5",          # unique: untouched
+    }
+    base = 100
+    for corpus in range(60):
+        alpha = [f"c{corpus}_t{i}" for i in range(rng.randint(2, 4))]
+        for d in range(rng.randint(1, 3)):
+            docs[base + d] = " ".join(
+                rng.choice(alpha) for _ in range(rng.randint(0, 10))
+            )
+        base += 10
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in cut_duplicated_spans(df, k=k).collect()
+    }
+    ref = _ref_cut(docs, k)
+    assert got == ref
+    assert got[3] == ("", 6)          # fully duplicated doc → empty
+    assert got[4] == ("too short", 0)
+    assert got[5] == ("u1 u2 u3 u4 u5", 0)
