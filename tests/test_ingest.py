@@ -119,8 +119,10 @@ def test_parse_create_table_type_fixes():
 
 
 def test_parse_create_table_unknown_type_errors():
+    # geometry became a supported (binary) type in round 5b — use a
+    # genuinely unknown type to keep the fail-loud contract pinned
     with pytest.raises(DumpParseError, match="t.x"):
-        parse_create_table("CREATE TABLE t (`x` geometry);")
+        parse_create_table("CREATE TABLE t (`x` frobnicator);")
 
 
 # ------------------------------------------------------- statement reassembly
@@ -1351,3 +1353,25 @@ def test_databases_dump_layout(spark, tmp_path):
     assert sorted(
         r.id for r in spark.read.parquet(str(tmp_path / "out/t")).collect()
     ) == [1, 2]
+
+
+def test_bom_and_crlf_dumps(spark, tmp_path):
+    """Windows-transferred dumps arrive with CRLF line endings and
+    sometimes a UTF-8 BOM; both convert identically to the plain file."""
+    body = (
+        "CREATE TABLE `t` (`id` int, `s` varchar(8));\r\n"
+        "INSERT INTO `t` VALUES (1,'a'),(2,'b');\r\n"
+    )
+    for name, payload in (
+        ("bom", b"\xef\xbb\xbf" + body.encode()),
+        ("crlf", body.encode()),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "d.sql").write_bytes(payload)
+        assert convert_dump(spark, str(d / "d.sql"), str(d / "out")) == {
+            "t": 2
+        }, name
+        assert sorted(
+            map(tuple, spark.read.parquet(str(d / "out/t")).collect())
+        ) == [(1, "a"), (2, "b")], name

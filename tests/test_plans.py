@@ -488,3 +488,16 @@ def test_zorder_cluster_map_only_until_bucket_agg(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row bounds side
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_cut_duplicated_spans_stays_jvm_side(spark):
+    """The cutting pass is the span frame plus ONE doc_id join and a
+    codegen'd token filter — no Python evaluation anywhere."""
+    from mysqldump_to_parquet_spark.llm.substring import cut_duplicated_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = formatted_plan(cut_duplicated_spans(docs))
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan, plan
+    assert "Cartesian" not in plan, plan
