@@ -2052,6 +2052,23 @@ def convert_dump_onepass(
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
 
+def _require_tables(schemas: dict, dump_path: str) -> None:
+    """Fail loud when the DDL pass found nothing to convert — a silent
+    empty output directory hides input problems.  The common causes: the
+    path matched no dump content, or the dump uses non-canonical
+    lowercase keywords (statement classification matches the exact
+    ``CREATE TABLE`` / ``INSERT INTO`` prefixes mysqldump emits — the
+    hot line filters stay byte-literal on purpose; per-line case folding
+    measured as a real cost at scale)."""
+    if not schemas:
+        raise DumpParseError(
+            f"no CREATE TABLE statements found in {dump_path!r} — nothing "
+            "to convert.  Keyword matching is byte-exact against canonical "
+            "mysqldump output (uppercase 'CREATE TABLE' / 'INSERT INTO'); "
+            "re-export with mysqldump, or uppercase the statement keywords."
+        )
+
+
 def convert_dump(
     spark: SparkSession,
     dump_path: str,
@@ -2130,6 +2147,7 @@ def convert_dump(
     try:
         try:
             schemas = collect_schemas(spark, dump_path)
+            _require_tables(schemas, dump_path)
         except MultilineDumpError:
             if multiline == "never":
                 raise
@@ -2143,6 +2161,7 @@ def convert_dump(
             # anyway); the statements cache remains for non-shared-FS
             # output where task-side writers can't commit.
             schemas = collect_schemas_multiline(spark, dump_path)
+            _require_tables(schemas, dump_path)
             if strategy != "per_table" and "://" not in output_dir:
                 # one-pass for ANY table count (single-table measured
                 # 96 vs 39 MB/s against the fused+Spark-sink path at

@@ -1375,3 +1375,14 @@ def test_bom_and_crlf_dumps(spark, tmp_path):
         assert sorted(
             map(tuple, spark.read.parquet(str(d / "out/t")).collect())
         ) == [(1, "a"), (2, "b")], name
+
+
+def test_empty_or_lowercase_dump_fails_loud(spark, tmp_path):
+    """A dump yielding zero tables (wrong path contents, or non-canonical
+    lowercase keywords) must raise, not write an empty output dir."""
+    d = tmp_path / "lc.sql"
+    d.write_text(
+        "create table `t` (`id` int);\ninsert into `t` values (1);\n"
+    )
+    with pytest.raises(DumpParseError, match="no CREATE TABLE"):
+        convert_dump(spark, str(d), str(tmp_path / "out"))
