@@ -158,9 +158,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF parameters: number of coarse centroids and probed cells.
-IVF_CELLS = 16
-IVF_NPROBE = 4
+#: IVF parameters: number of coarse centroids and probed cells.  Round-5
+#: sweep at a FIXED 25% scan fraction (fresh quantizer per point):
+#: 16 cells/probe 4 → recall@10 0.70, 64/16 → 0.80 on the sf0.01
+#: fixture — finer quantization buys recall at constant scan cost (the
+#: FAISS nlist rule: cells grow ~√n; the fit stays a bounded-sample
+#: k-means either way, and probing more of a finer grid tracks the true
+#: neighborhood boundary better than fewer coarse cells).
+IVF_CELLS = 64
+IVF_NPROBE = 16
 
 #: Rows sampled for the one-time quantizer fit.  K-means centroids need a
 #: representative sample, not the full corpus — at 100 TB the fit reads a

@@ -55,8 +55,10 @@ ROWS_ONLY_NOTES = {
         "pytest-pinned)"
     ),
     "q_sim_ann_ivf": (
-        "rows-only (spherical IVF nprobe 4/16; recall@10 ≥ 0.6 vs exact "
-        "q_sim_topk at sf0.01 — measured 0.7 — pytest-pinned)"
+        "rows-only (spherical IVF nprobe 16/64 — 25% scan fraction; "
+        "recall@10 ≥ 0.7 vs exact q_sim_topk at sf0.01 — measured 0.8 — "
+        "pytest-pinned; finer quantization at the same scan cost lifted "
+        "0.7 → 0.8)"
     ),
     "q_ingest_mysqldump": (
         "rows-only (side-effecting parquet sink; round-trip equality + "
