@@ -1386,3 +1386,31 @@ def test_empty_or_lowercase_dump_fails_loud(spark, tmp_path):
     )
     with pytest.raises(DumpParseError, match="no CREATE TABLE"):
         convert_dump(spark, str(d), str(tmp_path / "out"))
+
+
+def test_onepass_scales_in_table_count(spark, tmp_path):
+    """The one-pass strategy's cost is one scan regardless of table
+    count (the classic per-table path re-reads the statement cache T
+    times — the design note in convert_dump).  200 tables convert in a
+    single pass with correct per-table routing."""
+    import time as _t
+
+    dump = tmp_path / "many.sql"
+    with open(dump, "w") as fh:
+        for t in range(200):
+            fh.write(f"CREATE TABLE `t{t:03d}` (`id` int, `v` varchar(12));\n")
+        for t in range(200):
+            vals = ",".join(f"({i},'r{t}_{i}')" for i in range(30))
+            fh.write(f"INSERT INTO `t{t:03d}` VALUES {vals};\n")
+    t0 = _t.perf_counter()
+    counts = convert_dump(
+        spark, str(dump), str(tmp_path / "out"), strategy="onepass"
+    )
+    wall = _t.perf_counter() - t0
+    assert counts == {f"t{t:03d}": 30 for t in range(200)}
+    # spot-check routing: values landed in their own table
+    mid = spark.read.parquet(str(tmp_path / "out/t117"))
+    assert sorted(map(tuple, mid.collect()))[:2] == [(0, "r117_0"), (1, "r117_1")]
+    # one scan, not 200: far under a per-table re-read regime even on a
+    # loaded host (generous ceiling — this is a smoke bound, not a bench)
+    assert wall < 60, f"200-table one-pass took {wall:.1f}s"
