@@ -108,10 +108,14 @@ def curate_corpus(
     )
 
     span_tokens_removed = None
+    cut = None
     if cut_dup_spans:
         from .substring import cut_duplicated_spans
 
-        cut = cut_duplicated_spans(final.select("doc_id", "text"))
+        # persist: the span frame (two corpus-wide exchanges + a join) is
+        # consumed three times below — the accounting agg, the output
+        # count, and the export — and must not be recomputed per action
+        cut = cut_duplicated_spans(final.select("doc_id", "text")).persist()
         span_tokens_removed = (
             cut.agg(F.sum("n_tokens_removed")).first()[0] or 0
         )
@@ -121,6 +125,8 @@ def curate_corpus(
 
     if out_dir is not None:
         final.write.mode("overwrite").partitionBy("split").json(out_dir)
+    if cut is not None:
+        cut.unpersist()
 
     report = {
         "input_docs": n_input,

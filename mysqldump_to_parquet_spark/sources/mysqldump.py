@@ -289,8 +289,12 @@ def _map_type(table: str, col: str, type_name: str, args: list[int], unsigned: b
         return T.StringType()  # no time-of-day type; documented divergence
     if tn in _INT_TYPES:
         # BIGINT UNSIGNED can exceed int64 (auto-increment ids near 2^64);
-        # DECIMAL(20,0) holds the full range losslessly.
+        # DECIMAL(20,0) holds the full range losslessly.  Same for
+        # BIT(64): the value range is [0, 2^64), so the top bit set
+        # overflows a signed long.
         if unsigned and tn in ("bigint", "int8", "int64", "serial"):
+            return T.DecimalType(20, 0)
+        if tn == "bit" and args and args[0] >= 64:
             return T.DecimalType(20, 0)
         return T.LongType()
     if tn in _FLOAT_TYPES:
@@ -454,6 +458,18 @@ class FloatLit(float):
     def __new__(cls, raw: str):
         obj = super().__new__(cls, raw)
         obj.raw = raw
+        return obj
+
+
+class BitLit(int):
+    """A b'…' bit-literal value that remembers its bit LENGTH: MySQL
+    gives bit literals the integer value in numeric context but a
+    length-preserving byte string in binary-string context (b'11' →
+    0x03 one byte; a 12-bit literal → two bytes)."""
+
+    def __new__(cls, bits: str):
+        obj = super().__new__(cls, int(bits, 2) if bits else 0)
+        obj.nbits = len(bits)
         return obj
 
 
@@ -654,7 +670,7 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
                     raise DumpParseError(
                         f"bad bit literal {tok[:40]!r} in INSERT for {table}"
                     )
-                row.append(int(tok[2:-1], 2) if len(tok) > 3 else 0)
+                row.append(BitLit(tok[2:-1]))
             elif up[0] == "X" and len(tok) >= 2 and tok[1] == "'":
                 # standard-SQL hex string literal (X'41') — byte string,
                 # same value class as 0x41
@@ -688,11 +704,17 @@ def _parse_values(s: str, i: int, table: str) -> list[tuple]:
 
 
 def _next_is_literal(s: str, i: int, n: int) -> bool:
-    """True when the next non-space char starts a string or hex literal —
-    the only things a charset introducer may precede."""
+    """True when the next non-space char starts a string, hex, or bit
+    literal — the things a charset introducer may precede (``_binary
+    '…'``, ``_binary 0x…``, ``_binary X'…'``, ``_binary b'…'``)."""
     while i < n and s[i] in " \t":
         i += 1
-    return i < n and (s[i] == "'" or s[i] == "0")
+    if i >= n:
+        return False
+    c = s[i]
+    if c == "'" or c == "0":
+        return True
+    return c in "xXbB" and i + 1 < n and s[i + 1] == "'"
 
 
 # --------------------------------------------------------------------------
@@ -1114,13 +1136,27 @@ def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
             # beyond ~17 significant digits.
             if isinstance(v, FloatLit):
                 v = v.raw
+            elif isinstance(v, (bytes, bytearray)) and isinstance(
+                f.dataType, T.DecimalType
+            ):
+                # BIT(64) dumped with --hex-blob: numeric context, full
+                # unsigned range rides the DECIMAL(20,0) carrier
+                if len(v) > 8:
+                    raise DumpParseError(
+                        f"{table}.{f.name}: {len(v)}-byte value overflows "
+                        "the BIT range"
+                    )
+                v = str(int.from_bytes(v, "big"))
             elif isinstance(v, (int, float)):
                 v = repr(v)
             if not isinstance(v, str):
                 raise DumpParseError(f"{table}.{f.name}: {v!r} not castable")
             out.append(v)
         elif isinstance(f.dataType, T.BinaryType):
-            if isinstance(v, (bytes, bytearray)):
+            if isinstance(v, BitLit):
+                # MySQL string-context bit literal: length-preserving bytes
+                out.append(v.to_bytes(max((v.nbits + 7) // 8, 1), "big"))
+            elif isinstance(v, (bytes, bytearray)):
                 out.append(bytes(v))  # 0x… hex literal (--hex-blob dumps)
             elif isinstance(v, str):
                 # A quoted literal destined for a binary column came through
@@ -1223,7 +1259,9 @@ def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructTy
             "not use one-line INSERT statements (mysqldump --extended-insert)"
         )
     _raise_on_multiline_markers(ddl_lines)
-    return build_schemas(iter_statements(ddl_lines))
+    schemas = build_schemas(iter_statements(ddl_lines))
+    _require_tables(schemas, dump_path)
+    return schemas
 
 
 def _raise_on_multiline_markers(lines: list[str]) -> None:
@@ -1560,7 +1598,9 @@ def collect_schemas_multiline(
         # iter_statements yields only CREATE TABLE / DML / USE, so the
         # non-DML remainder is exactly the DDL+context set.
         stmts = [r.value for r in stmts_df.where(~_dml_line_pred()).collect()]
-        return build_schemas(stmts)
+        schemas = build_schemas(stmts)
+        _require_tables(schemas, dump_path)
+        return schemas
 
     def ddl_only(batches):
         for pdf in batches:
@@ -1571,7 +1611,9 @@ def collect_schemas_multiline(
 
     rdf = _ranges_df(spark, _multiline_ranges(spark, dump_path))
     stmts = [r.value for r in rdf.mapInPandas(ddl_only, "value string").collect()]
-    return build_schemas(stmts)
+    schemas = build_schemas(stmts)
+    _require_tables(schemas, dump_path)
+    return schemas
 
 
 def insert_rows_df_multiline_fused(
@@ -2054,7 +2096,10 @@ def convert_dump_onepass(
 
 def _require_tables(schemas: dict, dump_path: str) -> None:
     """Fail loud when the DDL pass found nothing to convert — a silent
-    empty output directory hides input problems.  The common causes: the
+    empty output directory hides input problems.  Lives at the shared
+    collect_schemas/collect_schemas_multiline layer so every entry
+    point (convert_dump, convert_dump_onepass called directly, the
+    fused paths) is covered.  The common causes: the
     path matched no dump content, or the dump uses non-canonical
     lowercase keywords (statement classification matches the exact
     ``CREATE TABLE`` / ``INSERT INTO`` prefixes mysqldump emits — the
@@ -2147,7 +2192,6 @@ def convert_dump(
     try:
         try:
             schemas = collect_schemas(spark, dump_path)
-            _require_tables(schemas, dump_path)
         except MultilineDumpError:
             if multiline == "never":
                 raise
@@ -2161,7 +2205,6 @@ def convert_dump(
             # anyway); the statements cache remains for non-shared-FS
             # output where task-side writers can't commit.
             schemas = collect_schemas_multiline(spark, dump_path)
-            _require_tables(schemas, dump_path)
             if strategy != "per_table" and "://" not in output_dir:
                 # one-pass for ANY table count (single-table measured
                 # 96 vs 39 MB/s against the fused+Spark-sink path at

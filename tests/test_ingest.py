@@ -1414,3 +1414,26 @@ def test_onepass_scales_in_table_count(spark, tmp_path):
     # one scan, not 200: far under a per-table re-read regime even on a
     # loaded host (generous ceiling — this is a smoke bound, not a bench)
     assert wall < 60, f"200-table one-pass took {wall:.1f}s"
+
+
+def test_bit64_full_range_and_introducer_literals(spark, tmp_path):
+    """BIT(64) maps to DECIMAL(20,0) so top-bit values survive (review
+    finding: signed-long mapping rejected legal 2^63..2^64-1 values), and
+    charset introducers may precede X'…'/b'…' literals, not just strings
+    and 0x."""
+    full = (1 << 64) - 1
+    dump = tmp_path / "b64.sql"
+    dump.write_text(
+        "CREATE TABLE `t` (\n"
+        "  `id` int NOT NULL,\n  `big` bit(64),\n  `small` bit(8),\n"
+        "  `payload` varbinary(8)\n);\n"
+        "INSERT INTO `t` VALUES "
+        f"(1,b'{'1' * 64}',b'1',_binary X'DEAD'),"
+        f"(2,0xFFFFFFFFFFFFFFFF,_binary b'11',_binary 0x41);\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    got = {
+        r.id: (int(r.big), r.small, bytes(r.payload))
+        for r in spark.read.parquet(str(tmp_path / "out/t")).collect()
+    }
+    assert got == {1: (full, 1, b"\xde\xad"), 2: (full, 3, b"A")}

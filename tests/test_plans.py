@@ -474,8 +474,12 @@ def test_substring_dedup_two_data_exchanges(spark):
 
     plan = formatted_plan(dedup_substring(spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
-    # the only scanned column besides the key is text → pruned ReadSchema
-    assert "Cartesian" not in plan and "text" in plan, plan
+    assert "Cartesian" not in plan, plan
+    # the contract itself: no Exchange's input carries the document text
+    # or token array — only doc_id/pos/hash-width rows ever shuffle
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block and "toks#" not in block, block
 
 
 def test_zorder_cluster_map_only_until_bucket_agg(spark):
