@@ -1437,3 +1437,19 @@ def test_bit64_full_range_and_introducer_literals(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out/t")).collect()
     }
     assert got == {1: (full, 1, b"\xde\xad"), 2: (full, 3, b"A")}
+
+
+def test_mixed_plain_and_gzip_glob(spark, tmp_path):
+    """A glob matching both .sql and .sql.gz files converts every table —
+    Hadoop codecs decode gzip transparently on the text read."""
+    import gzip as _gz
+
+    (tmp_path / "a.sql").write_text(
+        "CREATE TABLE `t` (`id` int);\nINSERT INTO `t` VALUES (1),(2);\n"
+    )
+    with _gz.open(tmp_path / "b.sql.gz", "wt") as fh:
+        fh.write("CREATE TABLE `u` (`id` int);\nINSERT INTO `u` VALUES (3);\n")
+    counts = convert_dump(
+        spark, str(tmp_path / "*.sql*"), str(tmp_path / "out")
+    )
+    assert counts == {"t": 2, "u": 1}
