@@ -132,3 +132,31 @@ def test_cli_strategy_per_table_end_to_end(spark, tmp_path, capsys, monkeypatch)
     b = spark.read.parquet(str(tmp_path / "op/acct"))
     assert a.schema == b.schema
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cli_export_round_trip_binary(spark, tmp_path, capsys, monkeypatch):
+    """Binary columns (blob/WKB) export as 0x hex-blob literals and
+    re-convert byte-identically — the round trip the spatial/BLOB
+    support depends on."""
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: _NoStop(spark))
+    dump = tmp_path / "bin.sql"
+    dump.write_text(
+        "CREATE TABLE `g` (`id` int NOT NULL, `wkb` geometry, `b` blob);\n"
+        "INSERT INTO `g` VALUES (1,0xCAFEBABE,0x00FF),(2,NULL,0x41);\n"
+    )
+    assert cli.main([str(dump), "--output", str(tmp_path / "pq")]) == 0
+    assert cli.main(
+        [
+            str(tmp_path / "pq/g"),
+            "--output", str(tmp_path / "dump_out"),
+            "--export", "g",
+        ]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        [str(tmp_path / "dump_out/*.sql"), "--output", str(tmp_path / "pq2")]
+    ) == 0
+    a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pq/g")).collect()))
+    b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pq2/g")).collect()))
+    assert a == b
+    assert a[0][1] == bytearray(b"\xca\xfe\xba\xbe")
