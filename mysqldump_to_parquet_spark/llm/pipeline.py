@@ -89,17 +89,37 @@ def curate_corpus(
         F.when(h < TRAIN_MAX, "train").when(h < VAL_MAX, "val").otherwise("test")
     )
 
-    kept = docs.select("doc_id", "lang", "source")
-    drops = {}
-    for reason, bad in (
+    # Single-pass accounting: one left join per gate tags each doc with
+    # the gates that fired; `coalesce` picks the FIRST in gate order, so
+    # the per-reason counts equal the old sequential anti-join chain
+    # (a doc failing quality AND near-dup counts once, as low_quality)
+    # while ONE job replaces the 2-actions-per-gate count ladder — at
+    # 100 TB that is 1 scan of the id column instead of 8.  The gate id
+    # sets are unique per doc_id by construction (groupBy/first-occur/
+    # DISTINCT upstream), so the joins cannot multiply rows.
+    gates = (
         ("low_quality", low_q),
         ("exact_dup", exact_dupes),
         ("near_dup", near_dupes),
         ("contaminated", contaminated),
-    ):
-        before = kept.count()
-        kept = kept.join(bad, "doc_id", "left_anti")
-        drops[reason] = before - kept.count()
+    )
+    tagged = docs.select("doc_id", "lang", "source")
+    for reason, bad in gates:
+        tagged = tagged.join(
+            bad.withColumn(f"_g_{reason}", F.lit(reason)), "doc_id", "left"
+        )
+    reason_col = F.coalesce(*[F.col(f"_g_{r}") for r, _ in gates])
+    tagged = tagged.withColumn("_drop_reason", reason_col)
+    counts_by_reason = {
+        r["_drop_reason"]: r["n"]
+        for r in tagged.groupBy("_drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    drops = {r: int(counts_by_reason.get(r, 0)) for r, _ in gates}
+    kept = tagged.where(F.col("_drop_reason").isNull()).select(
+        "doc_id", "lang", "source"
+    )
 
     final = (
         kept.join(cleaned, "doc_id")
