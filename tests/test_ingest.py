@@ -1431,12 +1431,14 @@ def test_bit64_full_range_and_introducer_literals(spark, tmp_path):
         f"(1,b'{'1' * 64}',b'1',_binary X'DEAD'),"
         f"(2,0xFFFFFFFFFFFFFFFF,_binary b'11',_binary 0x41);\n"
     )
-    convert_dump(spark, str(dump), str(tmp_path / "out"))
-    got = {
-        r.id: (int(r.big), r.small, bytes(r.payload))
-        for r in spark.read.parquet(str(tmp_path / "out/t")).collect()
-    }
-    assert got == {1: (full, 1, b"\xde\xad"), 2: (full, 3, b"A")}
+    for strategy in ("onepass", "per_table"):
+        out = str(tmp_path / f"out_{strategy}")
+        convert_dump(spark, str(dump), out, strategy=strategy)
+        got = {
+            r.id: (int(r.big), r.small, bytes(r.payload))
+            for r in spark.read.parquet(f"{out}/t").collect()
+        }
+        assert got == {1: (full, 1, b"\xde\xad"), 2: (full, 3, b"A")}, strategy
 
 
 def test_mixed_plain_and_gzip_glob(spark, tmp_path):
