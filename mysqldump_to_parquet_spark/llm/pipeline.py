@@ -141,12 +141,14 @@ def curate_corpus(
         )
         final = final.drop("text").join(cut.drop("n_tokens_removed"), "doc_id")
 
-    n_output = final.count()
+    try:
+        n_output = final.count()
 
-    if out_dir is not None:
-        final.write.mode("overwrite").partitionBy("split").json(out_dir)
-    if cut is not None:
-        cut.unpersist()
+        if out_dir is not None:
+            final.write.mode("overwrite").partitionBy("split").json(out_dir)
+    finally:
+        if cut is not None:
+            cut.unpersist()
 
     report = {
         "input_docs": n_input,

@@ -472,6 +472,11 @@ class BitLit(int):
         obj.nbits = len(bits)
         return obj
 
+    def __getnewargs__(self):
+        # int's default feeds the VALUE back into __new__, which expects
+        # the bit string — reconstruct it so pickling round-trips
+        return (format(self, f"0{self.nbits}b") if self.nbits else "",)
+
 
 def insert_table_name(stmt: str) -> str | None:
     m = _INSERT_TABLE_RE.match(stmt)
@@ -1155,7 +1160,8 @@ def coerce_row(row: tuple, target: T.StructType, table: str) -> tuple:
         elif isinstance(f.dataType, T.BinaryType):
             if isinstance(v, BitLit):
                 # MySQL string-context bit literal: length-preserving bytes
-                out.append(v.to_bytes(max((v.nbits + 7) // 8, 1), "big"))
+                # (b'' is a ZERO-length string — LENGTH(b'') = 0)
+                out.append(v.to_bytes((v.nbits + 7) // 8, "big"))
             elif isinstance(v, (bytes, bytearray)):
                 out.append(bytes(v))  # 0x… hex literal (--hex-blob dumps)
             elif isinstance(v, str):

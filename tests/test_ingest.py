@@ -1392,9 +1392,8 @@ def test_onepass_scales_in_table_count(spark, tmp_path):
     """The one-pass strategy's cost is one scan regardless of table
     count (the classic per-table path re-reads the statement cache T
     times — the design note in convert_dump).  200 tables convert in a
-    single pass with correct per-table routing."""
-    import time as _t
-
+    single pass with correct per-table routing; the one-scan property is
+    asserted structurally (ONE text-read job ran, not one per table)."""
     dump = tmp_path / "many.sql"
     with open(dump, "w") as fh:
         for t in range(200):
@@ -1402,18 +1401,20 @@ def test_onepass_scales_in_table_count(spark, tmp_path):
         for t in range(200):
             vals = ",".join(f"({i},'r{t}_{i}')" for i in range(30))
             fh.write(f"INSERT INTO `t{t:03d}` VALUES {vals};\n")
-    t0 = _t.perf_counter()
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
     counts = convert_dump(
         spark, str(dump), str(tmp_path / "out"), strategy="onepass"
     )
-    wall = _t.perf_counter() - t0
+    jobs_run = len(tracker.getJobIdsForGroup(None) or []) - jobs_before
     assert counts == {f"t{t:03d}": 30 for t in range(200)}
     # spot-check routing: values landed in their own table
     mid = spark.read.parquet(str(tmp_path / "out/t117"))
     assert sorted(map(tuple, mid.collect()))[:2] == [(0, "r117_0"), (1, "r117_1")]
-    # one scan, not 200: far under a per-table re-read regime even on a
-    # loaded host (generous ceiling — this is a smoke bound, not a bench)
-    assert wall < 60, f"200-table one-pass took {wall:.1f}s"
+    # structural one-scan bound: the conversion runs a handful of driver
+    # jobs (DDL probe + the single parse/write pass + commit bookkeeping),
+    # NOT one job per table — 200 per-table jobs would trip this at once
+    assert jobs_run < 20, f"one-pass ran {jobs_run} jobs for 200 tables"
 
 
 def test_bit64_full_range_and_introducer_literals(spark, tmp_path):
@@ -1455,3 +1456,28 @@ def test_mixed_plain_and_gzip_glob(spark, tmp_path):
         spark, str(tmp_path / "*.sql*"), str(tmp_path / "out")
     )
     assert counts == {"t": 2, "u": 1}
+
+
+def test_empty_bit_literal_binary_context_is_zero_length(spark, tmp_path):
+    """b'' is MySQL's zero-length binary string (LENGTH(b'') = 0) in
+    string context and 0 in numeric context — review finding: a
+    max(…,1) clamp wrote one 0x00 byte.  BitLit must also pickle
+    (int.__getnewargs__ feeds the VALUE to __new__ without the fix)."""
+    import pickle
+
+    from mysqldump_to_parquet_spark.sources.mysqldump import BitLit
+
+    for proto in (2, pickle.HIGHEST_PROTOCOL):
+        rt = pickle.loads(pickle.dumps(BitLit("101"), proto))
+        assert int(rt) == 5 and rt.nbits == 3
+    dump = tmp_path / "eb.sql"
+    dump.write_text(
+        "CREATE TABLE `t` (`id` int, `p` varbinary(4), `m` bit(8));\n"
+        "INSERT INTO `t` VALUES (1,b'',b''),(2,b'11',b'101');\n"
+    )
+    convert_dump(spark, str(dump), str(tmp_path / "out"))
+    rows = sorted(
+        (r.id, bytes(r.p), r.m)
+        for r in spark.read.parquet(str(tmp_path / "out/t")).collect()
+    )
+    assert rows == [(1, b"", 0), (2, b"\x03", 5)]
