@@ -177,3 +177,19 @@ def test_zorder_cluster_query_conserves_and_bounds(spark):
     for r in rows:
         assert r.min_custkey <= r.max_custkey
         assert r.min_orderkey <= r.max_orderkey
+
+
+def test_zorder_cluster_degenerate_dimension(spark, tmp_path):
+    """A constant column (span 0) grids to 0 via the greatest(span, 1)
+    guard instead of dividing by zero — every row lands in bucket
+    ranges driven by the other dimension alone."""
+    from mysqldump_to_parquet_spark.sources.maintenance import zorder_cluster
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(100)], "o_orderkey long, o_custkey long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = zorder_cluster(spark, str(tmp_path)).collect()
+    assert sum(r.n_orders for r in rows) == 100
+    assert all(r.min_custkey == r.max_custkey == 7 for r in rows)
+    assert all(0 <= r.z_bucket < 64 for r in rows)
