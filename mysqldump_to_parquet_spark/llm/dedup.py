@@ -127,10 +127,19 @@ def _minhash_bands_batch(batches):
         )
 
 
-def _near_candidates(spark: SparkSession, sf_dir: str):
+def _near_candidates(
+    spark: SparkSession, sf_dir: str, *, persist_shingles: bool = True
+):
     """Shared LSH front half of q_dedup_near / q_dedup_near_candidates:
-    returns (persisted shingle-hash table, candidate-pair DataFrame).
-    See :func:`dedup_near_minhash` for the full plan rationale."""
+    returns (shingle-hash table, candidate-pair DataFrame).
+    See :func:`dedup_near_minhash` for the full plan rationale.
+
+    ``persist_shingles=False`` (the candidates-only callers): the shingle
+    table feeds exactly one consumer — the minhash stage — so caching it
+    would pin the full variable-width shingle-hash table in storage for
+    the whole session with nothing ever reading it back (ADVICE r5).
+    Only the Jaccard-verify path, which re-joins ``sh`` on both candidate
+    sides, needs the persist."""
     # A small-file corpus arrives as one input split; everything from
     # shingling on is CPU-bound per row, so spread rows across all cores
     # *before* the projection (a repartition after it would still compute
@@ -157,7 +166,8 @@ def _near_candidates(spark: SparkSession, sf_dir: str):
     # fixed-width, B rows/doc — and recompute shingles for the verify join.
     from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_shingles:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # Minhash signatures + band hashes in one vectorized NumPy stage:
     # Spark's higher-order-function folds are interpreted per element, so a
     # K-seed fold over every shingle is the hot spot; affine universal
@@ -203,7 +213,7 @@ def dedup_near_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall test (tests/test_llm.py) measures the verify stage against
     it.  Same scale shape as q_dedup_near's steps 1–3: B fixed-width
     rows per doc, bucket-capped join, never all-pairs."""
-    _, candidates = _near_candidates(spark, sf_dir)
+    _, candidates = _near_candidates(spark, sf_dir, persist_shingles=False)
     return candidates
 
 

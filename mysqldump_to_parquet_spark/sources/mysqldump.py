@@ -214,6 +214,16 @@ class MultilineDumpError(DumpParseError):
     path (reference parity: main.rs:110–145 accumulates lines until ';')."""
 
 
+class OnepassStagingInvisible(RuntimeError):
+    """The one-pass strategy's staging probe failed: an executor wrote a
+    marker file under the staging directory but the driver cannot see it
+    — driver and executors do not share the output filesystem, so the
+    task-side parquet writers could never be committed by the driver's
+    final move.  ``convert_dump(strategy='auto')`` catches this and falls
+    back to the per-table JVM writers; ``strategy='onepass'`` propagates
+    it (the caller asked for a layout the cluster cannot honour)."""
+
+
 def _split_top_level(body: str) -> list[str]:
     """Split a CREATE TABLE body on commas at paren depth 0, quote-aware."""
     parts: list[str] = []
@@ -1883,6 +1893,28 @@ _ONEPASS_FLUSH_BYTES = 32 * 1024 * 1024
 _ONEPASS_SPLIT_BYTES = 64 * 1024 * 1024
 
 
+def _probe_staging_visibility(spark: SparkSession, staging: str) -> None:
+    """One executor task writes a marker under ``staging``; the driver
+    must be able to stat it, or the one-pass commit protocol (task-side
+    pyarrow writers + driver-side move) cannot work on this cluster."""
+    marker = os.path.join(staging, "_driver_visibility_probe")
+
+    def _write(_):
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        return []
+
+    spark.sparkContext.parallelize([0], 1).flatMap(_write).collect()
+    if not os.path.exists(marker):
+        raise OnepassStagingInvisible(
+            f"an executor wrote {marker!r} but the driver cannot see it "
+            "— output filesystem is not shared between driver and "
+            "executors; use strategy='per_table' or point output_dir at "
+            "a shared mount"
+        )
+    os.unlink(marker)
+
+
 def convert_dump_onepass(
     spark: SparkSession,
     dump_path: str,
@@ -1922,6 +1954,18 @@ def convert_dump_onepass(
 
     from .dump_datasource import _carrier_to_target, _pa_schema
 
+    if "://" in output_dir:
+        # os.path.abspath('s3://bucket/out') would silently mangle the
+        # URI into '<cwd>/s3:/bucket/out' and "succeed" locally while
+        # the caller believes the data went to the object store
+        # (ADVICE r5, medium).  The per-table strategy's JVM DataFrame
+        # writers are the remote-output path.
+        raise ValueError(
+            "onepass writes through driver-side filesystem moves; "
+            f"output_dir {output_dir!r} has a scheme os.path cannot "
+            "address — use strategy='per_table' (or 'auto') for "
+            "object-store output"
+        )
     if schemas is None:
         schemas = (
             collect_schemas_multiline(spark, dump_path)
@@ -1940,6 +1984,14 @@ def convert_dump_onepass(
     out_abs = os.path.abspath(output_dir)
     staging = os.path.join(out_abs, f"_staging_{uuid.uuid4().hex}")
     os.makedirs(staging, exist_ok=True)
+    # A scheme-less path on a multi-node cluster may still be plain
+    # node-local disk — tasks would write staging files on their own
+    # nodes and the failure would only surface as FileNotFoundError at
+    # the driver's final move, after the entire parse (ADVICE r5, low).
+    # Probe once in milliseconds instead.  local[...] / local-cluster
+    # masters run on this machine by construction — skip the job.
+    if not spark.sparkContext.master.startswith("local"):
+        _probe_staging_visibility(spark, staging)
 
     def run_task(stmt_iter):
         """Shared task body: statements (any table, any source) →
@@ -2181,6 +2233,15 @@ def convert_dump(
         raise ValueError(
             f"strategy must be 'auto', 'onepass' or 'per_table', got {strategy!r}"
         )
+    if strategy == "onepass" and "://" in output_dir:
+        # fail before any work: forced onepass cannot address a
+        # scheme'd URI (ADVICE r5, medium) — and must not silently
+        # convert into <cwd>/s3:/bucket/out
+        raise ValueError(
+            "strategy='onepass' requires a driver-addressable "
+            f"(scheme-less) output_dir; got {output_dir!r} — use "
+            "strategy='auto' or 'per_table' for object-store output"
+        )
     # Scope the file-split size to the parse-task granularity for the
     # duration of the convert (restored in the ``finally`` below): every
     # text scan — the DDL pass included, which otherwise decodes the whole
@@ -2220,23 +2281,34 @@ def convert_dump(
                     if progress
                     else contextlib.nullcontext()
                 )
-                with live:
-                    counts = convert_dump_onepass(
-                        spark,
-                        dump_path,
-                        output_dir,
-                        compression,
-                        schemas=schemas,
-                        multiline=True,
-                    )
-                if progress:
-                    for t in schemas:
-                        print(
-                            f"[ingest] {t}: {counts[t]:,} rows "
-                            "(multiline one-pass)",
-                            file=sys.stderr,
+                counts = None
+                try:
+                    with live:
+                        counts = convert_dump_onepass(
+                            spark,
+                            dump_path,
+                            output_dir,
+                            compression,
+                            schemas=schemas,
+                            multiline=True,
                         )
-                return {t: counts[t] for t in schemas}
+                except OnepassStagingInvisible:
+                    if strategy == "onepass":
+                        raise
+                    print(
+                        "[ingest] one-pass staging not driver-visible — "
+                        "falling back to per-table writers",
+                        file=sys.stderr,
+                    )
+                if counts is not None:
+                    if progress:
+                        for t in schemas:
+                            print(
+                                f"[ingest] {t}: {counts[t]:,} rows "
+                                "(multiline one-pass)",
+                                file=sys.stderr,
+                            )
+                    return {t: counts[t] for t in schemas}
             if len(schemas) > 1:
                 lines = cached = multiline_stmts_df(spark, dump_path).persist()
             if progress:
@@ -2267,19 +2339,31 @@ def convert_dump(
                 if progress
                 else contextlib.nullcontext()
             )
-            with live:
-                counts = convert_dump_onepass(
-                    spark, dump_path, output_dir, compression, schemas=schemas
-                )
-            if progress:
-                dt = _time.perf_counter() - t0
-                for t in schemas:
-                    print(
-                        f"[ingest] {t}: {counts[t]:,} rows (one-pass, "
-                        f"{dt:.1f}s total)",
-                        file=sys.stderr,
+            counts = None
+            try:
+                with live:
+                    counts = convert_dump_onepass(
+                        spark, dump_path, output_dir, compression,
+                        schemas=schemas,
                     )
-            return {t: counts[t] for t in schemas}
+            except OnepassStagingInvisible:
+                if strategy == "onepass":
+                    raise
+                print(
+                    "[ingest] one-pass staging not driver-visible — "
+                    "falling back to per-table writers",
+                    file=sys.stderr,
+                )
+            if counts is not None:
+                if progress:
+                    dt = _time.perf_counter() - t0
+                    for t in schemas:
+                        print(
+                            f"[ingest] {t}: {counts[t]:,} rows (one-pass, "
+                            f"{dt:.1f}s total)",
+                            file=sys.stderr,
+                        )
+                return {t: counts[t] for t in schemas}
         if not use_multiline:
             lines = spark.read.text(dump_path).where(_dml_line_pred())
             if len(schemas) > 1:

@@ -278,6 +278,23 @@ def test_dedup_near_candidates_deterministic(spark):
     assert final <= cands
 
 
+def test_dedup_near_candidates_skips_shingle_persist(spark):
+    """The candidates-only path must not cache the shingle-hash table
+    (ADVICE r5): its single consumer is the minhash stage, so a persist
+    there pins the full variable-width table in storage for the session
+    with nothing reading it back.  Only the fixed-width band table (read
+    by both self-join sides) may be cached."""
+    from mysqldump_to_parquet_spark.llm.dedup import dedup_near_candidates
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    assert len(jsc.getRDDStorageInfo()) == 0
+    dedup_near_candidates(spark, SF_RECALL).count()
+    cached = list(jsc.getRDDStorageInfo())
+    assert len(cached) == 1, [str(c.name()) for c in cached]
+    spark.catalog.clearCache()
+
+
 def test_ivf_quantizer_fit_once(spark, monkeypatch):
     """The coarse quantizer is fit exactly once per corpus: after the first
     probe the centroids are cached, and a second probe must not invoke

@@ -1,0 +1,100 @@
+"""Guards around the one-pass strategy's shared-filesystem contract
+(ADVICE r5): scheme'd output must never be abspath-mangled into a local
+path, and a non-shared staging directory must fail loud (forced) or fall
+back (auto) instead of surfacing as FileNotFoundError after the parse.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from mysqldump_to_parquet_spark.sources import mysqldump as M
+
+DUMP = (
+    "CREATE TABLE `t` (`id` int NOT NULL, `v` varchar(8));\n"
+    "INSERT INTO `t` VALUES (1,'a'),(2,'b'),(3,'c');\n"
+)
+
+
+def test_forced_onepass_scheme_output_raises(spark, tmp_path):
+    """strategy='onepass' with an object-store URI fails before any work
+    — previously os.path.abspath mangled it into <cwd>/s3:/bucket/out and
+    wrote locally while reporting success."""
+    dump = tmp_path / "d.sql"
+    dump.write_text(DUMP)
+    with pytest.raises(ValueError, match="onepass"):
+        M.convert_dump(spark, str(dump), "s3://bucket/out", strategy="onepass")
+    # the direct entry point carries the same guard (covers callers that
+    # bypass convert_dump, same policy as the zero-table guard)
+    with pytest.raises(ValueError, match="scheme"):
+        M.convert_dump_onepass(spark, str(dump), "s3a://bucket/out")
+
+
+def test_staging_probe_detects_invisible_marker(spark, tmp_path, monkeypatch):
+    """_probe_staging_visibility raises OnepassStagingInvisible when the
+    executor-written marker is not visible to the driver (simulated by
+    intercepting the driver-side stat)."""
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    real_exists = M.os.path.exists
+    monkeypatch.setattr(
+        M.os.path,
+        "exists",
+        lambda p: False
+        if str(p).endswith("_driver_visibility_probe")
+        else real_exists(p),
+    )
+    with pytest.raises(M.OnepassStagingInvisible):
+        M._probe_staging_visibility(spark, str(staging))
+
+
+def test_auto_falls_back_per_table_when_staging_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """strategy='auto' on a cluster whose executors cannot share the
+    output filesystem silently selects the per-table JVM writers; forced
+    'onepass' propagates the probe failure."""
+    dump = tmp_path / "d.sql"
+    dump.write_text(DUMP)
+
+    def boom(*a, **k):
+        raise M.OnepassStagingInvisible("simulated non-shared staging")
+
+    monkeypatch.setattr(M, "convert_dump_onepass", boom)
+    out = tmp_path / "out"
+    counts = M.convert_dump(spark, str(dump), str(out))  # auto
+    assert counts == {"t": 3}
+    got = {r.id: r.v for r in spark.read.parquet(str(out / "t")).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    with pytest.raises(M.OnepassStagingInvisible):
+        M.convert_dump(
+            spark, str(dump), str(tmp_path / "out2"), strategy="onepass"
+        )
+
+
+def test_probe_passes_on_shared_fs(spark, tmp_path):
+    """On a genuinely shared filesystem the probe is a no-op: marker
+    written by the task, seen and removed by the driver."""
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    M._probe_staging_visibility(spark, str(staging))
+    assert list(staging.iterdir()) == []  # marker cleaned up
+
+
+def test_bench_ingest_rejects_multiline_gzip_combo():
+    """--multiline rewrites the dump into a glob of plain files; --gzip
+    would then reopen (and re-unlink) the deleted original path — the
+    combination is rejected at argparse time, before Spark starts."""
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_ingest.py", "--multiline", "2",
+         "--gzip", "2", "--mb", "1"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "--multiline and --gzip" in proc.stderr

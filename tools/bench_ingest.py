@@ -110,6 +110,11 @@ def main() -> None:
         "files; exercises the byte-range statement-reassembly path",
     )
     args = ap.parse_args()
+    if args.multiline and args.gzip:
+        # the multiline branch replaces the dump with a glob of plain
+        # files; the gzip branch would then reopen (and re-unlink) the
+        # already-deleted original path (ADVICE r5)
+        ap.error("--multiline and --gzip cannot be combined")
 
     from mysqldump_to_parquet_spark.session import get_spark
     from mysqldump_to_parquet_spark.sources.mysqldump import convert_dump
