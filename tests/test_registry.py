@@ -53,7 +53,7 @@ def test_touched_module_keys_inside_window():
     from tools.gen_window import touched_modules
 
     try:
-        touched = touched_modules("f8277d6")  # round-5 base commit
+        touched = touched_modules("2a5357f")  # round-6 base commit
     except subprocess.CalledProcessError:  # not a git checkout (driver env)
         return
     qs = list(entrypoint.queries())
