@@ -59,6 +59,12 @@ BENCH_QUERY_NAMES = [
     # round-5b: token-span exact dedup — the heaviest new operator of the
     # round (two data-sized exchanges), kept regression-visible
     "q_dedup_substring",
+    # round-6: one-pass Gram covariance (mapInPandas NumPy fold), the
+    # sweep-line concurrency (delta pre-agg + calendar-bounded windows),
+    # and SemDeDup-style cell-blocked semantic dedup (self-join + cosine)
+    "q_embed_covariance",
+    "q_interval_concurrency",
+    "q_dedup_semantic",
 ]
 
 

@@ -152,6 +152,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # total / final sum exchanges carry 1-row results, and the two
     # crossJoins broadcast those 1-row aggregates (scalar-subquery shape)
     "q_split_drift",
+    # 1-row corpus totals broadcast (Σlen + SEM_BITS bucket sums) feeding
+    # the exact integer rate-sign blocking — scalar-subquery shape (r6)
+    "q_dedup_semantic",
 }
 
 

@@ -1,0 +1,128 @@
+"""Differential tests for llm/semdedup.py (q_dedup_semantic)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from mysqldump_to_parquet_spark.llm import semdedup as S
+
+SF = "/root/testdata/sf0.001"
+SF_RECALL = "/root/testdata/sf0.01"
+
+_HEX = "0123456789abcdef"
+
+
+def _vectorize(texts):
+    X = np.zeros((len(texts), S.SEM_DIM), dtype=np.int64)
+    for i, s in enumerate(texts):
+        for tok in s.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            X[i, (_HEX.index(h[0]) * 16 + _HEX.index(h[1])) % S.SEM_DIM] += 1
+    return X
+
+
+def _load(sf):
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        np.asarray(t.column("doc_id").to_pylist()),
+        t.column("text").to_pylist(),
+    )
+
+
+def _brute(ids, X):
+    """All same-cell pairs with cosine ≥ τ, straight NumPy — the exact
+    reference implementation of the operator's semantics."""
+    n = X.shape[0]
+    lens = X.sum(axis=1)
+    sumc = X.sum(axis=0)
+    sl = int(lens.sum())
+    cells = np.zeros(n, dtype=np.int64)
+    for k in range(S.SEM_BITS):
+        cells |= ((X[:, k] * sl > lens * sumc[k]).astype(np.int64)) << k
+    Xf = X.astype(np.float64)
+    norms = np.linalg.norm(Xf, axis=1)
+    out = {}
+    for a in range(n):
+        for b in range(n):
+            if ids[a] >= ids[b] or cells[a] != cells[b]:
+                continue
+            cos = round(float(Xf[a] @ Xf[b] / (norms[a] * norms[b])), 6)
+            if cos >= S.SEM_TAU:
+                out[(int(ids[b]), int(ids[a]))] = cos  # (dup, keep)
+    return out, cells
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    ids, texts = _load(SF)
+    want, _ = _brute(ids, _vectorize(texts))
+    got = {
+        (r.dup_id, r.keep_id): r.cosine
+        for r in S.dedup_semantic(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 2e-6, (k, v, want[k])
+
+
+def test_semantic_recall_vs_all_pairs_truth(spark):
+    """Blocking recall, pinned: within-cell verification must find ≥90%
+    of ALL cosine-≥τ pairs (ignoring cells) on the recall fixture —
+    semantic duplicates agree on nearly every rate-sign bit, so the cell
+    function barely costs recall (measured 25/26 = 0.96)."""
+    ids, texts = _load(SF_RECALL)
+    X = _vectorize(texts)
+    Xf = X.astype(np.float64)
+    norms = np.linalg.norm(Xf, axis=1)
+    C = (Xf @ Xf.T) / np.outer(norms, norms)
+    np.fill_diagonal(C, -1)
+    ai, bi = np.where(np.triu(C, 1) >= S.SEM_TAU)
+    truth = {
+        (int(max(ids[a], ids[b])), int(min(ids[a], ids[b])))
+        for a, b in zip(ai, bi)
+    }
+    assert len(truth) >= 20, "recall fixture lost its near-dup pairs"
+    got = {
+        (r.dup_id, r.keep_id)
+        for r in S.dedup_semantic(spark, SF_RECALL).collect()
+    }
+    assert got <= truth  # precision 1.0: verify stage is exact cosine
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"blocking recall {recall:.2f}"
+
+
+def test_semantic_dedup_deterministic_across_layouts(spark):
+    """Same pair set under a different shuffle layout (exact integer
+    blocking + per-row cosine: nothing order-sensitive)."""
+    first = {
+        (r.dup_id, r.keep_id, r.cosine)
+        for r in S.dedup_semantic(spark, SF).collect()
+    }
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {
+            (r.dup_id, r.keep_id, r.cosine)
+            for r in S.dedup_semantic(spark, SF).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert first == again
+
+
+def test_semantic_cell_cap_bounds_degenerate_cells(spark, monkeypatch):
+    """With the cap forced below the biggest cell, that cell's pairs
+    drop instead of going quadratic (MH_MAX_BUCKET policy)."""
+    ids, texts = _load(SF)
+    _, cells = _brute(ids, _vectorize(texts))
+    import collections
+
+    biggest = max(collections.Counter(cells.tolist()).values())
+    monkeypatch.setattr(S, "SEM_MAX_CELL", biggest - 1)
+    capped = S.dedup_semantic(spark, SF).collect()
+    monkeypatch.setattr(S, "SEM_MAX_CELL", 100_000)
+    full = S.dedup_semantic(spark, SF).collect()
+    assert len(capped) < len(full) or len(full) == 0

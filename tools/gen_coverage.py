@@ -60,6 +60,13 @@ ROWS_ONLY_NOTES = {
         "pytest-pinned; finer quantization at the same scan cost lifted "
         "0.7 → 0.8)"
     ),
+    "q_embed_pca": (
+        "rows-only (64×64 driver eigh not SQL-expressible; covariance "
+        "input is EXACT fixed-point — q_embed_covariance hash-checked — "
+        "and the projection is pinned by a full NumPy differential in "
+        "tests/test_decomp.py: exact covariance equality, orthonormal "
+        "sign-pinned components, per-vector projection equality)"
+    ),
     "q_ingest_mysqldump": (
         "rows-only (side-effecting parquet sink; round-trip equality + "
         "100+ ingest unit/property/differential tests)"

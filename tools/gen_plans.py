@@ -392,6 +392,28 @@ NOTES = {
         "is a refinement of the join key side); the channel rollup is a "
         "4-row aggregate."
     ),
+    "q_interval_concurrency": (
+        "Sweep-line without a single-partition window (r6): one scan "
+        "(explode emits both deltas), date-grain partial-agg pre-"
+        "aggregation is the only data-volume stage, and everything after "
+        "the persisted net table is calendar-bounded — per-year windows "
+        "hold ≤366 rows of state and the cross-year offsets are a "
+        "broadcast |years|² triangle join."
+    ),
+    "q_embed_covariance": (
+        "One-pass exact Gram (r6): fixed-point int64 quantization makes "
+        "row sums order-free; each partition's NumPy X.T@X fold emits "
+        "D(D+1)/2+D+1 fixed-width rows regardless of row count, so the "
+        "merge shuffle is sized by partition count, not data. The "
+        "covariance division happens once per output cell."
+    ),
+    "q_curation_report": (
+        "Quality × duplication cross-report (r6): copy counts via a "
+        "window on the text key (the same partitioning q_dedup_exact "
+        "uses), one co-keyed join back, then a ≤10-group partial "
+        "aggregate. Fixed-width score buckets keep the plan free of the "
+        "global-ntile total order."
+    ),
 }
 
 

@@ -85,6 +85,12 @@ QUERIES = [
     "q_dedup_substring",
     "q_src_xml",
     "q_zorder_cluster",
+    # round-6 additions
+    "q_interval_concurrency",
+    "q_embed_covariance",
+    "q_embed_pca",
+    "q_curation_report",
+    "q_dedup_semantic",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -105,6 +111,9 @@ SF1_QUERIES = [
     "q_multimodal_video",
     "q_resample_locf",
     "q_tpch_q21",
+    # round-6: data-volume-bound Gram fold and sweep-line pre-agg
+    "q_embed_covariance",
+    "q_interval_concurrency",
 ]
 
 
