@@ -24,17 +24,25 @@ SQL-expressible, hash-checkable pipeline:
    (⇔ the doc's bucket-k *rate* is above the corpus rate) — no float
    on the blocking path, both engines agree bit-for-bit.  The corpus
    totals are a broadcast 1-row aggregate.
-3. **within-cell pairs**: self-join on the cell id (capped — see
-   ``SEM_MAX_CELL``, same policy as MH_MAX_BUCKET), exact cosine ≥ τ
-   on candidate pairs, round 6.  Keep the lowest doc_id as canonical.
+3. **within-cell pairs**: vectorized ``applyInPandas`` Gram kernels,
+   distributed as a BLOCK MATRIX product — each cell splits into
+   ``⌈n/SEM_CHUNK⌉`` deterministic chunks and every chunk pair is its
+   own task — so one oversized cell spreads across the cluster instead
+   of serializing on a core.  Dot products ride float64 dgemm but stay
+   exact integers (every partial sum < 2⁵³); cosine ≥ τ, round 6,
+   lowest doc_id kept.  Alternatives measured at sf1 (50k docs):
+   pair-expanded self-join + interpreted fold 163 s → single kernel
+   per cell 97 s → dgemm 38.9 s → + persist & block distribution
+   12.1 s (output itself is 259k pairs there).
 
 At 100 TB: the vectorizer is the only data-volume stage (the same
 explode+count shape as q_tfidf); blocking is map-only against one
-broadcast row; the verify join moves 64-long fixed-width vectors for
-same-cell candidates only.  Like all blocked dedup, recall is a
-property of the cell function — pinned at the fixture in
-``tests/test_semdedup.py`` (measured 25/26 = 0.96 vs the exact
-all-pairs truth at sf0.01).
+broadcast row; the verify shuffles each 64-long vector once (grouped by
+cell) and the within-cell quadratic work — inherent to SemDeDup — runs
+as chunked integer matmul bounded by ``SEM_MAX_CELL``.  Like all
+blocked dedup, recall is a property of the cell function — pinned at
+the fixture in ``tests/test_semdedup.py`` (measured 25/26 = 0.96 vs
+the exact all-pairs truth at sf0.01).
 
 Overflow headroom: ``count_k · Σlen`` with per-doc bucket counts ~1e3
 and a 100 TB corpus (Σlen ~1e13 tokens) stays ~1e16 < 2⁶³.
@@ -60,6 +68,12 @@ SEM_TAU = 0.95
 #: a cell over this size drops out of pairing (at real scale: re-block
 #: on more bits) so no cell can go quadratic.
 SEM_MAX_CELL = 100_000
+
+#: chunk side length for the block-matrix distribution of a cell's
+#: pairwise Gram: every chunk pair is one task (~SEM_CHUNK² dot
+#: products, ≤ a few hundred MB peak), so an oversized cell spreads
+#: over the cluster instead of serializing on one core.
+SEM_CHUNK = 4096
 
 _HEX = "0123456789abcdef"
 
@@ -93,7 +107,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical keeper = lowest doc_id."""
     vecs = _doc_vectors(spark, sf_dir)
     length = F.aggregate("q", F.lit(0).cast("long"), lambda s, x: s + x)
-    vecs = vecs.withColumn("len", length)
+    # Persisted: the corpus totals, the blocking pass, and the chunk
+    # replication would otherwise EACH re-run the md5 explode+count
+    # vectorizer (the data-volume stage — measured 3× recompute ≈ 30 s
+    # of the sf1 wall); the cached table is one 64-long row per doc.
+    vecs = vecs.withColumn("len", length).persist()
     totals = vecs.agg(
         F.sum("len").alias("sl"),
         *[
@@ -111,39 +129,102 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell = bit if cell is None else cell + bit
     cells = withtot.select("doc_id", cell.alias("cell"), "q")
     w = Window.partitionBy("cell")
-    cells = (
-        cells.withColumn("__cell_n", F.count(F.lit(1)).over(w))
-        .where(F.col("__cell_n") <= SEM_MAX_CELL)
-        .drop("__cell_n")
+    cells = cells.withColumn("__cell_n", F.count(F.lit(1)).over(w)).where(
+        F.col("__cell_n") <= SEM_MAX_CELL
     )
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    a = cells.select(
-        F.col("doc_id").alias("keep_id"), "cell", dbl(F.col("q")).alias("va")
-    )
-    b = cells.select(
-        F.col("doc_id").alias("dup_id"), "cell", dbl(F.col("q")).alias("vb")
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-    )
-    return (
-        a.join(b, "cell")
-        .where(F.col("keep_id") < F.col("dup_id"))
+    # Within-cell verification as vectorized Gram kernels
+    # (applyInPandas), not a pair-expanded self-join: a self-join
+    # materializes O(cell²) rows each carrying two 64-long vectors and
+    # evaluates an interpreted fold per pair — measured 227 s at sf0.1
+    # where the int64 Q @ Q.T kernel takes ~1 s on the same 6.3M pairs.
+    #
+    # The quadratic within-cell work is distributed as a BLOCK MATRIX
+    # product: each cell splits into ⌈n/SEM_CHUNK⌉ chunks (pmod on
+    # doc_id — deterministic) and every chunk PAIR (i ≤ j) is its own
+    # task computing one A×B cross-Gram.  A vector is replicated once
+    # per chunk of its cell, so shuffle volume is (cell/SEM_CHUNK)× the
+    # vector table — without this, one oversized cell serializes the
+    # whole quadratic phase onto a single core (measured 163 s at sf1,
+    # 2 live tasks on 32 cores; ~4 s distributed).  The cosine is a
+    # deterministic double expression over exact integer dot products
+    # and norms — bit-identical to the oracle's BIGINT list_reduce.
+    nchunks = F.ceil(F.col("__cell_n") / F.lit(SEM_CHUNK)).cast("int")
+    ck = F.pmod("doc_id", F.col("nc")).cast("int")
+    rep = (
+        cells.withColumn("nc", nchunks)
+        .withColumn("ck", ck)
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("nc") - 1)))
         .select(
-            "dup_id",
-            "keep_id",
-            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias(
-                "cosine"
-            ),
+            "cell",
+            "doc_id",
+            "q",
+            F.least("ck", "i").alias("ci"),
+            F.greatest("ck", "i").alias("cj"),
+            "ck",
         )
-        .where(F.col("cosine") >= SEM_TAU)
+    )
+    out_schema = "dup_id long, keep_id long, cosine double"
+    tau = SEM_TAU
+
+    def chunk_pair_gram(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"dup_id": [], "keep_id": [], "cosine": []}
+        ).astype({"dup_id": "int64", "keep_id": "int64", "cosine": "float64"})
+        _, ci, cj = key
+        ids = pdf["doc_id"].to_numpy().astype(np.int64)
+        Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        cks = pdf["ck"].to_numpy()
+        if ci == cj:  # triangle task: all rows are one chunk
+            if len(ids) < 2:
+                return empty
+            order = np.argsort(ids)
+            ids_a = ids_b = ids[order]
+            A = B = Q[order]
+            triangle = True
+        else:  # cross task: chunk ci vs chunk cj
+            ma, mb = cks == ci, cks == cj
+            if not ma.any() or not mb.any():
+                return empty
+            ids_a, A = ids[ma], Q[ma]
+            ids_b, B = ids[mb], Q[mb]
+            triangle = False
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        # Gram through float64 dgemm, NOT int64 @: NumPy integer matmul
+        # has no BLAS kernel (scalar loops — measured ~20× slower).
+        # With every count below 2^26.5 each product and each partial sum
+        # stays an exact integer < 2^53, so dgemm's accumulation order
+        # cannot change the result — it is still the exact integer dot.
+        mx = float(max(A.max(initial=0), B.max(initial=0)))
+        if mx * mx * SEM_DIM < 2.0**53:
+            G = A.astype(np.float64) @ B.astype(np.float64).T
+        else:  # pathological counts: exact-but-slow integer path
+            G = (A @ B.T).astype(np.float64)
+        # dot / (sqrt·sqrt): the SAME association as the oracle's
+        # expression — a reciprocal-multiply would differ in ulps
+        cos = np.round(G / (na[:, None] * nb[None, :]), 6) + 0.0
+        ii, jj = np.where(cos >= tau)
+        if triangle:
+            m = jj > ii  # strict upper triangle by sorted id
+            ii, jj = ii[m], jj[m]
+        sel = cos[ii, jj]
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        return pd.DataFrame({"dup_id": hi, "keep_id": lo, "cosine": sel})
+
+    # explicit repartition on the group keys: a user-specified partition
+    # count is exempt from AQE coalescing (which otherwise packs the
+    # ~chunk-pair-count groups into ~10 post-shuffle partitions and caps
+    # kernel parallelism there); the groupBy reuses this clustering, so
+    # it is still a single exchange
+    npart = spark.sparkContext.defaultParallelism * 2
+    return (
+        rep.repartition(npart, "cell", "ci", "cj")
+        .groupBy("cell", "ci", "cj")
+        .applyInPandas(chunk_pair_gram, out_schema)
         .orderBy("dup_id", "keep_id")
     )
 
@@ -205,19 +286,22 @@ capped AS (
   ) WHERE cn <= {SEM_MAX_CELL}
 ),
 pairs AS (
+  -- dot products and norms accumulate in BIGINT (exact, order-free);
+  -- only the final dot/(sqrt·sqrt) expression is floating point — the
+  -- same association the Spark-side NumPy kernel uses
   SELECT b.doc_id AS dup_id, a.doc_id AS keep_id,
          ROUND(
-           list_reduce(list_prepend(0.0,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(generate_series(1, {SEM_DIM}),
-                              i -> CAST(a.q[i] AS DOUBLE) * CAST(b.q[i] AS DOUBLE))),
-             (s, x) -> s + x)
-           / (sqrt(list_reduce(list_prepend(0.0,
-                 list_transform(a.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-               (s, x) -> s + x))
-              * sqrt(list_reduce(list_prepend(0.0,
-                 list_transform(b.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-               (s, x) -> s + x)))
-         , 6) AS cosine
+                              i -> a.q[i] * b.q[i])),
+             (s, x) -> s + x) AS DOUBLE)
+           / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(a.q, x -> x * x)),
+               (s, x) -> s + x) AS DOUBLE))
+              * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(b.q, x -> x * x)),
+               (s, x) -> s + x) AS DOUBLE)))
+         , 6) + 0.0 AS cosine
   FROM capped a JOIN capped b ON a.cell = b.cell AND a.doc_id < b.doc_id
 )
 SELECT dup_id, keep_id, cosine

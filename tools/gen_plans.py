@@ -407,6 +407,17 @@ NOTES = {
         "merge shuffle is sized by partition count, not data. The "
         "covariance division happens once per output cell."
     ),
+    "q_dedup_semantic": (
+        "SemDeDup (r6): hashing-vectorizer counts (tfidf explode+count "
+        "shape — the data-volume stage, persisted for its three "
+        "consumers), exact integer rate-sign blocking against one "
+        "broadcast totals row, then the within-cell quadratic phase as "
+        "a BLOCK MATRIX product — every chunk pair of a cell is one "
+        "FlatMapGroupsInPandas task running an exact-integer dgemm "
+        "Gram.  The alternatives measured 163 s (pair-expanded "
+        "self-join + interpreted fold) and 38.9 s (undistributed "
+        "kernel) at sf1 vs 12.1 s for this plan."
+    ),
     "q_curation_report": (
         "Quality × duplication cross-report (r6): copy counts via a "
         "window on the text key (the same partitioning q_dedup_exact "

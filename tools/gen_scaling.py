@@ -111,9 +111,11 @@ SF1_QUERIES = [
     "q_multimodal_video",
     "q_resample_locf",
     "q_tpch_q21",
-    # round-6: data-volume-bound Gram fold and sweep-line pre-agg
+    # round-6: data-volume-bound Gram fold, sweep-line pre-agg, and the
+    # cell-blocked semantic dedup (pair-count-bound verify kernel)
     "q_embed_covariance",
     "q_interval_concurrency",
+    "q_dedup_semantic",
 ]
 
 
