@@ -47,6 +47,15 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("s"),
         F.date_add("o_orderdate", days).alias("e"),
     )
+    return open_interval_counts(iv)
+
+
+def open_interval_counts(iv: DataFrame) -> DataFrame:
+    """The reusable sweep-line core: ``iv`` is any DataFrame with date
+    columns ``s`` (interval opens, inclusive) and ``e`` (interval
+    closes — the first date it no longer counts as open).  Returns one
+    row per change date with the open count after that date applies.
+    See the module docstring for the two-phase distributed shape."""
     # both deltas from ONE scan (an unionAll of two projections would
     # read the interval table twice — 2× the scan volume at 100 TB)
     pair = F.array(

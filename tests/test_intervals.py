@@ -44,6 +44,36 @@ def test_concurrency_final_count_zero(spark):
     assert all(r.open_cnt >= 0 for r in rows)
 
 
+def test_open_interval_counts_randomized(spark):
+    """Seeded randomized differential for the reusable sweep-line core:
+    random intervals spanning year boundaries, same-day intervals,
+    heavy duplicates — must match a per-date brute force exactly."""
+    import random
+
+    from mysqldump_to_parquet_spark.operators.intervals import (
+        open_interval_counts,
+    )
+
+    rng = random.Random(20260814)
+    base = datetime.date(2019, 12, 1)
+    rows = []
+    for _ in range(3000):
+        s = base + datetime.timedelta(days=rng.randrange(0, 1500))
+        e = s + datetime.timedelta(days=rng.randrange(0, 40))  # 0 = same-day
+        rows.append((s, e))
+    deltas: dict[datetime.date, int] = {}
+    for s, e in rows:
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[e] = deltas.get(e, 0) - 1
+    want, run = {}, 0
+    for d in sorted(deltas):
+        run += deltas[d]
+        want[d] = run
+    iv = spark.createDataFrame(rows, "s date, e date")
+    got = {r.d: r.open_cnt for r in open_interval_counts(iv).collect()}
+    assert got == want
+
+
 def test_concurrency_plan_contract(spark):
     """No single-partition window (the whole point of the two-phase
     shape), one parquet scan (explode, not a union of two projections),

@@ -113,6 +113,17 @@ def test_semantic_dedup_deterministic_across_layouts(spark):
     assert first == again
 
 
+def test_semantic_plan_contract(spark):
+    """The verify phase is grouped Gram kernels, never a pair-expanded
+    join carrying vector arrays, and the vectorizer is computed once
+    (persisted) rather than per plan branch."""
+    df = S.dedup_semantic(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
 def test_semantic_cell_cap_bounds_degenerate_cells(spark, monkeypatch):
     """With the cap forced below the biggest cell, that cell's pairs
     drop instead of going quadratic (MH_MAX_BUCKET policy)."""
