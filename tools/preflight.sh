@@ -14,6 +14,9 @@ python -m pytest tests/ -q
 
 echo "== 2/4 driver simulation (pandas canon + stability, all keys) =="
 python tools/driver_sim.py --all
+# optional second sweep at another fixture scale (fixture-size flakes;
+# ~17 min — run once per round, not on every preflight):
+#   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 python tools/driver_sim.py --all
 
 echo "== 3/4 entry smoke (fresh default session, driver-style) =="
 python - <<'EOF'
