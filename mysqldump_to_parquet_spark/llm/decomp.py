@@ -60,16 +60,33 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gram_partials(batches):
     """mapInPandas body: fold a partition into one D×D int64 Gram matrix,
     per-dim sums, and a count — emitted as (i, j, s) rows.  Sentinels:
-    (i, -1, sum_i) per dimension, (-1, -1, n) for the count."""
+    (i, -1, sum_i) per dimension, (-1, -1, n) for the count.
+
+    Overflow: each product is ~(|x|·QUANT)² ≈ 10¹² for unit-scale
+    embeddings, so a PARTITION's fold stays far below 2⁶³ at any sane
+    ``maxPartitionBytes`` (~400k rows/128 MB split → ≤ 4·10¹⁷); the
+    conservative running bound below fails LOUD instead of wrapping if
+    a pathological partition would exceed it.  The cross-partition
+    merge is the unbounded sum — it runs in DECIMAL(38,0) (see
+    :func:`_gram`), exact at any corpus size."""
     import numpy as np
 
     G = np.zeros((DIM, DIM), dtype=np.int64)
     sums = np.zeros(DIM, dtype=np.int64)
     n = 0
+    bound = 0.0
     for pdf in batches:
         if not len(pdf):
             continue
         X = np.stack(pdf["v"].to_numpy()).astype(np.int64)  # (rows, D)
+        amax = float(np.abs(X).max()) if X.size else 0.0
+        bound += X.shape[0] * amax * amax
+        if bound >= 2.0**62:
+            raise ValueError(
+                "decomp gram partial would overflow int64 in this "
+                "partition; lower spark.sql.files.maxPartitionBytes (or "
+                "repartition the embeddings) so fewer rows fold per task"
+            )
         G += X.T @ X
         sums += X.sum(axis=0)
         n += X.shape[0]
@@ -94,10 +111,18 @@ def _gram_partials(batches):
 
 
 def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged exact Gram table: (i, j, s) with sentinel sum/count rows."""
+    """Merged exact Gram table: (i, j, s) with sentinel sum/count rows.
+
+    The merge sums in DECIMAL(38,0): a plain long sum wraps silently
+    once enough partitions contribute (~10¹² per row of data ⇒ 2⁶³ at
+    ~9M unit-scale rows — far below the target corpus size), while
+    decimal addition is exact and order-free at any scale (ADVICE r6
+    review).  Downstream casts to double are deterministic."""
     q = _quantized(spark, sf_dir)
     partials = q.mapInPandas(_gram_partials, "i int, j int, s long")
-    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
 
 
 def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:

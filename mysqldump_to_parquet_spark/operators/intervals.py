@@ -55,7 +55,10 @@ def open_interval_counts(iv: DataFrame) -> DataFrame:
     columns ``s`` (interval opens, inclusive) and ``e`` (interval
     closes — the first date it no longer counts as open).  Returns one
     row per change date with the open count after that date applies.
+    Rows with a NULL endpoint are not intervals and are dropped (the
+    filter is a plain column predicate — it pushes to the scan).
     See the module docstring for the two-phase distributed shape."""
+    iv = iv.where(F.col("s").isNotNull() & F.col("e").isNotNull())
     # both deltas from ONE scan (an unionAll of two projections would
     # read the interval table twice — 2× the scan volume at 100 TB)
     pair = F.array(

@@ -1896,21 +1896,33 @@ _ONEPASS_SPLIT_BYTES = 64 * 1024 * 1024
 def _probe_staging_visibility(spark: SparkSession, staging: str) -> None:
     """One executor task writes a marker under ``staging``; the driver
     must be able to stat it, or the one-pass commit protocol (task-side
-    pyarrow writers + driver-side move) cannot work on this cluster."""
+    pyarrow writers + driver-side move) cannot work on this cluster.
+
+    The task creates the marker's directory itself and reports OSErrors
+    as data instead of raising: on a node-local-disk cluster the
+    driver-side ``makedirs`` did not happen on the executor's node, so
+    a bare ``open`` would die as an opaque 4×-retried task failure
+    (Py4JJavaError) rather than the diagnostic this probe exists to
+    give (ADVICE r6 review)."""
     marker = os.path.join(staging, "_driver_visibility_probe")
 
     def _write(_):
-        with open(marker, "w") as fh:
-            fh.write("ok")
-        return []
+        try:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+            return []
+        except OSError as e:  # unwritable path on the executor's node
+            return [repr(e)]
 
-    spark.sparkContext.parallelize([0], 1).flatMap(_write).collect()
-    if not os.path.exists(marker):
+    errs = spark.sparkContext.parallelize([0], 1).flatMap(_write).collect()
+    if errs or not os.path.exists(marker):
+        detail = f" (executor error: {errs[0]})" if errs else ""
         raise OnepassStagingInvisible(
-            f"an executor wrote {marker!r} but the driver cannot see it "
-            "— output filesystem is not shared between driver and "
-            "executors; use strategy='per_table' or point output_dir at "
-            "a shared mount"
+            f"an executor wrote {marker!r} but the driver cannot see it"
+            f"{detail} — output filesystem is not shared between driver "
+            "and executors; use strategy='per_table' or point output_dir "
+            "at a shared mount"
         )
     os.unlink(marker)
 
@@ -1990,8 +2002,15 @@ def convert_dump_onepass(
     # the driver's final move, after the entire parse (ADVICE r5, low).
     # Probe once in milliseconds instead.  local[...] / local-cluster
     # masters run on this machine by construction — skip the job.
+    # On probe failure, remove the just-created staging dir: the main
+    # try/finally cleanup starts later, and a stray _staging_<uuid>
+    # would otherwise accumulate in the user's output dir per retry.
     if not spark.sparkContext.master.startswith("local"):
-        _probe_staging_visibility(spark, staging)
+        try:
+            _probe_staging_visibility(spark, staging)
+        except BaseException:
+            _shutil.rmtree(staging, ignore_errors=True)
+            raise
 
     def run_task(stmt_iter):
         """Shared task body: statements (any table, any source) →
@@ -2172,6 +2191,51 @@ def _require_tables(schemas: dict, dump_path: str) -> None:
         )
 
 
+def _onepass_or_fallback(
+    spark: SparkSession,
+    dump_path: str,
+    output_dir: str,
+    compression: str,
+    schemas: dict,
+    *,
+    multiline: bool,
+    forced: bool,
+    progress: bool,
+) -> dict[str, int] | None:
+    """Run :func:`convert_dump_onepass`; on a staging-visibility failure
+    return ``None`` so an ``auto`` caller falls through to the per-table
+    writers (a ``forced`` caller re-raises).  Shared by the one-line and
+    multiline branches of :func:`convert_dump` so the fallback policy
+    cannot drift between them."""
+    import contextlib
+    import sys
+
+    from ..progress import ProgressReporter
+
+    live = (
+        ProgressReporter(spark, "ingest") if progress else contextlib.nullcontext()
+    )
+    try:
+        with live:
+            return convert_dump_onepass(
+                spark,
+                dump_path,
+                output_dir,
+                compression,
+                schemas=schemas,
+                multiline=multiline,
+            )
+    except OnepassStagingInvisible:
+        if forced:
+            raise
+        print(
+            "[ingest] one-pass staging not driver-visible — "
+            "falling back to per-table writers",
+            file=sys.stderr,
+        )
+        return None
+
+
 def convert_dump(
     spark: SparkSession,
     dump_path: str,
@@ -2276,30 +2340,16 @@ def convert_dump(
                 # one-pass for ANY table count (single-table measured
                 # 96 vs 39 MB/s against the fused+Spark-sink path at
                 # 68 MB); fused remains the object-store-output fallback
-                live = (
-                    ProgressReporter(spark, "ingest")
-                    if progress
-                    else contextlib.nullcontext()
+                counts = _onepass_or_fallback(
+                    spark,
+                    dump_path,
+                    output_dir,
+                    compression,
+                    schemas,
+                    multiline=True,
+                    forced=strategy == "onepass",
+                    progress=progress,
                 )
-                counts = None
-                try:
-                    with live:
-                        counts = convert_dump_onepass(
-                            spark,
-                            dump_path,
-                            output_dir,
-                            compression,
-                            schemas=schemas,
-                            multiline=True,
-                        )
-                except OnepassStagingInvisible:
-                    if strategy == "onepass":
-                        raise
-                    print(
-                        "[ingest] one-pass staging not driver-visible — "
-                        "falling back to per-table writers",
-                        file=sys.stderr,
-                    )
                 if counts is not None:
                     if progress:
                         for t in schemas:
@@ -2334,26 +2384,16 @@ def convert_dump(
             or (strategy == "auto" and "://" not in output_dir)
         ):
             t0 = _time.perf_counter()
-            live = (
-                ProgressReporter(spark, "ingest")
-                if progress
-                else contextlib.nullcontext()
+            counts = _onepass_or_fallback(
+                spark,
+                dump_path,
+                output_dir,
+                compression,
+                schemas,
+                multiline=False,
+                forced=strategy == "onepass",
+                progress=progress,
             )
-            counts = None
-            try:
-                with live:
-                    counts = convert_dump_onepass(
-                        spark, dump_path, output_dir, compression,
-                        schemas=schemas,
-                    )
-            except OnepassStagingInvisible:
-                if strategy == "onepass":
-                    raise
-                print(
-                    "[ingest] one-pass staging not driver-visible — "
-                    "falling back to per-table writers",
-                    file=sys.stderr,
-                )
             if counts is not None:
                 if progress:
                     dt = _time.perf_counter() - t0

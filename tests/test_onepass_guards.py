@@ -75,6 +75,15 @@ def test_auto_falls_back_per_table_when_staging_invisible(
         )
 
 
+def test_staging_probe_reports_task_oserror(spark):
+    """When the staging path is unwritable on the executor (the real
+    node-local-disk failure: the driver-side makedirs never happened on
+    that node), the probe must raise OnepassStagingInvisible with the
+    executor's OSError — not die as an opaque 4×-retried task failure."""
+    with pytest.raises(M.OnepassStagingInvisible, match="executor error"):
+        M._probe_staging_visibility(spark, "/proc/sys/_mtps_no_such_dir_")
+
+
 def test_probe_passes_on_shared_fs(spark, tmp_path):
     """On a genuinely shared filesystem the probe is a no-op: marker
     written by the task, seen and removed by the driver."""

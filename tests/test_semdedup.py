@@ -77,8 +77,8 @@ def test_semantic_recall_vs_all_pairs_truth(spark):
     X = _vectorize(texts)
     Xf = X.astype(np.float64)
     norms = np.linalg.norm(Xf, axis=1)
-    C = (Xf @ Xf.T) / np.outer(norms, norms)
-    np.fill_diagonal(C, -1)
+    C = np.round((Xf @ Xf.T) / np.outer(norms, norms), 6)  # operator's
+    np.fill_diagonal(C, -1)                # round-then-compare semantics
     ai, bi = np.where(np.triu(C, 1) >= S.SEM_TAU)
     truth = {
         (int(max(ids[a], ids[b])), int(min(ids[a], ids[b])))
