@@ -23,7 +23,7 @@ parallel at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -35,10 +35,15 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     document count, dup rate, and mean whitespace-token count."""
     qs = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = d.select(
-        "doc_id",
-        F.count(F.lit(1)).over(Window.partitionBy("text")).alias("n_copies"),
-    )
+    # Copy counts via partial-aggregating groupBy + join back — NOT a
+    # count window over text: the text key's skew IS the signal being
+    # measured (duplicated boilerplate), so Window.partitionBy("text")
+    # funnels every copy of the hottest text through one window
+    # partition (VERDICT r6 #4).  groupBy combines map-side (each task
+    # emits one row per distinct text it holds) and AQE's skew-join
+    # handles the join side if one text dominates.
+    text_counts = d.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
+    copies = d.join(text_counts, "text").select("doc_id", "n_copies")
     joined = qs.join(copies, "doc_id")
     bucket = F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9))
     is_dup = F.when(F.col("n_copies") > 1, 1).otherwise(0)

@@ -29,6 +29,16 @@ Lints (each a plan *property*, not a heuristic over the Python code):
   prefer top-k (sort+limit) or sort-on-write clustering.  Post-aggregate
   presentation sorts over group-cardinality rows are cheap — pass
   ``allow={"global-sort"}`` where that is the conscious shape.
+- ``window-group-agg``    — a Window function over the WHOLE partition
+  frame (``unboundedpreceding → unboundedfollowing``, the plan shape of
+  ``count/sum/min(..).over(Window.partitionBy(k))`` with no orderBy):
+  every row of a key must co-locate AND sort on one task just to learn
+  a per-group scalar that a partial-aggregating ``groupBy(k).agg(..)``
+  + join-back computes with map-side combine.  On a low-cardinality or
+  skewed key this hot-spots one task (VERDICT r6 #3/#4); on a
+  high-cardinality key with provably tiny groups it can be the
+  conscious one-shuffle choice — pass ``allow={"window-group-agg"}``
+  there with the rationale in the operator docstring.
 
 A finding is a string ``"<code>: <explanation>"`` so callers can both
 display it and filter by code prefix.
@@ -48,6 +58,14 @@ ROW_UDF = "python-row-udf"
 SINGLE_PARTITION = "single-partition"
 UNPUSHED_FILTER = "unpushed-filter"
 GLOBAL_SORT = "global-sort"
+WINDOW_GROUP_AGG = "window-group-agg"
+
+#: the physical frame a no-orderBy window aggregate plans to: the whole
+#: partition, both directions unbounded
+_WHOLE_PARTITION_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame,"
+    r" unboundedpreceding\$\(\), unboundedfollowing\$\(\)\)"
+)
 
 #: Pass-through wrapper nodes skipped when resolving a scan's effective
 #: parent in the plan tree.
@@ -148,6 +166,16 @@ def lint_plan(
             "a Filter sits directly on a Parquet scan that pushes nothing — "
             "the predicate runs post-scan over every row-group "
             "(casts/expressions on the filter column are the usual cause)",
+        )
+    if _WHOLE_PARTITION_FRAME.search(plan):
+        hit(
+            WINDOW_GROUP_AGG,
+            "window aggregate over the whole partition frame "
+            "(partitionBy with no orderBy) — co-locates and sorts every "
+            "row of a key on one task for a per-group scalar; rewrite as "
+            "groupBy(key).agg(..) + join-back (map-side partial combine, "
+            "AQE skew-join), unless the key is provably high-cardinality "
+            "with tiny groups",
         )
     if (
         "rangepartitioning" in plan

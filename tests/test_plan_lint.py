@@ -17,6 +17,7 @@ from mysqldump_to_parquet_spark.plans.lint import (
     ROW_UDF,
     SINGLE_PARTITION,
     UNPUSHED_FILTER,
+    WINDOW_GROUP_AGG,
     lint_plan,
 )
 
@@ -68,6 +69,30 @@ def test_single_partition_window_detected(spark):
     w = Window.orderBy("o_orderdate")  # no partitionBy → SinglePartition
     bad = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
     assert SINGLE_PARTITION in _codes(lint_plan(bad))
+
+
+def test_window_group_agg_detected_and_fixed_sites_clean(spark):
+    """VERDICT r6 #3/#4: group counts via Window.partitionBy(key) with no
+    orderBy hot-spot one task per key value; the lint flags the whole-
+    partition frame, and the two fixed operators must no longer plan it."""
+    o = load_table(spark, SF, "orders")
+    w = Window.partitionBy("o_orderstatus")  # 3-value key, no orderBy
+    bad = o.select("o_orderkey", F.count(F.lit(1)).over(w).alias("n"))
+    assert WINDOW_GROUP_AGG in _codes(lint_plan(bad))
+    # a bounded/ordered frame (running sum) is NOT this lint
+    w_run = Window.partitionBy("o_custkey").orderBy("o_orderdate").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ok = o.select(F.sum("o_totalprice").over(w_run).alias("r"))
+    assert WINDOW_GROUP_AGG not in _codes(lint_plan(ok))
+    # the r6 offenders now partial-aggregate instead of window-counting
+    from mysqldump_to_parquet_spark.llm.report import curation_report
+    from mysqldump_to_parquet_spark.llm.semdedup import dedup_semantic
+
+    assert WINDOW_GROUP_AGG not in _codes(lint_plan(curation_report(spark, SF)))
+    assert WINDOW_GROUP_AGG not in _codes(
+        lint_plan(dedup_semantic(spark, SF))
+    )
 
 
 def test_global_sort_detected_but_not_topk(spark):
@@ -158,14 +183,45 @@ _SINGLE_PARTITION_ALLOWED = {
 }
 
 
+#: Queries ALLOWED to plan a whole-partition-frame window aggregate
+#: (``count/sum(..).over(Window.partitionBy(k))``), each with the reason
+#: the one-shuffle window beats groupBy + join-back THERE.  Anything
+#: else that plans the shape is VERDICT r6 #3/#4 returning.
+_WINDOW_GROUP_AGG_ALLOWED = {
+    # bucket-size cap counted on (band_idx, band_hash) — high-cardinality
+    # hash key, and the window shuffles on exactly the key the candidate
+    # self-join reuses next (dedup.py docstring); join-back would double
+    # the shingle-table shuffle
+    "q_dedup_near", "q_dedup_near_candidates",
+    # occurrence count on the 8-byte rolling win_hash — high-cardinality,
+    # positions survive in place, no join-back of the (doc, pos) table
+    "q_dedup_substring",
+    # row totals over the POST-AGGREGATE (from,to) alphabet² table —
+    # input is group-cardinality rows, not data
+    "q_event_transitions",
+    # share-of-region over the post-aggregate 25-row (region, nation)
+    # table — group-cardinality input (windows.py docstring)
+    "q_win_ratio",
+    # per-purchase touch count: high-cardinality purchase_id, group size
+    # bounded by the attribution window hours
+    "q_attribution_channels",
+    # group total rides the SAME (flag) exchange+sort the inherent
+    # cumulative-weight window already forces — join-back would add a
+    # shuffle to an operator whose scale primary is the approx variant
+    "q_agg_weighted_median", "q_agg_weighted_median_approx",
+}
+
+
 def test_registry_sweep_row_udfs_and_single_partition(spark):
     """Engine contract, one pass over every registered plan: (a) no
     row-at-a-time Python UDF anywhere; (b) Exchange SinglePartition only
-    where a total order / 1-row result makes it inherent (documented
-    allowlist above)."""
+    where a total order / 1-row result makes it inherent; (c) whole-
+    partition-frame window aggregates only where the one-shuffle window
+    provably beats groupBy + join-back (documented allowlists above)."""
     registry = entrypoint.queries()
     flagged_udf = {}
     flagged_single = {}
+    flagged_wga = {}
     for name, fn in registry.items():
         if name in _SWEEP_EXCLUDE:
             continue
@@ -174,7 +230,12 @@ def test_registry_sweep_row_udfs_and_single_partition(spark):
             flagged_udf[name] = codes
         if SINGLE_PARTITION in codes and name not in _SINGLE_PARTITION_ALLOWED:
             flagged_single[name] = codes
+        if WINDOW_GROUP_AGG in codes and name not in _WINDOW_GROUP_AGG_ALLOWED:
+            flagged_wga[name] = codes
     assert not flagged_udf, flagged_udf
     assert not flagged_single, (
         f"undocumented single-partition exchanges: {flagged_single}"
+    )
+    assert not flagged_wga, (
+        f"undocumented whole-partition window aggregates: {flagged_wga}"
     )

@@ -53,7 +53,7 @@ def test_touched_module_keys_inside_window():
     from tools.gen_window import touched_modules
 
     try:
-        touched = touched_modules("2a5357f")  # round-6 base commit
+        touched = touched_modules(entrypoint._ORDER_BASE_COMMIT)
     except subprocess.CalledProcessError:  # not a git checkout (driver env)
         return
     qs = list(entrypoint.queries())
@@ -97,14 +97,22 @@ def test_staleness_rotation_is_monotone():
     precede one whose latest green is round M < N unless the younger key
     sits in a touched module or leads for another structural reason.
     Checked loosely: within the UNtouched, driver-verified tail the last
-    green rounds are non-decreasing."""
+    green rounds are non-decreasing.
+
+    Round-state robustness (VERDICT r6 #1): greens are derived from the
+    rounds that EXISTED when the ordering was generated
+    (``_ORDER_BASIS_ROUND``) and the SAME base commit the generator
+    diffed against — so when the driver drops the next round's
+    CORRECTNESS file (turning the just-checked window head into the
+    freshest greens — the rotation policy *working*), the invariant
+    keeps evaluating the generator's own inputs instead of inverting."""
     from tools.gen_window import last_green_round, touched_modules
 
     try:
-        touched = touched_modules("f8277d6")
+        touched = touched_modules(entrypoint._ORDER_BASE_COMMIT)
     except subprocess.CalledProcessError:
         return
-    greens = last_green_round(_REPO)
+    greens = last_green_round(_REPO, max_round=entrypoint._ORDER_BASIS_ROUND)
     key_module = {}
     for mod in entrypoint._MODULES:
         rel = mod.__file__.removeprefix(str(_REPO) + "/")

@@ -33,18 +33,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def last_green_round(repo: pathlib.Path) -> dict[str, int]:
+def last_green_round(
+    repo: pathlib.Path, max_round: int | None = None
+) -> dict[str, int]:
     """key → latest round with a green driver row (hash-match, or the
     rows-only ``no_oracle`` check approx/side-effecting ops maximally
     get).  Red rows do NOT count — a key whose latest row failed
-    re-enters the front of the window."""
+    re-enters the front of the window.  ``max_round`` restricts the scan
+    to rounds ≤ N — tests pass the pinned ``_ORDER_BASIS_ROUND`` so the
+    ordering invariants are checked against the SAME inputs the
+    generator saw, no matter how many newer CORRECTNESS files the
+    driver has dropped since (VERDICT r6 #1)."""
     out: dict[str, int] = {}
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         rnd = int("".join(c for c in path.stem if c.isdigit()))
+        if max_round is not None and rnd > max_round:
+            continue
         for key, row in json.loads(path.read_text()).items():
             if row.get("hash_match") or row.get("err") == "no_oracle":
                 out[key] = max(out.get(key, 0), rnd)
     return out
+
+
+def newest_round(repo: pathlib.Path) -> int:
+    """Highest round number among the CORRECTNESS_r*.json present."""
+    return max(
+        (
+            int("".join(c for c in p.stem if c.isdigit()))
+            for p in repo.glob("CORRECTNESS_r*.json")
+        ),
+        default=0,
+    )
 
 
 def touched_modules(base: str) -> set[str]:
@@ -63,7 +82,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--base",
-        default="f8277d6",
+        default="51712eb",
         help="round base commit (the driver's end-of-previous-round "
         "commit); modules diffed against it count as touched",
     )
@@ -127,8 +146,14 @@ def main() -> None:
             "" if container == "tuple" else ""
         )
 
+    basis = newest_round(REPO)
     text = (
-        block("_CHECK_ORDER", order, "tuple")
+        f"#: inputs this ordering was generated from — tests re-derive\n"
+        f"#: the generator's view through these pins, so a newer\n"
+        f"#: CORRECTNESS file landing later cannot invert the invariants\n"
+        f'_ORDER_BASE_COMMIT = "{args.base}"\n'
+        f"_ORDER_BASIS_ROUND = {basis}\n\n"
+        + block("_CHECK_ORDER", order, "tuple")
         + "\n\n"
         + block("_VERIFIED", sorted(greens.keys() & key_module.keys()), "frozenset")
     )
