@@ -42,8 +42,14 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition (VERDICT r6 #4).  groupBy combines map-side (each task
     # emits one row per distinct text it holds) and AQE's skew-join
     # handles the join side if one text dominates.
+    # Null-safe join (ADVICE r7): groupBy and the oracle's COUNT(*) OVER
+    # (PARTITION BY text) both treat NULL text as one group and keep the
+    # rows, so the join back must not drop them — eqNullSafe is still an
+    # equi-join key to Catalyst (hash/sort-merge, never cartesian).
     text_counts = d.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
-    copies = d.join(text_counts, "text").select("doc_id", "n_copies")
+    copies = d.join(
+        text_counts, d["text"].eqNullSafe(text_counts["text"])
+    ).select(d["doc_id"], "n_copies")
     joined = qs.join(copies, "doc_id")
     bucket = F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9))
     is_dup = F.when(F.col("n_copies") > 1, 1).otherwise(0)

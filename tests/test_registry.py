@@ -72,6 +72,35 @@ def test_touched_module_keys_inside_window():
         )
 
 
+def test_touched_modules_sees_working_tree():
+    """VERDICT r7 #7: the r6 AND r7 red-pytest class was `touched_modules`
+    diffing ``base..HEAD``, which is blind to uncommitted edits — a window
+    regen in the same commit as the code edits missed them.  The generator
+    must see a working-tree-only edit."""
+    from tools.gen_window import touched_modules
+
+    try:
+        subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=_REPO,
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return  # not a git checkout (driver env)
+    target = _REPO / "mysqldump_to_parquet_spark" / "llm" / "report.py"
+    orig = target.read_text()
+    rel = "mysqldump_to_parquet_spark/llm/report.py"
+    try:
+        target.write_text(orig + "\n# gen-window sequencing probe\n")
+        assert rel in touched_modules("HEAD"), (
+            "touched_modules is blind to uncommitted working-tree edits — "
+            "the r6/r7 window-regen sequencing bug has regressed"
+        )
+    finally:
+        target.write_text(orig)
+
+
 def test_verified_set_has_no_stale_keys():
     qs = set(entrypoint.queries())
     stale = entrypoint._VERIFIED - qs

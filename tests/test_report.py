@@ -27,6 +27,27 @@ def test_report_accounting_balances(spark):
         assert abs(r.dup_rate - r.n_dup_docs / r.n_docs) < 1e-4
 
 
+def test_report_null_text_retained(spark, tmp_path):
+    """ADVICE r7: the groupBy + join-back on text must be null-safe — a
+    NULL-text document is one group (like the oracle's COUNT(*) OVER
+    (PARTITION BY text)) and must not be dropped by the equi-join."""
+    df = spark.createDataFrame(
+        [
+            (0, "hello world foo bar", "en", "s0", 19),
+            (1, "hello world foo bar", "en", "s0", 19),
+            (2, None, "en", "s0", 0),
+            (3, None, "en", "s0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = curation_report(spark, str(tmp_path)).collect()
+    # all four docs accounted for — NULL-text rows survive the join-back,
+    # and the two NULL-text docs count each other as copies (one group)
+    assert sum(r.n_docs for r in rows) == 4
+    assert sum(r.n_dup_docs for r in rows) == 4
+
+
 def test_report_buckets_fixed_width(spark):
     """Buckets are fixed score ranges (scale-stable), not data-relative
     deciles: a doc's bucket is a pure function of its own score."""

@@ -67,9 +67,17 @@ def newest_round(repo: pathlib.Path) -> int:
 
 
 def touched_modules(base: str) -> set[str]:
-    """Module paths changed since the round base commit."""
+    """Module paths changed since the round base commit, INCLUDING
+    uncommitted working-tree edits.
+
+    VERDICT r7 #1: diffing ``base..HEAD`` made a window regen that ran
+    in the same commit as the code edits blind to exactly those edits
+    (working tree != HEAD at generation time) — two rounds running the
+    rewritten operators sat outside the checked window.  ``git diff
+    <base>`` (no ``..HEAD``) compares base against the working tree, so
+    the sequencing mistake is structurally impossible."""
     diff = subprocess.run(
-        ["git", "diff", "--name-only", f"{base}..HEAD"],
+        ["git", "diff", "--name-only", base],
         cwd=REPO,
         capture_output=True,
         text=True,
@@ -83,8 +91,11 @@ def main() -> None:
     ap.add_argument(
         "--base",
         default="51712eb",
-        help="round base commit (the driver's end-of-previous-round "
-        "commit); modules diffed against it count as touched",
+        help="base commit modules are diffed against (working tree "
+        "included); pick the newest commit ALL of whose module edits "
+        "already have a driver row — for r8 that is the r6-end commit, "
+        "because 820246d's semdedup/report rewrites were never "
+        "driver-checked (VERDICT r7 #1/#2)",
     )
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument(
