@@ -273,9 +273,12 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the trade graph — synchronous frontier BFS, the Pregel
     traversal primitive (reachability / radius / friend-of-friend).
 
-    Per round: frontier ⋈ ADJACENCY LISTS, an anti-join drops already-
-    settled nodes, and the new frontier is ``localCheckpoint``-ed — the
-    MLlib discipline for iterative frames.  Plain ``persist`` is NOT
+    Per round: frontier ⋈ ADJACENCY LISTS (shuffled-hash, frontier
+    build side — the cached adjacency streams with zero exchange and is
+    never broadcast), an anti-join against the last two frontiers drops
+    already-settled nodes (undirected ⇒ exact, see :func:`_bfs`), and
+    the new frontier is ``localCheckpoint``-ed — the MLlib discipline
+    for iterative frames.  Plain ``persist`` is NOT
     enough for the *frontier*: its lineage contains the adjacency table
     itself, and Spark's self-join attribute dedup re-aliases that
     embedded subtree so it no longer canonical-matches the cache entry —
@@ -337,7 +340,20 @@ def _bfs(
     source: str,
     max_hops: int,
     adj_cap: int = BFS_ADJ_SEGMENT,
+    undirected: bool = True,
 ) -> DataFrame:
+    # The adjacency table comes out of _adjacency already hash-partitioned
+    # on src (the collect_list rides the window's src exchange), so the
+    # per-hop join can stream it straight from the cache with ZERO
+    # exchange — but only if the planner picks a shuffled join.  Left to
+    # itself it broadcasts the adjacency side (its stats sit under the
+    # auto-broadcast threshold at test SF), which re-serializes the WHOLE
+    # GRAPH to every executor EVERY HOP — tens of MB per hop here,
+    # categorically impossible at 100 TB where the adjacency is the
+    # data-sized relation.  The shuffle_hash hint on the frontier builds
+    # the per-partition hash table from the (bounded) frontier and probes
+    # the cached adjacency in place: per-hop data motion is one exchange
+    # of the frontier, nothing else.
     adj = _adjacency(edges, adj_cap).persist()
     d0 = spark.createDataFrame(
         [(source, 0)], "node string, dist int"
@@ -345,14 +361,29 @@ def _bfs(
     settled = [d0]
     frontier = d0
     for hop in range(1, max_hops + 1):
-        dist = settled[0]
-        for s in settled[1:]:
-            dist = dist.unionByName(s)
+        if undirected:
+            # Undirected graphs: dist differs by ≤1 across an edge, so a
+            # neighbor of a hop-(k) node is settled at k-1 or k if at
+            # all — the anti-join only needs the LAST TWO frontiers,
+            # O(frontier) instead of O(all settled).  At scale the
+            # settled set grows to |V| while recent frontiers stay
+            # bounded; re-shuffling and sorting the full union every hop
+            # was the plan's other data-sized per-hop cost.
+            seen = (
+                settled[-1]
+                if len(settled) == 1
+                else settled[-2].unionByName(settled[-1])
+            )
+        else:
+            seen = settled[0]
+            for s in settled[1:]:
+                seen = seen.unionByName(s)
         nxt = (
-            frontier.join(adj, frontier.node == adj.src)
+            frontier.hint("shuffle_hash")
+            .join(adj, frontier.node == adj.src)
             .select(F.explode("nbrs").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(seen.hint("shuffle_hash"), "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint()  # eager: settles the hop, truncates lineage
         )

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Idle-host reference bench (VERDICT r7 task 2; r6 #5 / #2).
+
+Rounds 5–7 showed a wrong-direction drift on the common-14 bench subset
+(4.71 → 6.28 s) with loadavg_start ≈ 3.0 every round and *untouched*
+operators moving ±50 % in both directions — the signature of external
+host load, never falsified because no idle-host run was on record.  This
+tool records that reference point: per-query **min-of-5** for the
+common-14 + the unsettled ``q_graph_bfs``, refusing to run unless the
+1-minute loadavg is below a threshold (default 1.5) so the number is a
+property of the engine, not the neighbours.
+
+Usage:  python tools/idle_bench.py [--max-load 1.5]
+Prints one JSON line shaped like bench.py's, with ``metric:
+"idle_reference_min5"``; paste the row into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysqldump_to_parquet_spark.session import get_spark  # noqa: E402
+
+#: bench.py's original common subset (stable since round 1) + the
+#: operator whose wall-time the r6/r7 verdicts flagged as unsettled.
+COMMON_14 = [
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_agg_distinct",
+    "q_sort_limit",
+    "q_join_asof",
+    "q_stream_tumbling",
+    "q_udf_pandas_scalar",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_stats",
+]
+EXTRA = ["q_graph_bfs"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-load", type=float, default=1.5)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    load_start = os.getloadavg()
+    if load_start[0] > args.max_load:
+        print(
+            f"refusing: loadavg {load_start[0]:.2f} > {args.max_load} — "
+            "an idle-reference number taken on a busy host is the exact "
+            "failure this tool exists to prevent",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="mtps-idle-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    import __spark_entry__ as entrypoint
+
+    registry = entrypoint.queries()
+    names = COMMON_14 + EXTRA
+    registry[names[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    common_total = round(sum(timings[n] for n in COMMON_14), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "idle_reference_min5",
+                "value": common_total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "cpus": cpus,
+                "reps": args.reps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
