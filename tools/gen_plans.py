@@ -276,13 +276,6 @@ NOTES = {
         "before the join, so the correlated branch touches lineitem "
         "exactly once."
     ),
-    "q_tpch_q21": (
-        "EXISTS → left-semi and NOT EXISTS → left-anti self-joins on "
-        "l_orderkey: each late line is emitted at most once (no "
-        "row explosion), both self-joins key on the same column so the "
-        "exchange is reused, and no per-row re-scan of lineitem exists "
-        "anywhere in the plan."
-    ),
     "q_tpch_q15": (
         "The revenue view is computed once; MAX collapses to a 1-row "
         "broadcast and the equality join-back selects the argmax "
@@ -325,14 +318,19 @@ NOTES = {
         "Frontier BFS over a cached ADJACENCY-LIST table (built once; "
         "any node above the 10k degree cap hash-segments into multiple "
         "bounded (src, seg) rows, so hub skew can neither blow per-row "
-        "memory nor serialize a hub's expansion): each hop joins the "
-        "checkpointed frontier against ~|V| adjacency rows — not |E| "
-        "edge rows — and explodes only matched neighborhoods. Every "
-        "round's frontier is localCheckpoint-ed (the MLlib iterative-"
-        "frame discipline): plain persist is defeated because the "
-        "frontier's lineage embeds the adjacency table and self-join "
-        "attribute dedup re-aliases it out of cache-canonical form. "
-        "The returned plan is just the final settled scan."
+        "memory nor serialize a hub's expansion): each hop is a "
+        "SHUFFLED-HASH join that builds its hash table from the bounded "
+        "FRONTIER and probes the cached, already-src-partitioned "
+        "adjacency with zero exchange — the planner's default was to "
+        "re-broadcast the whole graph every hop (r8 fix).  The settle "
+        "anti-join checks only the LAST TWO frontiers (undirected ⇒ "
+        "dist differs by ≤1 across an edge), so per-hop data motion is "
+        "O(frontier), never O(V).  Every round's frontier is "
+        "localCheckpoint-ed (the MLlib iterative-frame discipline): "
+        "plain persist is defeated because the frontier's lineage "
+        "embeds the adjacency table and self-join attribute dedup "
+        "re-aliases it out of cache-canonical form.  The returned plan "
+        "is just the final settled scan."
     ),
     "q_kmeans": (
         "Lloyd assignment is one vectorized Arrow batch pass (NumPy "
@@ -408,22 +406,41 @@ NOTES = {
         "covariance division happens once per output cell."
     ),
     "q_dedup_semantic": (
-        "SemDeDup (r6): hashing-vectorizer counts (tfidf explode+count "
-        "shape — the data-volume stage, persisted for its three "
-        "consumers), exact integer rate-sign blocking against one "
-        "broadcast totals row, then the within-cell quadratic phase as "
-        "a BLOCK MATRIX product — every chunk pair of a cell is one "
+        "SemDeDup (r6, cell counts rewritten r7): hashing-vectorizer "
+        "counts (tfidf explode+count shape — the data-volume stage, "
+        "persisted for its three consumers), exact integer rate-sign "
+        "blocking against one broadcast totals row; cell populations "
+        "partial-aggregate to ≤256 rows (groupBy(cell).count — never a "
+        "whole-partition window over the vectors) and re-attach via a "
+        "BROADCAST join that also drops oversized cells in the same "
+        "map-only pass; then the within-cell quadratic phase as a "
+        "BLOCK MATRIX product — every chunk pair of a cell is one "
         "FlatMapGroupsInPandas task running an exact-integer dgemm "
         "Gram.  The alternatives measured 163 s (pair-expanded "
         "self-join + interpreted fold) and 38.9 s (undistributed "
         "kernel) at sf1 vs 12.1 s for this plan."
     ),
     "q_curation_report": (
-        "Quality × duplication cross-report (r6): copy counts via a "
-        "window on the text key (the same partitioning q_dedup_exact "
-        "uses), one co-keyed join back, then a ≤10-group partial "
-        "aggregate. Fixed-width score buckets keep the plan free of the "
-        "global-ntile total order."
+        "Quality × duplication cross-report (r6, copy counts rewritten "
+        "r7): per-text copy counts partial-aggregate map-side "
+        "(groupBy(text).count — the skewed text key no longer funnels "
+        "through one window partition; AQE skew-join covers the "
+        "join-back, null-safe on the text key), one co-keyed join "
+        "back, then a ≤10-group partial aggregate. Fixed-width score "
+        "buckets keep the plan free of the global-ntile total order."
+    ),
+    "q_embed_pca": (
+        "PCA transform (r6, plan section added r8): the fit is the "
+        "q_embed_covariance one-pass exact Gram (D²+D+1 fixed-width "
+        "rows per partition, DECIMAL(38,0) merge) plus a 64×64 driver "
+        "eigh — exactly MLlib's fit contract (K×D scalars cross the "
+        "driver, never data).  The TRANSFORM shown here is the part "
+        "that touches every row: the K×D component matrix ships to "
+        "tasks as a closure constant and the projection is ONE "
+        "vectorized Arrow batch matmul per partition (MapInPandas "
+        "directly over the scan) — no exchange anywhere in the per-row "
+        "plan, so the 100 TB transform is embarrassingly parallel scan "
+        "work."
     ),
 }
 
