@@ -71,83 +71,106 @@ LIMIT 10
 """
 
 #: Banded random-hyperplane LSH: OR-construction over N_BANDS bands of
-#: N_PLANES sign bits each — a candidate matches if *any* band's full
-#: signature equals the probe's.  More bands ⇒ higher recall; more planes
-#: per band ⇒ fewer candidates.  Planes are integer-derived rationals
-#: (deterministic across runs and engines).
-N_BANDS = 6
-N_PLANES = 5
+#: N_PLANES sign bits each — a candidate matches if *any* band's probed
+#: bucket set contains its signature.  More bands ⇒ higher recall; more
+#: planes per band ⇒ narrower buckets.  Planes are seeded Gaussian draws
+#: (deterministic: fixed PCG64 seed per band) — the r7 integer-rational
+#: family collapsed to 41 distinct sawtooth vectors (everything reduced
+#: mod 41), so bands were heavily correlated and recall stalled at 0.6
+#: even at a 55 % candidate fraction.
+N_BANDS = 32
+N_PLANES = 12
 
-#: Multi-probe (Lv et al., VLDB'07): per band, also probe the buckets
-#: whose signature differs from the probe's in ≤ this many bits — a
-#: near-miss on one hyperplane (the common failure: the neighbor sits
-#: just across one cutting plane) still lands in a probed bucket.
-#: Raises the probed buckets per band from 1 to 1+N_PLANES, which at
-#: scale is still a bucket-pruned read, not a scan; measured recall@10
-#: on the sf0.01 fixture 0.4 → 0.6.
-MULTIPROBE_HAMMING = 1
+#: Query-directed multi-probe (Lv et al., VLDB'07): per band, probe every
+#: signature reachable by flipping any subset of the N_FLIP hyperplanes
+#: the PROBE lies closest to (smallest |margin| — the bits most likely to
+#: disagree for a true neighbor).  2^N_FLIP buckets of 2^N_PLANES per
+#: band — a 1/64 bucket-pruned read per band at scale, not a scan.
+#: Measured recall@10 on the sf0.01 fixture: 1.0 at a 0.40 candidate
+#: fraction (min 0.7 over a 9-probe robustness sweep — the fixture's
+#: true neighbors sit at cosine 0.24–0.38, near the noise floor, which
+#: is the hard regime for data-oblivious hyperplanes; the data-adapted
+#: IVF path below reaches 0.8 at 0.25 and stays the first-choice scale
+#: path for corpora like this).
+N_FLIP = 6
 
 
-def _plane(band: int, j: int) -> list[float]:
-    return [
-        (((i * 131 + band * 997 + j * 313 + 7) % 41) - 20) / 20.0 for i in range(64)
-    ]
+def _band_planes(band: int):
+    """(N_PLANES, 64) float64 Gaussian hyperplanes for one band —
+    deterministic (seeded PCG64), regenerated identically on driver and
+    executors."""
+    import numpy as np
+
+    rng = np.random.default_rng(1_000_003 * band + 17)
+    return rng.standard_normal((N_PLANES, 64))
+
+
+def _probe_signatures():
+    """Per-band sorted arrays of the 2^N_FLIP probed signatures for the
+    fixed PROBE — pure NumPy, no Spark job at plan build."""
+    import numpy as np
+
+    probe = np.array(PROBE, dtype=np.float64)
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+    out = []
+    for b in range(N_BANDS):
+        planes = _band_planes(b)
+        margins = probe @ planes.T  # (N_PLANES,)
+        psig = int(((margins >= 0).astype(np.int64)) @ weights)
+        # |margin| normalized by plane norm = distance to the cutting
+        # hyperplane: the closest planes are the likeliest sign errors
+        # for a true neighbor.
+        weak = np.argsort(np.abs(margins) / np.linalg.norm(planes, axis=1))[
+            :N_FLIP
+        ]
+        sigs = set()
+        for mask in range(1 << N_FLIP):
+            s = psig
+            for i in range(N_FLIP):
+                if mask >> i & 1:
+                    s ^= 1 << int(weak[i])
+            sigs.add(s)
+        out.append(np.array(sorted(sigs), dtype=np.int64))
+    return out
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: scan only rows sharing ≥1 band signature with the
-    probe, rank candidates by exact cosine.  At 100 TB the corpus would be
-    written partitioned by band signature so the candidate fetch is a
-    partition-pruned read, not a scan.  Approximate ⇒ rows-only driver
-    check; recall vs q_sim_topk is pytest-asserted."""
+    """Hyperplane-LSH ANN: scan only rows whose signature lands in a
+    probed bucket in ≥1 band, rank candidates by exact cosine.
+
+    The signature stage is ONE vectorized Arrow pass — a single
+    (batch × 64) @ (64 × N_BANDS·N_PLANES) BLAS matmul per batch, the
+    same computation a 100 TB deployment runs ONCE at write time to
+    partition the corpus by (band, signature) so a probe is a
+    partition-pruned read of 2^N_FLIP/2^N_PLANES of each band (1/64
+    here), not a scan.  (The JVM-fold alternative plans
+    N_BANDS·N_PLANES = 384 interpreted 64-element aggregate folds per
+    row — measured 10× slower than one dgemm at this shape.)
+    Approximate ⇒ rows-only driver check; recall vs q_sim_topk is
+    pytest-asserted (floor 0.7, measured 1.0 at sf0.01)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.vstack([_band_planes(b) for b in range(N_BANDS)])  # (B·P, 64)
+    probe_sigs = _probe_signatures()
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    @pandas_udf("boolean")
+    def _is_candidate(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)  # (n, 64)
+        bits = (mat @ planes.T) >= 0  # (n, B·P)
+        sigs = bits.reshape(len(mat), N_BANDS, N_PLANES).astype(
+            np.int64
+        ) @ weights  # (n, B)
+        ok = np.zeros(len(mat), dtype=bool)
+        for b in range(N_BANDS):
+            ok |= np.isin(sigs[:, b], probe_sigs[b])
+        return pd.Series(ok)
+
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-
-    def band_sig(vec_col, band: int):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(v) for v in _plane(band, j)]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda s, v: s + v,
-                )
-                >= 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(N_PLANES)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    # The probe's own signature needs no Spark job: the JVM fold is a
-    # left-to-right IEEE-double sum, which plain Python reproduces
-    # bit-exactly (same op, same order, same literals).
-    def probe_band_sig(band: int) -> int:
-        sig = 0
-        for j in range(N_PLANES):
-            acc = 0.0
-            for x, y in zip(PROBE, _plane(band, j)):
-                acc += x * y
-            if acc >= 0:
-                sig += 1 << j
-        return sig
-
-    match_any = None
-    for b in range(N_BANDS):
-        sig = probe_band_sig(b)
-        probes = [sig]
-        if MULTIPROBE_HAMMING >= 1:
-            probes += [sig ^ (1 << j) for j in range(N_PLANES)]
-        cond = band_sig(dbl, b).isin(probes)
-        match_any = cond if match_any is None else (match_any | cond)
     return (
-        e.where(match_any)
+        e.where(_is_candidate(F.col("embedding")))
         .select(
             "vec_id",
             "label",

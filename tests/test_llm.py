@@ -96,14 +96,14 @@ def test_simhash_locality(spark):
 
 def test_ann_recall_vs_exact(spark):
     """LSH-bucketed ANN must return a subset of plausible neighbors with
-    decent recall of the exact top-10 (single-table, 12 planes)."""
+    high recall of the exact top-10 (32 Gaussian bands × 12 planes,
+    query-directed multi-probe; measured 1.0 here)."""
     exact = [r.vec_id for r in sim_topk(spark, SF).collect()]
     approx = [r.vec_id for r in sim_ann_lsh(spark, SF).collect()]
     # every ANN result must be a real vector, ordered by cosine desc
     assert len(approx) <= 10
     recall = len(set(exact) & set(approx)) / 10
-    # single-probe 12-bit LSH on random data: recall is modest but nonzero
-    assert recall >= 0.1, f"recall {recall} (exact={exact}, approx={approx})"
+    assert recall >= 0.7, f"recall {recall} (exact={exact}, approx={approx})"
 
 
 def test_ivf_recall_vs_exact(spark):
@@ -121,24 +121,28 @@ def test_ivf_recall_vs_exact(spark):
 #: every rows-only approx key carries a quantitative quality number vs its
 #: exact twin, recorded in COVERAGE.md.  Measured round 5: IVF 0.8 after
 #: the 64-cell/probe-16 requantization (same 25% scan fraction as the old
-#: 16/4 which measured 0.7; was 0.1 before the spherical fix), LSH 0.6
-#: (Hamming-1 multi-probe), dedup_near 1.0 (25/25 true pairs).  Bounds
-#: sit below the measured values only enough to absorb minor fixture
+#: 16/4 which measured 0.7; was 0.1 before the spherical fix).  Round 8:
+#: LSH 1.0 (was 0.6) after replacing the mod-41 rational plane family
+#: (only 41 distinct vectors — bands were correlated) with seeded
+#: Gaussian planes + query-directed multi-probe; min 0.7 over a 9-probe
+#: robustness sweep.  dedup_near 1.0 (25/25 true pairs).  Bounds sit
+#: below the measured values only enough to absorb minor fixture
 #: regeneration drift, not algorithmic regression.
 SF_RECALL = "/root/testdata/sf0.01"
 
 
 def test_ann_recall_bounds_sf001(spark):
     """sf0.01 recall@10 floors: IVF ≥ 0.7 (spherical coarse quantizer,
-    nprobe 16/64 — 25% scanned, measured 0.8), hyperplane LSH ≥ 0.5
-    (5 planes, Hamming-1 multi-probe, measured 0.6)."""
+    nprobe 16/64 — 25% scanned, measured 0.8), hyperplane LSH ≥ 0.7
+    (32 Gaussian bands × 12 planes, query-directed multi-probe,
+    measured 1.0)."""
     from mysqldump_to_parquet_spark.llm.similarity import sim_ann_ivf
 
     exact = set(r.vec_id for r in sim_topk(spark, SF_RECALL).collect())
     ivf = set(r.vec_id for r in sim_ann_ivf(spark, SF_RECALL).collect())
     lsh = set(r.vec_id for r in sim_ann_lsh(spark, SF_RECALL).collect())
     assert len(exact & ivf) / 10 >= 0.7, f"IVF recall {len(exact & ivf) / 10}"
-    assert len(exact & lsh) / 10 >= 0.5, f"LSH recall {len(exact & lsh) / 10}"
+    assert len(exact & lsh) / 10 >= 0.7, f"LSH recall {len(exact & lsh) / 10}"
 
 
 def test_dedup_near_recall_vs_exact_truth(spark):
