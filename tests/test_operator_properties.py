@@ -385,6 +385,41 @@ def test_bfs_hub_degree_segmentation(spark):
     assert all(d == 1 for node, d in dist.items() if node != "h")
 
 
+def test_bfs_last_two_frontier_settle_is_exact(spark):
+    """The r8 undirected optimization — anti-joining only the LAST TWO
+    frontiers instead of every settled node — must be EXACT: on an
+    undirected graph dist differs by ≤1 across an edge, so a neighbor of
+    a hop-k node is settled at k-1 or k if at all.  Differential against
+    the full-union settle (undirected=False) on random undirected graphs,
+    including a long path (where every hop count matters) and a dense
+    core (where re-discovery pressure is highest)."""
+    import random as _r
+
+    from mysqldump_to_parquet_spark.operators.graph import _bfs
+
+    rng = _r.Random(17)
+    for trial in range(3):
+        n = 60 + 30 * trial
+        pairs = {(f"n{i}", f"n{i+1}") for i in range(12)}  # a long path
+        while len(pairs) < n * 2:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pairs.add((f"n{a}", f"n{b}"))
+        fwd = spark.createDataFrame(sorted(pairs), "src string, dst string")
+        both = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        fast = {
+            (r.node, r.dist)
+            for r in _bfs(spark, both, "n0", 8, undirected=True).collect()
+        }
+        full = {
+            (r.node, r.dist)
+            for r in _bfs(spark, both, "n0", 8, undirected=False).collect()
+        }
+        assert fast == full, (trial, fast ^ full)
+
+
 def test_spatial_blocking_loses_no_pairs(spark):
     """Grid-blocked spatial join ≡ naive cross-join + haversine filter on
     random coordinates, including antimeridian-straddling and

@@ -429,6 +429,18 @@ NOTES = {
         "back, then a ≤10-group partial aggregate. Fixed-width score "
         "buckets keep the plan free of the global-ntile total order."
     ),
+    "q_sim_ann_lsh": (
+        "Hyperplane-LSH ANN (rewritten r8 — Gaussian planes + query-"
+        "directed multi-probe): the candidate filter is ONE ArrowEval "
+        "stage — a (batch × 64) @ (64 × 384) BLAS matmul per batch "
+        "computing all 32 band signatures at once (the 384 interpreted "
+        "JVM folds it replaced were 10× slower), then exact cosine + "
+        "TakeOrderedAndProject on survivors only.  At 100 TB the "
+        "signature matmul runs ONCE at write time and the corpus is "
+        "partitioned by (band, signature): a probe reads 2^6/2^12 of "
+        "each band — partition-pruned, never a scan.  recall@10 1.0 "
+        "(pin 0.7) vs exact q_sim_topk at sf0.01."
+    ),
     "q_embed_pca": (
         "PCA transform (r6, plan section added r8): the fit is the "
         "q_embed_covariance one-pass exact Gram (D²+D+1 fixed-width "

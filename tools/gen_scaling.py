@@ -116,6 +116,10 @@ SF1_QUERIES = [
     "q_embed_covariance",
     "q_interval_concurrency",
     "q_dedup_semantic",
+    # round-8: rewritten signature stage (one BLAS matmul per batch) —
+    # the at-test-SF plan scans all signatures, so wall should track
+    # corpus size ~linearly; at deploy the same matmul runs at write time
+    "q_sim_ann_lsh",
 ]
 
 
