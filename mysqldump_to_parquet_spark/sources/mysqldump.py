@@ -1242,57 +1242,89 @@ def finish_casts(df: DataFrame, target: T.StructType) -> DataFrame:
 MAX_DDL_LINES = 2_000_000
 
 
-def collect_schemas(spark: SparkSession, dump_path: str) -> dict[str, T.StructType]:
+#: DDL-pass scan granularity.  ``convert_dump`` scopes the session's
+#: ``maxPartitionBytes`` to PARSE_TASK_BYTES (2 MB) for the *parse*
+#: stages, but the DDL probe is a pure JVM predicate scan whose per-task
+#: cost is dominated by scheduling: at 16 GB, 2 MB splits = 8k tasks =
+#: 6.8 s where 128 MB splits = 129 tasks = 0.7 s (measured, idle host).
+_DDL_SCAN_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def collect_schemas(
+    spark: SparkSession, dump_path: str, return_stats: bool = False
+):
     """Pass 1: reassemble DDL from the (tiny) non-INSERT line set.
 
     The collected set also includes INSERT lines *not* terminated by ';' —
     for a one-line-INSERT dump that set is empty, so detection of a
     multi-line layout costs nothing on the fast path; when such lines (or
     orphan '(' continuation lines) appear, :class:`MultilineDumpError` is
-    raised and ``convert_dump(multiline='auto')`` switches to whole-file
-    reassembly."""
-    lines_df = spark.read.text(dump_path)
-    is_insert = _dml_line_pred()
-    terminated = F.rtrim(F.col("value")).endswith(";")
-    ddl_df = lines_df.where(~is_insert | ~terminated)
-    # Two-stage collect: a multiline dump's non-INSERT line set is the
-    # ENTIRE value text (millions of tuple-continuation lines) — pulling
-    # it to the driver just to detect the layout cost 5+ s on a 64 MB
-    # dump.  A 10k-line probe contains a continuation marker for any
-    # real multiline dump (real one-line dumps carry a few hundred DDL
-    # lines), so detection is O(probe); the full collect only runs for
-    # marker-free dumps with genuinely huge DDL.
-    probe = [r[0] for r in ddl_df.limit(10_001).collect()]
-    _raise_on_multiline_markers(probe)
-    ddl_lines = (
-        probe
-        if len(probe) <= 10_000
-        else [r[0] for r in ddl_df.limit(MAX_DDL_LINES + 1).collect()]
+    raised and ``convert_dump(multiline='auto')`` switches to byte-range
+    reassembly.
+
+    Two single-stage scans, never a ``limit``: a ``limit(N)`` probe on a
+    one-line dump can never reach N matching rows, so Spark's incremental
+    CollectLimit escalates round by round through EVERY partition — at
+    16 GB that measured 49 s of the 110 s convert (sequential barrier
+    rounds over 8k 2 MB tasks).  Scan 1 is a map-side aggregate (a few
+    scalars to the driver: ddl-line count, multiline-marker count, one
+    sample marker, mean INSERT-line bytes) that decides the layout and
+    bounds the collect; scan 2 collects the proven-tiny DDL line set.
+    Both run at ``_DDL_SCAN_SPLIT_BYTES`` splits: 16 GB ≈ 1.4 s total
+    (was 49 s).
+
+    ``return_stats=True`` → ``(schemas, mean_dml_bytes)`` where
+    ``mean_dml_bytes`` (None when the dump has no INSERT lines) sizes the
+    Arrow statement-crossing batches downstream — the aggregate rides the
+    layout scan for free."""
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(_DDL_SCAN_SPLIT_BYTES)
     )
-    if len(ddl_lines) > MAX_DDL_LINES:
-        raise MultilineDumpError(
-            f"more than {MAX_DDL_LINES:,} non-INSERT lines — this dump does "
-            "not use one-line INSERT statements (mysqldump --extended-insert)"
+    try:
+        lines_df = spark.read.text(dump_path)
+        is_insert = _dml_line_pred()
+        terminated = F.rtrim(F.col("value")).endswith(";")
+        is_ddl = ~is_insert | ~terminated
+        # the multiline-layout markers: tuple-continuation lines and
+        # unterminated INSERTs
+        is_marker = F.ltrim(F.col("value")).startswith("(") | (
+            is_insert & ~terminated
         )
-    _raise_on_multiline_markers(ddl_lines)
+        stats = lines_df.select(
+            F.when(is_ddl, 1).otherwise(0).alias("d"),
+            F.when(is_marker, 1).otherwise(0).alias("m"),
+            F.when(is_marker, F.col("value")).alias("sample"),
+            F.when(is_insert, F.octet_length("value")).alias("ib"),
+        ).agg(
+            F.sum("d").alias("d"),
+            F.sum("m").alias("m"),
+            F.max("sample").alias("sample"),
+            F.avg("ib").alias("mean_dml"),
+        ).collect()[0]
+        if stats.m:
+            raise MultilineDumpError(
+                f"multi-line INSERT statement detected (e.g. "
+                f"{str(stats.sample)[:60]!r}) — dump lacks one-line "
+                "--extended-insert layout"
+            )
+        if (stats.d or 0) > MAX_DDL_LINES:
+            raise MultilineDumpError(
+                f"more than {MAX_DDL_LINES:,} non-INSERT lines — this dump "
+                "does not use one-line INSERT statements (mysqldump "
+                "--extended-insert)"
+            )
+        # marker-free and ≤ MAX_DDL_LINES: the filtered set is tiny and
+        # safe to collect whole (partition order — same ordering contract
+        # the CollectLimit path had)
+        ddl_lines = [r[0] for r in lines_df.where(is_ddl).collect()]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     schemas = build_schemas(iter_statements(ddl_lines))
     _require_tables(schemas, dump_path)
+    if return_stats:
+        return schemas, stats.mean_dml
     return schemas
-
-
-def _raise_on_multiline_markers(lines: list[str]) -> None:
-    markers = [
-        ln
-        for ln in lines
-        if ln.lstrip().startswith("(")
-        or (ln.startswith(DML_PREFIXES) and not ln.rstrip().endswith(";"))
-    ]
-    if markers:
-        raise MultilineDumpError(
-            f"multi-line INSERT statement detected (e.g. "
-            f"{markers[0][:60]!r}) — dump lacks one-line "
-            "--extended-insert layout"
-        )
 
 
 def build_schemas(stmts: Iterable[str]) -> dict[str, T.StructType]:
@@ -1691,6 +1723,23 @@ def insert_rows_df_multiline_fused(
 #: round-trip, small enough to smooth skew across cores.
 PARSE_TASK_BYTES = 2 * 1024 * 1024
 
+#: Target bytes per Arrow batch when statement text crosses JVM→Python
+#: (the mapInArrow line scans).  Spark's only knob is rows per batch
+#: (no byte cap exists in 4.1), so the row count is derived from the
+#: dump's measured mean statement size — see :func:`_stmt_cross_rows`.
+_STMT_CROSS_BATCH_BYTES = 32 * 1024 * 1024
+
+
+def _stmt_cross_rows(mean_stmt_bytes) -> int:
+    """Rows per Arrow crossing batch targeting ~_STMT_CROSS_BATCH_BYTES.
+
+    Floor 16 (a degenerate dump of giant statements still amortizes the
+    per-batch crossing), cap 10,000 (the session default — tiny-line
+    dumps never regress below today's behavior)."""
+    if not mean_stmt_bytes:
+        return 10_000
+    return max(16, min(10_000, int(_STMT_CROSS_BATCH_BYTES / mean_stmt_bytes)))
+
 
 def parse_partition_counts(
     lines_df: DataFrame, cores: int, n_tables: int
@@ -1978,12 +2027,15 @@ def convert_dump_onepass(
             "address — use strategy='per_table' (or 'auto') for "
             "object-store output"
         )
+    stmt_rows = None  # None → leave the session conf (convert_dump scopes it)
     if schemas is None:
-        schemas = (
-            collect_schemas_multiline(spark, dump_path)
-            if multiline
-            else collect_schemas(spark, dump_path)
-        )
+        if multiline:
+            schemas = collect_schemas_multiline(spark, dump_path)
+        else:
+            schemas, mean_dml = collect_schemas(
+                spark, dump_path, return_stats=True
+            )
+            stmt_rows = _stmt_cross_rows(mean_dml)
     pa_schemas = {t: _pa_schema(s) for t, s in schemas.items()}
     if any(v is None for v in pa_schemas.values()):
         raise DumpParseError(
@@ -2129,6 +2181,11 @@ def convert_dump_onepass(
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes", str(_ONEPASS_SPLIT_BYTES)
     )
+    prev_arb = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    if stmt_rows is not None:  # direct call: size the crossing ourselves
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(stmt_rows)
+        )
     try:
         if multiline:
             # reassembly range size: fill ~2 waves of cores, but keep
@@ -2169,6 +2226,9 @@ def convert_dump_onepass(
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arb
+        )
 
 
 def _require_tables(schemas: dict, dump_path: str) -> None:
@@ -2307,22 +2367,40 @@ def convert_dump(
             "strategy='auto' or 'per_table' for object-store output"
         )
     # Scope the file-split size to the parse-task granularity for the
-    # duration of the convert (restored in the ``finally`` below): every
-    # text scan — the DDL pass included, which otherwise decodes the whole
-    # dump in ONE task at the default 128 MB split — yields ~bytes/2MB
-    # native splits, and the spreading ``repartition`` in insert_rows_df
-    # becomes a no-op (cur ≥ threshold), so the raw dump text is never
-    # shuffled: parallelism comes from parallel file reads.  Gzip members
-    # stay unsplittable regardless (their parallelism is per file); the
-    # multi-line reassembly path carves its own byte ranges
-    # (MULTILINE_SPLIT_BYTES) and ignores this setting.
+    # duration of the convert (restored in the ``finally`` below): the
+    # per-table parse scans yield ~bytes/2MB native splits, and the
+    # spreading ``repartition`` in insert_rows_df becomes a no-op
+    # (cur ≥ threshold), so the raw dump text is never shuffled:
+    # parallelism comes from parallel file reads.  The DDL pass and the
+    # one-pass scan carve their own granularity (collect_schemas scopes
+    # _DDL_SCAN_SPLIT_BYTES — 2 MB tasks measured 10× pure scheduling
+    # overhead on its JVM predicate scan — and convert_dump_onepass
+    # scopes _ONEPASS_SPLIT_BYTES).  Gzip members stay unsplittable
+    # regardless (their parallelism is per file); the multi-line
+    # reassembly path carves its own byte ranges (MULTILINE_SPLIT_BYTES)
+    # and ignores this setting.
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(PARSE_TASK_BYTES))
+    prev_arb = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     use_multiline = False
     cached = None  # the persisted multi-table line set, if any
     try:
         try:
-            schemas = collect_schemas(spark, dump_path)
+            schemas, mean_dml = collect_schemas(
+                spark, dump_path, return_stats=True
+            )
+            # Size the Arrow statement-crossing batches in BYTES, not
+            # rows: extended-insert statements run ~100 KB–1 MB each, and
+            # the session's 10,000-row default let the JVM accumulate
+            # ~800 MB Arrow buffers per in-flight task before anything
+            # crossed to Python — 32 concurrent tasks thrashed allocation
+            # and measured 90 MB/s where a ~32 MB batch target measures
+            # 314 MB/s on the same 2 GB dump.  The mean statement size
+            # rides the DDL pass's aggregate scan for free.
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(_stmt_cross_rows(mean_dml)),
+            )
         except MultilineDumpError:
             if multiline == "never":
                 raise
@@ -2478,6 +2556,9 @@ def convert_dump(
                 cached.unpersist()
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arb
+            )
 
 
 # --------------------------------------------------------------------------
