@@ -2439,6 +2439,15 @@ def convert_dump(
                     return {t: counts[t] for t in schemas}
             if len(schemas) > 1:
                 lines = cached = multiline_stmts_df(spark, dump_path).persist()
+                # Reassembled statements are statement-sized rows (up to
+                # ~1 MB at mysqldump's net_buffer default) crossing
+                # JVM→Python in the per-table parse: cap the Arrow batch
+                # like the one-line branch, statically (no mean-size
+                # stats exist before the reassembly scan) — 64 × ~1 MB
+                # bounds JVM buffers at ~64 MB per in-flight task.
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", "64"
+                )
             if progress:
                 print(
                     "[ingest] multi-line INSERT layout detected — "
