@@ -201,6 +201,34 @@ def main() -> None:
         ).count()
         shutil.rmtree(warmdir, ignore_errors=True)
 
+        # Instrument the timed window so throughput claims are
+        # falsifiable (the round-8 lesson: the r5 "disk-bound" story
+        # collapsed the moment /proc/diskstats was actually read —
+        # device reads were ZERO, the dump being page-cached).
+        def _disk():
+            import re as _re
+
+            try:
+                with open("/proc/diskstats") as fh:
+                    for ln in fh:
+                        p = ln.split()
+                        # first whole block device (vda/sda/nvme0n1)
+                        if _re.fullmatch(r"(?:[vs]d[a-z]|nvme\d+n\d+)", p[2]):
+                            return int(p[5]) * 512, int(p[9]) * 512
+            except OSError:
+                pass
+            return None
+
+        def _cpu():
+            try:
+                with open("/proc/stat") as fh:
+                    v = list(map(int, fh.readline().split()[1:]))
+                return sum(v), v[3], v[4]  # total, idle, iowait
+            except OSError:
+                return None
+
+        d0, c0 = _disk(), _cpu()
+
         if args.datasource:
             from mysqldump_to_parquet_spark.sources.dump_datasource import (
                 MysqldumpDataSource,
@@ -232,19 +260,27 @@ def main() -> None:
             got = spark.read.parquet(os.path.join(out, "bench_0")).count()
             assert got == counts["bench_0"]
 
-        print(
-            json.dumps(
-                {
-                    "dump_mb": round(dump_mb, 1),
-                    "rows": rows,
-                    "tables": args.tables,
-                    "cpus": cpus,
-                    "wall_s": round(wall, 2),
-                    "mb_per_s": round(dump_mb / wall, 1),
-                    "rows_per_s": int(rows / wall),
-                }
+        d1, c1 = _disk(), _cpu()
+        rec = {
+            "dump_mb": round(dump_mb, 1),
+            "rows": rows,
+            "tables": args.tables,
+            "cpus": cpus,
+            "wall_s": round(wall, 2),
+            "mb_per_s": round(dump_mb / wall, 1),
+            "rows_per_s": int(rows / wall),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }
+        if d0 and d1:
+            rec["dev_read_mb"] = round((d1[0] - d0[0]) / 1048576)
+            rec["dev_write_mb"] = round((d1[1] - d0[1]) / 1048576)
+        if c0 and c1 and c1[0] > c0[0]:
+            tot = c1[0] - c0[0]
+            rec["cpu_busy_frac"] = round(
+                1 - (c1[1] - c0[1] + c1[2] - c0[2]) / tot, 3
             )
-        )
+            rec["iowait_frac"] = round((c1[2] - c0[2]) / tot, 3)
+        print(json.dumps(rec))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
