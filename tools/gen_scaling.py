@@ -285,9 +285,18 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
+    # a full regen must not silently drop the --sf1 spot-run section
+    # (separately measured — carry the existing one over verbatim)
+    sf1_section = ""
+    if os.path.exists(path):
+        import re
+
+        m = re.search(r"\n## sf1 spot-run.*?(?=\n## |\Z)", open(path).read(), re.S)
+        if m:
+            sf1_section = m.group(0)
     with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    print(f"wrote {path}")
+        fh.write("\n".join(lines) + "\n" + sf1_section)
+    print(f"wrote {path}" + (" (sf1 section preserved)" if sf1_section else ""))
     spark.stop()
 
 
