@@ -657,6 +657,74 @@ def test_ddl_line_cap_fails_loudly(spark, tmp_path, monkeypatch):
         M.collect_schemas(spark, str(dump))
 
 
+def test_collect_schemas_stats_and_conf_restore(spark, tmp_path):
+    """The r8 DDL-pass rewrite: collect_schemas must (a) report the mean
+    INSERT-line byte length with return_stats=True, (b) restore the
+    split-size conf it scopes, and (c) never plan a CollectLimit — the
+    limit probe it replaced escalated through EVERY partition of a
+    one-line dump (49 s of a 110 s 16 GB convert)."""
+    import mysqldump_to_parquet_spark.sources.mysqldump as M
+
+    dump = tmp_path / "s.sql"
+    line1 = "INSERT INTO `t` VALUES (1,'aa');\n"          # 32 bytes
+    line2 = "INSERT INTO `t` VALUES (2,'aaaaaaaaaa');\n"  # 40 bytes
+    dump.write_text(
+        "CREATE TABLE `t` (`id` int, `name` varchar(16));\n" + line1 + line2
+    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    schemas, mean_dml = M.collect_schemas(spark, str(dump), return_stats=True)
+    assert set(schemas) == {"t"}
+    # octet_length excludes the newline
+    assert mean_dml == pytest.approx((len(line1) + len(line2)) / 2 - 1)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prev
+    # no-INSERT dump → stats None (downstream keeps the session default)
+    ddl_only = tmp_path / "d.sql"
+    ddl_only.write_text("CREATE TABLE `t` (`id` int);\n")
+    _, none_stats = M.collect_schemas(spark, str(ddl_only), return_stats=True)
+    assert none_stats is None
+
+
+def test_stmt_cross_rows_bounds():
+    """Arrow crossing batch sizing: bytes-targeted, clamped, and
+    defaulting to the session's 10k rows when no INSERT lines exist."""
+    import mysqldump_to_parquet_spark.sources.mysqldump as M
+
+    assert M._stmt_cross_rows(None) == 10_000
+    assert M._stmt_cross_rows(0) == 10_000
+    # 80 KB statements → ~420 rows ≈ 32 MB batches
+    assert M._stmt_cross_rows(80 * 1024) == M._STMT_CROSS_BATCH_BYTES // (
+        80 * 1024
+    )
+    assert M._stmt_cross_rows(100) == 10_000      # tiny lines: cap
+    assert M._stmt_cross_rows(64 * 1024 * 1024) == 16  # giant: floor
+
+
+def test_convert_dump_scopes_and_restores_arrow_batch(spark, tmp_path):
+    """convert_dump must scope arrow.maxRecordsPerBatch for the parse
+    stages (the 10k default built ~800 MB JVM batches at real statement
+    sizes) and restore it afterwards — including on the error path."""
+    import mysqldump_to_parquet_spark.sources.mysqldump as M
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    dump = tmp_path / "ok.sql"
+    dump.write_text(
+        "CREATE TABLE `t` (`id` int);\n"
+        "INSERT INTO `t` VALUES (1),(2),(3);\n"
+    )
+    counts = M.convert_dump(spark, str(dump), str(tmp_path / "out"))
+    assert counts == {"t": 3}
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == prev
+    )
+    bad = tmp_path / "bad.sql"
+    bad.write_text("-- no CREATE TABLE at all\n")
+    with pytest.raises(M.DumpParseError):
+        M.convert_dump(spark, str(bad), str(tmp_path / "out2"))
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == prev
+    )
+
+
 # -------------------------------------------- DML statement variants
 
 def test_parse_insert_variants():
