@@ -304,7 +304,9 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; no float surface at all.  The DuckDB twin is a recursive
     CTE with the same hop cap — a genuinely independent formulation
     (set-recursive vs frontier-iterative) of the same semantics."""
-    return _bfs(spark, _edges(spark, sf_dir), BFS_SOURCE, BFS_MAX_HOPS)
+    return _bfs(
+        spark, _edges(spark, sf_dir), BFS_SOURCE, BFS_MAX_HOPS, undirected=True
+    )
 
 
 #: Per-adjacency-row neighbor cap: a node whose degree exceeds this is
@@ -340,8 +342,15 @@ def _bfs(
     source: str,
     max_hops: int,
     adj_cap: int = BFS_ADJ_SEGMENT,
-    undirected: bool = True,
+    undirected: bool = False,
 ) -> DataFrame:
+    # ``undirected`` DEFAULTS OFF because the last-two-frontier settle it
+    # enables is only exact when dist differs by ≤1 across an edge — an
+    # undirected-graph property.  On a directed graph a frontier node can
+    # re-reach a node settled ≥2 hops earlier, and skipping the full
+    # settled union would emit that node twice at two distances.  Callers
+    # must opt in per call site (graph_bfs does: _edges emits both
+    # directions of every pair by construction).
     # The adjacency table comes out of _adjacency already hash-partitioned
     # on src (the collect_list rides the window's src exchange), so the
     # per-hop join can stream it straight from the cache with ZERO

@@ -1730,15 +1730,40 @@ PARSE_TASK_BYTES = 2 * 1024 * 1024
 _STMT_CROSS_BATCH_BYTES = 32 * 1024 * 1024
 
 
-def _stmt_cross_rows(mean_stmt_bytes) -> int:
+def _mean_dml_bytes(spark: SparkSession, dump_path: str):
+    """Mean INSERT-line byte length — one single-stage map-side aggregate
+    (None when the dump has no INSERT lines).  Used by direct
+    :func:`convert_dump_onepass` callers that pass precomputed schemas;
+    ``convert_dump`` gets the same number for free from the DDL pass."""
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(_DDL_SCAN_SPLIT_BYTES)
+    )
+    try:
+        return (
+            spark.read.text(dump_path)
+            .select(
+                F.when(_dml_line_pred(), F.octet_length("value")).alias("ib")
+            )
+            .agg(F.avg("ib"))
+            .collect()[0][0]
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def _stmt_cross_rows(mean_stmt_bytes, session_rows: int = 10_000) -> int:
     """Rows per Arrow crossing batch targeting ~_STMT_CROSS_BATCH_BYTES.
 
     Floor 16 (a degenerate dump of giant statements still amortizes the
-    per-batch crossing), cap 10,000 (the session default — tiny-line
-    dumps never regress below today's behavior)."""
+    per-batch crossing); never RAISED above ``session_rows`` (the
+    session's configured ``arrow.maxRecordsPerBatch``) — a user who
+    lowered the conf to bound executor memory keeps their bound; the
+    sizing only ever tightens it."""
+    cap = max(16, session_rows)
     if not mean_stmt_bytes:
-        return 10_000
-    return max(16, min(10_000, int(_STMT_CROSS_BATCH_BYTES / mean_stmt_bytes)))
+        return cap
+    return max(16, min(cap, int(_STMT_CROSS_BATCH_BYTES / mean_stmt_bytes)))
 
 
 def parse_partition_counts(
@@ -1983,6 +2008,7 @@ def convert_dump_onepass(
     compression: str = "snappy",
     schemas: dict[str, T.StructType] | None = None,
     multiline: bool = False,
+    stmt_batch_rows: int | None = None,
 ) -> dict[str, int]:
     """ONE-pass multi-table conversion: each task parses its byte range
     of the dump and writes EVERY table it sees straight to parquet.
@@ -2027,7 +2053,10 @@ def convert_dump_onepass(
             "address — use strategy='per_table' (or 'auto') for "
             "object-store output"
         )
-    stmt_rows = None  # None → leave the session conf (convert_dump scopes it)
+    session_rows = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    )
+    stmt_rows = stmt_batch_rows
     if schemas is None:
         if multiline:
             schemas = collect_schemas_multiline(spark, dump_path)
@@ -2035,7 +2064,19 @@ def convert_dump_onepass(
             schemas, mean_dml = collect_schemas(
                 spark, dump_path, return_stats=True
             )
-            stmt_rows = _stmt_cross_rows(mean_dml)
+            if stmt_rows is None:
+                stmt_rows = _stmt_cross_rows(mean_dml, session_rows)
+    elif stmt_rows is None and not multiline:
+        # Precomputed schemas skip the stats-bearing DDL pass, but the
+        # line crossing still needs byte-sized batches — the session
+        # default of 10,000 rows × real extended-INSERT statements
+        # (~100 KB–1 MB) accumulates ~1–8 GB of JVM Arrow buffers per
+        # in-flight task (the 90 vs 314 MB/s pathology documented in
+        # convert_dump).  One cheap single-stage aggregate recovers the
+        # mean; convert_dump avoids it by passing stmt_batch_rows.
+        stmt_rows = _stmt_cross_rows(
+            _mean_dml_bytes(spark, dump_path), session_rows
+        )
     pa_schemas = {t: _pa_schema(s) for t, s in schemas.items()}
     if any(v is None for v in pa_schemas.values()):
         raise DumpParseError(
@@ -2261,6 +2302,7 @@ def _onepass_or_fallback(
     multiline: bool,
     forced: bool,
     progress: bool,
+    stmt_batch_rows: int | None = None,
 ) -> dict[str, int] | None:
     """Run :func:`convert_dump_onepass`; on a staging-visibility failure
     return ``None`` so an ``auto`` caller falls through to the per-table
@@ -2284,6 +2326,7 @@ def _onepass_or_fallback(
                 compression,
                 schemas=schemas,
                 multiline=multiline,
+                stmt_batch_rows=stmt_batch_rows,
             )
     except OnepassStagingInvisible:
         if forced:
@@ -2397,9 +2440,10 @@ def convert_dump(
             # and measured 90 MB/s where a ~32 MB batch target measures
             # 314 MB/s on the same 2 GB dump.  The mean statement size
             # rides the DDL pass's aggregate scan for free.
+            stmt_rows = _stmt_cross_rows(mean_dml, int(prev_arb))
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch",
-                str(_stmt_cross_rows(mean_dml)),
+                str(stmt_rows),
             )
         except MultilineDumpError:
             if multiline == "never":
@@ -2446,7 +2490,8 @@ def convert_dump(
                 # stats exist before the reassembly scan) — 64 × ~1 MB
                 # bounds JVM buffers at ~64 MB per in-flight task.
                 spark.conf.set(
-                    "spark.sql.execution.arrow.maxRecordsPerBatch", "64"
+                    "spark.sql.execution.arrow.maxRecordsPerBatch",
+                    str(min(64, max(16, int(prev_arb)))),
                 )
             if progress:
                 print(
@@ -2480,6 +2525,7 @@ def convert_dump(
                 multiline=False,
                 forced=strategy == "onepass",
                 progress=progress,
+                stmt_batch_rows=stmt_rows,
             )
             if counts is not None:
                 if progress:

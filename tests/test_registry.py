@@ -88,17 +88,25 @@ def test_touched_modules_sees_working_tree():
         )
     except (subprocess.CalledProcessError, FileNotFoundError):
         return  # not a git checkout (driver env)
-    target = _REPO / "mysqldump_to_parquet_spark" / "llm" / "report.py"
-    orig = target.read_text()
-    rel = "mysqldump_to_parquet_spark/llm/report.py"
+    # probe with a scratch UNTRACKED file: it must be seen (a new module
+    # regenerated before `git add` is the same sequencing class), and a
+    # crashed test run leaves only an untracked stray — never a mutated
+    # tracked source (review r8: the previous in-place edit of report.py
+    # could persist a probe comment into the real module on a hard kill)
+    target = (
+        _REPO
+        / "mysqldump_to_parquet_spark"
+        / "_gen_window_probe_scratch.py"
+    )
+    rel = "mysqldump_to_parquet_spark/_gen_window_probe_scratch.py"
     try:
-        target.write_text(orig + "\n# gen-window sequencing probe\n")
+        target.write_text("# gen-window sequencing probe (safe to delete)\n")
         assert rel in touched_modules("HEAD"), (
-            "touched_modules is blind to uncommitted working-tree edits — "
+            "touched_modules is blind to working-tree-only module files — "
             "the r6/r7 window-regen sequencing bug has regressed"
         )
     finally:
-        target.write_text(orig)
+        target.unlink(missing_ok=True)
 
 
 def test_verified_set_has_no_stale_keys():

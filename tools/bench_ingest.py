@@ -206,18 +206,31 @@ def main() -> None:
         # collapsed the moment /proc/diskstats was actually read —
         # device reads were ZERO, the dump being page-cached).
         def _disk():
+            # Attribute I/O to the device that actually hosts the work
+            # dir (st_dev major/minor matched against /proc/diskstats),
+            # not "the first disk" — on a host whose bench dir lives on
+            # a second drive the wrong-device read would report ~0 and
+            # fabricate the exact "disk was idle" conclusion this
+            # instrumentation exists to test.  Falls back to the first
+            # conventional whole-disk name if no row matches.
             import re as _re
 
             try:
+                st = os.stat(work)
+                want = (os.major(st.st_dev), os.minor(st.st_dev))
+                fallback = None
                 with open("/proc/diskstats") as fh:
                     for ln in fh:
                         p = ln.split()
-                        # first whole block device (vda/sda/nvme0n1)
-                        if _re.fullmatch(r"(?:[vs]d[a-z]|nvme\d+n\d+)", p[2]):
+                        if (int(p[0]), int(p[1])) == want:
                             return int(p[5]) * 512, int(p[9]) * 512
+                        if fallback is None and _re.fullmatch(
+                            r"(?:[vs]d[a-z]|nvme\d+n\d+)", p[2]
+                        ):
+                            fallback = int(p[5]) * 512, int(p[9]) * 512
+                return fallback
             except OSError:
-                pass
-            return None
+                return None
 
         def _cpu():
             try:

@@ -68,14 +68,16 @@ def newest_round(repo: pathlib.Path) -> int:
 
 def touched_modules(base: str) -> set[str]:
     """Module paths changed since the round base commit, INCLUDING
-    uncommitted working-tree edits.
+    uncommitted working-tree edits AND brand-new untracked files.
 
     VERDICT r7 #1: diffing ``base..HEAD`` made a window regen that ran
     in the same commit as the code edits blind to exactly those edits
     (working tree != HEAD at generation time) — two rounds running the
     rewritten operators sat outside the checked window.  ``git diff
-    <base>`` (no ``..HEAD``) compares base against the working tree, so
-    the sequencing mistake is structurally impossible."""
+    <base>`` (no ``..HEAD``) compares base against the working tree;
+    ``ls-files --others`` adds files never ``git add``-ed (a new module
+    regenerated-before-staged is the same sequencing class), so the
+    mistake is structurally impossible."""
     diff = subprocess.run(
         ["git", "diff", "--name-only", base],
         cwd=REPO,
@@ -83,7 +85,18 @@ def touched_modules(base: str) -> set[str]:
         text=True,
         check=True,
     ).stdout.split()
-    return {p for p in diff if p.startswith("mysqldump_to_parquet_spark/")}
+    untracked = subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    return {
+        p
+        for p in diff + untracked
+        if p.startswith("mysqldump_to_parquet_spark/")
+    }
 
 
 def main() -> None:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -27,24 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mysqldump_to_parquet_spark.session import get_spark  # noqa: E402
 
-#: bench.py's original common subset (stable since round 1) + the
-#: operator whose wall-time the r6/r7 verdicts flagged as unsettled.
-COMMON_14 = [
-    "q_agg_groupby",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_win_rank",
-    "q_topk_per_group",
-    "q_agg_distinct",
-    "q_sort_limit",
-    "q_join_asof",
-    "q_stream_tumbling",
-    "q_udf_pandas_scalar",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_sim_topk",
-    "q_text_stats",
-]
+#: bench.py's original common subset (its first 14 names — stable since
+#: round 1; imported, not copied, so a bench.py edit can never silently
+#: desynchronize the idle reference from the BENCH_r*.json rows it is
+#: compared against) + the operator whose wall-time the r6/r7 verdicts
+#: flagged as unsettled.
+from bench import BENCH_QUERY_NAMES  # noqa: E402
+
+COMMON_14 = BENCH_QUERY_NAMES[:14]
 EXTRA = ["q_graph_bfs"]
 
 
@@ -99,7 +90,13 @@ def main() -> None:
                 "value": common_total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+                # bench.py's tolerant parse: unparseable dirs → -1.0, not
+                # a crash after all timed runs completed
+                "sf": (
+                    float(m.group(1))
+                    if (m := re.search(r"sf([0-9.]+)", sf_dir))
+                    else -1.0
+                ),
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "cpus": cpus,
