@@ -181,6 +181,119 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_signature_udf(band: int):
+    """Vectorized UDF: embedding → this band's N_PLANES-bit signature
+    (one (batch × 64) @ (64 × N_PLANES) matmul per Arrow batch — the
+    write-time companion of :func:`sim_ann_lsh`'s all-band filter)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _band_planes(band)
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    @pandas_udf("int")
+    def _sig(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T) >= 0
+        return pd.Series(
+            (bits.astype(np.int64) @ weights).astype("int32")
+        )
+
+    return _sig
+
+
+def write_ann_partitioned(df: DataFrame, out_path: str, band: int = 0) -> None:
+    """Materialize the deploy-time ANN layout: the corpus written
+    ``partitionBy`` its band-``band`` LSH signature, so a probe is a
+    PARTITION-PRUNED read of 2^N_FLIP of the 2^N_PLANES directories —
+    the directory listing itself shrinks; no filter ever scans the
+    corpus.  This is the layout :func:`sim_ann_lsh`'s 100 TB claim
+    rests on; a full deployment replicates it once per band (the
+    standard LSH storage trade: L layouts → OR-construction recall),
+    and the physical pruning is pytest-asserted on this single-band
+    instance (tests/test_llm.py)."""
+    sig = _band_signature_udf(band)
+    (
+        df.withColumn("sig", sig(F.col("embedding")))
+        # co-locate each bucket before the write: without this every
+        # task emits a file into every signature directory it touches
+        # (tasks × buckets small files — measured 463 files for a
+        # 500-row corpus); hash-partitioning on sig yields one file per
+        # bucket, which is also what keeps the probe's pruned read a
+        # handful of large sequential files at 100 TB
+        .repartition("sig")
+        .write.partitionBy("sig")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def _probe_sigs_for_band(band: int) -> list[int]:
+    """The 2^N_FLIP query-directed probe signatures for one band."""
+    import numpy as np
+
+    probe = np.array(PROBE, dtype=np.float64)
+    planes = _band_planes(band)
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+    margins = probe @ planes.T
+    psig = int(((margins >= 0).astype(np.int64)) @ weights)
+    weak = np.argsort(np.abs(margins) / np.linalg.norm(planes, axis=1))[
+        :N_FLIP
+    ]
+    sigs = set()
+    for mask in range(1 << N_FLIP):
+        s = psig
+        for i in range(N_FLIP):
+            if mask >> i & 1:
+                s ^= 1 << int(weak[i])
+        sigs.add(s)
+    return sorted(sigs)
+
+
+#: Session cache: sf_dir → materialized band-0 ANN layout path, so a
+#: repeated probe never re-writes the corpus (mirrors _IVF_CENTROIDS —
+#: the layout is the persistent artifact a deployment stores once).
+_ANN_LAYOUTS: dict[str, str] = {}
+
+
+def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_ann_partitioned: ANN probe over the *written* bucketed
+    layout — the partition-pruned read :func:`sim_ann_lsh` simulates
+    with a filter.  Builds the band-0 layout once per corpus
+    (``write_ann_partitioned``), then reads ONLY the probed signature
+    directories (``sig IN (…64 values)`` reaches the scan as a
+    PartitionFilter: directories outside the probe set are never
+    listed, the 100 TB contract) and ranks the read candidates by exact
+    cosine.  Single-band ⇒ a subset of q_sim_ann_lsh's 32-band
+    candidates — deterministic, so the driver's rows-only check is
+    stable; candidate-set exactness and physical pruning are
+    pytest-asserted."""
+    import os
+    import tempfile
+
+    if sf_dir not in _ANN_LAYOUTS:
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="ann_layout_"), "embeddings_band0"
+        )
+        write_ann_partitioned(
+            load_table(spark, sf_dir, "embeddings"), out, band=0
+        )
+        _ANN_LAYOUTS[sf_dir] = out
+    e = spark.read.parquet(_ANN_LAYOUTS[sf_dir]).where(
+        F.col("sig").isin(_probe_sigs_for_band(0))
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(cosine_expr(dbl, _probe_col()), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 #: IVF parameters: number of coarse centroids and probed cells.  Round-5
 #: sweep at a FIXED 25% scan fraction (fresh quantizer per point):
 #: 16 cells/probe 4 → recall@10 0.70, 64/16 → 0.80 on the sf0.01
@@ -369,6 +482,7 @@ QUERIES = {
     "q_sim_radius": sim_radius,
     "q_sim_ann_lsh": sim_ann_lsh,
     "q_sim_ann_ivf": sim_ann_ivf,
+    "q_sim_ann_partitioned": sim_ann_partitioned,
 }
 
 ORACLE = {

@@ -145,6 +145,91 @@ def test_ann_recall_bounds_sf001(spark):
     assert len(exact & lsh) / 10 >= 0.7, f"LSH recall {len(exact & lsh) / 10}"
 
 
+def test_ann_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    """The written ANN layout (r8): the probe must (a) read EXACTLY the
+    band-0 candidate set the in-memory signature filter defines, (b)
+    reach the scan as a PartitionFilter — directories outside the probe
+    set are never read — and (c) rank identically to exact cosine over
+    those candidates."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "band0")
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    S.write_ann_partitioned(e, out, band=0)
+
+    # layout shape: one directory per band-0 signature value
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("sig=")}
+    assert len(dirs) > 1
+    probe_sigs = set(S._probe_sigs_for_band(0))
+    assert len(probe_sigs) == 1 << S.N_FLIP
+
+    # (a) candidate-set exactness vs the in-memory signature UDF
+    sig = S._band_signature_udf(0)
+    expected = {
+        r.vec_id
+        for r in e.withColumn("s", sig(F.col("embedding")))
+        .where(F.col("s").isin(sorted(probe_sigs)))
+        .collect()
+    }
+    probed = spark.read.parquet(out).where(
+        F.col("sig").isin(sorted(probe_sigs))
+    )
+    got = {r.vec_id for r in probed.collect()}
+    assert got == expected
+
+    # (b) physical pruning: the signature predicate is a PARTITION
+    # filter (directory-level), not a data filter over the corpus
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "sig" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+
+    # and the executed scan READ fewer files than the layout holds
+    # (inputFiles() ignores pruning — read the scan's own numFiles
+    # metric after the action)
+    def _files_read(df) -> int:
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += m.apply("numFiles").value()
+        return total
+
+    n_all = _files_read(spark.read.parquet(out))
+    n_probed = _files_read(
+        spark.read.parquet(out).where(F.col("sig").isin(sorted(probe_sigs)))
+    )
+    assert 0 < n_probed < n_all
+
+    # (c) the registered operator ranks candidates by exact cosine
+    rows = [r.vec_id for r in S.sim_ann_partitioned(spark, sf).collect()]
+    exact_over_cands = [
+        r.vec_id
+        for r in spark.createDataFrame(
+            e.where(F.col("vec_id").isin(sorted(expected))).collect()
+        )
+        .select(
+            "vec_id",
+            F.round(
+                S.cosine_expr(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    S._probe_col(),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert rows == exact_over_cands
+
+
 def test_dedup_near_recall_vs_exact_truth(spark):
     """q_dedup_near against the EXACT all-pairs truth set on sf0.01: every
     pair with true (hashed-shingle) Jaccard ≥ 0.4 must be found — with

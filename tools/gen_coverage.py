@@ -55,6 +55,13 @@ ROWS_ONLY_NOTES = {
         "q_sim_topk at sf0.01 — measured 1.0, min 0.7 over a 9-probe "
         "robustness sweep — pytest-pinned)"
     ),
+    "q_sim_ann_partitioned": (
+        "rows-only (probe over the WRITTEN partitionBy(signature) "
+        "layout — sig IN (…) reaches the scan as a PartitionFilter, so "
+        "only probed directories are listed/read; candidate-set "
+        "exactness vs the in-memory band filter and the physical "
+        "pruning are pytest-asserted)"
+    ),
     "q_sim_ann_ivf": (
         "rows-only (spherical IVF nprobe 16/64 — 25% scan fraction; "
         "recall@10 ≥ 0.7 vs exact q_sim_topk at sf0.01 — measured 0.8 — "
