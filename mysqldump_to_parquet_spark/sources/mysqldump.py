@@ -1291,21 +1291,28 @@ def collect_schemas(
         is_marker = F.ltrim(F.col("value")).startswith("(") | (
             is_insert & ~terminated
         )
+        # the quoted example is the FIRST marker in scan order (min over
+        # an (ordinal, line) struct — F.min skips the non-marker nulls),
+        # not F.max's lexicographically-largest arbitrary mid-dump line;
+        # monotonically_increasing_id is deterministic for a fixed plan
+        ordinal = F.monotonically_increasing_id()
         stats = lines_df.select(
             F.when(is_ddl, 1).otherwise(0).alias("d"),
             F.when(is_marker, 1).otherwise(0).alias("m"),
-            F.when(is_marker, F.col("value")).alias("sample"),
+            F.when(is_marker, F.struct(ordinal, F.col("value"))).alias(
+                "sample"
+            ),
             F.when(is_insert, F.octet_length("value")).alias("ib"),
         ).agg(
             F.sum("d").alias("d"),
             F.sum("m").alias("m"),
-            F.max("sample").alias("sample"),
+            F.min("sample").alias("sample"),
             F.avg("ib").alias("mean_dml"),
         ).collect()[0]
         if stats.m:
             raise MultilineDumpError(
                 f"multi-line INSERT statement detected (e.g. "
-                f"{str(stats.sample)[:60]!r}) — dump lacks one-line "
+                f"{str(stats.sample.value)[:60]!r}) — dump lacks one-line "
                 "--extended-insert layout"
             )
         if (stats.d or 0) > MAX_DDL_LINES:
@@ -1759,11 +1766,13 @@ def _stmt_cross_rows(mean_stmt_bytes, session_rows: int = 10_000) -> int:
     per-batch crossing); never RAISED above ``session_rows`` (the
     session's configured ``arrow.maxRecordsPerBatch``) — a user who
     lowered the conf to bound executor memory keeps their bound; the
-    sizing only ever tightens it."""
-    cap = max(16, session_rows)
+    sizing only ever tightens it, so the floor itself is clamped to the
+    session value when the user set it below 16."""
+    cap = max(1, session_rows)
+    floor = min(16, cap)
     if not mean_stmt_bytes:
         return cap
-    return max(16, min(cap, int(_STMT_CROSS_BATCH_BYTES / mean_stmt_bytes)))
+    return max(floor, min(cap, int(_STMT_CROSS_BATCH_BYTES / mean_stmt_bytes)))
 
 
 def parse_partition_counts(
@@ -2488,10 +2497,12 @@ def convert_dump(
                 # JVM→Python in the per-table parse: cap the Arrow batch
                 # like the one-line branch, statically (no mean-size
                 # stats exist before the reassembly scan) — 64 × ~1 MB
-                # bounds JVM buffers at ~64 MB per in-flight task.
+                # bounds JVM buffers at ~64 MB per in-flight task.  Only
+                # ever TIGHTEN the session conf: a user bound below 64
+                # stays exactly as configured.
                 spark.conf.set(
                     "spark.sql.execution.arrow.maxRecordsPerBatch",
-                    str(min(64, max(16, int(prev_arb)))),
+                    str(min(64, max(1, int(prev_arb)))),
                 )
             if progress:
                 print(

@@ -697,6 +697,25 @@ def test_stmt_cross_rows_bounds():
     )
     assert M._stmt_cross_rows(100) == 10_000      # tiny lines: cap
     assert M._stmt_cross_rows(64 * 1024 * 1024) == 16  # giant: floor
+    # a user conf BELOW the 16-row floor is never loosened (ADVICE r8):
+    # the sizing only tightens the session bound
+    assert M._stmt_cross_rows(None, session_rows=4) == 4
+    assert M._stmt_cross_rows(100, session_rows=4) == 4
+    assert M._stmt_cross_rows(64 * 1024 * 1024, session_rows=4) == 4
+
+
+def test_multiline_error_quotes_first_marker(spark, tmp_path):
+    """The MultilineDumpError example line is the FIRST marker in scan
+    order, not F.max's lexicographically-largest arbitrary line
+    (ADVICE r8) — '(apple' sorts below '(zebra' but appears first."""
+    import mysqldump_to_parquet_spark.sources.mysqldump as M
+
+    p = tmp_path / "m.sql"
+    p.write_text(
+        "CREATE TABLE `t` (`id` int);\n(apple);\n(zebra);\n"
+    )
+    with pytest.raises(M.MultilineDumpError, match=r"\(apple"):
+        M.collect_schemas(spark, str(p))
 
 
 def test_convert_dump_scopes_and_restores_arrow_batch(spark, tmp_path):
