@@ -206,12 +206,26 @@ def test_ann_partitioned_layout_prunes_and_matches(spark, tmp_path):
     )
     assert 0 < n_probed < n_all
 
-    # (c) the registered operator ranks candidates by exact cosine
+    # (c) the registered operator (L-band OR-construction, wide flip)
+    # ranks EXACTLY the union of its bands' probed candidates by exact
+    # cosine — the flip-set implementation is shared with the in-memory
+    # filter, so the expected set comes from the same signature UDFs
+    union_cands: set = set()
+    for b in range(S.ANN_LAYOUT_BANDS):
+        sig_b = S._band_signature_udf(b)
+        union_cands |= {
+            r.vec_id
+            for r in e.withColumn("s", sig_b(F.col("embedding")))
+            .where(
+                F.col("s").isin(S._probe_sigs_for_band(b, S.ANN_LAYOUT_FLIP))
+            )
+            .collect()
+        }
     rows = [r.vec_id for r in S.sim_ann_partitioned(spark, sf).collect()]
     exact_over_cands = [
         r.vec_id
         for r in spark.createDataFrame(
-            e.where(F.col("vec_id").isin(sorted(expected))).collect()
+            e.where(F.col("vec_id").isin(sorted(union_cands))).collect()
         )
         .select(
             "vec_id",
@@ -410,6 +424,123 @@ def test_ivf_quantizer_fit_once(spark, monkeypatch):
     assert again is first
     out = S.sim_ann_ivf(spark, SF).collect()  # probe runs fit-free
     assert 0 < len(out) <= 10
+
+
+def test_ivf_fit_sample_layout_independent(spark, tmp_path, monkeypatch):
+    """The quantizer fit must survive an ADVERSARIALLY SORTED corpus
+    (VERDICT r8 #2): with the old ``limit(N)`` "sample", a corpus written
+    sorted by any correlate of the embedding fits k-means on one biased
+    region.  Sort sf0.01 by cosine-to-probe (the worst layout for
+    first-N: the fit never sees the probe's neighborhood), bound the fit
+    sample below the corpus size so sampling actually engages, and pin
+    recall@10 ≥ 0.7 (measured 0.9 with the seeded uniform sample at
+    n=300/500; the limit-fit lottery on this layout is what the seeded
+    sample removes)."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    src = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sorted_dir = str(tmp_path / "sorted_corpus")
+    (
+        src.withColumn("c", S.cosine_expr(dbl, S._probe_col()))
+        .orderBy("c")
+        .drop("c")
+        .coalesce(1)
+        .write.parquet(f"{sorted_dir}/embeddings.parquet")
+    )
+    monkeypatch.setattr(S, "IVF_FIT_SAMPLE", 300)
+    exact = {r.vec_id for r in sim_topk(spark, SF_RECALL).collect()}
+    approx = {r.vec_id for r in S.sim_ann_ivf(spark, sorted_dir).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, f"recall {recall} on sorted corpus"
+
+
+def test_ann_written_layout_recall_floor(spark):
+    """The WRITTEN OR-construction path (q_sim_ann_partitioned,
+    L=2 layouts probed at flip=9 → 1/8 of each layout's directories)
+    carries a pinned recall of its own (VERDICT r8 #4): measured 0.6 on
+    sf0.01 (0.9 on sf0.001) — the documented written-path floor below
+    the 32-band in-memory filter's 1.0, bought with 2 corpus copies
+    instead of 32."""
+    from mysqldump_to_parquet_spark.llm.similarity import sim_ann_partitioned
+
+    exact = {r.vec_id for r in sim_topk(spark, SF_RECALL).collect()}
+    approx = {
+        r.vec_id for r in sim_ann_partitioned(spark, SF_RECALL).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"written-path recall {recall}"
+
+
+def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):
+    """Rewriting a corpus at the same path must invalidate BOTH the
+    materialized ANN layout and the IVF quantizer (VERDICT r8 #5 /
+    ADVICE r8): the caches key on a file fingerprint, and the stale
+    layout directory is deleted."""
+    import os
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    d = str(tmp_path / "corpus")
+    src = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src.limit(100).write.parquet(f"{d}/embeddings.parquet")
+
+    root1 = S._ann_layout_root(spark, d)
+    assert root1 == S._ann_layout_root(spark, d)  # warm hit, no rebuild
+    c1 = S.ivf_centroids(spark, d)
+    assert S.ivf_centroids(spark, d) is c1  # warm hit: identical object
+
+    # rewrite the corpus (different content => different fingerprint;
+    # stays above IVF_CELLS=64 rows — KMeans requires k <= n)
+    src.limit(80).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    root2 = S._ann_layout_root(spark, d)
+    assert root2 != root1
+    assert not os.path.exists(root1), "stale layout not deleted"
+    # a warm hit returns the SAME matrix object (asserted above), so a
+    # different object after the rewrite proves the quantizer re-fit
+    c2 = S.ivf_centroids(spark, d)
+    assert c2 is not c1, "stale quantizer served after corpus rewrite"
+
+
+def test_ann_null_embeddings_skipped(spark, tmp_path):
+    """A corpus containing NULL embedding rows must not crash the
+    vectorized signature/assignment UDFs (ADVICE r8: np.vstack raises on
+    None) — null rows get null signatures / null cells and are never
+    candidates, matching the pre-r8 expression-filter semantics."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    d = str(tmp_path / "nullcorpus")
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    nulls = spark.createDataFrame(
+        [(999_999, None, 0)], base.schema  # (vec_id, embedding, label)
+    )
+    base.unionByName(nulls).write.parquet(f"{d}/embeddings.parquet")
+    e = spark.read.parquet(f"{d}/embeddings.parquet")
+
+    # all-band candidate filter: runs, and the null row is not a candidate
+    out = S.sim_ann_lsh(spark, d).collect()
+    assert all(r.vec_id != 999_999 for r in out)
+
+    # per-band signature: null in, null out, non-null rows unaffected
+    sig = S._band_signature_udf(0)
+    got = {r.vec_id: r.s for r in e.withColumn("s", sig(F.col("embedding"))).collect()}
+    assert got[999_999] is None
+    assert sum(v is not None for v in got.values()) == 20
+
+    # IVF assignment: null cell for the null row
+    cent = np.eye(4, 64)
+    cells = {
+        r.vec_id: r.cell
+        for r in S.ivf_assign(e, "embedding", cent).collect()
+    }
+    assert cells[999_999] is None
+    assert sum(v is not None for v in cells.values()) == 20
+
+    # the written layout tolerates the null row (it lands in the default
+    # partition, which no probe signature ever selects)
+    S.write_ann_partitioned(e, str(tmp_path / "b0"), band=0)
 
 
 def test_components_merge_transitive_chain(spark, tmp_path):
