@@ -104,8 +104,11 @@ class UserProfileProcessor(StatefulProcessor):
     Runtime requirements: the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) and the
     ``protobuf`` package (the Python↔state-server protocol is proto-based;
-    absent from this container, so the pytest is import-gated — the
-    processor itself is complete and exercised wherever protobuf exists).
+    absent from this container, so the cluster-wiring pytest is
+    import-gated).  The processor logic itself is driven to completion
+    ungated — tests/test_streaming.py runs it over the fixture with an
+    in-memory state-handle fake (micro-batched, state carried across
+    calls) and checks the final emissions against batch aggregates.
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
