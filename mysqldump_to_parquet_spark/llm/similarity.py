@@ -212,8 +212,9 @@ def write_ann_partitioned(df: DataFrame, out_path: str, band: int = 0) -> None:
     """Materialize the deploy-time ANN layout: the corpus written
     ``partitionBy`` its band-``band`` LSH signature, so a probe is a
     PARTITION-PRUNED read of 2^N_FLIP of the 2^N_PLANES directories —
-    the directory listing itself shrinks; no filter ever scans the
-    corpus.  This is the layout :func:`sim_ann_lsh`'s 100 TB claim
+    no filter ever scans the corpus (discovery lists the partition tree
+    once and caches it; a catalog-registered layout prunes the listing
+    too).  This is the layout :func:`sim_ann_lsh`'s 100 TB claim
     rests on; a full deployment replicates it once per band (the
     standard LSH storage trade: L layouts → OR-construction recall),
     and the physical pruning is pytest-asserted on this single-band
@@ -337,8 +338,11 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per corpus (one ``write_ann_partitioned`` per band), then each
     probe reads ONLY the probed signature directories of each copy
     (``sig IN (…2^ANN_LAYOUT_FLIP values)`` reaches the scan as a
-    PartitionFilter: directories outside the probe set are never
-    listed, the 100 TB contract), unions the per-band candidates,
+    PartitionFilter: files outside the probe set are never read —
+    partition *discovery* lists the tree once per FileIndex, as a
+    parallel job above the 32-dir threshold, and is cached; a deployed
+    layout registers partitions in a table catalog so the listing
+    itself prunes too), unions the per-band candidates,
     de-duplicates by vec_id, and ranks by exact cosine.  Deterministic,
     so the driver's rows-only check is stable; candidate-set exactness,
     physical pruning, and the written path's recall@10 floor are
@@ -480,17 +484,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformer, just the cell filter + exact-cosine rank.
     Approximate ⇒ rows-only driver check; recall pytest-asserted.
     """
-    import numpy as np
-
     centroids = ivf_centroids(spark, sf_dir)
-    probe = np.array(PROBE, dtype=float)
-    probe_hat = probe / np.linalg.norm(probe)
-
-    # rank cells by the SAME squared-L2-on-unit-vectors metric the
-    # assignment uses (spherical quantizer, see ivf_centroids) — the
-    # ‖p̂‖² term is constant and drops out of the ordering
-    d2 = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ probe_hat)
-    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+    probe_cells = _ivf_probe_cells(centroids)
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned = ivf_assign(
@@ -506,6 +501,95 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cosine is scale-invariant: ranking the unit vectors is
             # exactly the raw-vector cosine rank
             F.round(cosine_expr(F.col("v"), _probe_col()), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def write_ivf_partitioned(df: DataFrame, out_path: str, centroids) -> None:
+    """Materialize the deploy-time IVF layout: the corpus written
+    ``partitionBy`` its coarse-quantizer cell id (assignment on the
+    L2-normalized vectors, same spherical geometry as the fit), so a
+    probe is a partition-pruned read of nprobe/cells of the data — the
+    write-time step :func:`sim_ann_ivf`'s docstring promises.  The raw
+    embedding is stored (cosine ranking is scale-invariant); one file
+    per cell via the same repartition-before-partitionBy discipline as
+    :func:`write_ann_partitioned`."""
+    assigned = ivf_assign(
+        df.withColumn("_v", _unit_expr(F.col("embedding"))), "_v", centroids
+    ).drop("_v")
+    (
+        assigned.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+#: Session cache: sf_dir → (corpus fingerprint, written IVF layout dir) —
+#: same lifecycle as _ANN_LAYOUTS (fingerprint-keyed, stale dirs deleted,
+#: exit-time cleanup).
+_IVF_LAYOUTS: dict[str, tuple[tuple, str]] = {}
+
+
+def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    fp = _corpus_fingerprint(sf_dir)
+    hit = _IVF_LAYOUTS.get(sf_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ivf_layout_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    out = os.path.join(root, "cells")
+    write_ivf_partitioned(
+        load_table(spark, sf_dir, "embeddings"),
+        out,
+        ivf_centroids(spark, sf_dir),
+    )
+    _IVF_LAYOUTS[sf_dir] = (fp, out)
+    return out
+
+
+def _ivf_probe_cells(centroids) -> list[int]:
+    """The IVF_NPROBE cells nearest the fixed PROBE — same squared-L2-on-
+    unit-vectors metric the assignment uses (the ‖p̂‖² term is constant
+    and drops out of the ordering)."""
+    import numpy as np
+
+    probe = np.array(PROBE, dtype=float)
+    probe_hat = probe / np.linalg.norm(probe)
+    d2 = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ probe_hat)
+    return [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+
+
+def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_ann_ivf_partitioned: IVF probe over the *written* cell
+    layout — the partition-pruned read :func:`sim_ann_ivf` computes
+    in-memory.  Builds the layout once per corpus content
+    (fingerprint-keyed), then reads ONLY the ``IVF_NPROBE`` probed cell
+    directories (``cell IN (…)`` reaches the scan as a PartitionFilter)
+    and ranks by exact cosine.  Write-time and probe-time assignment
+    share the cached centroids and the same vectorized UDF, so the
+    candidate set — and therefore the top-10 — is IDENTICAL to
+    ``sim_ann_ivf``'s (pytest-asserted), at 1/4 the read instead of a
+    full scan + assignment per probe."""
+    cells = _ivf_probe_cells(ivf_centroids(spark, sf_dir))
+    e = spark.read.parquet(_ivf_layout_dir(spark, sf_dir)).where(
+        F.col("cell").isin(cells)
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(cosine_expr(dbl, _probe_col()), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
@@ -571,6 +655,7 @@ QUERIES = {
     "q_sim_ann_lsh": sim_ann_lsh,
     "q_sim_ann_ivf": sim_ann_ivf,
     "q_sim_ann_partitioned": sim_ann_partitioned,
+    "q_sim_ann_ivf_partitioned": sim_ann_ivf_partitioned,
 }
 
 ORACLE = {

@@ -56,17 +56,27 @@ ROWS_ONLY_NOTES = {
         "robustness sweep — pytest-pinned)"
     ),
     "q_sim_ann_partitioned": (
-        "rows-only (probe over the WRITTEN partitionBy(signature) "
-        "layout — sig IN (…) reaches the scan as a PartitionFilter, so "
-        "only probed directories are listed/read; candidate-set "
-        "exactness vs the in-memory band filter and the physical "
-        "pruning are pytest-asserted)"
+        "rows-only (probe over the WRITTEN OR-construction: 2 band "
+        "layouts partitionBy(signature), probed at flip=9 — sig IN (…) "
+        "reaches each scan as a PartitionFilter, 1/8 of directories "
+        "listed per band; candidate-set exactness vs the shared "
+        "flip-set implementation, physical pruning, AND the written "
+        "path's own recall@10 ≥ 0.5 vs exact q_sim_topk at sf0.01 — "
+        "measured 0.6 (0.9 at sf0.001) — are pytest-asserted)"
     ),
     "q_sim_ann_ivf": (
         "rows-only (spherical IVF nprobe 16/64 — 25% scan fraction; "
         "recall@10 ≥ 0.7 vs exact q_sim_topk at sf0.01 — measured 0.8 — "
         "pytest-pinned; finer quantization at the same scan cost lifted "
-        "0.7 → 0.8)"
+        "0.7 → 0.8; quantizer fit on a SEEDED UNIFORM sample — "
+        "layout-independent, sorted-corpus property test pins ≥ 0.7)"
+    ),
+    "q_sim_ann_ivf_partitioned": (
+        "rows-only (probe over the WRITTEN partitionBy(cell) IVF "
+        "layout — cell IN (…) reaches the scan as a PartitionFilter, "
+        "nprobe/cells of the data read; write-time and probe-time "
+        "assignment share the cached centroids, so the top-10 EQUALS "
+        "sim_ann_ivf's exactly — equality + pruning pytest-asserted)"
     ),
     "q_embed_pca": (
         "rows-only (64×64 driver eigh not SQL-expressible; covariance "

@@ -120,6 +120,10 @@ SF1_QUERIES = [
     # the at-test-SF plan scans all signatures, so wall should track
     # corpus size ~linearly; at deploy the same matmul runs at write time
     "q_sim_ann_lsh",
+    # round-9: the materialized OR-construction layout — first call pays
+    # the 2-band write, steady-state probes are pruned reads; sf1 wall is
+    # dominated by the one-time layout build at this fixture scale
+    "q_sim_ann_partitioned",
 ]
 
 
