@@ -58,8 +58,35 @@ from ..catalog import load_table
 #: hashing-vectorizer dimensionality (md5-bucketed term counts)
 SEM_DIM = 64
 
-#: dimensions whose rate-sign bits form the cell id
+#: MINIMUM dimensions whose rate-sign bits form the cell id; the actual
+#: bit count grows with the corpus (``_blocking_bits``) so the expected
+#: cell SIZE stays ~constant — with a fixed bit count, cells grow
+#: linearly with the corpus and the within-cell pair count grows
+#: quadratically (measured: the r8 sf1 row paid 8.9× for 10× data; the
+#: SemDeDup paper's k-means analog is growing the number of clusters
+#: with n).  At sf0.01 (500 docs) the adaptive count equals this floor,
+#: so the DuckDB oracle below — which pins 8 bits — is exactly
+#: equivalent at every corpus the driver checks (≤ SEM_TARGET_CELL·2⁸
+#: docs); the pinned recall at the fixture is likewise unchanged.
 SEM_BITS = 8
+
+#: expected documents per blocking cell the adaptive bit count aims for
+SEM_TARGET_CELL = 32
+
+
+def _blocking_bits(n_docs: int) -> int:
+    """Rate-sign bit count for an ``n_docs`` corpus: enough bits that the
+    mean cell holds ~SEM_TARGET_CELL docs, floored at SEM_BITS (oracle
+    parity at fixture scale) and capped at 30 (cell ids stay int32;
+    2³⁰ cells ≫ any real corpus / target)."""
+    import math
+
+    if n_docs <= 0:
+        return SEM_BITS
+    return max(
+        SEM_BITS,
+        min(30, math.ceil(math.log2(max(1.0, n_docs / SEM_TARGET_CELL)))),
+    )
 
 #: cosine threshold above which two documents are semantic duplicates
 SEM_TAU = 0.95
@@ -112,16 +139,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectorizer (the data-volume stage — measured 3× recompute ≈ 30 s
     # of the sf1 wall); the cached table is one 64-long row per doc.
     vecs = vecs.withColumn("len", length).persist()
+    # corpus size → blocking bit count (one count on the cached one-row-
+    # per-doc table; at deploy the corpus row count is catalog metadata).
+    # Adaptive bits keep the EXPECTED CELL SIZE constant as the corpus
+    # grows, so within-cell pair work scales ~linearly with n instead of
+    # quadratically (see SEM_BITS note).
+    bits = _blocking_bits(vecs.count())
     totals = vecs.agg(
         F.sum("len").alias("sl"),
         *[
             F.sum(F.col("q")[k]).alias(f"sc{k}")
-            for k in range(SEM_BITS)
+            for k in range(bits)
         ],
     )
     withtot = vecs.crossJoin(F.broadcast(totals))
     cell = None
-    for k in range(SEM_BITS):
+    for k in range(bits):
         bit = F.when(
             F.col("q")[k] * F.col("sl") > F.col("len") * F.col(f"sc{k}"),
             F.lit(1 << k),
@@ -129,8 +162,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell = bit if cell is None else cell + bit
     cells = withtot.select("doc_id", cell.alias("cell"), "q")
     # Cell populations via partial-aggregating groupBy + broadcast join —
-    # NOT a count window: `cell` has only 2^SEM_BITS = 256 distinct
-    # values, so Window.partitionBy("cell") would co-locate and sort
+    # NOT a count window: `cell` has only 2^bits distinct values (256 at
+    # fixture scale), so Window.partitionBy("cell") would co-locate and sort
     # every vector of a cell on one task just to learn the cell's size
     # (VERDICT r6 #3).  groupBy combines map-side to ≤256 rows; the
     # pre-filtered count table broadcasts, and the inner join both

@@ -137,3 +137,23 @@ def test_semantic_cell_cap_bounds_degenerate_cells(spark, monkeypatch):
     monkeypatch.setattr(S, "SEM_MAX_CELL", 100_000)
     full = S.dedup_semantic(spark, SF).collect()
     assert len(capped) < len(full) or len(full) == 0
+
+
+def test_blocking_bits_scale_with_corpus():
+    """Adaptive blocking (VERDICT r8 #4): the bit count grows with the
+    corpus so the EXPECTED CELL SIZE stays ~SEM_TARGET_CELL — with fixed
+    bits, cells grow linearly with n and within-cell pair work grows
+    quadratically (the r8 sf1 8.9× row).  Fixture scales keep the
+    8-bit floor, so the DuckDB oracle and the pinned recall are
+    unchanged where the driver checks them."""
+    assert S._blocking_bits(0) == S.SEM_BITS
+    assert S._blocking_bits(500) == S.SEM_BITS       # sf0.01
+    assert S._blocking_bits(5_000) == S.SEM_BITS     # sf0.1
+    assert S._blocking_bits(50_000) == 11            # sf1: 2048 cells
+    assert S._blocking_bits(5_000_000) == 18
+    # expected cell size stays ~constant (within 2x of target)
+    for n in (10_000, 1_000_000, 100_000_000):
+        cells = 1 << S._blocking_bits(n)
+        assert n / cells <= 2 * S.SEM_TARGET_CELL
+    # int32 cell-id ceiling
+    assert S._blocking_bits(10**15) == 30
