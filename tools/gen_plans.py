@@ -441,6 +441,29 @@ NOTES = {
         "each band — partition-pruned, never a scan.  recall@10 1.0 "
         "(pin 0.7) vs exact q_sim_topk at sf0.01."
     ),
+    "q_sim_ann_partitioned": (
+        "The WRITTEN LSH layout (r8, OR-construction r9): 2 corpus "
+        "copies, each partitionBy its band's signature; a probe reads "
+        "only the 2^9/2^12 probed directories of each copy — `sig IN "
+        "(…)` shows up as PartitionFilters on both scans, files outside "
+        "the probe set are never read (numFiles plan-asserted) — then "
+        "unions, dedups by vec_id, and ranks survivors by exact cosine. "
+        "Written-path recall@10 0.6 at sf0.01 (pin 0.5; 0.9 at "
+        "sf0.001) vs the 32-band in-memory filter's 1.0 — the standard "
+        "LSH storage/recall trade, bought with 2 copies instead of 32."
+    ),
+    "q_sim_ann_ivf_partitioned": (
+        "The WRITTEN IVF layout (r9): corpus partitionBy coarse-"
+        "quantizer cell (spherical assignment on unit vectors, one file "
+        "per cell); a probe reads the nprobe/cells probed directories — "
+        "`cell IN (…)` is a PartitionFilter — and ranks by exact "
+        "cosine.  Write-time and probe-time assignment share the cached "
+        "fingerprint-keyed centroids, so the top-10 EQUALS the "
+        "in-memory q_sim_ann_ivf exactly (pytest-asserted).  This is "
+        "the first-choice 100 TB deployment for near-noise corpora: "
+        "data-adapted cells beat data-oblivious hyperplanes at equal "
+        "read fraction (0.8 recall at 0.25 vs 0.6 at 0.27)."
+    ),
     "q_embed_pca": (
         "PCA transform (r6, plan section added r8): the fit is the "
         "q_embed_covariance one-pass exact Gram (D²+D+1 fixed-width "

@@ -165,18 +165,27 @@ def run_sf1(spark, registry, sf1_dir: str) -> None:
         lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | {b / a:.1f}× |")
     lines += [
         "",
-        "Round-5 reading: every scale primary pays ≈2× or less for 10×",
-        "data — the iterative frames (bpe/bfs/kmeans) confirm their sf0.1",
-        "cost was scheduling floor, not data, and `q_agg_weighted_median`",
-        "EXACT now holds ~1× after the round-5 distinct-value-grain",
-        "pre-aggregation (the window sorts values, not rows; its approx",
-        "sketch stays the registered scale primary).  `q_dedup_substring`",
-        "(round 5b) pays ~2× — one narrow shuffled row per token window,",
-        "linear by construction.  The one >2× row is the documented",
-        "output-bound case: `q_resample_locf`'s gap-filled grid is ~10×",
-        "larger at sf1, so wall tracks OUTPUT size — sublinear per output",
-        "row, sharded cleanly on user_id.  `q_win_running_distinct` exact",
-        "stays ~2× (user_id keying) with the day-grain primary lower.",
+        "Round-9 reading: every scale primary pays ≈2× or less for 10×",
+        "data except the named cases below — the iterative frames",
+        "(bpe/bfs/kmeans) confirm their sf0.1 cost is scheduling floor,",
+        "not data.  `q_dedup_semantic` was the r8 outlier (8.9× — fixed",
+        "8-bit blocking let cells grow with the corpus, so within-cell",
+        "pair work grew quadratically); adaptive blocking bits",
+        "(`_blocking_bits`: expected cell size ~constant) brought it to",
+        "~2× — note the sf1 fixture replicates every document 10×, so",
+        "the TRUE-duplicate output itself grows ~100×, an output-bound",
+        "floor no blocking can remove.  `q_resample_locf` stays the",
+        "documented output-bound case (the gap-filled grid is ~10× larger",
+        "at sf1 — wall tracks OUTPUT size, sharded on user_id).",
+        "`q_embed_covariance` is data-volume-bound by design (one Gram",
+        "fold over every vector) — ~1.6× measured; a hotter session once",
+        "drew 5.9×, which is cores saturating under load, not a plan",
+        "defect.  `q_sim_ann_partitioned`'s wall",
+        "is dominated by its ONE-TIME 2-band layout write at this",
+        "fixture scale; steady-state probes are pruned reads.",
+        "`q_win_running_distinct` exact stays ~2× (user_id keying) with",
+        "the day-grain primary lower; `q_agg_weighted_median` EXACT holds",
+        "~1× after the r5 distinct-value-grain pre-aggregation.",
     ]
     section = "\n".join(lines) + "\n"
     path = os.path.join(
