@@ -270,6 +270,16 @@ def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
 #: L=4/flip=6 → 0.1; L=8/flip=8 → 0.7 at 0.43; the 32-band filter's 1.0
 #: is the L→N_BANDS limit.  L=2/flip=9 is the chosen trade: 2 copies,
 #: 2^9/2^12 = 1/8 of each layout's directories listed per probe.
+#:
+#: Granularity rule (measured r9, sf0.1): 2^N_PLANES = 4096 buckets is
+#: sized for a ≥10⁹-row corpus (≥ a few hundred MB per bucket file);
+#: over 5 000 fixture rows it yields ~2-row files and the steady-state
+#: probe pays a 6.0 s small-file/listing floor where the 64-cell IVF
+#: layout (`sim_ann_ivf_partitioned`) probes the same corpus in 0.39 s.
+#: Like FAISS's nlist, bucket count must track corpus size — below
+#: ~10⁶ rows/band the data-adapted IVF layout is the deployable choice,
+#: and this operator's fixture-scale wall is layout mechanics (pruning
+#: is still plan-asserted), not read volume.
 ANN_LAYOUT_BANDS = 2
 ANN_LAYOUT_FLIP = 9
 
