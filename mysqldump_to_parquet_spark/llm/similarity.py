@@ -288,10 +288,32 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     """Cheap snapshot id of the embeddings table's files ((name, mtime,
     size) per part file) — layout/quantizer cache keys include it so a
     corpus regenerated at the same path can never serve a stale artifact
-    (VERDICT r8 #5 / ADVICE r8)."""
-    import os
+    (VERDICT r8 #5 / ADVICE r8).
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
+    The table path is resolved through :func:`catalog.table_path` — the
+    SAME construction ``load_table`` reads through, so the fingerprint
+    can never silently diverge from the data.  Non-local URIs carry no
+    local stat: the fingerprint degrades to the path alone and a warning
+    says so ONCE (auto-invalidation off — an object-store deployment
+    versions its corpus paths or registers the layout in a catalog);
+    a MISSING local path raises instead of fingerprinting nothing."""
+    import os
+    import warnings
+
+    from ..catalog import table_path
+
+    p = table_path(sf_dir, "embeddings")
+    if "://" in p:
+        if p not in _FINGERPRINT_WARNED:
+            _FINGERPRINT_WARNED.add(p)
+            warnings.warn(
+                f"no local fingerprint for {p!r}: ANN layout/quantizer "
+                "caches will NOT auto-invalidate if this corpus is "
+                "rewritten in place — version the path or rebuild the "
+                "session after regeneration",
+                stacklevel=2,
+            )
+        return (p,)
     if os.path.isdir(p):
         files = sorted(
             os.path.join(p, f)
@@ -301,11 +323,44 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     elif os.path.exists(p):
         files = [p]
     else:
-        return (p,)  # non-local URI: no stat available — key on path
+        raise FileNotFoundError(
+            f"embeddings corpus not found at {p!r} — cannot fingerprint "
+            "(and load_table would fail on the same path)"
+        )
     return tuple(
         (os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
         for f in files
     )
+
+
+#: paths already warned about missing-fingerprint degradation
+_FINGERPRINT_WARNED: set = set()
+
+
+def _cached_layout(cache: dict, spark: SparkSession, sf_dir: str,
+                   prefix: str, build) -> str:
+    """The SINGLE fingerprint-keyed layout-cache lifecycle (lookup →
+    compare → evict+delete stale → mkdtemp → atexit cleanup → build →
+    store), shared by the LSH and IVF written layouts so the
+    invalidation semantics cannot desynchronize between them.
+    ``build(corpus_df, root)`` materializes the layout under ``root``;
+    the cached value (and return) is ``root`` itself, so eviction
+    deletes the whole stale tree."""
+    import atexit
+    import shutil
+    import tempfile
+
+    fp = _corpus_fingerprint(sf_dir)
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:  # corpus changed under the same path
+        shutil.rmtree(hit[1], ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    build(load_table(spark, sf_dir, "embeddings"), root)
+    cache[sf_dir] = (fp, root)
+    return root
 
 
 #: Session cache: sf_dir → (corpus fingerprint, layout root holding
@@ -318,27 +373,17 @@ _ANN_LAYOUTS: dict[str, tuple[tuple, str]] = {}
 
 def _ann_layout_root(spark: SparkSession, sf_dir: str) -> str:
     """The materialized L-band layout for ``sf_dir``, built at most once
-    per corpus *content* (fingerprint-keyed)."""
-    import atexit
+    per corpus *content* (fingerprint-keyed, shared ``_cached_layout``
+    lifecycle)."""
     import os
-    import shutil
-    import tempfile
 
-    fp = _corpus_fingerprint(sf_dir)
-    hit = _ANN_LAYOUTS.get(sf_dir)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    if hit is not None:  # corpus changed under the same path
-        shutil.rmtree(hit[1], ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="ann_layout_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    corpus = load_table(spark, sf_dir, "embeddings")
-    for b in range(ANN_LAYOUT_BANDS):
-        write_ann_partitioned(
-            corpus, os.path.join(root, f"band{b}"), band=b
-        )
-    _ANN_LAYOUTS[sf_dir] = (fp, root)
-    return root
+    def _build(corpus, root):
+        for b in range(ANN_LAYOUT_BANDS):
+            write_ann_partitioned(
+                corpus, os.path.join(root, f"band{b}"), band=b
+            )
+
+    return _cached_layout(_ANN_LAYOUTS, spark, sf_dir, "ann_layout_", _build)
 
 
 def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,27 +589,21 @@ _IVF_LAYOUTS: dict[str, tuple[tuple, str]] = {}
 
 
 def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
+    """The materialized cell layout for ``sf_dir`` (fingerprint-keyed,
+    shared ``_cached_layout`` lifecycle); returns the ``cells`` dir."""
     import os
-    import shutil
-    import tempfile
 
-    fp = _corpus_fingerprint(sf_dir)
-    hit = _IVF_LAYOUTS.get(sf_dir)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    if hit is not None:
-        shutil.rmtree(hit[1], ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="ivf_layout_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    out = os.path.join(root, "cells")
-    write_ivf_partitioned(
-        load_table(spark, sf_dir, "embeddings"),
-        out,
-        ivf_centroids(spark, sf_dir),
+    def _build(corpus, root):
+        write_ivf_partitioned(
+            corpus,
+            os.path.join(root, "cells"),
+            ivf_centroids(spark, sf_dir),
+        )
+
+    root = _cached_layout(
+        _IVF_LAYOUTS, spark, sf_dir, "ivf_layout_", _build
     )
-    _IVF_LAYOUTS[sf_dir] = (fp, out)
-    return out
+    return os.path.join(root, "cells")
 
 
 def _ivf_probe_cells(centroids) -> list[int]:

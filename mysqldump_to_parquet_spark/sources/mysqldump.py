@@ -1767,8 +1767,14 @@ def _stmt_cross_rows(mean_stmt_bytes, session_rows: int = 10_000) -> int:
     session's configured ``arrow.maxRecordsPerBatch``) — a user who
     lowered the conf to bound executor memory keeps their bound; the
     sizing only ever tightens it, so the floor itself is clamped to the
-    session value when the user set it below 16."""
-    cap = max(1, session_rows)
+    session value when the user set it below 16.  Spark documents zero
+    or negative as "no limit" — that sentinel means NO user bound (the
+    byte-targeted sizing applies freely), not a 1-row bound."""
+    if session_rows <= 0:  # Spark's unlimited sentinel
+        if not mean_stmt_bytes:
+            return 10_000  # no stats: fall back to Spark's default bound
+        return max(16, int(_STMT_CROSS_BATCH_BYTES / mean_stmt_bytes))
+    cap = session_rows
     floor = min(16, cap)
     if not mean_stmt_bytes:
         return cap
@@ -2499,10 +2505,15 @@ def convert_dump(
                 # stats exist before the reassembly scan) — 64 × ~1 MB
                 # bounds JVM buffers at ~64 MB per in-flight task.  Only
                 # ever TIGHTEN the session conf: a user bound below 64
-                # stays exactly as configured.
+                # stays exactly as configured, and Spark's zero/negative
+                # "no limit" sentinel means no user bound (we impose 64).
                 spark.conf.set(
                     "spark.sql.execution.arrow.maxRecordsPerBatch",
-                    str(min(64, max(1, int(prev_arb)))),
+                    str(
+                        64
+                        if int(prev_arb) <= 0
+                        else min(64, int(prev_arb))
+                    ),
                 )
             if progress:
                 print(

@@ -702,6 +702,13 @@ def test_stmt_cross_rows_bounds():
     assert M._stmt_cross_rows(None, session_rows=4) == 4
     assert M._stmt_cross_rows(100, session_rows=4) == 4
     assert M._stmt_cross_rows(64 * 1024 * 1024, session_rows=4) == 4
+    # Spark's documented zero/negative sentinel means NO LIMIT, not a
+    # 1-row bound: the byte-targeted sizing applies freely
+    assert M._stmt_cross_rows(None, session_rows=0) == 10_000
+    assert M._stmt_cross_rows(100, session_rows=-1) == (
+        M._STMT_CROSS_BATCH_BYTES // 100
+    )
+    assert M._stmt_cross_rows(64 * 1024 * 1024, session_rows=0) == 16
 
 
 def test_multiline_error_quotes_first_marker(spark, tmp_path):

@@ -545,6 +545,30 @@ def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):
     assert c2 is not c1, "stale quantizer served after corpus rewrite"
 
 
+def test_corpus_fingerprint_loud_on_missing_and_remote(tmp_path):
+    """The fingerprint degrades LOUDLY, never silently: a missing local
+    corpus raises (a typo'd path must not fingerprint to a constant and
+    'hit' the cache forever), and a non-local URI — where no local stat
+    exists — warns once that auto-invalidation is off."""
+    import warnings
+
+    import pytest as _pytest
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    with _pytest.raises(FileNotFoundError):
+        S._corpus_fingerprint(str(tmp_path / "nope"))
+
+    uri = "s3://bucket/corpus"
+    S._FINGERPRINT_WARNED.discard(f"{uri}/embeddings.parquet")
+    with _pytest.warns(UserWarning, match="auto-invalidate"):
+        fp1 = S._corpus_fingerprint(uri)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # second call must NOT re-warn
+        fp2 = S._corpus_fingerprint(uri)
+    assert fp1 == fp2  # constant path-only fingerprint, documented
+
+
 def test_ann_null_embeddings_skipped(spark, tmp_path):
     """A corpus containing NULL embedding rows must not crash the
     vectorized signature/assignment UDFs (ADVICE r8: np.vstack raises on
