@@ -208,28 +208,39 @@ def _band_signature_udf(band: int):
     return _sig
 
 
-def write_ann_partitioned(df: DataFrame, out_path: str, band: int = 0) -> None:
+def write_ann_partitioned(
+    df: DataFrame,
+    out_path: str,
+    band: int = 0,
+    prefix_bits: int = N_PLANES,
+) -> None:
     """Materialize the deploy-time ANN layout: the corpus written
-    ``partitionBy`` its band-``band`` LSH signature, so a probe is a
-    PARTITION-PRUNED read of 2^N_FLIP of the 2^N_PLANES directories —
-    no filter ever scans the corpus (discovery lists the partition tree
-    once and caches it; a catalog-registered layout prunes the listing
-    too).  This is the layout :func:`sim_ann_lsh`'s 100 TB claim
-    rests on; a full deployment replicates it once per band (the
-    standard LSH storage trade: L layouts → OR-construction recall),
-    and the physical pruning is pytest-asserted on this single-band
-    instance (tests/test_llm.py)."""
+    ``partitionBy`` the top-``prefix_bits`` bits of its band-``band``
+    LSH signature (``sigp``), with the FULL signature kept as a data
+    column — so a probe is a PARTITION-PRUNED read of the probed prefix
+    directories plus a pushed exact ``sig IN`` data filter (discovery
+    lists the partition tree once and caches it; a catalog-registered
+    layout prunes the listing too).  ``prefix_bits`` sizes directory
+    granularity to the corpus (see ``_layout_prefix_bits``); at the
+    default N_PLANES the prefix IS the signature and pruning alone
+    isolates the candidates.  This is the layout :func:`sim_ann_lsh`'s
+    100 TB claim rests on; a full deployment replicates it once per
+    band (the standard LSH storage trade: L layouts → OR-construction
+    recall), and the physical pruning is pytest-asserted
+    (tests/test_llm.py)."""
     sig = _band_signature_udf(band)
+    shift = N_PLANES - prefix_bits
     (
         df.withColumn("sig", sig(F.col("embedding")))
+        .withColumn("sigp", F.shiftright(F.col("sig"), shift))
         # co-locate each bucket before the write: without this every
-        # task emits a file into every signature directory it touches
+        # task emits a file into every directory it touches
         # (tasks × buckets small files — measured 463 files for a
-        # 500-row corpus); hash-partitioning on sig yields one file per
-        # bucket, which is also what keeps the probe's pruned read a
-        # handful of large sequential files at 100 TB
-        .repartition("sig")
-        .write.partitionBy("sig")
+        # 500-row corpus); hash-partitioning on sigp yields one file
+        # per directory, which is also what keeps the probe's pruned
+        # read a handful of large sequential files at 100 TB
+        .repartition("sigp")
+        .write.partitionBy("sigp")
         .mode("overwrite")
         .parquet(out_path)
     )
@@ -271,17 +282,45 @@ def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
 #: is the L→N_BANDS limit.  L=2/flip=9 is the chosen trade: 2 copies,
 #: 2^9/2^12 = 1/8 of each layout's directories listed per probe.
 #:
-#: Granularity rule (measured r9, sf0.1): 2^N_PLANES = 4096 buckets is
-#: sized for a ≥10⁹-row corpus (≥ a few hundred MB per bucket file);
+#: Granularity rule (measured r9, sf0.1): 2^N_PLANES = 4096 directories
+#: is sized for a ≥10⁹-row corpus (≥ a few hundred MB per bucket file);
 #: over 5 000 fixture rows it yields ~2-row files and the steady-state
-#: probe pays a 6.0 s small-file/listing floor where the 64-cell IVF
+#: probe paid a 6.0 s small-file/listing floor where the 64-cell IVF
 #: layout (`sim_ann_ivf_partitioned`) probes the same corpus in 0.39 s.
-#: Like FAISS's nlist, bucket count must track corpus size — below
-#: ~10⁶ rows/band the data-adapted IVF layout is the deployable choice,
-#: and this operator's fixture-scale wall is layout mechanics (pruning
-#: is still plan-asserted), not read volume.
+#: Like FAISS's nlist, DIRECTORY count must track corpus size — so the
+#: layout partitions on a corpus-sized PREFIX of the signature
+#: (``_layout_prefix_bits``: top-p bits, ~ANN_ROWS_PER_BUCKET rows per
+#: directory) and keeps the FULL signature as a data column.  A probe
+#: prunes directories on the prefix and applies the exact ``sig IN``
+#: predicate as a pushed data filter, so the CANDIDATE SET is identical
+#: at every granularity; what the coarse end trades is read
+#: amplification (whole prefix-buckets are read to filter them) for
+#: sane file sizes — the standard partition-granularity trade.  Past
+#: ~2^N_PLANES·ANN_ROWS_PER_BUCKET rows (~256k here) p reaches N_PLANES
+#: and the layout recovers exact-signature directories, where pruned
+#: read fraction = candidate fraction.  Measured effect at sf0.1:
+#: cold build 47.9 → 10.1 s, steady-state probe 6.0 → 1.2 s, recall
+#: unchanged (the candidate set is granularity-independent).
 ANN_LAYOUT_BANDS = 2
 ANN_LAYOUT_FLIP = 9
+
+#: target rows per written layout directory (per band)
+ANN_ROWS_PER_BUCKET = 64
+
+
+def _layout_prefix_bits(n_rows: int) -> int:
+    """Partition-prefix width for an ``n_rows`` corpus: enough top bits
+    of the signature that a directory holds ~ANN_ROWS_PER_BUCKET rows,
+    clamped to [1, N_PLANES]."""
+    import math
+
+    return max(
+        1,
+        min(
+            N_PLANES,
+            math.ceil(math.log2(max(1.0, n_rows / ANN_ROWS_PER_BUCKET))),
+        ),
+    )
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
@@ -374,14 +413,24 @@ _ANN_LAYOUTS: dict[str, tuple[tuple, str]] = {}
 def _ann_layout_root(spark: SparkSession, sf_dir: str) -> str:
     """The materialized L-band layout for ``sf_dir``, built at most once
     per corpus *content* (fingerprint-keyed, shared ``_cached_layout``
-    lifecycle)."""
+    lifecycle).  Directory granularity is sized to the corpus at build
+    time and recorded in ``ann_meta.json`` beside the band dirs, so a
+    probe derives its prefix set from the layout itself — never from a
+    possibly-changed corpus."""
+    import json
     import os
 
     def _build(corpus, root):
+        p = _layout_prefix_bits(corpus.count())
         for b in range(ANN_LAYOUT_BANDS):
             write_ann_partitioned(
-                corpus, os.path.join(root, f"band{b}"), band=b
+                corpus,
+                os.path.join(root, f"band{b}"),
+                band=b,
+                prefix_bits=p,
             )
+        with open(os.path.join(root, "ann_meta.json"), "w") as f:
+            json.dump({"prefix_bits": p, "bands": ANN_LAYOUT_BANDS}, f)
 
     return _cached_layout(_ANN_LAYOUTS, spark, sf_dir, "ann_layout_", _build)
 
@@ -390,25 +439,35 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_sim_ann_partitioned: ANN probe over the *written* bucketed
     layout — the partition-pruned read :func:`sim_ann_lsh` simulates
     with a filter.  Builds the ``ANN_LAYOUT_BANDS``-copy OR-construction
-    once per corpus (one ``write_ann_partitioned`` per band), then each
-    probe reads ONLY the probed signature directories of each copy
-    (``sig IN (…2^ANN_LAYOUT_FLIP values)`` reaches the scan as a
-    PartitionFilter: files outside the probe set are never read —
-    partition *discovery* lists the tree once per FileIndex, as a
-    parallel job above the 32-dir threshold, and is cached; a deployed
-    layout registers partitions in a table catalog so the listing
-    itself prunes too), unions the per-band candidates,
+    once per corpus (one ``write_ann_partitioned`` per band, directory
+    granularity sized to the corpus), then each probe reads ONLY the
+    probed prefix directories of each copy (``sigp IN (…)`` reaches the
+    scan as a PartitionFilter — files outside the probe set are never
+    read — while the exact ``sig IN (…2^ANN_LAYOUT_FLIP values)``
+    predicate pushes into the pruned files, so the candidate set is
+    granularity-independent; partition *discovery* lists the tree once
+    per FileIndex and is cached; a deployed layout registers partitions
+    in a table catalog so the listing itself prunes too), unions the
+    per-band candidates,
     de-duplicates by vec_id, and ranks by exact cosine.  Deterministic,
     so the driver's rows-only check is stable; candidate-set exactness,
     physical pruning, and the written path's recall@10 floor are
     pytest-asserted."""
+    import json
     import os
 
     root = _ann_layout_root(spark, sf_dir)
+    with open(os.path.join(root, "ann_meta.json")) as f:
+        shift = N_PLANES - json.load(f)["prefix_bits"]
     cands = None
     for b in range(ANN_LAYOUT_BANDS):
+        sigs = _probe_sigs_for_band(b, ANN_LAYOUT_FLIP)
+        prefixes = sorted({s >> shift for s in sigs})
         part = spark.read.parquet(os.path.join(root, f"band{b}")).where(
-            F.col("sig").isin(_probe_sigs_for_band(b, ANN_LAYOUT_FLIP))
+            # directory-level pruning on the prefix + the exact pushed
+            # signature predicate: candidate set identical at every
+            # layout granularity
+            F.col("sigp").isin(prefixes) & F.col("sig").isin(sigs)
         ).select("vec_id", "label", "embedding")
         cands = part if cands is None else cands.unionByName(part)
     # a vector probed in several bands is the same physical row copied

@@ -146,25 +146,33 @@ def test_ann_recall_bounds_sf001(spark):
 
 
 def test_ann_partitioned_layout_prunes_and_matches(spark, tmp_path):
-    """The written ANN layout (r8): the probe must (a) read EXACTLY the
-    band-0 candidate set the in-memory signature filter defines, (b)
-    reach the scan as a PartitionFilter — directories outside the probe
-    set are never read — and (c) rank identically to exact cosine over
-    those candidates."""
+    """The written ANN layout (r8; corpus-sized prefix granularity r9):
+    the probe must (a) read EXACTLY the band-0 candidate set the
+    in-memory signature filter defines — at ANY directory granularity,
+    since the exact sig predicate pushes into the pruned files — (b)
+    prune directories via a PartitionFilter on the prefix, and (c) rank
+    identically to exact cosine over those candidates.  Runs at sf0.01:
+    500 rows → prefix_bits 3, where the probe set covers 4 of 8
+    prefixes, so directory pruning is non-trivially observable."""
     from mysqldump_to_parquet_spark.llm import similarity as S
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_RECALL
     out = str(tmp_path / "band0")
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
-    S.write_ann_partitioned(e, out, band=0)
+    pbits = S._layout_prefix_bits(e.count())
+    assert 1 < pbits < S.N_PLANES  # corpus-sized, neither degenerate end
+    S.write_ann_partitioned(e, out, band=0, prefix_bits=pbits)
 
-    # layout shape: one directory per band-0 signature value
+    # layout shape: one directory per signature PREFIX value
     import os
 
-    dirs = {d for d in os.listdir(out) if d.startswith("sig=")}
-    assert len(dirs) > 1
-    probe_sigs = set(S._probe_sigs_for_band(0))
-    assert len(probe_sigs) == 1 << S.N_FLIP
+    dirs = {d for d in os.listdir(out) if d.startswith("sigp=")}
+    assert 1 < len(dirs) <= 1 << pbits
+    probe_sigs = set(S._probe_sigs_for_band(0, S.ANN_LAYOUT_FLIP))
+    assert len(probe_sigs) == 1 << S.ANN_LAYOUT_FLIP
+    shift = S.N_PLANES - pbits
+    prefixes = sorted({s >> shift for s in probe_sigs})
+    assert len(prefixes) < 1 << pbits  # some directories are unprobed
 
     # (a) candidate-set exactness vs the in-memory signature UDF
     sig = S._band_signature_udf(0)
@@ -175,15 +183,15 @@ def test_ann_partitioned_layout_prunes_and_matches(spark, tmp_path):
         .collect()
     }
     probed = spark.read.parquet(out).where(
-        F.col("sig").isin(sorted(probe_sigs))
+        F.col("sigp").isin(prefixes) & F.col("sig").isin(sorted(probe_sigs))
     )
     got = {r.vec_id for r in probed.collect()}
     assert got == expected
 
-    # (b) physical pruning: the signature predicate is a PARTITION
-    # filter (directory-level), not a data filter over the corpus
+    # (b) physical pruning: the prefix predicate is a PARTITION filter
+    # (directory-level); the exact sig predicate pushes into the files
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan and "sig" in plan.split(
+    assert "PartitionFilters: [" in plan and "sigp" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0]
 
@@ -202,7 +210,10 @@ def test_ann_partitioned_layout_prunes_and_matches(spark, tmp_path):
 
     n_all = _files_read(spark.read.parquet(out))
     n_probed = _files_read(
-        spark.read.parquet(out).where(F.col("sig").isin(sorted(probe_sigs)))
+        spark.read.parquet(out).where(
+            F.col("sigp").isin(prefixes)
+            & F.col("sig").isin(sorted(probe_sigs))
+        )
     )
     assert 0 < n_probed < n_all
 

@@ -57,12 +57,13 @@ ROWS_ONLY_NOTES = {
     ),
     "q_sim_ann_partitioned": (
         "rows-only (probe over the WRITTEN OR-construction: 2 band "
-        "layouts partitionBy(signature), probed at flip=9 — sig IN (…) "
-        "reaches each scan as a PartitionFilter, 1/8 of directories "
-        "listed per band; candidate-set exactness vs the shared "
-        "flip-set implementation, physical pruning, AND the written "
-        "path's own recall@10 ≥ 0.5 vs exact q_sim_topk at sf0.01 — "
-        "measured 0.6 (0.9 at sf0.001) — are pytest-asserted)"
+        "layouts partitionBy a corpus-sized PREFIX of the signature "
+        "with the full signature as a pushed data filter — sigp IN (…) "
+        "reaches each scan as a PartitionFilter and the candidate set "
+        "is granularity-independent; candidate-set exactness vs the "
+        "shared flip-set implementation, physical pruning, AND the "
+        "written path's own recall@10 ≥ 0.5 vs exact q_sim_topk at "
+        "sf0.01 — measured 0.6 (0.9 at sf0.001) — are pytest-asserted)"
     ),
     "q_sim_ann_ivf": (
         "rows-only (spherical IVF nprobe 16/64 — 25% scan fraction; "

@@ -442,12 +442,18 @@ NOTES = {
         "(pin 0.7) vs exact q_sim_topk at sf0.01."
     ),
     "q_sim_ann_partitioned": (
-        "The WRITTEN LSH layout (r8, OR-construction r9): 2 corpus "
-        "copies, each partitionBy its band's signature; a probe reads "
-        "only the 2^9/2^12 probed directories of each copy — `sig IN "
-        "(…)` shows up as PartitionFilters on both scans, files outside "
-        "the probe set are never read (numFiles plan-asserted) — then "
-        "unions, dedups by vec_id, and ranks survivors by exact cosine. "
+        "The WRITTEN LSH layout (r8; OR-construction + corpus-sized "
+        "granularity r9): 2 corpus copies, each partitionBy a "
+        "corpus-sized PREFIX of its band's signature (~64 rows per "
+        "directory; at ≥256k rows the prefix IS the full signature), "
+        "full signature kept as a data column.  A probe prunes "
+        "directories on the prefix — `sigp IN (…)` is a "
+        "PartitionFilter on both scans, files outside the probe set "
+        "never read (numFiles plan-asserted) — applies the exact "
+        "`sig IN (…)` predicate inside the pruned files (candidate set "
+        "granularity-independent), then unions, dedups by vec_id, and "
+        "ranks survivors by exact cosine.  Sizing directories to the "
+        "corpus took the sf0.1 steady-state probe 6.0 → 1.2 s. "
         "Written-path recall@10 0.6 at sf0.01 (pin 0.5; 0.9 at "
         "sf0.001) vs the 32-band in-memory filter's 1.0 — the standard "
         "LSH storage/recall trade, bought with 2 copies instead of 32."
