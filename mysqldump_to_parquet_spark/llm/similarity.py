@@ -300,7 +300,11 @@ def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
 #: and the layout recovers exact-signature directories, where pruned
 #: read fraction = candidate fraction.  Measured effect at sf0.1:
 #: cold build 47.9 → 10.1 s, steady-state probe 6.0 → 1.2 s, recall
-#: unchanged (the candidate set is granularity-independent).
+#: unchanged (the candidate set is granularity-independent).  Measured
+#: amplification in the mid-granularity regime: the probe reads ~0.80
+#: of the corpus for a 0.25–0.27 candidate fraction (~3×) at the
+#: fixture scales (p=3–5) — cheap there because it is a handful of
+#: sequential files, and decaying to 1× as p → N_PLANES at real scale.
 ANN_LAYOUT_BANDS = 2
 ANN_LAYOUT_FLIP = 9
 
