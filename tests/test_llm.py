@@ -556,6 +556,28 @@ def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):
     assert c2 is not c1, "stale quantizer served after corpus rewrite"
 
 
+def test_layout_prefix_bits_track_corpus():
+    """The written-layout directory count tracks corpus size (the
+    FAISS-nlist rule): expected rows per directory stays within 2× of
+    ANN_ROWS_PER_BUCKET, the width is monotone in n, and both clamps
+    hold (≥1 bit; never wider than the signature)."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    assert S._layout_prefix_bits(0) == 1
+    assert S._layout_prefix_bits(S.ANN_ROWS_PER_BUCKET) == 1
+    assert S._layout_prefix_bits(500) == 3        # sf0.01 embeddings
+    assert S._layout_prefix_bits(2_000) == 5      # sf0.1 embeddings
+    # past ~2^N_PLANES * target the exact-signature layout is recovered
+    assert S._layout_prefix_bits(1 << 30) == S.N_PLANES
+    prev = 0
+    for n in (10, 100, 1_000, 10_000, 100_000, 1_000_000):
+        p = S._layout_prefix_bits(n)
+        assert prev <= p <= S.N_PLANES
+        prev = p
+        if p < S.N_PLANES:  # not yet clamped: cell-size bound holds
+            assert n / (1 << p) <= 2 * S.ANN_ROWS_PER_BUCKET
+
+
 def test_corpus_fingerprint_loud_on_missing_and_remote(tmp_path):
     """The fingerprint degrades LOUDLY, never silently: a missing local
     corpus raises (a typo'd path must not fingerprint to a constant and
