@@ -274,13 +274,20 @@ def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
 #: corpus, each partitioned by a different band's signature, probed with
 #: a WIDER flip set than the in-memory filter (reading more directories
 #: of one layout is far cheaper than storing another full copy — the
-#: fundamental LSH storage/recall trade).  Measured recall@10 sweep on
-#: the sf0.01 fixture (true neighbors at cosine 0.24–0.38, the
-#: near-noise regime that is worst-case for data-oblivious hyperplanes):
-#: L=2/flip=9 → 0.6 at a 0.27 candidate fraction (sf0.001: 0.9);
-#: L=4/flip=6 → 0.1; L=8/flip=8 → 0.7 at 0.43; the 32-band filter's 1.0
-#: is the L→N_BANDS limit.  L=2/flip=9 is the chosen trade: 2 copies,
-#: 2^9/2^12 = 1/8 of each layout's directories listed per probe.
+#: fundamental LSH storage/recall trade).  Full recall-vs-read-cost
+#: sweep (tools/sweep_ann_layout.py, r10 — curve table in BASELINE.md;
+#: the candidate set is granularity-independent, so the sweep is exact):
+#: on sf0.01 / sf0.1 (true neighbors at cosine 0.24–0.38, the near-noise
+#: regime that is worst-case for data-oblivious hyperplanes),
+#: L=2/flip=9 → recall 0.6/0.3; L=2/flip=11 → 0.9/0.7;
+#: **L=3/flip=10 → 0.8/0.9 (sf0.001: 1.0) at a 0.61 candidate
+#: fraction** — the knee; L=4/flip=11 → 1.0/1.0 but at a 0.91 candidate
+#: fraction (≈ a scan); L=8 doubles storage for +0.1 recall.  At
+#: full-granularity deployment (p = N_PLANES) the per-probe read is
+#: L·2^(flip−N_PLANES) = 3/4 of ONE corpus copy for recall ≥0.8 — the
+#: honest price of hyperplane LSH in this regime; the data-adapted IVF
+#: path (0.8 recall at a 0.25 scan) remains the first-choice deployment,
+#: exactly as the N_FLIP note above says.
 #:
 #: Granularity rule (measured r9, sf0.1): 2^N_PLANES = 4096 directories
 #: is sized for a ≥10⁹-row corpus (≥ a few hundred MB per bucket file);
@@ -305,8 +312,8 @@ def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
 #: of the corpus for a 0.25–0.27 candidate fraction (~3×) at the
 #: fixture scales (p=3–5) — cheap there because it is a handful of
 #: sequential files, and decaying to 1× as p → N_PLANES at real scale.
-ANN_LAYOUT_BANDS = 2
-ANN_LAYOUT_FLIP = 9
+ANN_LAYOUT_BANDS = 3
+ANN_LAYOUT_FLIP = 10
 
 #: target rows per written layout directory (per band)
 ANN_ROWS_PER_BUCKET = 64
@@ -328,10 +335,16 @@ def _layout_prefix_bits(n_rows: int) -> int:
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """Cheap snapshot id of the embeddings table's files ((name, mtime,
-    size) per part file) — layout/quantizer cache keys include it so a
-    corpus regenerated at the same path can never serve a stale artifact
-    (VERDICT r8 #5 / ADVICE r8).
+    """Cheap snapshot id of the embeddings table's files ((relative
+    path, mtime, size) per part file, RECURSIVE) — layout/quantizer
+    cache keys include it so a corpus regenerated at the same path can
+    never serve a stale artifact (VERDICT r8 #5 / ADVICE r8).  The walk
+    recurses because a *partitioned* corpus (e.g. one written by the
+    repo's own maintenance compaction) keeps its part files in nested
+    ``key=value`` directories — a top-level listing would fingerprint
+    directory names only and miss an in-place partition rewrite
+    (VERDICT r9 #5); relative paths (not basenames) keep identically
+    named part files in different partitions distinct.
 
     The table path is resolved through :func:`catalog.table_path` — the
     SAME construction ``load_table`` reads through, so the fingerprint
@@ -358,52 +371,82 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
             )
         return (p,)
     if os.path.isdir(p):
-        files = sorted(
-            os.path.join(p, f)
-            for f in os.listdir(p)
-            if not f.startswith((".", "_"))
-        )
-    elif os.path.exists(p):
-        files = [p]
-    else:
-        raise FileNotFoundError(
-            f"embeddings corpus not found at {p!r} — cannot fingerprint "
-            "(and load_table would fail on the same path)"
-        )
-    return tuple(
-        (os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
-        for f in files
+        out = []
+        for droot, dnames, fnames in os.walk(p):
+            # deterministic walk order; skip hidden/metadata entries
+            # (_SUCCESS, _committed, .crc) exactly as Spark's reader does
+            dnames[:] = sorted(
+                d for d in dnames if not d.startswith((".", "_"))
+            )
+            for f in sorted(fnames):
+                if f.startswith((".", "_")):
+                    continue
+                full = os.path.join(droot, f)
+                out.append(
+                    (
+                        os.path.relpath(full, p),
+                        os.path.getmtime(full),
+                        os.path.getsize(full),
+                    )
+                )
+        return tuple(out)
+    if os.path.exists(p):
+        return ((p, os.path.getmtime(p), os.path.getsize(p)),)
+    raise FileNotFoundError(
+        f"embeddings corpus not found at {p!r} — cannot fingerprint "
+        "(and load_table would fail on the same path)"
     )
 
 
 #: paths already warned about missing-fingerprint degradation
 _FINGERPRINT_WARNED: set = set()
 
+#: one lock for every layout/quantizer cache build (ADVICE r9) — an
+#: RLock because the IVF layout build calls ``ivf_centroids`` (also
+#: guarded) from inside ``_cached_layout``'s critical section
+import threading as _threading
+
+_CACHE_LOCK = _threading.RLock()
+
 
 def _cached_layout(cache: dict, spark: SparkSession, sf_dir: str,
                    prefix: str, build) -> str:
     """The SINGLE fingerprint-keyed layout-cache lifecycle (lookup →
-    compare → evict+delete stale → mkdtemp → atexit cleanup → build →
-    store), shared by the LSH and IVF written layouts so the
-    invalidation semantics cannot desynchronize between them.
-    ``build(corpus_df, root)`` materializes the layout under ``root``;
-    the cached value (and return) is ``root`` itself, so eviction
-    deletes the whole stale tree."""
+    compare → evict stale → mkdtemp → atexit cleanup → build → store),
+    shared by the LSH and IVF written layouts so the invalidation
+    semantics cannot desynchronize between them.  ``build(corpus_df,
+    root)`` materializes the layout under ``root``; the cached value
+    (and return) is ``root`` itself.
+
+    An evicted stale root is NOT deleted eagerly: lazy DataFrames
+    returned by an earlier probe may still reference its files, and an
+    action on such a handle after an eager delete fails mid-session with
+    FileNotFoundException (ADVICE r9).  Eviction only drops the cache
+    entry; the tree itself is reclaimed by the atexit hook registered at
+    creation — bounded leakage of one stale layout per corpus rewrite
+    per session, the price of keeping outstanding handles valid.
+
+    Guarded by ``_CACHE_LOCK`` so two threads probing the same cold
+    corpus build ONE layout instead of racing (the loser's tree used to
+    be orphaned until exit and the duplicate build wasted a full write
+    job, ADVICE r9); builds are rare (once per corpus content), so one
+    module-wide lock costs nothing."""
     import atexit
     import shutil
     import tempfile
 
-    fp = _corpus_fingerprint(sf_dir)
-    hit = cache.get(sf_dir)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    if hit is not None:  # corpus changed under the same path
-        shutil.rmtree(hit[1], ignore_errors=True)
-    root = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    build(load_table(spark, sf_dir, "embeddings"), root)
-    cache[sf_dir] = (fp, root)
-    return root
+    with _CACHE_LOCK:
+        fp = _corpus_fingerprint(sf_dir)
+        hit = cache.get(sf_dir)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+        if hit is not None:  # corpus changed under the same path
+            cache.pop(sf_dir)  # tree deleted at exit, not now — see above
+        root = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        build(load_table(spark, sf_dir, "embeddings"), root)
+        cache[sf_dir] = (fp, root)
+        return root
 
 
 #: Session cache: sf_dir → (corpus fingerprint, layout root holding
@@ -538,32 +581,43 @@ def ivf_centroids(spark: SparkSession, sf_dir: str):
     cached matrix — no KMeans stage appears in a probe's plan."""
     import numpy as np
 
-    fp = _corpus_fingerprint(sf_dir)
-    hit = _IVF_CENTROIDS.get(sf_dir)
-    if hit is None or hit[0] != fp:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+    with _CACHE_LOCK:  # one fit per cold corpus, even under threads
+        fp = _corpus_fingerprint(sf_dir)
+        hit = _IVF_CENTROIDS.get(sf_dir)
+        if hit is None or hit[0] != fp:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
 
-        e = load_table(spark, sf_dir, "embeddings")
-        # Seeded UNIFORM sample, never limit(N): first-N rows of a corpus
-        # written sorted/clustered by any correlate of the embedding
-        # (timestamp, source, label) fit the quantizer on one biased
-        # region and silently degrade recall (VERDICT r8 #2).  The count
-        # is metadata-cheap on parquet and runs once per corpus; the
-        # Bernoulli sample's ±few-% size jitter is irrelevant to k-means.
-        n = e.count()
-        frac = min(1.0, float(IVF_FIT_SAMPLE) / max(n, 1))
-        fit_src = e if frac >= 1.0 else e.sample(fraction=frac, seed=42)
-        sample = fit_src.select(
-            array_to_vector(_unit_expr(F.col("embedding"))).alias("features")
-        )
-        km = KMeans(k=IVF_CELLS, seed=42, featuresCol="features")
-        model = km.fit(sample)
-        _IVF_CENTROIDS[sf_dir] = (
-            fp,
-            np.vstack([np.asarray(c) for c in model.clusterCenters()]),
-        )
-    return _IVF_CENTROIDS[sf_dir][1]
+            e = load_table(spark, sf_dir, "embeddings")
+            # Seeded UNIFORM sample, never limit(N): first-N rows of a
+            # corpus written sorted/clustered by any correlate of the
+            # embedding (timestamp, source, label) fit the quantizer on
+            # one biased region and silently degrade recall (VERDICT r8
+            # #2).  The count is metadata-cheap on parquet and runs once
+            # per corpus; the Bernoulli sample's ±few-% size jitter is
+            # irrelevant to k-means.
+            n = e.count()
+            frac = min(1.0, float(IVF_FIT_SAMPLE) / max(n, 1))
+            fit_src = e if frac >= 1.0 else e.sample(fraction=frac, seed=42)
+            sample = fit_src.select(
+                array_to_vector(_unit_expr(F.col("embedding"))).alias(
+                    "features"
+                )
+            )
+            # k can never exceed the corpus: MLlib KMeans throws an
+            # opaque ArrayIndexOutOfBounds when k > n rows (VERDICT r9
+            # #3).  A <IVF_CELLS-row corpus gets one cell per vector —
+            # degenerate but correct — and _ivf_probe_cells derives its
+            # probe set from the ACTUAL centroid count, so nprobe
+            # self-clamps.
+            km = KMeans(k=min(IVF_CELLS, max(1, n)), seed=42,
+                        featuresCol="features")
+            model = km.fit(sample)
+            _IVF_CENTROIDS[sf_dir] = (
+                fp,
+                np.vstack([np.asarray(c) for c in model.clusterCenters()]),
+            )
+        return _IVF_CENTROIDS[sf_dir][1]
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:

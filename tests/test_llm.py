@@ -152,30 +152,34 @@ def test_ann_partitioned_layout_prunes_and_matches(spark, tmp_path):
     since the exact sig predicate pushes into the pruned files — (b)
     prune directories via a PartitionFilter on the prefix, and (c) rank
     identically to exact cosine over those candidates.  Runs at sf0.01:
-    500 rows → prefix_bits 3, where the probe set covers 4 of 8
-    prefixes, so directory pruning is non-trivially observable."""
+    500 rows → prefix_bits 3.  The mechanism checks (a)/(b) use BAND 1,
+    whose flip-10 probe set covers 4 of 8 prefixes so directory pruning
+    is non-trivially observable (band 0's happens to cover all 8 at this
+    tiny prefix width — at deploy granularity p→N_PLANES every band
+    prunes; the probed-bucket fraction is 2^flip/2^planes regardless)."""
     from mysqldump_to_parquet_spark.llm import similarity as S
 
     sf = SF_RECALL
-    out = str(tmp_path / "band0")
+    band = 1
+    out = str(tmp_path / f"band{band}")
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     pbits = S._layout_prefix_bits(e.count())
     assert 1 < pbits < S.N_PLANES  # corpus-sized, neither degenerate end
-    S.write_ann_partitioned(e, out, band=0, prefix_bits=pbits)
+    S.write_ann_partitioned(e, out, band=band, prefix_bits=pbits)
 
     # layout shape: one directory per signature PREFIX value
     import os
 
     dirs = {d for d in os.listdir(out) if d.startswith("sigp=")}
     assert 1 < len(dirs) <= 1 << pbits
-    probe_sigs = set(S._probe_sigs_for_band(0, S.ANN_LAYOUT_FLIP))
+    probe_sigs = set(S._probe_sigs_for_band(band, S.ANN_LAYOUT_FLIP))
     assert len(probe_sigs) == 1 << S.ANN_LAYOUT_FLIP
     shift = S.N_PLANES - pbits
     prefixes = sorted({s >> shift for s in probe_sigs})
     assert len(prefixes) < 1 << pbits  # some directories are unprobed
 
     # (a) candidate-set exactness vs the in-memory signature UDF
-    sig = S._band_signature_udf(0)
+    sig = S._band_signature_udf(band)
     expected = {
         r.vec_id
         for r in e.withColumn("s", sig(F.col("embedding")))
@@ -468,11 +472,12 @@ def test_ivf_fit_sample_layout_independent(spark, tmp_path, monkeypatch):
 
 def test_ann_written_layout_recall_floor(spark):
     """The WRITTEN OR-construction path (q_sim_ann_partitioned,
-    L=2 layouts probed at flip=9 → 1/8 of each layout's directories)
-    carries a pinned recall of its own (VERDICT r8 #4): measured 0.6 on
-    sf0.01 (0.9 on sf0.001) — the documented written-path floor below
-    the 32-band in-memory filter's 1.0, bought with 2 corpus copies
-    instead of 32."""
+    L=3 layouts probed at flip=10 → 1/4 of each layout's buckets)
+    carries a pinned recall of its own (VERDICT r8 #4, floor raised r10
+    per the sweep in tools/sweep_ann_layout.py / BASELINE.md): measured
+    0.8 on sf0.01 (0.9 on sf0.1, 1.0 on sf0.001) — the knee of the
+    recall-vs-read-cost curve, bought with 3 corpus copies instead of
+    the 32-band in-memory filter's 32."""
     from mysqldump_to_parquet_spark.llm.similarity import sim_ann_partitioned
 
     exact = {r.vec_id for r in sim_topk(spark, SF_RECALL).collect()}
@@ -480,7 +485,7 @@ def test_ann_written_layout_recall_floor(spark):
         r.vec_id for r in sim_ann_partitioned(spark, SF_RECALL).collect()
     }
     recall = len(exact & approx) / 10
-    assert recall >= 0.5, f"written-path recall {recall}"
+    assert recall >= 0.8, f"written-path recall {recall}"
 
 
 def test_ivf_partitioned_layout_equals_in_memory_and_prunes(spark):
@@ -549,7 +554,11 @@ def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):
     src.limit(80).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     root2 = S._ann_layout_root(spark, d)
     assert root2 != root1
-    assert not os.path.exists(root1), "stale layout not deleted"
+    # the stale tree is NOT deleted eagerly (ADVICE r9: lazy DataFrames
+    # from earlier probes may still reference its files) — it survives
+    # until the atexit hook; eviction only stops SERVING it
+    assert os.path.exists(root1), "eager delete would break live handles"
+    assert S._ann_layout_root(spark, d) == root2  # and stays evicted
     # a warm hit returns the SAME matrix object (asserted above), so a
     # different object after the rewrite proves the quantizer re-fit
     c2 = S.ivf_centroids(spark, d)
@@ -600,6 +609,68 @@ def test_corpus_fingerprint_loud_on_missing_and_remote(tmp_path):
         warnings.simplefilter("error")  # second call must NOT re-warn
         fp2 = S._corpus_fingerprint(uri)
     assert fp1 == fp2  # constant path-only fingerprint, documented
+
+
+def test_ivf_fit_survives_tiny_corpus(spark, tmp_path):
+    """A corpus smaller than IVF_CELLS must not blow up the quantizer
+    fit (VERDICT r9 #3: MLlib KMeans throws an opaque
+    ArrayIndexOutOfBounds when k > n rows): k clamps to the corpus size,
+    the probe-cell derivation self-clamps to the actual centroid count,
+    and the probe still ranks — on a ≤nprobe-cell corpus every cell is
+    probed, so the top-k is EXACT."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    d = str(tmp_path / "tiny")
+    src = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src.limit(10).write.parquet(f"{d}/embeddings.parquet")
+
+    cents = S.ivf_centroids(spark, d)  # must not raise
+    assert 1 <= len(cents) <= 10
+    cells = S._ivf_probe_cells(cents)
+    assert 0 < len(cells) <= len(cents)
+
+    # sets, not lists: the raw-path and unit-path cosines can differ in
+    # the 6th rounded decimal, so tie ORDER may differ — completeness
+    # (no row lost to cell filtering; every cell is probed) is the claim
+    got = {r.vec_id for r in S.sim_ann_ivf(spark, d).collect()}
+    exact = {r.vec_id for r in sim_topk(spark, d).collect()}
+    assert got == exact  # every cell probed ⇒ exact top-k
+
+
+def test_corpus_fingerprint_recurses_into_partitions(spark, tmp_path):
+    """A PARTITIONED corpus (nested key=value directories, e.g. written
+    by the repo's own maintenance compaction) must fingerprint its part
+    FILES, not just top-level names (VERDICT r9 #5): rewriting ONE
+    partition in place — same directory names — must invalidate the
+    layout and quantizer caches."""
+    import os
+    import time
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    d = str(tmp_path / "parted")
+    src = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    part = src.withColumn("pt", (F.col("vec_id") % 2).cast("int"))
+    part.write.partitionBy("pt").parquet(f"{d}/embeddings.parquet")
+
+    fp1 = S._corpus_fingerprint(d)
+    # every entry is a (relative_path, mtime, size) of a real FILE —
+    # nested paths present, no bare directory names
+    rels = [e[0] for e in fp1]
+    assert any(os.sep in r for r in rels), f"no nested entries: {rels}"
+
+    root1 = S._ann_layout_root(spark, d)
+    c1 = S.ivf_centroids(spark, d)
+
+    # rewrite ONE partition in place: same directory tree, new files
+    time.sleep(0.05)  # ensure mtime moves even on coarse filesystems
+    part.where(F.col("pt") == 0).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet/pt=0"
+    )
+    fp2 = S._corpus_fingerprint(d)
+    assert fp2 != fp1, "partition rewrite not visible in fingerprint"
+    assert S._ann_layout_root(spark, d) != root1
+    assert S.ivf_centroids(spark, d) is not c1
 
 
 def test_ann_null_embeddings_skipped(spark, tmp_path):
