@@ -64,10 +64,12 @@ SEM_DIM = 64
 #: linearly with the corpus and the within-cell pair count grows
 #: quadratically (measured: the r8 sf1 row paid 8.9× for 10× data; the
 #: SemDeDup paper's k-means analog is growing the number of clusters
-#: with n).  At sf0.01 (500 docs) the adaptive count equals this floor,
-#: so the DuckDB oracle below — which pins 8 bits — is exactly
-#: equivalent at every corpus the driver checks (≤ SEM_TARGET_CELL·2⁸
-#: docs); the pinned recall at the fixture is likewise unchanged.
+#: with n).  The DuckDB oracle computes the SAME adaptive count from
+#: ``COUNT(*)`` (its ``nb`` CTE mirrors ``_blocking_bits`` term for
+#: term), so Spark and oracle stay exactly equivalent at EVERY corpus
+#: size — validated r10 at sf1 (50 000 docs → 11 bits, both engines,
+#: identical 254 700-pair sets), not just at the ≤8 192-doc floor the
+#: driver fixture exercises (ADVICE r9 #1).
 SEM_BITS = 8
 
 #: expected documents per blocking cell the adaptive bit count aims for
@@ -271,14 +273,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bits_sql() -> str:
-    return " + ".join(
-        f"(CASE WHEN q[{k + 1}] * sl > len * scs[{k + 1}]"
-        f" THEN {1 << k} ELSE 0 END)"
-        for k in range(SEM_BITS)
-    )
-
-
 DEDUP_SEMANTIC_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -307,9 +301,23 @@ vec AS (
 vlen AS (
   SELECT doc_id, q, CAST(list_aggregate(q, 'sum') AS BIGINT) AS len FROM vec
 ),
+nb AS (
+  -- the SAME adaptive bit count the Spark side computes
+  -- (_blocking_bits: expected cell size held at ~SEM_TARGET_CELL docs,
+  -- floored at SEM_BITS, capped at 30) so the oracle stays exactly
+  -- equivalent at ANY corpus size, not just below SEM_TARGET_CELL*2^8
+  -- docs (ADVICE r9 #1).  ceil(log2(·)) on an integer ratio cannot
+  -- straddle an integer boundary between the two engines' doubles
+  -- except at exact powers of two, where log2 is exact in both.
+  SELECT GREATEST({SEM_BITS}, LEAST(30,
+           CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / {SEM_TARGET_CELL}.0)))
+                AS INT))) AS bits
+  FROM vlen
+),
 totk AS (
   SELECT k, CAST(SUM(q[k]) AS BIGINT) AS sc
-  FROM vlen, generate_series(1, {SEM_BITS}) s(k)
+  FROM vlen,
+       (SELECT unnest(generate_series(1, (SELECT bits FROM nb))) AS k) s
   GROUP BY k
 ),
 tota AS (
@@ -318,7 +326,13 @@ tota AS (
   FROM totk
 ),
 cells AS (
-  SELECT doc_id, q, len, ({_bits_sql()}) AS cell
+  SELECT doc_id, q, len,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, (SELECT bits FROM nb)),
+                            k -> CASE WHEN q[k] * sl > len * scs[k]
+                                 THEN CAST(1 AS BIGINT) << (k - 1)
+                                 ELSE CAST(0 AS BIGINT) END)),
+           (s, x) -> s + x) AS BIGINT) AS cell
   FROM vlen, tota
 ),
 capped AS (
