@@ -127,14 +127,33 @@ SF1_QUERIES = [
 ]
 
 
-def run_sf1(spark, registry, sf1_dir: str) -> None:
-    """Append/replace the sf1 spot-run section in SCALING.md: min-of-2
-    at sf0.1 and sf1 for the heavy tail, with the ×(10×) factor paid."""
+def _replace_section(path: str, header: str, section: str) -> None:
+    """Replace (or append) one `## `-headed section of SCALING.md in
+    place, leaving every other section untouched — so the full-table,
+    sf1, and ANN regens can run on independent budgets without wiping
+    each other's measurements."""
     import re
 
+    text = open(path).read() if os.path.exists(path) else ""
+    if header in text:
+        text = re.sub(
+            rf"{re.escape(header)}.*?(?=\n## |\Z)", section, text, flags=re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + section
+    open(path, "w").write(text)
+
+
+def run_sf1(spark, registry, sf1_dir: str) -> None:
+    """Append/replace the sf1 spot-run section in SCALING.md: min-of-2
+    at sf0.1 and sf1 for the heavy tail, with the ×(10×) factor paid —
+    and the OUTPUT-rows factor beside it (VERDICT r9 #8), so
+    output-bound rows (wall tracks result size, not a superlinear plan)
+    stop re-flagging on every regeneration."""
     rows = []
     for name in SF1_QUERIES:
         pts = {}
+        nout = {}
         for label, d in (("0.1", "/root/testdata/sf0.1"), ("1", sf1_dir)):
             spark.catalog.clearCache()
             best = float("inf")
@@ -145,8 +164,12 @@ def run_sf1(spark, registry, sf1_dir: str) -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             pts[label] = best
-        rows.append((name, pts["0.1"], pts["1"]))
-        print(f"{name}: sf0.1 {pts['0.1']:.2f}s  sf1 {pts['1']:.2f}s")
+            nout[label] = registry[name](spark, d).count()
+        rows.append((name, pts["0.1"], pts["1"], nout["0.1"], nout["1"]))
+        print(
+            f"{name}: sf0.1 {pts['0.1']:.2f}s ({nout['0.1']} rows)  "
+            f"sf1 {pts['1']:.2f}s ({nout['1']} rows)"
+        )
 
     lines = [
         "## sf1 spot-run — the heavy tail, one more decade",
@@ -158,31 +181,33 @@ def run_sf1(spark, registry, sf1_dir: str) -> None:
         "≈10× means compute-bound at full parallelism (acceptable),",
         "materially over 10× flags a superlinear plan.",
         "",
-        "| query | sf0.1 | sf1 (10× data) | ×(10×) |",
-        "|---|---|---|---|",
+        "| query | sf0.1 | sf1 (10× data) | ×(10×) | out rows sf0.1→sf1 | out × |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, a, b in rows:
-        lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | {b / a:.1f}× |")
+    for name, a, b, oa, ob in rows:
+        ox = ob / oa if oa else float("nan")
+        lines.append(
+            f"| {name} | {a:.2f}s | {b:.2f}s | {b / a:.1f}× "
+            f"| {oa} → {ob} | {ox:.1f}× |"
+        )
     lines += [
         "",
-        "Round-9 reading: every scale primary pays ≈2× or less for 10×",
-        "data except the named cases below — the iterative frames",
+        "Reading the two × columns together: a wall × at or below the",
+        "OUTPUT × is output-bound (the result itself grew — not a plan",
+        "defect); a wall × well above both ~2 and the output × flags a",
+        "genuinely superlinear plan.  The two standing output-bound rows:",
+        "`q_resample_locf` (the gap-filled grid is ~10× larger at sf1 —",
+        "wall tracks output, sharded on user_id) and `q_dedup_semantic`",
+        "(the sf1 fixture replicates every document 10×, so the",
+        "TRUE-duplicate pair output grows ~100×; adaptive blocking bits",
+        "keep the candidate work linear — the r8 8.9× was the fixed-bit",
+        "cell-growth defect, since fixed).  Iterative frames",
         "(bpe/bfs/kmeans) confirm their sf0.1 cost is scheduling floor,",
-        "not data.  `q_dedup_semantic` was the r8 outlier (8.9× — fixed",
-        "8-bit blocking let cells grow with the corpus, so within-cell",
-        "pair work grew quadratically); adaptive blocking bits",
-        "(`_blocking_bits`: expected cell size ~constant) brought it to",
-        "~2× — note the sf1 fixture replicates every document 10×, so",
-        "the TRUE-duplicate output itself grows ~100×, an output-bound",
-        "floor no blocking can remove.  `q_resample_locf` stays the",
-        "documented output-bound case (the gap-filled grid is ~10× larger",
-        "at sf1 — wall tracks OUTPUT size, sharded on user_id).",
-        "`q_embed_covariance` is data-volume-bound by design (one Gram",
-        "fold over every vector) — ~1.6× measured; a hotter session once",
-        "drew 5.9×, which is cores saturating under load, not a plan",
-        "defect.  `q_sim_ann_partitioned`'s wall",
-        "is dominated by its ONE-TIME 2-band layout write at this",
-        "fixture scale; steady-state probes are pruned reads.",
+        "not data.  `q_embed_covariance` is data-volume-bound by design",
+        "(one Gram fold over every vector) — ~1.6× measured.",
+        "`q_sim_ann_partitioned`'s wall is dominated by its ONE-TIME",
+        "L-band layout write at this fixture scale; the steady-state",
+        "probe decade is measured in its own section below.",
         "`q_win_running_distinct` exact stays ~2× (user_id keying) with",
         "the day-grain primary lower; `q_agg_weighted_median` EXACT holds",
         "~1× after the r5 distinct-value-grain pre-aggregation.",
@@ -192,15 +217,79 @@ def run_sf1(spark, registry, sf1_dir: str) -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
-    text = open(path).read()
-    if "## sf1 spot-run" in text:
-        text = re.sub(
-            r"## sf1 spot-run.*?(?=\n## |\Z)", section, text, flags=re.S
-        )
-    else:
-        text = text.rstrip() + "\n\n" + section
-    open(path, "w").write(text)
+    _replace_section(path, "## sf1 spot-run", section)
     print(f"wrote sf1 section to {path}")
+
+
+def run_ann(spark, sf1_dir: str | None) -> None:
+    """Append/replace the steady-state ANN probe section (VERDICT r9
+    #4): for each written layout, the one-time BUILD cost and the
+    min-of-3 warm PROBE cost — the number a deployment actually pays per
+    query — across the sf decade."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    dirs = [
+        ("0.001", "/root/testdata/sf0.001"),
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", "/root/testdata/sf0.1"),
+    ]
+    if sf1_dir:
+        dirs.append(("1", sf1_dir))
+
+    layouts = [
+        ("LSH prefix layout", S._ann_layout_root, S.sim_ann_partitioned),
+        ("IVF cell layout", S._ivf_layout_dir, S.sim_ann_ivf_partitioned),
+    ]
+    rows = []
+    for label, build_fn, probe_fn in layouts:
+        for sf, d in dirs:
+            n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+            t0 = time.perf_counter()
+            build_fn(spark, d)  # cold: fingerprint miss → write layout
+            build = time.perf_counter() - t0
+            probe = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                probe_fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                probe = min(probe, time.perf_counter() - t0)
+            rows.append((label, sf, n, build, probe))
+            print(f"{label} sf{sf}: n={n} build {build:.2f}s probe {probe:.2f}s")
+
+    lines = [
+        "## steady-state ANN probes — build once, probe across the decade",
+        "",
+        "The wall a deployment pays per query is the WARM probe (pruned",
+        "read of the written layout), not the one-time build the combined",
+        "operator wall is dominated by at fixture scale.  Build = first",
+        "call in a fresh cache (layout write; for IVF also the one-time",
+        "quantizer fit); probe = min-of-3 with the layout warm.",
+        "IVF fit sample and cell count are corpus-bounded, so build grows",
+        "with data volume while probe tracks the PRUNED fraction",
+        "(LSH: L·2^(flip−12) of one copy at deploy granularity; IVF:",
+        "nprobe/cells ≈ 1/4).",
+        "",
+        "| layout | sf | corpus rows | build (once) | probe (steady, min-of-3) |",
+        "|---|---|---|---|---|",
+    ]
+    for label, sf, n, build, probe in rows:
+        lines.append(
+            f"| {label} | {sf} | {n} | {build:.2f}s | {probe:.2f}s |"
+        )
+    lines += [
+        "",
+        "Probe wall should grow far slower than corpus rows: the probed",
+        "fraction is constant, so the pruned read grows linearly but",
+        "starts from a small-file floor at tiny fixtures.  A probe ×",
+        "approaching the corpus × would mean pruning stopped working.",
+    ]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    _replace_section(path, "## steady-state ANN probes", "\n".join(lines) + "\n")
+    print(f"wrote ANN probe section to {path}")
 
 
 def main() -> None:
@@ -229,14 +318,30 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--ann" in sys.argv:
+        i = sys.argv.index("--ann")
+        sf1_dir = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else None
+        )
+        registry["q_sim_topk"](spark, "/root/testdata/sf0.01").write.format(
+            "noop"
+        ).mode("overwrite").save()  # warmup
+        run_ann(spark, sf1_dir)
+        spark.stop()
+        return
+
     # warmup: pay JVM + codegen startup outside the measurements
     registry[QUERIES[0]](spark, "/root/testdata/sf0.01").write.format(
         "noop"
     ).mode("overwrite").save()
 
     results: dict[str, dict[str, float]] = {}
+    out_rows: dict[str, dict[str, int]] = {}
     for name in QUERIES:
         results[name] = {}
+        out_rows[name] = {}
         for sf in SFS:
             spark.catalog.clearCache()
             best = float("inf")
@@ -247,6 +352,10 @@ def main() -> None:
                 ).mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results[name][sf] = best
+            if sf in ("0.001", "0.1"):  # output growth across the decade
+                out_rows[name][sf] = registry[name](
+                    spark, f"/root/testdata/sf{sf}"
+                ).count()
 
     lines = [
         "# SCALING — wall time vs data size",
@@ -257,16 +366,20 @@ def main() -> None:
         "100× more data (sf0.001 → sf0.1) should cost far less than 100× wall:",
         "fixed job overhead dominates the small end, and the plan's parallelism",
         "absorbs growth until cores saturate.  The `×(100× data)` column is the",
-        "scale-up factor actually paid.",
+        "scale-up factor actually paid; `out ×` is how much the RESULT itself",
+        "grew — a wall × at or below the output × is output-bound by",
+        "construction, not a superlinear plan (VERDICT r9 #8).",
         "",
-        "| query | sf0.001 | sf0.01 | sf0.1 | ×(100× data) |",
-        "|---|---|---|---|---|",
+        "| query | sf0.001 | sf0.01 | sf0.1 | ×(100× data) | out rows (sf0.1) | out × |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         ratio = r["0.1"] / r["0.001"] if r["0.001"] > 0 else float("nan")
+        o = out_rows[name]
+        ox = o["0.1"] / o["0.001"] if o.get("0.001") else float("nan")
         lines.append(
             f"| {name} | {r['0.001']:.2f}s | {r['0.01']:.2f}s | {r['0.1']:.2f}s "
-            f"| {ratio:.1f}× |"
+            f"| {ratio:.1f}× | {o['0.1']} | {ox:.1f}× |"
         )
     lines += [
         "",
@@ -298,18 +411,23 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
-    # a full regen must not silently drop the --sf1 spot-run section
-    # (separately measured — carry the existing one over verbatim)
-    sf1_section = ""
+    # a full regen must not silently drop the separately-measured
+    # sections (--sf1 spot-run, --ann probes) — carry them over verbatim
+    kept = ""
     if os.path.exists(path):
         import re
 
-        m = re.search(r"\n## sf1 spot-run.*?(?=\n## |\Z)", open(path).read(), re.S)
-        if m:
-            sf1_section = m.group(0)
+        for header in ("## sf1 spot-run", "## steady-state ANN probes"):
+            m = re.search(
+                rf"\n{re.escape(header)}.*?(?=\n## |\Z)",
+                open(path).read(),
+                re.S,
+            )
+            if m:
+                kept += m.group(0)
     with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n" + sf1_section)
-    print(f"wrote {path}" + (" (sf1 section preserved)" if sf1_section else ""))
+        fh.write("\n".join(lines) + "\n" + kept)
+    print(f"wrote {path}" + (" (spot sections preserved)" if kept else ""))
     spark.stop()
 
 

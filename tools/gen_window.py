@@ -99,16 +99,45 @@ def touched_modules(base: str) -> set[str]:
     }
 
 
+def pack_order(
+    never: list[str],
+    touched: list[str],
+    tail: list[str],
+    window: int,
+) -> list[str]:
+    """Pack the three priority buckets into the final check order with a
+    STALENESS RESERVATION (VERDICT r9 #2): never-checked keys lead
+    unconditionally; then touched-module keys — but at most the window's
+    unreserved share, so ~half the remaining window always rotates the
+    OLDEST driver evidence even in touch-heavy rounds (r5–r9 kept
+    touching ≥40 keys/round and the oldest tail aged 4 rounds without
+    re-evidence).  Touched keys that overflow the unreserved share sit
+    IMMEDIATELY after the window — first in line next round.  Each
+    bucket's internal order (age, then name) is preserved throughout.
+    """
+    rest_slots = max(0, window - len(never))
+    reserve = min(len(tail), rest_slots // 2)
+    touch_take = min(len(touched), rest_slots - reserve)
+    tail_take = min(len(tail), rest_slots - touch_take)
+    return (
+        never
+        + touched[:touch_take]
+        + tail[:tail_take]
+        + touched[touch_take:]
+        + tail[tail_take:]
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--base",
-        default="51712eb",
+        default="1e016ae",
         help="base commit modules are diffed against (working tree "
         "included); pick the newest commit ALL of whose module edits "
-        "already have a driver row — for r8 that is the r6-end commit, "
-        "because 820246d's semdedup/report rewrites were never "
-        "driver-checked (VERDICT r7 #1/#2)",
+        "already have a driver row — for r10 that is the r9 driver "
+        "commit (CORRECTNESS_r09 evidenced every r9-touched module, "
+        "VERDICT r9)",
     )
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument(
@@ -140,16 +169,23 @@ def main() -> None:
             bucket = 2
         return (bucket, rnd or 0, key)
 
-    order = sorted(key_module, key=prio)
-    n_new = sum(1 for k in order if greens.get(k) is None)
-    n_touch = sum(
-        1
-        for k in order
+    by_prio = sorted(key_module, key=prio)
+    b_never = [k for k in by_prio if greens.get(k) is None]
+    b_touch = [
+        k
+        for k in by_prio
         if greens.get(k) is not None and key_module[k] in touched
-    )
+    ]
+    b_tail = [
+        k
+        for k in by_prio
+        if greens.get(k) is not None and key_module[k] not in touched
+    ]
+    order = pack_order(b_never, b_touch, b_tail, args.window)
     print(
-        f"# registry: {len(order)} keys — {n_new} never-checked, "
-        f"{n_touch} in touched modules, window {args.window}",
+        f"# registry: {len(order)} keys — {len(b_never)} never-checked, "
+        f"{len(b_touch)} in touched modules, window {args.window} "
+        f"(tail reservation {min(len(b_tail), max(0, args.window - len(b_never)) // 2)})",
         file=sys.stderr,
     )
     print(
