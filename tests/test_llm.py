@@ -107,8 +107,10 @@ def test_ann_recall_vs_exact(spark):
 
 
 def test_ivf_recall_vs_exact(spark):
-    """IVF with nprobe=4/16 cells must recall most of the exact top-10
-    (centroid-aligned probes are far better targeted than hyperplane LSH)."""
+    """IVF probing 25% of the corpus-adaptive grid must recall most of
+    the exact top-10 (centroid-aligned probes are far better targeted
+    than hyperplane LSH; measured 0.8 at sf0.001 with the r10 adaptive
+    grid)."""
     from mysqldump_to_parquet_spark.llm.similarity import sim_ann_ivf
 
     exact = [r.vec_id for r in sim_topk(spark, SF).collect()]
@@ -121,7 +123,9 @@ def test_ivf_recall_vs_exact(spark):
 #: every rows-only approx key carries a quantitative quality number vs its
 #: exact twin, recorded in COVERAGE.md.  Measured round 5: IVF 0.8 after
 #: the 64-cell/probe-16 requantization (same 25% scan fraction as the old
-#: 16/4 which measured 0.7; was 0.1 before the spherical fix).  Round 8:
+#: 16/4 which measured 0.7; was 0.1 before the spherical fix); round 10's
+#: corpus-adaptive grid (min(4√n, n/8)) re-measured 0.8/0.8/1.0 across
+#: sf0.001/0.01/0.1.  Round 8:
 #: LSH 1.0 (was 0.6) after replacing the mod-41 rational plane family
 #: (only 41 distinct vectors — bands were correlated) with seeded
 #: Gaussian planes + query-directed multi-probe; min 0.7 over a 9-probe
@@ -133,7 +137,8 @@ SF_RECALL = "/root/testdata/sf0.01"
 
 def test_ann_recall_bounds_sf001(spark):
     """sf0.01 recall@10 floors: IVF ≥ 0.7 (spherical coarse quantizer,
-    nprobe 16/64 — 25% scanned, measured 0.8), hyperplane LSH ≥ 0.7
+    corpus-adaptive grid — min(4√n, n/8) = 62 cells / nprobe 16 at
+    n=500, 25% scanned, measured 0.8), hyperplane LSH ≥ 0.7
     (32 Gaussian bands × 12 planes, query-directed multi-probe,
     measured 1.0)."""
     from mysqldump_to_parquet_spark.llm.similarity import sim_ann_ivf
@@ -550,7 +555,7 @@ def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):
     assert S.ivf_centroids(spark, d) is c1  # warm hit: identical object
 
     # rewrite the corpus (different content => different fingerprint;
-    # stays above IVF_CELLS=64 rows — KMeans requires k <= n)
+    # adaptive cell count clamps k <= n, so any size works)
     src.limit(80).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     root2 = S._ann_layout_root(spark, d)
     assert root2 != root1
@@ -612,7 +617,7 @@ def test_corpus_fingerprint_loud_on_missing_and_remote(tmp_path):
 
 
 def test_ivf_fit_survives_tiny_corpus(spark, tmp_path):
-    """A corpus smaller than IVF_CELLS must not blow up the quantizer
+    """A tiny corpus must not blow up the quantizer
     fit (VERDICT r9 #3: MLlib KMeans throws an opaque
     ArrayIndexOutOfBounds when k > n rows): k clamps to the corpus size,
     the probe-cell derivation self-clamps to the actual centroid count,
