@@ -505,9 +505,14 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _ann_layout_root(spark, sf_dir)
     with open(os.path.join(root, "ann_meta.json")) as f:
-        shift = N_PLANES - json.load(f)["prefix_bits"]
+        meta = json.load(f)
+    # the layout is SELF-DESCRIBING: probe the bands it was built with
+    # (recorded at build time), never the module constant — a cached
+    # layout from an earlier configuration must not be probed for band
+    # directories it does not hold
+    shift = N_PLANES - meta["prefix_bits"]
     cands = None
-    for b in range(ANN_LAYOUT_BANDS):
+    for b in range(meta["bands"]):
         sigs = _probe_sigs_for_band(b, ANN_LAYOUT_FLIP)
         prefixes = sorted({s >> shift for s in sigs})
         part = spark.read.parquet(os.path.join(root, f"band{b}")).where(

@@ -109,6 +109,17 @@ def main() -> None:
         "tuple per line, statements span lines) split across FILES "
         "files; exercises the byte-range statement-reassembly path",
     )
+    ap.add_argument(
+        "--out-dir",
+        default=None,
+        metavar="DIR",
+        help="write the parquet output under DIR instead of the work "
+        "dir — point it at a different filesystem (e.g. /dev/shm) to "
+        "ISOLATE read-side pressure from the output writeback when the "
+        "dump no longer fits page cache (the r9 32 GB open question: "
+        "how much of the past-cache slowdown is the parquet write "
+        "contending for the same device)",
+    )
     args = ap.parse_args()
     if args.multiline and args.gzip:
         # the multiline branch replaces the dump with a glob of plain
@@ -126,6 +137,7 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
     work = tempfile.mkdtemp(prefix="ingest_bench_")
+    cleanup_dirs: list[str] = []
     try:
         dump = os.path.join(work, "bench.sql")
         rows = generate_dump(dump, args.mb, args.tables)
@@ -264,7 +276,11 @@ def main() -> None:
             counts = {"bench_0": got}
             rows = got
         else:
-            out = os.path.join(work, "out")
+            if args.out_dir:
+                out = tempfile.mkdtemp(prefix="ingest_out_", dir=args.out_dir)
+                cleanup_dirs.append(out)
+            else:
+                out = os.path.join(work, "out")
             t0 = time.perf_counter()
             counts = convert_dump(spark, dump, out)
             wall = time.perf_counter() - t0
@@ -293,8 +309,12 @@ def main() -> None:
                 1 - (c1[1] - c0[1] + c1[2] - c0[2]) / tot, 3
             )
             rec["iowait_frac"] = round((c1[2] - c0[2]) / tot, 3)
+        if args.out_dir:
+            rec["out_dir"] = args.out_dir
         print(json.dumps(rec))
     finally:
+        for d in cleanup_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
