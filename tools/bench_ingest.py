@@ -120,7 +120,25 @@ def main() -> None:
         "how much of the past-cache slowdown is the parquet write "
         "contending for the same device)",
     )
+    ap.add_argument(
+        "--keep-dump",
+        action="store_true",
+        help="keep the generated dump (and print its path to stderr) so "
+        "an A/B pair of runs pays the multi-GB generation once; a "
+        "`<dump>.rows` sidecar records the row count for --dump-path "
+        "reuse.  The caller owns cleanup.",
+    )
+    ap.add_argument(
+        "--dump-path",
+        default=None,
+        metavar="FILE",
+        help="reuse an existing dump from a prior --keep-dump run "
+        "(reads the row count from the `<dump>.rows` sidecar; skips "
+        "generation).  Incompatible with --gzip/--multiline reshaping.",
+    )
     args = ap.parse_args()
+    if args.dump_path and (args.gzip or args.multiline):
+        ap.error("--dump-path reuses a plain dump; cannot reshape it")
     if args.multiline and args.gzip:
         # the multiline branch replaces the dump with a glob of plain
         # files; the gzip branch would then reopen (and re-unlink) the
@@ -139,8 +157,15 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="ingest_bench_")
     cleanup_dirs: list[str] = []
     try:
-        dump = os.path.join(work, "bench.sql")
-        rows = generate_dump(dump, args.mb, args.tables)
+        if args.dump_path:
+            dump = args.dump_path
+            with open(dump + ".rows") as fh:
+                rows = int(fh.read().strip())
+        else:
+            dump = os.path.join(work, "bench.sql")
+            rows = generate_dump(dump, args.mb, args.tables)
+            with open(dump + ".rows", "w") as fh:
+                fh.write(str(rows))
         dump_mb = os.path.getsize(dump) / 1024 / 1024
         if args.multiline:
             # rewrite each extended INSERT as a multi-line statement:
@@ -315,7 +340,14 @@ def main() -> None:
     finally:
         for d in cleanup_dirs:
             shutil.rmtree(d, ignore_errors=True)
-        shutil.rmtree(work, ignore_errors=True)
+        if args.keep_dump:
+            # keep the dump (+ .rows sidecar) for --dump-path reuse;
+            # reclaim the parquet output now — caller owns the rest
+            shutil.rmtree(os.path.join(work, "out"), ignore_errors=True)
+            print(f"kept dump: {os.path.join(work, 'bench.sql')}",
+                  file=sys.stderr)
+        else:
+            shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
 
