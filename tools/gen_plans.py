@@ -443,7 +443,8 @@ NOTES = {
     ),
     "q_sim_ann_partitioned": (
         "The WRITTEN LSH layout (r8; OR-construction + corpus-sized "
-        "granularity r9): 2 corpus copies, each partitionBy a "
+        "granularity r9; swept knee L=3/flip=10 r10): 3 corpus copies, "
+        "each partitionBy a "
         "corpus-sized PREFIX of its band's signature (~64 rows per "
         "directory; at ≥256k rows the prefix IS the full signature), "
         "full signature kept as a data column.  A probe prunes "
@@ -454,9 +455,10 @@ NOTES = {
         "granularity-independent), then unions, dedups by vec_id, and "
         "ranks survivors by exact cosine.  Sizing directories to the "
         "corpus took the sf0.1 steady-state probe 6.0 → 1.2 s. "
-        "Written-path recall@10 0.6 at sf0.01 (pin 0.5; 0.9 at "
-        "sf0.001) vs the 32-band in-memory filter's 1.0 — the standard "
-        "LSH storage/recall trade, bought with 2 copies instead of 32."
+        "Written-path recall@10 0.8 at sf0.01 (pin 0.8; 0.9/1.0 at "
+        "sf0.1/sf0.001) vs the 32-band in-memory filter's 1.0 — the "
+        "knee of the measured recall-vs-read-cost curve (BASELINE.md), "
+        "bought with 3 copies instead of 32."
     ),
     "q_sim_ann_ivf_partitioned": (
         "The WRITTEN IVF layout (r9): corpus partitionBy coarse-"
@@ -468,7 +470,8 @@ NOTES = {
         "in-memory q_sim_ann_ivf exactly (pytest-asserted).  This is "
         "the first-choice 100 TB deployment for near-noise corpora: "
         "data-adapted cells beat data-oblivious hyperplanes at equal "
-        "read fraction (0.8 recall at 0.25 vs 0.6 at 0.27)."
+        "read fraction; the r10 corpus-adaptive grid (min(4√n, n/8) "
+        "cells, 25% probed) measured 0.8/0.8/1.0 across the decade."
     ),
     "q_embed_pca": (
         "PCA transform (r6, plan section added r8): the fit is the "
