@@ -56,21 +56,24 @@ ROWS_ONLY_NOTES = {
         "robustness sweep — pytest-pinned)"
     ),
     "q_sim_ann_partitioned": (
-        "rows-only (probe over the WRITTEN OR-construction: 2 band "
-        "layouts partitionBy a corpus-sized PREFIX of the signature "
-        "with the full signature as a pushed data filter — sigp IN (…) "
-        "reaches each scan as a PartitionFilter and the candidate set "
-        "is granularity-independent; candidate-set exactness vs the "
-        "shared flip-set implementation, physical pruning, AND the "
-        "written path's own recall@10 ≥ 0.5 vs exact q_sim_topk at "
-        "sf0.01 — measured 0.6 (0.9 at sf0.001) — are pytest-asserted)"
+        "rows-only (probe over the WRITTEN OR-construction: 3 band "
+        "layouts — the r10-swept knee L=3/flip=10, curve in "
+        "BASELINE.md — partitionBy a corpus-sized PREFIX of the "
+        "signature with the full signature as a pushed data filter — "
+        "sigp IN (…) reaches each scan as a PartitionFilter and the "
+        "candidate set is granularity-independent; candidate-set "
+        "exactness vs the shared flip-set implementation, physical "
+        "pruning, AND the written path's own recall@10 ≥ 0.8 vs exact "
+        "q_sim_topk at sf0.01 — measured 0.8 (0.9/1.0 at "
+        "sf0.1/sf0.001) — are pytest-asserted)"
     ),
     "q_sim_ann_ivf": (
-        "rows-only (spherical IVF nprobe 16/64 — 25% scan fraction; "
-        "recall@10 ≥ 0.7 vs exact q_sim_topk at sf0.01 — measured 0.8 — "
-        "pytest-pinned; finer quantization at the same scan cost lifted "
-        "0.7 → 0.8; quantizer fit on a SEEDED UNIFORM sample — "
-        "layout-independent, sorted-corpus property test pins ≥ 0.7)"
+        "rows-only (spherical IVF, corpus-adaptive grid min(4√n, n/8) "
+        "cells at a 25% scan fraction — r10; recall@10 ≥ 0.7 vs exact "
+        "q_sim_topk at sf0.01 — measured 0.8/0.8/1.0 across "
+        "sf0.001/0.01/0.1 — pytest-pinned; quantizer fit on a SEEDED "
+        "UNIFORM sample — layout-independent, sorted-corpus property "
+        "test pins ≥ 0.7)"
     ),
     "q_sim_ann_ivf_partitioned": (
         "rows-only (probe over the WRITTEN partitionBy(cell) IVF "
