@@ -211,3 +211,38 @@ def test_every_key_documented_in_survey():
         expanded.update(prefix + frag for frag in parts[1:])
     missing = [k for k in entrypoint._CHECK_ORDER if k not in expanded]
     assert not missing, f"keys absent from SURVEY.md: {missing}"
+
+
+def test_pack_order_reservation_arithmetic():
+    """Unit-pin tools/gen_window.pack_order (r10 staleness reservation):
+    never-checked keys lead unconditionally; touched keys take at most
+    the unreserved share; ~half the remaining window is reserved for
+    the oldest tail; overflow-touched keys sit IMMEDIATELY after the
+    window; every bucket's internal order is preserved."""
+    from tools.gen_window import pack_order
+
+    never = [f"n{i}" for i in range(4)]
+    touched = [f"t{i}" for i in range(40)]
+    tail = [f"o{i}" for i in range(60)]
+    w = 50
+
+    order = pack_order(never, touched, tail, w)
+    assert sorted(order) == sorted(never + touched + tail)  # permutation
+    assert order[:4] == never  # never-checked lead
+    window = order[:w]
+    # reservation: 46 remaining slots → 23 reserved for the oldest tail
+    assert window[4:27] == touched[:23]
+    assert window[27:50] == tail[:23]
+    # overflow-touched immediately after the window, then the rest of
+    # the tail — each in original order
+    assert order[50:67] == touched[23:]
+    assert order[67:] == tail[23:]
+
+    # touch-light round: tail fills every leftover slot
+    order = pack_order(never, touched[:3], tail, w)
+    assert order[:4] == never and order[4:7] == touched[:3]
+    assert order[7:50] == tail[:43]
+
+    # degenerate: never-checked alone overflows the window
+    order = pack_order([f"n{i}" for i in range(60)], touched[:2], tail[:2], w)
+    assert order[:60] == [f"n{i}" for i in range(60)]
