@@ -429,15 +429,20 @@ def _cached_layout(cache: dict, spark: SparkSession, sf_dir: str,
     Guarded by ``_CACHE_LOCK`` so two threads probing the same cold
     corpus build ONE layout instead of racing (the loser's tree used to
     be orphaned until exit and the duplicate build wasted a full write
-    job, ADVICE r9); builds are rare (once per corpus content), so one
-    module-wide lock costs nothing."""
+    job, ADVICE r9).  A WARM hit is checked lock-free first (dict reads
+    are GIL-atomic; the fingerprint stat costs microseconds) so a probe
+    on an already-cached corpus never stalls behind another corpus's
+    multi-second cold build — the lock only serializes builds."""
     import atexit
     import shutil
     import tempfile
 
+    fp = _corpus_fingerprint(sf_dir)
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] == fp:  # warm: no lock
+        return hit[1]
     with _CACHE_LOCK:
-        fp = _corpus_fingerprint(sf_dir)
-        hit = cache.get(sf_dir)
+        hit = cache.get(sf_dir)  # re-check: the build race goes here
         if hit is not None and hit[0] == fp:
             return hit[1]
         if hit is not None:  # corpus changed under the same path
@@ -621,8 +626,11 @@ def ivf_centroids(spark: SparkSession, sf_dir: str):
     cached matrix — no KMeans stage appears in a probe's plan."""
     import numpy as np
 
+    fp = _corpus_fingerprint(sf_dir)
+    hit = _IVF_CENTROIDS.get(sf_dir)
+    if hit is not None and hit[0] == fp:  # warm: no lock (see
+        return hit[1]  # _cached_layout — only builds serialize)
     with _CACHE_LOCK:  # one fit per cold corpus, even under threads
-        fp = _corpus_fingerprint(sf_dir)
         hit = _IVF_CENTROIDS.get(sf_dir)
         if hit is None or hit[0] != fp:
             from pyspark.ml.clustering import KMeans

@@ -78,11 +78,12 @@ def test_touched_module_keys_inside_window():
         k for k in qs if k in entrypoint._VERIFIED
         and key_module[k] not in touched
     ]
-    # mirror tools/gen_window.pack_order's arithmetic
-    rest_slots = max(0, DRIVER_WINDOW - len(never))
-    reserve = min(len(tail_keys), rest_slots // 2)
-    touch_take = min(len(touched_keys), rest_slots - reserve)
-    tail_take = min(len(tail_keys), rest_slots - touch_take)
+    # the generator's own arithmetic, not a hand-synced mirror
+    from tools.gen_window import reservation_takes
+
+    _, _, tail_take = reservation_takes(
+        len(never), len(touched_keys), len(tail_keys), DRIVER_WINDOW
+    )
     allowed_ahead = (
         set(never) | set(touched_keys) | set(tail_keys[:tail_take])
     )

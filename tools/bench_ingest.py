@@ -139,6 +139,14 @@ def main() -> None:
     args = ap.parse_args()
     if args.dump_path and (args.gzip or args.multiline):
         ap.error("--dump-path reuses a plain dump; cannot reshape it")
+    if args.keep_dump and (args.gzip or args.multiline):
+        # the reshaping paths UNLINK work/bench.sql after rewriting it,
+        # so there is no plain dump left to keep
+        ap.error("--keep-dump keeps the plain dump; --gzip/--multiline "
+                 "delete it after reshaping")
+    if args.keep_dump and args.dump_path:
+        ap.error("--keep-dump is meaningless with --dump-path (the dump "
+                 "already lives outside the work dir)")
     if args.multiline and args.gzip:
         # the multiline branch replaces the dump with a glob of plain
         # files; the gzip branch would then reopen (and re-unlink) the
@@ -160,12 +168,18 @@ def main() -> None:
         if args.dump_path:
             dump = args.dump_path
             with open(dump + ".rows") as fh:
-                rows = int(fh.read().strip())
+                side = json.loads(fh.read())
+            rows = side["rows"]
+            # the dump's shape is baked in at generation time — the
+            # reuse run must inherit it, or the per-table round-robin
+            # assertions (and the recorded `tables`) silently lie
+            args.tables = side["tables"]
         else:
             dump = os.path.join(work, "bench.sql")
             rows = generate_dump(dump, args.mb, args.tables)
             with open(dump + ".rows", "w") as fh:
-                fh.write(str(rows))
+                json.dump({"rows": rows, "tables": args.tables,
+                           "mb": args.mb}, fh)
         dump_mb = os.path.getsize(dump) / 1024 / 1024
         if args.multiline:
             # rewrite each extended INSERT as a multi-line statement:
@@ -243,17 +257,23 @@ def main() -> None:
         # collapsed the moment /proc/diskstats was actually read —
         # device reads were ZERO, the dump being page-cached).
         def _disk():
-            # Attribute I/O to the device that actually hosts the work
-            # dir (st_dev major/minor matched against /proc/diskstats),
-            # not "the first disk" — on a host whose bench dir lives on
-            # a second drive the wrong-device read would report ~0 and
-            # fabricate the exact "disk was idle" conclusion this
-            # instrumentation exists to test.  Falls back to the first
-            # conventional whole-disk name if no row matches.
+            # Attribute I/O to the device that actually hosts the DUMP
+            # (the read side being measured; st_dev major/minor matched
+            # against /proc/diskstats), not "the first disk" — and not
+            # the work dir, which --dump-path decouples from the dump's
+            # device: a reused dump on a second drive would otherwise
+            # report dev_read ≈ 0 and fabricate the exact "disk was
+            # idle" conclusion this instrumentation exists to test.
+            # Falls back to the first conventional whole-disk name if
+            # no row matches.
             import re as _re
 
             try:
-                st = os.stat(work)
+                st = os.stat(
+                    os.path.dirname(args.dump_path) or "."
+                    if args.dump_path
+                    else work
+                )
                 want = (os.major(st.st_dev), os.minor(st.st_dev))
                 fallback = None
                 with open("/proc/diskstats") as fh:

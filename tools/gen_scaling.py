@@ -136,8 +136,16 @@ def _replace_section(path: str, header: str, section: str) -> None:
 
     text = open(path).read() if os.path.exists(path) else ""
     if header in text:
+        # lambda replacement: the section is literal content, never a
+        # re template (a `\d`/`\g` in a future measurement note would
+        # otherwise raise `re.error: bad escape` or corrupt the file);
+        # count=1 replaces exactly the one section the header names
         text = re.sub(
-            rf"{re.escape(header)}.*?(?=\n## |\Z)", section, text, flags=re.S
+            rf"{re.escape(header)}.*?(?=\n## |\Z)",
+            lambda m: section,
+            text,
+            count=1,
+            flags=re.S,
         )
     else:
         text = text.rstrip() + "\n\n" + section

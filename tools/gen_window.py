@@ -99,6 +99,20 @@ def touched_modules(base: str) -> set[str]:
     }
 
 
+def reservation_takes(
+    n_never: int, n_touched: int, n_tail: int, window: int
+) -> tuple[int, int, int]:
+    """(reserve, touch_take, tail_take) for :func:`pack_order` — the ONE
+    copy of the staleness-reservation arithmetic (main's stderr report
+    and tests/test_registry.py's invariant both call it, so a future
+    tweak to the share cannot desynchronize them from the packing)."""
+    rest_slots = max(0, window - n_never)
+    reserve = min(n_tail, rest_slots // 2)
+    touch_take = min(n_touched, rest_slots - reserve)
+    tail_take = min(n_tail, rest_slots - touch_take)
+    return reserve, touch_take, tail_take
+
+
 def pack_order(
     never: list[str],
     touched: list[str],
@@ -115,10 +129,9 @@ def pack_order(
     IMMEDIATELY after the window — first in line next round.  Each
     bucket's internal order (age, then name) is preserved throughout.
     """
-    rest_slots = max(0, window - len(never))
-    reserve = min(len(tail), rest_slots // 2)
-    touch_take = min(len(touched), rest_slots - reserve)
-    tail_take = min(len(tail), rest_slots - touch_take)
+    _, touch_take, tail_take = reservation_takes(
+        len(never), len(touched), len(tail), window
+    )
     return (
         never
         + touched[:touch_take]
@@ -182,10 +195,13 @@ def main() -> None:
         if greens.get(k) is not None and key_module[k] not in touched
     ]
     order = pack_order(b_never, b_touch, b_tail, args.window)
+    reserve = reservation_takes(
+        len(b_never), len(b_touch), len(b_tail), args.window
+    )[0]
     print(
         f"# registry: {len(order)} keys — {len(b_never)} never-checked, "
         f"{len(b_touch)} in touched modules, window {args.window} "
-        f"(tail reservation {min(len(b_tail), max(0, args.window - len(b_never)) // 2)})",
+        f"(tail reservation {reserve})",
         file=sys.stderr,
     )
     print(
