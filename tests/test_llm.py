@@ -1047,3 +1047,26 @@ def test_curate_corpus_with_span_cutting(spark):
         cut_duplicated_spans(raw).agg(F.sum("n_tokens_removed")).first()[0]
     )
     assert removed > 0
+
+
+def test_ivf_cells_bounds_and_monotonicity():
+    """The corpus-adaptive IVF grid (r10): min(4√n, n/8) within
+    [1, IVF_MAX_CELLS], never above n (MLlib k ≤ n), monotone in n,
+    with the training floor binding below n≈1k and √n growth above."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    assert S._ivf_cells(0) == 1
+    assert S._ivf_cells(1) == 1
+    assert S._ivf_cells(10) == 1          # <16 rows → single cell
+    assert S._ivf_cells(500) == 62        # n/8 binds (fixture point)
+    assert S._ivf_cells(2_000) == 179     # 4√n binds
+    assert S._ivf_cells(20_000) == 566
+    assert S._ivf_cells(10**9) == S.IVF_MAX_CELLS
+    prev = 0
+    for n in (1, 8, 16, 64, 500, 1_024, 10_000, 10**6, 10**9):
+        k = S._ivf_cells(n)
+        assert 1 <= k <= min(n if n else 1, S.IVF_MAX_CELLS)
+        assert k >= prev, f"not monotone at n={n}"
+        prev = k
+        if k < S.IVF_MAX_CELLS and n >= 16:
+            assert n / k >= S.IVF_MIN_TRAIN_PER_CELL  # training floor

@@ -157,3 +157,45 @@ def test_blocking_bits_scale_with_corpus():
         assert n / cells <= 2 * S.SEM_TARGET_CELL
     # int32 cell-id ceiling
     assert S._blocking_bits(10**15) == 30
+
+
+def test_oracle_bits_match_beyond_floor(spark, tmp_path):
+    """ADVICE r9 #1 regression test: past SEM_TARGET_CELL·2⁸ = 8 192
+    docs the blocking bit count leaves its floor (9 216 docs → 9 bits),
+    and the DuckDB oracle — which derives the SAME count from COUNT(*)
+    in SQL — must still produce the identical pair set.  A tiny-text
+    corpus keeps the vectorize stage cheap; five planted exact
+    duplicates guarantee a non-empty expected output.  (The sf1
+    cross-engine run — 50k docs, 11 bits, 254 700 identical pairs — is
+    the full-scale version of this check, recorded in semdedup.py's
+    header; this test keeps the regression in the suite at ~1/30 the
+    cost.)"""
+    import duckdb
+
+    n = 9_216
+    assert S._blocking_bits(n) == 9  # past the 8-bit floor
+    rows = [
+        (i, f"t{i} u{(i * 7) % 997} v{(i * 13) % 991}", "en", "s", 12)
+        for i in range(n)
+    ]
+    for j in range(5):  # planted duplicates: same text => same vector
+        i = 8_000 + j
+        rows[i] = (i, rows[j][1], "en", "s", 12)
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = sorted(tuple(r) for r in S.dedup_semantic(spark, d).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(S.DEDUP_SEMANTIC_SQL).fetchall())
+
+    assert got == want
+    planted = {(8_000 + j, j) for j in range(5)}
+    assert planted <= {(a, b) for a, b, _ in got}
