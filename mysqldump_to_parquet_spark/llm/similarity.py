@@ -504,7 +504,14 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-duplicates by vec_id, and ranks by exact cosine.  Deterministic,
     so the driver's rows-only check is stable; candidate-set exactness,
     physical pruning, and the written path's recall@10 floor are
-    pytest-asserted."""
+    pytest-asserted.
+
+    Recall is PROBE-TUNABLE at read time: the layout stores the full
+    signature, so a wider flip set just reads more directories of the
+    SAME copies — no rewrite (the BASELINE.md sweep's L=3 column is the
+    read-time menu: flip=10 → 0.8/0.9, flip=11 → 1.0/0.9 at
+    sf0.01/sf0.1).  Only L (the number of corpus copies) is fixed at
+    write time."""
     import json
     import os
 
