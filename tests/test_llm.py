@@ -1070,3 +1070,52 @@ def test_ivf_cells_bounds_and_monotonicity():
         prev = k
         if k < S.IVF_MAX_CELLS and n >= 16:
             assert n / k >= S.IVF_MIN_TRAIN_PER_CELL  # training floor
+
+
+def test_ann_layout_concurrent_cold_build_is_single(spark, tmp_path):
+    """ADVICE r9: two threads probing the same COLD corpus must produce
+    ONE layout build (the loser used to orphan a duplicate tree and
+    waste a full write job), and both must receive the same root;
+    subsequent warm hits take the lock-free fast path and still agree."""
+    import threading
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    d = str(tmp_path / "corpus")
+    spark.read.parquet(f"{SF}/embeddings.parquet").limit(80).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+
+    builds = []
+    real_build = S.write_ann_partitioned
+
+    def counting_build(*a, **kw):
+        builds.append(1)
+        return real_build(*a, **kw)
+
+    orig = S.write_ann_partitioned
+    S.write_ann_partitioned = counting_build
+    try:
+        roots: list = []
+        errs: list = []
+
+        def probe():
+            try:
+                roots.append(S._ann_layout_root(spark, d))
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        ts = [threading.Thread(target=probe) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        assert len(set(roots)) == 1
+        # one build per BAND of one layout — not two layouts' worth
+        assert len(builds) == S.ANN_LAYOUT_BANDS
+        # warm path: no further builds
+        assert S._ann_layout_root(spark, d) == roots[0]
+        assert len(builds) == S.ANN_LAYOUT_BANDS
+    finally:
+        S.write_ann_partitioned = orig
