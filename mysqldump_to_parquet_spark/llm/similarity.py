@@ -16,6 +16,8 @@ Two paths, as a real ANN stack is layered:
 
 from __future__ import annotations
 
+import threading as _threading
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -280,7 +282,7 @@ def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
 #: on sf0.01 / sf0.1 (true neighbors at cosine 0.24–0.38, the near-noise
 #: regime that is worst-case for data-oblivious hyperplanes),
 #: L=2/flip=9 → recall 0.6/0.3; L=2/flip=11 → 0.9/0.7;
-#: **L=3/flip=10 → 0.8/0.9 (sf0.001: 1.0) at a 0.61 candidate
+#: **L=3/flip=10 → 0.8/0.9 (sf0.001: 1.0) at a 0.62 candidate
 #: fraction** — the knee; L=4/flip=11 → 1.0/1.0 but at a 0.91 candidate
 #: fraction (≈ a scan); L=8 doubles storage for +0.1 recall.  At
 #: full-granularity deployment (p = N_PLANES) the per-probe read is
@@ -404,8 +406,6 @@ _FINGERPRINT_WARNED: set = set()
 #: one lock for every layout/quantizer cache build (ADVICE r9) — an
 #: RLock because the IVF layout build calls ``ivf_centroids`` (also
 #: guarded) from inside ``_cached_layout``'s critical section
-import threading as _threading
-
 _CACHE_LOCK = _threading.RLock()
 
 
@@ -598,7 +598,23 @@ def _ivf_cells(n_rows: int) -> int:
 #: representative sample, not the full corpus — at 100 TB the fit reads a
 #: bounded sample and the resulting centroid table (cells × dims doubles,
 #: a few KB) is what persists, exactly like a FAISS coarse quantizer.
+#: This is a FLOOR, not a cap: the actual fit-sample target grows with
+#: the grid (``_ivf_fit_sample_target``) so the IVF_MIN_TRAIN_PER_CELL
+#: training floor holds for the rows the fit actually sees, not just the
+#: corpus (ADVICE r10: a fixed 20k sample under the 4096-cell grid is
+#: ≈4.9 points/cell — exactly the undertrained regime the n/8 clamp
+#: exists to prevent).  At the 4096-cell cap the target is 32 768 rows —
+#: still a bounded, trivially samplable fit set.
 IVF_FIT_SAMPLE = 20_000
+
+
+def _ivf_fit_sample_target(cells: int) -> int:
+    """Rows the quantizer fit should sample for a ``cells``-sized grid:
+    at least IVF_FIT_SAMPLE, and at least IVF_MIN_TRAIN_PER_CELL
+    training points per centroid — so the training floor ``_ivf_cells``
+    enforces against the corpus also holds against the sample the
+    k-means fit actually sees."""
+    return max(IVF_FIT_SAMPLE, cells * IVF_MIN_TRAIN_PER_CELL)
 
 #: Fit-once cache: corpus dir → (corpus fingerprint, (cells, dims)
 #: float64 centroid matrix).  Module-lifetime stand-in for the tiny
@@ -652,7 +668,12 @@ def ivf_centroids(spark: SparkSession, sf_dir: str):
             # per corpus; the Bernoulli sample's ±few-% size jitter is
             # irrelevant to k-means.
             n = e.count()
-            frac = min(1.0, float(IVF_FIT_SAMPLE) / max(n, 1))
+            k = _ivf_cells(n)
+            # Sample target scales with the grid so every centroid sees
+            # ≥ IVF_MIN_TRAIN_PER_CELL training rows (ADVICE r10); the
+            # 1.05 pad absorbs Bernoulli-sample size jitter.
+            target = _ivf_fit_sample_target(k)
+            frac = min(1.0, 1.05 * float(target) / max(n, 1))
             fit_src = e if frac >= 1.0 else e.sample(fraction=frac, seed=42)
             sample = fit_src.select(
                 array_to_vector(_unit_expr(F.col("embedding"))).alias(
@@ -668,7 +689,6 @@ def ivf_centroids(spark: SparkSession, sf_dir: str):
             # affects assignment, so no fit runs at all.
             # _ivf_probe_cells derives its probe set from the ACTUAL
             # centroid count, so nprobe self-clamps.
-            k = _ivf_cells(n)
             if k < 2:
                 matrix = np.zeros((1, len(PROBE)))
             else:

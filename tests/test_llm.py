@@ -1068,8 +1068,18 @@ def test_ivf_cells_bounds_and_monotonicity():
         assert 1 <= k <= min(n if n else 1, S.IVF_MAX_CELLS)
         assert k >= prev, f"not monotone at n={n}"
         prev = k
-        if k < S.IVF_MAX_CELLS and n >= 16:
-            assert n / k >= S.IVF_MIN_TRAIN_PER_CELL  # training floor
+        # Training floor against the rows the fit ACTUALLY sees (ADVICE
+        # r10): the sample target grows with the grid, so the invariant
+        # is min(n, target) / k ≥ floor — corpus-based n/k alone would
+        # pass even where a fixed 20k sample undertrains a 4096 grid.
+        fit_rows = min(n, S._ivf_fit_sample_target(k))
+        if n >= 16:
+            assert fit_rows / k >= S.IVF_MIN_TRAIN_PER_CELL
+    # The 4096-cell cap demands a 32 768-row fit sample, not 20 000.
+    assert (
+        S._ivf_fit_sample_target(S.IVF_MAX_CELLS)
+        == S.IVF_MAX_CELLS * S.IVF_MIN_TRAIN_PER_CELL
+    )
 
 
 def test_ann_layout_concurrent_cold_build_is_single(spark, tmp_path):
