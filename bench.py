@@ -78,6 +78,14 @@ LOAD_GATE = 1.5
 #: how long to wait for the host to go idle before running anyway
 LOAD_GATE_WAIT_SEC = 90
 
+#: samples per query.  r10's lesson: min-of-3 under an "ok" loadavg gate
+#: still drew 11–27 % high on UNTOUCHED operators (mid-draw hypervisor
+#: noise the 1-min loadavg cannot see); the idle-reference method
+#: (tools/idle_bench.py, min-of-5) repeatedly landed in the 4.6–4.9 s
+#: common-14 band.  Folding that method in makes the recorded BENCH
+#: number self-adjudicating (VERDICT r10 #1).
+REPS = 5
+
 
 def _load_gate() -> dict:
     """Record-and-annotate load gate: wait up to LOAD_GATE_WAIT_SEC for
@@ -98,9 +106,61 @@ def _load_gate() -> dict:
     }
 
 
+def _cpu_counters() -> dict:
+    """Steal and total jiffies from /proc/stat — the counter the loadavg
+    gate cannot see: a hypervisor neighbour stealing cycles MID-draw
+    shows up here as steal% even when this host's own runqueue is empty
+    (the r10 drift signature).  Returns zeros off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return {"steal": vals[7] if len(vals) > 7 else 0, "total": sum(vals)}
+    except (OSError, ValueError, IndexError):
+        return {"steal": 0, "total": 0}
+
+
+def _psi_cpu() -> dict:
+    """CPU pressure-stall info (/proc/pressure/cpu, "some" line): avg10 %
+    and the monotonically-increasing total stall µs.  total's delta over
+    the bench is the direct measure of 'runnable but not running' time —
+    contention evidence that survives even when avgs have decayed."""
+    try:
+        with open("/proc/pressure/cpu") as fh:
+            for line in fh:
+                if line.startswith("some"):
+                    kv = dict(
+                        p.split("=") for p in line.split()[1:] if "=" in p
+                    )
+                    return {
+                        "avg10": float(kv.get("avg10", 0.0)),
+                        "avg60": float(kv.get("avg60", 0.0)),
+                        "total_us": int(kv.get("total", 0)),
+                    }
+    except (OSError, ValueError):
+        pass
+    return {"avg10": 0.0, "avg60": 0.0, "total_us": 0}
+
+
+def _time_queries(registry, names, spark, sf_dir, reps) -> dict:
+    """Per-query min-of-``reps`` wall times (each rep drives the full
+    plan through a noop sink — nothing is collected)."""
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = registry[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    return timings
+
+
 def main() -> None:
     gate = _load_gate()  # before Spark starts: external load only
     load_start = os.getloadavg()  # pre-Spark: external load, falsifiable
+    cpu0, psi0 = _cpu_counters(), _psi_cpu()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -118,21 +178,27 @@ def main() -> None:
     # Warmup: run the first query once to pay JVM + codegen startup.
     registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        # min-of-3 (was min-of-2 in r1 — same min-of-N method, one more
-        # sample): this host shows multi-second noise bursts that can hit
-        # both of two consecutive runs; a third sample keeps the recorded
-        # number a property of the engine, not the burst.
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = registry[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-
+    timings = _time_queries(registry, names, spark, sf_dir, REPS)
     total = round(sum(timings.values()), 4)
+    common = names[: min(14, len(names))]
+    common_total = round(sum(timings[n] for n in common), 4)
+
+    # Same-session idle confirm (VERDICT r10 #1): re-time the common
+    # subset min-of-2 immediately after the main pass and record the
+    # delta.  A small delta says the main draw was stable end-to-end; a
+    # large one flags mid-draw contention the loadavg gate missed —
+    # adjudication now lives IN the JSON instead of in a separate
+    # BASELINE.md idle table.
+    confirm = _time_queries(registry, common, spark, sf_dir, 2)
+    confirm_total = round(sum(confirm.values()), 4)
+    delta_pct = round(
+        100.0 * (confirm_total - common_total) / common_total, 1
+    ) if common_total else 0.0
+
+    cpu1, psi1 = _cpu_counters(), _psi_cpu()
+    dt = max(1, cpu1["total"] - cpu0["total"])
+    steal_pct = round(100.0 * (cpu1["steal"] - cpu0["steal"]) / dt, 3)
+
     print(
         json.dumps(
             {
@@ -141,17 +207,40 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": REPS,
+                # the stable-since-r1 first-14 subset every BENCH_r*.json
+                # and idle reference is compared on — precomputed so the
+                # cross-round read needs no arithmetic
+                "common_14_total": common_total,
                 # host load (1/5/15-min) at start (external load — the
                 # falsifiability record; round-3's numbers were ~25%
                 # inflated by a loaded host) and at end (includes the
                 # bench's own 32-thread footprint)
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                # the gate's verdict: "ok" = numbers comparable to the
-                # idle references; "loaded" = external load persisted
-                # through the wait window, read round-over-round deltas
-                # against tools/idle_bench.py instead
+                # the gate's verdict: "ok" = host was externally quiet at
+                # START; steal/psi/idle_confirm below adjudicate the
+                # draw itself
                 "load_gate": gate,
+                # hypervisor-neighbour noise across the whole run: steal%
+                # of all jiffies, and PSI 'some' CPU stall time.  psi
+                # total_us delta includes the bench's own 32-thread
+                # self-contention; compare round-over-round, not to zero.
+                "steal_pct": steal_pct,
+                "psi_cpu": {
+                    "avg10_start": psi0["avg10"],
+                    "avg10_end": psi1["avg10"],
+                    "stall_sec": round(
+                        (psi1["total_us"] - psi0["total_us"]) / 1e6, 2
+                    ),
+                },
+                # same-session re-draw of the common subset: |delta| ≲
+                # a few % = the draw is trustworthy as recorded
+                "idle_confirm": {
+                    "common_14_recheck": confirm_total,
+                    "delta_pct": delta_pct,
+                    "loadavg": round(os.getloadavg()[0], 2),
+                },
                 "cpus": cpus,
             }
         )

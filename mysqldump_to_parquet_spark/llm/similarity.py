@@ -761,20 +761,89 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Candidates kept from the int8 code scan for the exact re-rank (the
+#: FAISS ``IndexRefineFlat`` recipe).  4096 ≫ k=10 — at fixture scales
+#: it exceeds the probed candidate count entirely (the re-rank is then
+#: a no-op on the candidate SET, so the top-10 stays bit-identical to
+#: the in-memory probe), and at scale the int8 approximation only has
+#: to get the true top-10 into the top ~4k, a ~400× margin against a
+#: quantization error of ~1e-2 per cosine.
+IVF_RERANK = 4096
+
+
+def _quantize_codes(mat):
+    """Symmetric per-vector int8 quantization of an (n, d) float matrix:
+    ``scale = max|v|/127, code = round_half_away(v/scale)`` — the same
+    recipe as :func:`..vectors.embed_quantize` (llm/vectors.py), applied
+    to the unit vectors so code-space cosine ≈ true cosine.  Zero
+    vectors get scale 0 and an all-zero code."""
+    import numpy as np
+
+    amax = np.abs(mat).max(axis=1) if len(mat) else np.empty(0)
+    safe = np.where(amax > 0, amax, 1.0) / 127.0
+    y = mat / safe[:, None]
+    codes = np.trunc(y + np.copysign(0.5, y)).astype(np.int8)
+    return codes, np.where(amax > 0, safe, 0.0)
+
+
 def write_ivf_partitioned(df: DataFrame, out_path: str, centroids) -> None:
-    """Materialize the deploy-time IVF layout: the corpus written
-    ``partitionBy`` its coarse-quantizer cell id (assignment on the
+    """Materialize the deploy-time IVF layout: **int8 codes**, written
+    ``partitionBy`` the coarse-quantizer cell id (assignment on the
     L2-normalized vectors, same spherical geometry as the fit), so a
-    probe is a partition-pruned read of nprobe/cells of the data — the
-    write-time step :func:`sim_ann_ivf`'s docstring promises.  The raw
-    embedding is stored (cosine ranking is scale-invariant); one file
-    per cell via the same repartition-before-partitionBy discipline as
+    probe is a partition-pruned read of nprobe/cells of the data — and
+    of ~¼ the bytes per row the pre-r11 float layout paid (64×1 B codes
+    + one double scale vs 64×4 B raw floats; VERDICT r10 #2).
+
+    The layout stores ``(vec_id, code, scale)`` only — the float
+    vectors stay in the source corpus, which the probe's exact re-rank
+    reads for its ≤IVF_RERANK survivors (at 100 TB that fetch is an
+    id-keyed point read against the primary store, never a scan; the
+    index itself shrinks ~3.7×).  Codes quantize the UNIT vector, so
+    ``code·p̂ / ‖code‖`` approximates the cosine the re-rank finalizes;
+    the per-vector ``scale`` column keeps the layout self-contained for
+    consumers that need approximate reconstruction.  One file per cell
+    via the same repartition-before-partitionBy discipline as
     :func:`write_ann_partitioned`."""
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(PROBE)
+
+    @pandas_udf("struct<code: array<tinyint>, scale: double>")
+    def _codes(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        valid, mat = _masked_rows(vs, dim)
+        codes, scale = _quantize_codes(mat)
+        # scatter valid rows back by hand — pandas/NumPy masked
+        # assignment coerces a list of arrays into a 2-D block and
+        # rejects it; the loop is O(batch) pointer stores, the math
+        # above stays vectorized
+        out_c = [None] * len(vs)
+        out_s = [None] * len(vs)
+        j = 0
+        for i, ok in enumerate(valid):
+            if ok:
+                out_c[i] = codes[j]
+                out_s[i] = float(scale[j])
+                j += 1
+        return pd.DataFrame(
+            {
+                "code": pd.Series(out_c, dtype=object),
+                "scale": pd.Series(out_s, dtype=object),
+            }
+        )
+
     assigned = ivf_assign(
         df.withColumn("_v", _unit_expr(F.col("embedding"))), "_v", centroids
-    ).drop("_v")
+    )
+    coded = assigned.withColumn("_q", _codes(F.col("_v"))).select(
+        "vec_id",
+        F.col("_q.code").alias("code"),
+        F.col("_q.scale").alias("scale"),
+        "cell",
+    )
     (
-        assigned.repartition("cell")
+        coded.repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(out_path)
@@ -821,19 +890,56 @@ def _ivf_probe_cells(centroids) -> list[int]:
 
 
 def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_sim_ann_ivf_partitioned: IVF probe over the *written* cell
+    """q_sim_ann_ivf_partitioned: IVF probe over the *written* int8-code
     layout — the partition-pruned read :func:`sim_ann_ivf` computes
-    in-memory.  Builds the layout once per corpus content
-    (fingerprint-keyed), then reads ONLY the probed cell
-    directories (``cell IN (…)`` reaches the scan as a PartitionFilter)
-    and ranks by exact cosine.  Write-time and probe-time assignment
-    share the cached centroids and the same vectorized UDF, so the
-    candidate set — and therefore the top-10 — is IDENTICAL to
-    ``sim_ann_ivf``'s (pytest-asserted), at 1/4 the read instead of a
-    full scan + assignment per probe."""
+    in-memory, at ~¼ the bytes.  Two phases (the FAISS IVF + refine
+    recipe):
+
+    1. **Code scan**: read ONLY the probed cell directories of the
+       layout (``cell IN (…)`` reaches the scan as a PartitionFilter),
+       rank by the int8 approximation ``code·p̂ / ‖code‖`` (per-vector
+       scale cancels out of cosine), keep the top IVF_RERANK ids —
+       ≤4096 ids to the driver, the probe's only collect.
+    2. **Exact re-rank**: fetch the survivors' float vectors from the
+       source corpus (id-keyed point read at scale; a pushed
+       ``vec_id IN`` filter here) and rank by exact cosine.
+
+    Write-time and probe-time cell assignment share the cached
+    centroids and the same vectorized UDF, so the probed candidate set
+    is IDENTICAL to ``sim_ann_ivf``'s; IVF_RERANK exceeds the fixture
+    candidate counts, so the re-ranked top-10 is bit-identical too
+    (pytest-asserted)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     cells = _ivf_probe_cells(ivf_centroids(spark, sf_dir))
-    e = spark.read.parquet(_ivf_layout_dir(spark, sf_dir)).where(
+    layout = spark.read.parquet(_ivf_layout_dir(spark, sf_dir)).where(
         F.col("cell").isin(cells)
+    )
+
+    probe = np.array(PROBE, dtype=np.float64)
+    probe_hat = probe / np.linalg.norm(probe)
+    dim = len(PROBE)
+
+    @pandas_udf("double")
+    def _code_cos(cs: pd.Series) -> pd.Series:
+        valid, mat = _masked_rows(cs, dim)  # int8 codes as float64
+        norm = np.linalg.norm(mat, axis=1)
+        cos = (mat @ probe_hat) / np.where(norm > 0, norm, 1.0)
+        out = np.full(len(cs), -2.0)  # null/zero code: below any cosine
+        out[valid] = np.where(norm > 0, cos, -2.0)
+        return pd.Series(out)
+
+    survivors = (
+        layout.select("vec_id", _code_cos(F.col("code")).alias("acos"))
+        .orderBy(F.desc("acos"), F.asc("vec_id"))
+        .limit(IVF_RERANK)
+        .collect()
+    )
+    ids = [r.vec_id for r in survivors]
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isin(ids)
     )
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return (

@@ -536,6 +536,80 @@ def test_ivf_partitioned_layout_equals_in_memory_and_prunes(spark):
     assert 0 < n_probed < n_all
 
 
+def test_ivf_layout_is_int8_codes_and_probe_bytes_shrink(spark, tmp_path):
+    """The written IVF layout stores int8 codes, not float vectors
+    (VERDICT r10 #2): schema is exactly (vec_id, code, scale, cell)
+    with code array<tinyint>, and the per-row bytes a probe reads
+    (code + scale) are ≤ 1/3 of the float embedding's — measured by an
+    encoder-matched A/B (same rows, same writer, one file each, so the
+    ratio is the schema's, not the fixture's 12-row-per-cell-file
+    metadata overhead).  The FAISS code-index + refine-from-source
+    recipe."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    out = S._ivf_layout_dir(spark, SF_RECALL)
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"vec_id", "code", "scale", "cell"}
+    assert dict(df.dtypes)["code"] == "array<tinyint>"
+
+    # encoder-matched A/B from the real corpus rows
+    emb = spark.read.parquet(
+        os.path.join(SF_RECALL, "embeddings.parquet")
+    ).select("vec_id", "embedding").toPandas()
+    mat = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms > 0, norms, 1.0)[:, None]
+    codes, scale = S._quantize_codes(unit)
+
+    f_float = str(tmp_path / "float.parquet")
+    f_code = str(tmp_path / "code.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": emb["vec_id"].to_numpy(),
+                "embedding": pa.array(
+                    list(mat.astype(np.float32)),
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        f_float,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": emb["vec_id"].to_numpy(),
+                "code": pa.array(list(codes), type=pa.list_(pa.int8())),
+                "scale": scale,
+            }
+        ),
+        f_code,
+    )
+
+    def col_bytes(path, prefixes):
+        md = pq.ParquetFile(path).metadata
+        tot = 0
+        for rg in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                col = md.row_group(rg).column(c)
+                if any(col.path_in_schema.startswith(p) for p in prefixes):
+                    tot += col.total_compressed_size
+        return tot
+
+    probe_bytes = col_bytes(f_code, ("code", "scale"))
+    emb_bytes = col_bytes(f_float, ("embedding",))
+    assert probe_bytes > 0 < emb_bytes
+    assert probe_bytes <= emb_bytes / 3, (
+        f"probe reads {probe_bytes} B of codes vs {emb_bytes} B of floats"
+    )
+
+
 def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):
     """Rewriting a corpus at the same path must invalidate BOTH the
     materialized ANN layout and the IVF quantizer (VERDICT r8 #5 /
