@@ -215,6 +215,7 @@ def write_ann_partitioned(
     out_path: str,
     band: int = 0,
     prefix_bits: int = N_PLANES,
+    id_only: bool = False,
 ) -> None:
     """Materialize the deploy-time ANN layout: the corpus written
     ``partitionBy`` the top-``prefix_bits`` bits of its band-``band``
@@ -229,19 +230,37 @@ def write_ann_partitioned(
     100 TB claim rests on; a full deployment replicates it once per
     band (the standard LSH storage trade: L layouts → OR-construction
     recall), and the physical pruning is pytest-asserted
-    (tests/test_llm.py)."""
+    (tests/test_llm.py).
+
+    ``id_only`` (VERDICT r10 #3) writes an INDEX-ONLY band: just
+    ``(vec_id, sig, sigp0)`` — no label, no embedding — where ``sigp0``
+    is the row's *band-0* prefix.  Secondary bands only exist to widen
+    the candidate id set; the vectors live once, in band 0, and a probe
+    fetches secondary-band survivors from band 0 via a partition-pruned
+    (``sigp IN sigp0s``) broadcast semi-join.  This drops the
+    OR-construction's storage from L corpus copies to one copy + (L−1)
+    ~24 B/row id indexes (~1.2× at L=3 instead of 3×)."""
     sig = _band_signature_udf(band)
     shift = N_PLANES - prefix_bits
+    coded = df.withColumn("sig", sig(F.col("embedding"))).withColumn(
+        "sigp", F.shiftright(F.col("sig"), shift)
+    )
+    if id_only:
+        sig0 = _band_signature_udf(0)
+        coded = coded.select(
+            "vec_id",
+            "sig",
+            "sigp",
+            F.shiftright(sig0(F.col("embedding")), shift).alias("sigp0"),
+        )
     (
-        df.withColumn("sig", sig(F.col("embedding")))
-        .withColumn("sigp", F.shiftright(F.col("sig"), shift))
         # co-locate each bucket before the write: without this every
         # task emits a file into every directory it touches
         # (tasks × buckets small files — measured 463 files for a
         # 500-row corpus); hash-partitioning on sigp yields one file
         # per directory, which is also what keeps the probe's pruned
         # read a handful of large sequential files at 100 TB
-        .repartition("sigp")
+        coded.repartition("sigp")
         .write.partitionBy("sigp")
         .mode("overwrite")
         .parquet(out_path)
@@ -272,11 +291,12 @@ def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
     return sorted(sigs)
 
 
-#: The written layout's OR-construction: L independent copies of the
-#: corpus, each partitioned by a different band's signature, probed with
-#: a WIDER flip set than the in-memory filter (reading more directories
-#: of one layout is far cheaper than storing another full copy — the
-#: fundamental LSH storage/recall trade).  Full recall-vs-read-cost
+#: The written layout's OR-construction: L independently-partitioned
+#: views of the corpus — ONE full copy (band 0) plus L−1 id-only index
+#: bands (~24 B/row; r11, VERDICT r10 #3 — storage ~1.2× instead of
+#: L×) — probed with a WIDER flip set than the in-memory filter
+#: (reading more directories of one layout is far cheaper than storing
+#: another index band — the fundamental LSH storage/recall trade).  Full recall-vs-read-cost
 #: sweep (tools/sweep_ann_layout.py, r10 — curve table in BASELINE.md;
 #: the candidate set is granularity-independent, so the sweep is exact):
 #: on sf0.01 / sf0.1 (true neighbors at cosine 0.24–0.38, the near-noise
@@ -480,9 +500,19 @@ def _ann_layout_root(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(root, f"band{b}"),
                 band=b,
                 prefix_bits=p,
+                # band 0 holds the one full corpus copy; the other
+                # bands are ~24 B/row id indexes (VERDICT r10 #3)
+                id_only=b > 0,
             )
         with open(os.path.join(root, "ann_meta.json"), "w") as f:
-            json.dump({"prefix_bits": p, "bands": ANN_LAYOUT_BANDS}, f)
+            json.dump(
+                {
+                    "prefix_bits": p,
+                    "bands": ANN_LAYOUT_BANDS,
+                    "id_only_secondary": True,
+                },
+                f,
+            )
 
     return _cached_layout(_ANN_LAYOUTS, spark, sf_dir, "ann_layout_", _build)
 
@@ -523,19 +553,52 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout from an earlier configuration must not be probed for band
     # directories it does not hold
     shift = N_PLANES - meta["prefix_bits"]
-    cands = None
-    for b in range(meta["bands"]):
+
+    def _pruned(b: int):
         sigs = _probe_sigs_for_band(b, ANN_LAYOUT_FLIP)
         prefixes = sorted({s >> shift for s in sigs})
-        part = spark.read.parquet(os.path.join(root, f"band{b}")).where(
-            # directory-level pruning on the prefix + the exact pushed
-            # signature predicate: candidate set identical at every
-            # layout granularity
+        # directory-level pruning on the prefix + the exact pushed
+        # signature predicate: candidate set identical at every
+        # layout granularity
+        return spark.read.parquet(os.path.join(root, f"band{b}")).where(
             F.col("sigp").isin(prefixes) & F.col("sig").isin(sigs)
-        ).select("vec_id", "label", "embedding")
-        cands = part if cands is None else cands.unionByName(part)
-    # a vector probed in several bands is the same physical row copied
-    # into each layout — one survivor is exact
+        )
+
+    cands = _pruned(0).select("vec_id", "label", "embedding")
+    if meta.get("id_only_secondary"):
+        # Secondary bands hold only (vec_id, sig, sigp0): union their
+        # candidate IDS, then fetch the vectors from band 0 — pruned to
+        # the candidates' recorded band-0 prefixes (a tiny driver list:
+        # ≤ 2^prefix_bits values), row-matched by a broadcast semi-join
+        # on vec_id (the candidate id set is ~0.6 % of the corpus at
+        # deploy granularity).  dropDuplicates below removes overlap
+        # with band 0's own candidates.
+        sec = None
+        for b in range(1, meta["bands"]):
+            part = _pruned(b).select("vec_id", "sigp0")
+            sec = part if sec is None else sec.unionByName(part)
+        prefixes0 = [
+            r.sigp0 for r in sec.select("sigp0").distinct().collect()
+        ]
+        if prefixes0:
+            fetched = (
+                spark.read.parquet(os.path.join(root, "band0"))
+                .where(F.col("sigp").isin(prefixes0))
+                .join(
+                    F.broadcast(sec.select("vec_id").distinct()),
+                    "vec_id",
+                    "left_semi",
+                )
+                .select("vec_id", "label", "embedding")
+            )
+            cands = cands.unionByName(fetched)
+    else:  # pre-r11 layout: every band carries the full rows
+        for b in range(1, meta["bands"]):
+            cands = cands.unionByName(
+                _pruned(b).select("vec_id", "label", "embedding")
+            )
+    # a vector probed in several bands is one physical band-0 row — one
+    # survivor is exact
     cands = cands.dropDuplicates(["vec_id"])
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return (

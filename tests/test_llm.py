@@ -481,8 +481,9 @@ def test_ann_written_layout_recall_floor(spark):
     carries a pinned recall of its own (VERDICT r8 #4, floor raised r10
     per the sweep in tools/sweep_ann_layout.py / BASELINE.md): measured
     0.8 on sf0.01 (0.9 on sf0.1, 1.0 on sf0.001) — the knee of the
-    recall-vs-read-cost curve, bought with 3 corpus copies instead of
-    the 32-band in-memory filter's 32."""
+    recall-vs-read-cost curve, bought with 3 bands (one corpus copy +
+    two id-only indexes since r11) instead of the in-memory filter's
+    32."""
     from mysqldump_to_parquet_spark.llm.similarity import sim_ann_partitioned
 
     exact = {r.vec_id for r in sim_topk(spark, SF_RECALL).collect()}
@@ -534,6 +535,42 @@ def test_ivf_partitioned_layout_equals_in_memory_and_prunes(spark):
         spark.read.parquet(out).where(F.col("cell").isin(cells))
     )
     assert 0 < n_probed < n_all
+
+
+def test_ann_layout_secondary_bands_are_id_only(spark):
+    """The written LSH OR-construction stores ONE corpus copy (band 0)
+    plus (L−1) id-only secondary bands of (vec_id, sig, sigp0) —
+    VERDICT r10 #3: storage drops from 3 full copies to ~1.2×, with
+    recall unchanged because the candidate ID set is identical and the
+    vectors are fetched from band 0 by a pruned broadcast semi-join
+    (recall floor + candidate exactness pinned by the neighboring
+    tests)."""
+    import glob
+    import os
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    root = S._ann_layout_root(spark, SF_RECALL)
+
+    def dir_bytes(band):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(
+                os.path.join(root, band, "**", "*.parquet"), recursive=True
+            )
+        )
+
+    for b in range(1, S.ANN_LAYOUT_BANDS):
+        cols = set(spark.read.parquet(os.path.join(root, f"band{b}")).columns)
+        assert cols == {"vec_id", "sig", "sigp0", "sigp"}
+
+    b0 = dir_bytes("band0")
+    secondary = sum(
+        dir_bytes(f"band{b}") for b in range(1, S.ANN_LAYOUT_BANDS)
+    )
+    assert 0 < secondary <= 0.25 * b0, (
+        f"secondary bands {secondary} B vs band0 {b0} B"
+    )
 
 
 def test_ivf_layout_is_int8_codes_and_probe_bytes_shrink(spark, tmp_path):

@@ -58,7 +58,9 @@ ROWS_ONLY_NOTES = {
     "q_sim_ann_partitioned": (
         "rows-only (probe over the WRITTEN OR-construction: 3 band "
         "layouts — the r10-swept knee L=3/flip=10, curve in "
-        "BASELINE.md — partitionBy a corpus-sized PREFIX of the "
+        "BASELINE.md; one full copy + two id-only index bands since "
+        "r11, storage ~1.2× instead of 3×, schema+bytes pytest-pinned "
+        "— partitionBy a corpus-sized PREFIX of the "
         "signature with the full signature as a pushed data filter — "
         "sigp IN (…) reaches each scan as a PartitionFilter and the "
         "candidate set is granularity-independent; candidate-set "
@@ -77,10 +79,13 @@ ROWS_ONLY_NOTES = {
     ),
     "q_sim_ann_ivf_partitioned": (
         "rows-only (probe over the WRITTEN partitionBy(cell) IVF "
-        "layout — cell IN (…) reaches the scan as a PartitionFilter, "
-        "nprobe/cells of the data read; write-time and probe-time "
-        "assignment share the cached centroids, so the top-10 EQUALS "
-        "sim_ann_ivf's exactly — equality + pruning pytest-asserted)"
+        "layout — int8 codes + scale since r11, ~1/4 the probe bytes "
+        "(pinned ≤1/3), top-4096 code-cosine survivors exact-re-ranked "
+        "from the source corpus; cell IN (…) reaches the scan as a "
+        "PartitionFilter, nprobe/cells of the data read; write-time "
+        "and probe-time assignment share the cached centroids, so the "
+        "top-10 EQUALS sim_ann_ivf's exactly — equality + pruning + "
+        "bytes pytest-asserted)"
     ),
     "q_embed_pca": (
         "rows-only (64×64 driver eigh not SQL-expressible; covariance "

@@ -443,7 +443,9 @@ NOTES = {
     ),
     "q_sim_ann_partitioned": (
         "The WRITTEN LSH layout (r8; OR-construction + corpus-sized "
-        "granularity r9; swept knee L=3/flip=10 r10): 3 corpus copies, "
+        "granularity r9; swept knee L=3/flip=10 r10; id-only secondary "
+        "bands r11): ONE full corpus copy (band 0) + two ~24 B/row id "
+        "indexes (vec_id, sig, sigp0) — storage ~1.2× instead of 3× — "
         "each partitionBy a "
         "corpus-sized PREFIX of its band's signature (~64 rows per "
         "directory; at ≥256k rows the prefix IS the full signature), "
@@ -452,22 +454,32 @@ NOTES = {
         "PartitionFilter on both scans, files outside the probe set "
         "never read (numFiles plan-asserted) — applies the exact "
         "`sig IN (…)` predicate inside the pruned files (candidate set "
-        "granularity-independent), then unions, dedups by vec_id, and "
-        "ranks survivors by exact cosine.  Sizing directories to the "
+        "granularity-independent), unions the secondary bands' "
+        "candidate IDS, fetches their vectors from band 0 (pruned to "
+        "the recorded band-0 prefixes + a broadcast semi-join on "
+        "vec_id), dedups by vec_id, and ranks survivors by exact "
+        "cosine.  Sizing directories to the "
         "corpus took the sf0.1 steady-state probe 6.0 → 1.2 s. "
         "Written-path recall@10 0.8 at sf0.01 (pin 0.8; 0.9/1.0 at "
         "sf0.1/sf0.001) vs the 32-band in-memory filter's 1.0 — the "
         "knee of the measured recall-vs-read-cost curve (BASELINE.md), "
-        "bought with 3 copies instead of 32."
+        "bought with 3 bands instead of 32."
     ),
     "q_sim_ann_ivf_partitioned": (
-        "The WRITTEN IVF layout (r9): corpus partitionBy coarse-"
-        "quantizer cell (spherical assignment on unit vectors, one file "
-        "per cell); a probe reads the nprobe/cells probed directories — "
-        "`cell IN (…)` is a PartitionFilter — and ranks by exact "
-        "cosine.  Write-time and probe-time assignment share the cached "
-        "fingerprint-keyed centroids, so the top-10 EQUALS the "
-        "in-memory q_sim_ann_ivf exactly (pytest-asserted).  This is "
+        "The WRITTEN IVF layout (r9; int8 codes r11): (vec_id, int8 "
+        "code, scale) partitionBy coarse-quantizer cell (spherical "
+        "assignment on unit vectors, one file per cell) — no float "
+        "vectors in the index, ~1/4 the probe bytes (pinned ≤1/3 by an "
+        "encoder-matched A/B test).  A probe reads codes in the "
+        "nprobe/cells probed directories — `cell IN (…)` is a "
+        "PartitionFilter — keeps the top 4096 by the int8 cosine "
+        "approximation (scale cancels out of cosine), and exact-"
+        "re-ranks those from the source corpus (the FAISS IVF + "
+        "refine-from-flat recipe; at 100 TB that fetch is an id-keyed "
+        "point read).  Write-time and probe-time assignment share the "
+        "cached fingerprint-keyed centroids and IVF_RERANK exceeds "
+        "fixture candidate counts, so the top-10 EQUALS the in-memory "
+        "q_sim_ann_ivf exactly (pytest-asserted).  This is "
         "the first-choice 100 TB deployment for near-noise corpora: "
         "data-adapted cells beat data-oblivious hyperplanes at equal "
         "read fraction; the r10 corpus-adaptive grid (min(4√n, n/8) "
