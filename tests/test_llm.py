@@ -924,6 +924,57 @@ def test_bmp_codec_round_trip_all_strides():
     assert decode_bmp(bytes(bmp)) == (w, h, rgb)
 
 
+def test_png_codec_round_trip_all_filters():
+    """encode_png → decode_png is identity; the encoder cycles the
+    scanline filter with y, so any h ≥ 5 exercises ALL FIVE filter
+    reconstructions (None/Sub/Up/Average/Paeth) inside one image.
+    Also: per-filter isolation (h ≤ 5 slices), CRC validation, and the
+    loud failure on unsupported color types."""
+    import zlib
+
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    for w in (1, 2, 3, 5, 12):
+        for h in (1, 2, 3, 4, 5, 7, 10):  # every y%5 prefix
+            rgb = bytes(
+                (x * 7 + y * 13 + c * 29) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+    # dispatch by signature
+    rgb = bytes(range(2 * 2 * 3))
+    assert decode_image(encode_png(2, 2, rgb)) == (2, 2, rgb)
+
+    # corrupt a payload byte: the chunk CRC must catch it
+    png = bytearray(encode_png(3, 3, bytes(27)))
+    png[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+
+    # unsupported shapes fail loudly, never silently mis-decode
+    ihdr = (
+        (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0])  # RGBA color type
+    )
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00")
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png(bad)
+
+
 def test_ppm_decode_and_dispatch():
     import pytest
 

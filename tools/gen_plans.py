@@ -116,6 +116,14 @@ NOTES = {
         "is exact integer arithmetic (channel sums), so the oracle "
         "verifies stride/row-order handling analytically."
     ),
+    "q_multimodal_png": (
+        "Real PNG decode across an Arrow boundary (r11): stdlib-zlib "
+        "DEFLATE + chunk CRCs + the full scanline-filter algebra — the "
+        "encoder cycles filter types 0–4 per row, so the decoder must "
+        "reconstruct Sub/Up/Average/Paeth correctly to match the "
+        "analytic oracle's channel sums.  Same synth → repartition → "
+        "decode mapInPandas topology as q_multimodal_decode."
+    ),
     "q_agg_histogram_approx": (
         "Equi-depth at scale: approx_percentile is a mergeable sketch "
         "(partial+final, no global order); the 9 boundaries broadcast as "
