@@ -102,13 +102,14 @@ class UserProfileProcessor(StatefulProcessor):
     executors with per-primitive (not per-key-blob) reads and writes.
 
     Runtime requirements: the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``) and the
-    ``protobuf`` package (the Python↔state-server protocol is proto-based;
-    absent from this container, so the cluster-wiring pytest is
-    import-gated).  The processor logic itself is driven to completion
-    ungated — tests/test_streaming.py runs it over the fixture with an
-    in-memory state-handle fake (micro-batched, state carried across
-    calls) and checks the final emissions against batch aggregates.
+    (``spark.sql.streaming.stateStore.providerClass``) and a
+    ``protobuf`` runtime (the Python↔state-server protocol is
+    proto-based; where the wheel is absent,
+    :mod:`..protoshim` activates a vendored pure-Python wire-format
+    shim, so the cluster-wiring pytest runs ungated since r11).  The
+    processor logic is additionally driven to completion against an
+    in-memory state-handle fake — tests/test_streaming.py runs both and
+    checks the final emissions against batch aggregates.
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
