@@ -36,7 +36,14 @@ def main(argv: list[str] | None = None) -> int:
         "full parallelism: mysqldump db | %(prog)s - -o out/)",
     )
     ap.add_argument("--output", "-o", required=True, help="output directory")
-    ap.add_argument("--compression", default="snappy")
+    ap.add_argument(
+        "--compression",
+        default="snappy",
+        help="parquet codec, optionally with a level for level-bearing "
+        "codecs: snappy | zstd | zstd:1 | zstd:3 | lz4 | gzip "
+        "(default snappy; see BASELINE.md's codec sweep for the "
+        "bytes-vs-CPU trade measured on this engine)",
+    )
     ap.add_argument(
         "--multiline",
         choices=("auto", "never"),

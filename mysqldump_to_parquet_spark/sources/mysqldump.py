@@ -2016,6 +2016,26 @@ def _probe_staging_visibility(spark: SparkSession, staging: str) -> None:
     os.unlink(marker)
 
 
+def parse_compression(spec: str) -> tuple[str, int | None]:
+    """Split a ``codec[:level]`` compression spec — e.g. ``snappy``,
+    ``zstd``, ``zstd:3``, ``lz4`` — into (codec, level).  Levels only
+    make sense for level-bearing codecs (zstd, gzip, brotli); a level on
+    anything else is rejected loudly rather than silently dropped."""
+    codec, sep, level = spec.partition(":")
+    codec = codec.strip().lower()
+    if not sep:
+        return codec, None
+    if codec not in ("zstd", "gzip", "brotli"):
+        raise ValueError(
+            f"compression codec {codec!r} does not take a level "
+            f"(got {spec!r})"
+        )
+    try:
+        return codec, int(level)
+    except ValueError:
+        raise ValueError(f"bad compression level in {spec!r}") from None
+
+
 def convert_dump_onepass(
     spark: SparkSession,
     dump_path: str,
@@ -2180,9 +2200,13 @@ def convert_dump_onepass(
                 path = os.path.join(
                     d, f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
                 )
+                codec, level = parse_compression(compression)
                 writers[table] = [
                     pq.ParquetWriter(
-                        path, final.schema, compression=compression
+                        path,
+                        final.schema,
+                        compression=codec,
+                        compression_level=level,
                     ),
                     path,
                     0,
@@ -2603,8 +2627,15 @@ def convert_dump(
                 )
             obs = Observation(f"ingest_{table}")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            codec, level = parse_compression(compression)
+            if level is not None:
+                # parquet-mr reads the level from the job's Hadoop conf
+                # (the Spark writer option surface has no level knob)
+                spark.sparkContext._jsc.hadoopConfiguration().set(
+                    f"parquet.compression.codec.{codec}.level", str(level)
+                )
             df.write.mode("overwrite").parquet(
-                f"{output_dir}/{table}", compression=compression
+                f"{output_dir}/{table}", compression=codec
             )
             n = int(obs.get["rows"])
             if progress:

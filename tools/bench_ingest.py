@@ -121,6 +121,14 @@ def main() -> None:
         "contending for the same device)",
     )
     ap.add_argument(
+        "--compression",
+        default="snappy",
+        metavar="CODEC[:LEVEL]",
+        help="parquet codec for the conversion output (snappy, zstd, "
+        "zstd:1, zstd:3, lz4, gzip); the record gains out_mb so a codec "
+        "sweep reads bytes-written vs wall off one JSON line per run",
+    )
+    ap.add_argument(
         "--keep-dump",
         action="store_true",
         help="keep the generated dump (and print its path to stderr) so "
@@ -327,12 +335,19 @@ def main() -> None:
             else:
                 out = os.path.join(work, "out")
             t0 = time.perf_counter()
-            counts = convert_dump(spark, dump, out)
+            counts = convert_dump(
+                spark, dump, out, compression=args.compression
+            )
             wall = time.perf_counter() - t0
 
             assert sum(counts.values()) == rows, (counts, rows)
             got = spark.read.parquet(os.path.join(out, "bench_0")).count()
             assert got == counts["bench_0"]
+            out_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dd, files in os.walk(out)
+                for f in files
+            )
 
         d1, c1 = _disk(), _cpu()
         rec = {
@@ -345,6 +360,9 @@ def main() -> None:
             "rows_per_s": int(rows / wall),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
         }
+        if not args.datasource:
+            rec["compression"] = args.compression
+            rec["out_mb"] = round(out_bytes / 1048576, 1)
         if d0 and d1:
             rec["dev_read_mb"] = round((d1[0] - d0[0]) / 1048576)
             rec["dev_write_mb"] = round((d1[1] - d0[1]) / 1048576)
