@@ -10,8 +10,13 @@ Differences from the reference, by design:
   streams stdin single-threaded, src/main.rs:56; same ceiling, no spool);
 * output is one Parquet *directory* per table (multi-part, scalable), not
   one file;
-* ``--compression`` exposes the Parquet codec (default snappy, like the
-  reference's hardcoded choice).
+* ``--compression`` exposes the Parquet codec.  Default zstd:1 — a
+  measured, intentional divergence from the reference's hardcoded
+  Snappy (src/parquet_writer.rs:69–91): the r11 8 GB sweep found codec
+  choice invisible in wall time (the parse is the bottleneck) while
+  zstd:1 writes 2.4× fewer bytes, and the r10 32 GB A/B showed output
+  writeback is the larger half of the past-page-cache throughput tax.
+  ``--compression snappy`` restores reference-identical output.
 """
 
 from __future__ import annotations
@@ -38,11 +43,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", "-o", required=True, help="output directory")
     ap.add_argument(
         "--compression",
-        default="snappy",
+        default="zstd:1",
         help="parquet codec, optionally with a level for level-bearing "
-        "codecs: snappy | zstd | zstd:1 | zstd:3 | lz4 | gzip "
-        "(default snappy; see BASELINE.md's codec sweep for the "
-        "bytes-vs-CPU trade measured on this engine)",
+        "codecs: snappy | zstd | zstd:1 | zstd:3 | lz4 | gzip.  Default "
+        "zstd:1 — the r11 8 GB sweep (BASELINE.md) measured it at "
+        "snappy's wall (the parse is the bottleneck, not the codec) "
+        "with 2.4× fewer output bytes, and writeback is the larger "
+        "half of the past-page-cache tax (r10 A/B).  Pass snappy to "
+        "match the reference converter byte-for-byte.",
     )
     ap.add_argument(
         "--multiline",
