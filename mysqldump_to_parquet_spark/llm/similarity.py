@@ -568,10 +568,21 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if meta.get("id_only_secondary"):
         # Secondary bands hold only (vec_id, sig, sigp0): union their
         # candidate IDS, then fetch the vectors from band 0 — pruned to
-        # the candidates' recorded band-0 prefixes (a tiny driver list:
-        # ≤ 2^prefix_bits values), row-matched by a broadcast semi-join
-        # on vec_id (the candidate id set is ~0.6 % of the corpus at
-        # deploy granularity).  dropDuplicates below removes overlap
+        # the candidates' recorded band-0 prefixes (a bounded driver
+        # list: ≤ 2^prefix_bits values), row-matched by a semi-join on
+        # vec_id.  The at-scale accounting of this trade: the old
+        # full-copy secondary bands read L·(2^flip/2^planes) = 0.75 of
+        # one copy sequentially; the id layout reads 0.25 (band 0's own
+        # probe) + two id-column scans + a fetch whose volume tracks
+        # the secondary CANDIDATE fraction (~0.5 here — hyperplane LSH
+        # barely prunes in this near-noise regime, the documented
+        # reason IVF is first choice).  Net: the same ~0.75-copy data
+        # motion at 1/2.5 the storage, with the fetch as a join instead
+        # of a sequential read.  No broadcast hint on purpose: the
+        # candidate id set is tiny at fixture scale (AQE broadcasts it)
+        # but corpus-fraction-sized at deploy flip=10, where forcing a
+        # broadcast would ship GBs to every task — AQE picks the
+        # shuffle join there.  dropDuplicates below removes overlap
         # with band 0's own candidates.
         sec = None
         for b in range(1, meta["bands"]):
@@ -585,7 +596,7 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.read.parquet(os.path.join(root, "band0"))
                 .where(F.col("sigp").isin(prefixes0))
                 .join(
-                    F.broadcast(sec.select("vec_id").distinct()),
+                    sec.select("vec_id").distinct(),
                     "vec_id",
                     "left_semi",
                 )

@@ -373,6 +373,17 @@ def run_ann(spark, sf1_dir: str | None, sf10_dir: str | None = None) -> None:
         "rows read stay 25 % at every grid, and at deploy scale cells",
         "are GB-sized so the finer grid only buys recall (measured",
         "0.9 → 1.0 at sf0.1).",
+        "",
+        "r11 layout changes shift both small-end floors UP while cutting",
+        "the bytes that dominate at scale: the IVF probe is now a",
+        "two-phase code-scan + exact re-rank (one extra collect + one",
+        "source-corpus read per probe — ~+0.5 s of job floor at fixture",
+        "scale, ~¼ the index bytes at every scale), and the LSH probe",
+        "fetches secondary-band candidates from band 0 via a semi-join",
+        "(two extra jobs; storage 3× → ~1.2×, same ~0.75-copy total",
+        "data motion — see sim_ann_partitioned's accounting).  Probe",
+        "walls across the decades stay far under corpus growth (IVF",
+        "~8× for 400× rows), which is the property this table pins.",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
