@@ -185,15 +185,26 @@ def main() -> None:
 
     # Same-session idle confirm (VERDICT r10 #1): re-time the common
     # subset min-of-2 immediately after the main pass and record the
-    # delta.  A small delta says the main draw was stable end-to-end; a
-    # large one flags mid-draw contention the loadavg gate missed —
-    # adjudication now lives IN the JSON instead of in a separate
-    # BASELINE.md idle table.
+    # delta (computed pass-vs-pass, BEFORE the merge below).  A small
+    # |delta| says the draw was stable end-to-end; a large positive one
+    # flags mid-draw contention the loadavg gate missed; a large
+    # NEGATIVE one means the MAIN pass was the contended one (observed
+    # when bench starts right after a heavy job: the 1-min gate passes
+    # while cache/scheduler pressure is still draining) — adjudication
+    # now lives IN the JSON instead of in a separate BASELINE.md table.
     confirm = _time_queries(registry, common, spark, sf_dir, 2)
     confirm_total = round(sum(confirm.values()), 4)
     delta_pct = round(
         100.0 * (confirm_total - common_total) / common_total, 1
     ) if common_total else 0.0
+    # The recorded number is the SESSION FLOOR: fold the confirm
+    # samples into the common-subset mins (min-of-7 for those queries)
+    # so the headline is the engine's floor regardless of which pass
+    # the noise hit; the delta above still reports pass stability.
+    for n in common:
+        timings[n] = min(timings[n], confirm[n])
+    total = round(sum(timings.values()), 4)
+    common_total = round(sum(timings[n] for n in common), 4)
 
     cpu1, psi1 = _cpu_counters(), _psi_cpu()
     dt = max(1, cpu1["total"] - cpu0["total"])
