@@ -247,3 +247,37 @@ def test_pack_order_reservation_arithmetic():
     # degenerate: never-checked alone overflows the window
     order = pack_order([f"n{i}" for i in range(60)], touched[:2], tail[:2], w)
     assert order[:60] == [f"n{i}" for i in range(60)]
+
+
+def test_bench_instrumentation_counters():
+    """bench.py's draw-quality instruments (r11): /proc/stat steal and
+    PSI CPU parse into the documented shapes, totals are monotone
+    across two reads, and the load-gate record carries its verdict
+    fields — the JSON contract BENCH_r*.json consumers read."""
+    import time
+
+    import bench
+
+    c0 = bench._cpu_counters()
+    p0 = bench._psi_cpu()
+    assert set(c0) == {"steal", "total"} and c0["total"] >= 0
+    assert set(p0) == {"avg10", "avg60", "total_us"}
+    time.sleep(0.05)
+    c1, p1 = bench._cpu_counters(), bench._psi_cpu()
+    assert c1["total"] >= c0["total"]
+    assert c1["steal"] >= c0["steal"]
+    assert p1["total_us"] >= p0["total_us"]
+
+    # raise the gate so the test never sits in the 90 s wait loop when
+    # the suite itself has the host loaded
+    orig = bench.LOAD_GATE
+    bench.LOAD_GATE = float("inf")
+    try:
+        gate = bench._load_gate()
+    finally:
+        bench.LOAD_GATE = orig
+    assert set(gate) == {
+        "threshold", "waited_sec", "loadavg_at_gate", "verdict"
+    }
+    assert gate["verdict"] in ("ok", "loaded")
+    assert gate["waited_sec"] == 0.0
