@@ -841,7 +841,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a no-op on the candidate SET, so the top-10 stays bit-identical to
 #: the in-memory probe), and at scale the int8 approximation only has
 #: to get the true top-10 into the top ~4k, a ~400× margin against a
-#: quantization error of ~1e-2 per cosine.
+#: quantization error of ~1e-2 per cosine.  Measured at the first scale
+#: where the cut actually truncates (sf10, n=200k, ~50k probed
+#: candidates → 4096 survivors): the written probe's top-10 is STILL
+#: identical to the in-memory float probe's, recall@10 = 1.0 vs exact.
 IVF_RERANK = 4096
 
 
