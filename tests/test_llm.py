@@ -592,8 +592,9 @@ def test_ivf_layout_is_int8_codes_and_probe_bytes_shrink(spark, tmp_path):
 
     out = S._ivf_layout_dir(spark, SF_RECALL)
     df = spark.read.parquet(out)
-    assert set(df.columns) == {"vec_id", "code", "scale", "cell"}
+    assert set(df.columns) == {"vec_id", "code", "scale", "pq_code", "cell"}
     assert dict(df.dtypes)["code"] == "array<tinyint>"
+    assert dict(df.dtypes)["pq_code"] == "binary"
 
     # encoder-matched A/B from the real corpus rows
     emb = spark.read.parquet(
@@ -645,6 +646,49 @@ def test_ivf_layout_is_int8_codes_and_probe_bytes_shrink(spark, tmp_path):
     assert probe_bytes <= emb_bytes / 3, (
         f"probe reads {probe_bytes} B of codes vs {emb_bytes} B of floats"
     )
+
+
+def test_ivfpq_probe_equals_in_memory_and_adc_is_reconstruction_dot(spark):
+    """The IVF-PQ probe (q_sim_ann_ivfpq, r11 — the FAISS IndexIVFPQ
+    recipe, 8 B/vector candidate scan): (a) its top-10 EQUALS
+    sim_ann_ivf's exactly at fixture scale (the re-rank covers every
+    probed candidate, so any codebook would do — what this pins is the
+    cell set + plumbing); (b) the ADC lookup-table score of a code
+    equals the reconstruction·probe dot computed by hand — the identity
+    that makes ADC 'asymmetric distance' and not a heuristic; (c) the
+    codebook fit is deterministic (seeded)."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    mem = [
+        (r.vec_id, r.label, r.cosine)
+        for r in S.sim_ann_ivf(spark, SF_RECALL).collect()
+    ]
+    pq = [
+        (r.vec_id, r.label, r.cosine)
+        for r in S.sim_ann_ivfpq(spark, SF_RECALL).collect()
+    ]
+    assert pq == mem
+
+    books = S.pq_codebooks(spark, SF_RECALL)
+    assert books.shape == (S.PQ_M, S.PQ_K, len(S.PROBE) // S.PQ_M)
+    assert np.array_equal(books, S.pq_codebooks(spark, SF_RECALL))
+
+    # (b) hand-check ADC on one arbitrary code
+    probe = np.array(S.PROBE, float)
+    probe_hat = probe / np.linalg.norm(probe)
+    dsub = len(S.PROBE) // S.PQ_M
+    lut = np.einsum("mkd,md->mk", books, probe_hat.reshape(S.PQ_M, dsub))
+    code = np.array([3, 250, 0, 17, 99, 255, 42, 128], dtype=np.uint8)
+    recon = np.concatenate([books[m, code[m]] for m in range(S.PQ_M)])
+    assert abs(lut[np.arange(S.PQ_M), code].sum() - recon @ probe_hat) < 1e-12
+
+    # (c) seeded NumPy k-means: deterministic, k clamps to n
+    x = np.arange(40, dtype=float).reshape(10, 4)
+    c1 = S._kmeans_np(x, 256, seed=7)
+    c2 = S._kmeans_np(x, 256, seed=7)
+    assert c1.shape == (10, 4) and np.array_equal(c1, c2)
 
 
 def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):

@@ -87,6 +87,15 @@ ROWS_ONLY_NOTES = {
         "top-10 EQUALS sim_ann_ivf's exactly — equality + pruning + "
         "bytes pytest-asserted)"
     ),
+    "q_sim_ann_ivfpq": (
+        "rows-only (IVF-PQ, r11 — the FAISS IndexIVFPQ recipe: 8-byte "
+        "PQ codes in the written cell layout, ADC lookup-table scan of "
+        "the probed cells + exact re-rank of the top 4096 from the "
+        "source corpus; top-10 EQUALS sim_ann_ivf at fixture scale and "
+        "at sf10 where the ADC cut truncates 50k→4k (recall@10 1.0) — "
+        "equality, ADC=reconstruction-dot identity, and codebook "
+        "determinism pytest-asserted)"
+    ),
     "q_embed_pca": (
         "rows-only (64×64 driver eigh not SQL-expressible; covariance "
         "input is EXACT fixed-point — q_embed_covariance hash-checked — "

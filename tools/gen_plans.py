@@ -493,6 +493,19 @@ NOTES = {
         "read fraction; the r10 corpus-adaptive grid (min(4√n, n/8) "
         "cells, 25% probed) measured 0.8/0.8/1.0 across the decade."
     ),
+    "q_sim_ann_ivfpq": (
+        "IVF-PQ (r11, FAISS IndexIVFPQ): the written cell layout "
+        "carries an 8-byte-per-vector PQ code column beside the int8 "
+        "codes; a probe builds one (8×256) lookup table from the "
+        "fingerprint-cached codebooks, ADC-scores ONLY the probed "
+        "cells' pq_code bytes (cell IN (…) PartitionFilter + column "
+        "pruning — no float or int8 bytes read), and exact-re-ranks "
+        "the top 4096 from the source corpus.  32× less candidate-"
+        "scan bandwidth than float32 — the representation that makes "
+        "billion-row scans feasible; correctness pinned by top-10 "
+        "equality with sim_ann_ivf and the ADC=reconstruction-dot "
+        "identity."
+    ),
     "q_embed_pca": (
         "PCA transform (r6, plan section added r8): the fit is the "
         "q_embed_covariance one-pass exact Gram (D²+D+1 fixed-width "
