@@ -629,6 +629,27 @@ def test_ivf_layout_is_int8_codes_and_probe_bytes_shrink(spark, tmp_path):
         ),
         f_code,
     )
+    # PQ leg (r11): REAL 8-byte codes from the fitted codebooks — the
+    # ADC scan reads ≤ 1/4 of even the int8 probe's bytes (8 vs 64+8
+    # per row before encoding overhead)
+    books = S.pq_codebooks(spark, SF_RECALL)
+    dsub = unit.shape[1] // S.PQ_M
+    cols_pq = []
+    for m in range(S.PQ_M):
+        sub = unit[:, m * dsub : (m + 1) * dsub]
+        d2 = (books[m] ** 2).sum(1)[None, :] - 2.0 * (sub @ books[m].T)
+        cols_pq.append(d2.argmin(1).astype(np.uint8))
+    pq_codes = [bytes(row) for row in np.stack(cols_pq, axis=1)]
+    f_pq = str(tmp_path / "pq.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": emb["vec_id"].to_numpy(),
+                "pq_code": pa.array(pq_codes, type=pa.binary()),
+            }
+        ),
+        f_pq,
+    )
 
     def col_bytes(path, prefixes):
         md = pq.ParquetFile(path).metadata
@@ -645,6 +666,10 @@ def test_ivf_layout_is_int8_codes_and_probe_bytes_shrink(spark, tmp_path):
     assert probe_bytes > 0 < emb_bytes
     assert probe_bytes <= emb_bytes / 3, (
         f"probe reads {probe_bytes} B of codes vs {emb_bytes} B of floats"
+    )
+    pq_bytes = col_bytes(f_pq, ("pq_code",))
+    assert 0 < pq_bytes <= probe_bytes / 4, (
+        f"ADC scan reads {pq_bytes} B vs int8 probe's {probe_bytes} B"
     )
 
 

@@ -322,6 +322,9 @@ def run_ann(spark, sf1_dir: str | None, sf10_dir: str | None = None) -> None:
     layouts = [
         ("LSH prefix layout", S._ann_layout_root, S.sim_ann_partitioned),
         ("IVF cell layout", S._ivf_layout_dir, S.sim_ann_ivf_partitioned),
+        # shares the IVF layout (its build row is ~0 once IVF ran) but
+        # scans 8 B/vector PQ codes instead of 64 B int8 codes
+        ("IVF-PQ (ADC probe)", S._ivf_layout_dir, S.sim_ann_ivfpq),
     ]
     rows = []
     for label, build_fn, probe_fn in layouts:
