@@ -179,7 +179,6 @@ def main() -> None:
     registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings = _time_queries(registry, names, spark, sf_dir, REPS)
-    total = round(sum(timings.values()), 4)
     common = names[: min(14, len(names))]
     common_total = round(sum(timings[n] for n in common), 4)
 

@@ -509,7 +509,12 @@ def _ann_layout_root(spark: SparkSession, sf_dir: str) -> str:
                 {
                     "prefix_bits": p,
                     "bands": ANN_LAYOUT_BANDS,
-                    "id_only_secondary": True,
+                    # only meaningful with ≥2 bands — an L=1 layout has
+                    # no secondary bands, and the probe's id-fetch
+                    # branch must not run over an empty union (review
+                    # r11: flag-unconditionally-True dereferenced None
+                    # if L were ever tuned to 1)
+                    "id_only_secondary": ANN_LAYOUT_BANDS > 1,
                 },
                 f,
             )
@@ -850,10 +855,10 @@ IVF_RERANK = 4096
 
 def _quantize_codes(mat):
     """Symmetric per-vector int8 quantization of an (n, d) float matrix:
-    ``scale = max|v|/127, code = round_half_away(v/scale)`` — the same
-    recipe as :func:`..vectors.embed_quantize` (llm/vectors.py), applied
-    to the unit vectors so code-space cosine ≈ true cosine.  Zero
-    vectors get scale 0 and an all-zero code."""
+    ``scale = max|v|/127, code = round_half_away(v/scale)`` — THE one
+    int8 quantizer implementation (``..vectors.embed_quantize`` calls
+    this too, so the oracle-pinned key and the written IVF codes cannot
+    drift apart).  Zero vectors get scale 0 and an all-zero code."""
     import numpy as np
 
     amax = np.abs(mat).max(axis=1) if len(mat) else np.empty(0)
@@ -958,6 +963,11 @@ PQ_M = 8
 PQ_K = 256
 PQ_ITERS = 15
 
+#: Sentinel coordinate for unused codebook rows (k < PQ_K on tiny
+#: corpora): far enough that a padded row can never win an argmin
+#: against any real unit-vector centroid.
+_PQ_PAD = 1.0e6
+
 #: Fit-once cache: corpus dir → (fingerprint, (PQ_M, PQ_K, dsub)
 #: codebook tensor) — same lifecycle as _IVF_CENTROIDS.
 _PQ_CODEBOOKS: dict[str, tuple[tuple, "object"]] = {}
@@ -1011,12 +1021,25 @@ def pq_codebooks(spark: SparkSession, sf_dir: str):
             x = np.array([r.v for r in rows if r.v is not None], float)
             dim = len(PROBE)
             dsub = dim // PQ_M
-            books = np.zeros((PQ_M, PQ_K, dsub))
-            for m in range(PQ_M):
-                sub = x[:, m * dsub : (m + 1) * dsub]
-                cent = _kmeans_np(sub, PQ_K, seed=42 + m)
-                books[m, : len(cent)] = cent  # k<PQ_K on tiny corpora:
-                # unused rows stay zero and are never emitted as codes
+            # Padding for the k < PQ_K tail (tiny corpora) is a HUGE
+            # sentinel, not zero: a zero "centroid" sits at the origin
+            # and WINS the encoder's argmin for any subvector closer to
+            # the origin than to a real centroid (review r11) — the
+            # sentinel makes padded rows unreachable by construction,
+            # so padded ids are never emitted and their garbage ADC lut
+            # entries are never referenced.
+            books = np.full((PQ_M, PQ_K, dsub), _PQ_PAD)
+            if len(x) == 0:
+                # zero usable vectors: one real origin centroid per
+                # subspace — every (nonexistent) probe candidate would
+                # code to 0; mirrors ivf_centroids' k<2 degenerate path
+                # instead of crashing the layout build (review r11)
+                books[:, 0] = 0.0
+            else:
+                for m in range(PQ_M):
+                    sub = x[:, m * dsub : (m + 1) * dsub]
+                    cent = _kmeans_np(sub, PQ_K, seed=42 + m)
+                    books[m, : len(cent)] = cent
             _PQ_CODEBOOKS[sf_dir] = (fp, books)
         return _PQ_CODEBOOKS[sf_dir][1]
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .dedup import cosine_expr
-from .similarity import PROBE, _probe_col, _probe_sql_list
+from .similarity import PROBE, _probe_col, _probe_sql_list, _quantize_codes
 
 # ---------------------------------------------------------------- centroids
 
@@ -339,12 +339,14 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            amax = np.abs(X).max(axis=1)
-            keep = amax > 0
-            X, sub = X[keep], pdf[keep]
-            scale = amax[keep] / Q_LEVELS
-            Y = X / scale[:, None]
-            q = np.trunc(Y + np.copysign(0.5, Y)).astype(np.int64)
+            # the ONE int8 quantizer implementation (shared with the
+            # written IVF layout, similarity._quantize_codes) — a
+            # divergence in scale/tie-break would silently split this
+            # oracle-pinned key from the index codes (review r11)
+            codes, scale = _quantize_codes(X)
+            keep = scale > 0
+            X, sub, scale = X[keep], pdf[keep], scale[keep]
+            q = codes[keep].astype(np.int64)
             err = np.abs(X - q * scale[:, None]).sum(axis=1) / DIM
             yield pd.DataFrame(
                 {

@@ -396,6 +396,13 @@ def test_protobuf_shim_wire_format():
     d2.ParseFromString(enc)
     assert d2.expiryTimestampMs == -5
 
+    # WhichOneof is scoped to the NAMED oneof (review r11: it used to
+    # return any oneof's set member) and rejects unknown oneof names
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    assert sm.StateRequest().WhichOneof("method") is None
+    with pytest.raises(ValueError, match="no oneof"):
+        req.WhichOneof("nope")
+
     # repeated message + bool + unknown-field skip
     t = sm.StateResponseWithTimer()
     t.ParseFromString(
