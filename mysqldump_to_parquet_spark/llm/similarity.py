@@ -1135,7 +1135,13 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids and the same vectorized UDF, so the probed candidate set
     is IDENTICAL to ``sim_ann_ivf``'s; IVF_RERANK exceeds the fixture
     candidate counts, so the re-ranked top-10 is bit-identical too
-    (pytest-asserted)."""
+    (pytest-asserted).
+
+    NOTE: phase 1 executes when the DataFrame is BUILT (this, the PQ
+    variant, and the LSH id-fetch are the registry's only eager
+    probes) — the returned plan embeds the survivor-id snapshot, the
+    correct semantics for a point-in-time probe, but plan-only
+    consumers (gen_plans) pay the candidate scan."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
