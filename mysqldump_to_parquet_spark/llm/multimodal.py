@@ -285,12 +285,23 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     idat = bytearray()
     while pos < len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
+        if pos + 12 + ln > len(data):
+            # validate BEFORE slicing: a lying length would otherwise
+            # surface as a confusing CRC mismatch (or worse, an
+            # IndexError downstream) instead of the loud ValueError the
+            # decode_bmp/decode_ppm contract promises (ADVICE r11)
+            raise ValueError(
+                f"truncated PNG chunk at offset {pos} (declared "
+                f"{ln} bytes past end of data)"
+            )
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
         if zlib.crc32(tag + body) != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"PNG IHDR body is {ln} bytes, expected 13")
             width = int.from_bytes(body[0:4], "big")
             height = int.from_bytes(body[4:8], "big")
             depth, color = body[8], body[9]
@@ -308,7 +319,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + ln
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # missing/garbled IDAT — keep the contract
+        raise ValueError(f"PNG IDAT stream does not inflate: {exc}") from exc
     bpp, stride = 3, width * 3
     if len(raw) != (stride + 1) * height:
         raise ValueError(

@@ -31,12 +31,19 @@ def ensure_protobuf() -> bool:
         return False
     except ImportError:
         pass
+    # The shim's google/ directory is a PEP 420 namespace package (NO
+    # __init__.py) and the path is APPENDED, not prepended: in an
+    # environment carrying other google.* namespace portions
+    # (google.auth, google.cloud) but no protobuf wheel, a regular
+    # package here would terminate namespace-path resolution and break
+    # those imports, and a prepended entry would shadow site-packages
+    # for every module, not just the one we vendor (ADVICE r11).
     shim = os.path.join(os.path.dirname(__file__), "_vendor", "protoshim")
     if shim not in sys.path:
-        sys.path.insert(0, shim)
+        sys.path.append(shim)
     existing = os.environ.get("PYTHONPATH", "")
     if shim not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
-            shim + os.pathsep + existing if existing else shim
+            existing + os.pathsep + shim if existing else shim
         )
     return True

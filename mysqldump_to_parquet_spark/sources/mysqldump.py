@@ -2628,30 +2628,30 @@ def convert_dump(
             obs = Observation(f"ingest_{table}")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             codec, level = parse_compression(compression)
-            hconf = spark.sparkContext._jsc.hadoopConfiguration()
-            zstd_key = "parquet.compression.codec.zstd.level"
+            writer = df.write.mode("overwrite")
             if level is not None:
-                # parquet-mr reads the level from the job's Hadoop conf
-                # (the Spark writer option surface has no level knob) —
-                # and ONLY zstd has that knob; a gzip/brotli level this
-                # path cannot honor fails loudly instead of silently
-                # writing at the default level (review r11; the pyarrow
-                # one-pass path honors those levels fine)
+                # parquet-mr reads the level from the JOB's Hadoop conf,
+                # and Spark's file sinks copy writer options into that
+                # conf (newHadoopConfWithOptions), so the level rides
+                # the write instead of mutating the session-global conf
+                # — two convert_dump calls racing on one SparkSession
+                # can no longer cross-apply levels (ADVICE r11; the
+                # override-wins behavior is probed in
+                # tests/test_cli.py).  ONLY zstd has that knob; a
+                # gzip/brotli level this path cannot honor fails loudly
+                # instead of silently writing at the default level
+                # (review r11; the pyarrow one-pass path honors those
+                # levels fine).
                 if codec != "zstd":
                     raise ValueError(
                         f"the per-table Spark writer cannot honor a "
                         f"{codec} level ({compression!r}); use zstd:N "
                         f"or a plain codec on this path"
                     )
-                hconf.set(zstd_key, str(level))
-            else:
-                # heal any level a previous convert in this session set
-                # on the SESSION-GLOBAL conf (review r11: zstd:19 then
-                # plain zstd silently kept level 19)
-                hconf.unset(zstd_key)
-            df.write.mode("overwrite").parquet(
-                f"{output_dir}/{table}", compression=codec
-            )
+                writer = writer.option(
+                    "parquet.compression.codec.zstd.level", str(level)
+                )
+            writer.parquet(f"{output_dir}/{table}", compression=codec)
             n = int(obs.get["rows"])
             if progress:
                 dt = _time.perf_counter() - t0

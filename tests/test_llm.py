@@ -1043,6 +1043,36 @@ def test_png_codec_round_trip_all_filters():
     with pytest.raises(ValueError, match="truecolor"):
         decode_png(bad)
 
+    # every malformed-input class keeps the ValueError contract
+    # (ADVICE r11: short IHDR used to escape as IndexError, garbled
+    # IDAT as zlib.error, lying chunk lengths as a confusing CRC error)
+    short_ihdr = _PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 12)
+    with pytest.raises(ValueError, match="IHDR body"):
+        decode_png(short_ihdr)
+
+    good_ihdr = (
+        (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    garbled = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", good_ihdr)
+        + _png_chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate"):
+        decode_png(garbled)
+    missing_idat = (
+        _PNG_SIG + _png_chunk(b"IHDR", good_ihdr) + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate"):
+        decode_png(missing_idat)
+
+    lying_len = _PNG_SIG + (10**6).to_bytes(4, "big") + b"IDATxxxx"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(lying_len)
+
 
 def test_ppm_decode_and_dispatch():
     import pytest

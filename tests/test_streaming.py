@@ -415,6 +415,21 @@ def test_protobuf_shim_wire_format():
     assert [x.timestampMs for x in t.timer] == [123]
     assert t.requireNextFetch is True
 
+    # appending to a repeated field of a LAZILY-VIVIFIED submessage must
+    # give the child presence in the parent (ADVICE r11: the shim's
+    # plain-list repeated container skipped _mark_mutated, so
+    # `call.appendList.value.append(x)` — the real list-state client
+    # shape — silently dropped from SerializeToString)...
+    call = sm.ListStateCall()
+    call.appendList.value.append(b"\x01\x02")
+    rt2 = sm.ListStateCall()
+    rt2.ParseFromString(call.SerializeToString())
+    assert list(rt2.appendList.value) == [b"\x01\x02"]
+    # ...while a merely-READ repeated field still creates no presence
+    probe = sm.ListStateCall()
+    assert len(probe.listStatePut.value) == 0
+    assert probe.SerializeToString() == b""
+
 
 def test_streaming_available_now_backfill(spark, tmp_path):
     """Trigger.AvailableNow: the production backfill pattern — drain the

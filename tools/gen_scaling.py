@@ -396,7 +396,54 @@ def run_ann(spark, sf1_dir: str | None, sf10_dir: str | None = None) -> None:
     print(f"wrote ANN probe section to {path}")
 
 
+def parse_args(argv: list[str] | None = None):
+    """Parse the CLI BEFORE any Spark work (VERDICT r11 #5: the old
+    hand-rolled sys.argv scan had no --help / unknown-flag handling, so
+    a typo'd flag fell through to the multi-minute FULL regen).
+    ``--help`` and unknown flags exit here, Spark untouched."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="gen_scaling.py",
+        description=(
+            "Regenerate SCALING.md sections.  With no mode flag, runs the "
+            "FULL sf0.001→sf0.1 regen (minutes).  Mode flags run one spot "
+            "section: --sf1 [DIR] (sf1 decade), --ann [SF1_DIR] "
+            "[--sf10 DIR] (ANN probe decades), --sf10 [DIR] (sf10 rows)."
+        ),
+    )
+    ap.add_argument(
+        "--sf1",
+        nargs="?",
+        const="/tmp/sf1",
+        default=None,
+        metavar="DIR",
+        help="run ONLY the sf1 spot section against DIR (default /tmp/sf1)",
+    )
+    ap.add_argument(
+        "--ann",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="SF1_DIR",
+        help="run ONLY the ANN probe section (optional sf1 corpus dir; "
+        "combine with --sf10 DIR for the sf10 probe decade)",
+    )
+    ap.add_argument(
+        "--sf10",
+        nargs="?",
+        const="/tmp/sf10",
+        default=None,
+        metavar="DIR",
+        help="run ONLY the sf10 section against DIR (default /tmp/sf10); "
+        "with --ann, names the ANN sf10 corpus instead",
+    )
+    return ap.parse_args(argv)
+
+
 def main() -> None:
+    args = parse_args()
+
     from mysqldump_to_parquet_spark.session import get_spark
 
     import __spark_entry__ as entrypoint
@@ -408,54 +455,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = entrypoint.queries()
 
-    if "--sf1" in sys.argv:
-        i = sys.argv.index("--sf1")
-        sf1_dir = (
-            sys.argv[i + 1]
-            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else "/tmp/sf1"
-        )
+    if args.sf1 is not None:
         registry[SF1_QUERIES[0]](spark, "/root/testdata/sf0.01").write.format(
             "noop"
         ).mode("overwrite").save()  # warmup
-        run_sf1(spark, registry, sf1_dir)
+        run_sf1(spark, registry, args.sf1)
         spark.stop()
         return
 
-    if "--ann" in sys.argv:
-        i = sys.argv.index("--ann")
-        sf1_dir = (
-            sys.argv[i + 1]
-            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else None
-        )
-        sf10_dir = None
-        if "--sf10" in sys.argv:
-            j = sys.argv.index("--sf10")
-            sf10_dir = (
-                sys.argv[j + 1]
-                if len(sys.argv) > j + 1
-                and not sys.argv[j + 1].startswith("-")
-                else "/tmp/sf10"
-            )
+    if args.ann is not None:
         registry["q_sim_topk"](spark, "/root/testdata/sf0.01").write.format(
             "noop"
         ).mode("overwrite").save()  # warmup
-        run_ann(spark, sf1_dir, sf10_dir)
+        run_ann(spark, args.ann or None, args.sf10)
         spark.stop()
         return
 
-    if "--sf10" in sys.argv:
-        i = sys.argv.index("--sf10")
-        sf10_dir = (
-            sys.argv[i + 1]
-            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else "/tmp/sf10"
-        )
+    if args.sf10 is not None:
         registry[SF10_QUERIES[0]](
             spark, "/root/testdata/sf0.01"
         ).write.format("noop").mode("overwrite").save()  # warmup
-        run_sf10(spark, registry, sf10_dir)
+        run_sf10(spark, registry, args.sf10)
         spark.stop()
         return
 
