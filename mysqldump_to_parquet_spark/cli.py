@@ -1,7 +1,7 @@
 """Command-line entry point — parity with the reference's CLI
 (/root/reference/src/main.rs:26–37: positional input + ``--output``).
 
-    python -m mysqldump_to_parquet_spark.cli dump.sql[.gz] --output out/
+    python -m mysqldump_to_parquet_spark.cli dump.sql[.gz|.zst|.bz2|.xz] --output out/
 
 Differences from the reference, by design:
 * stdin (``-``) is supported by SPOOLING to a local temp file first — a
@@ -36,9 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "input",
-        help="path to .sql or .sql.gz dump (glob ok), or '-' to read the "
-        "dump from stdin (spooled to a local temp file, then parsed with "
-        "full parallelism: mysqldump db | %(prog)s - -o out/)",
+        help="path to a .sql dump, optionally compressed as .sql.gz / "
+        ".sql.zst / .sql.bz2 / .sql.xz (glob ok; one task per compressed "
+        "member), or '-' to read the dump from stdin (spooled to a local "
+        "temp file, then parsed with full parallelism: "
+        "mysqldump db | %(prog)s - -o out/)",
     )
     ap.add_argument("--output", "-o", required=True, help="output directory")
     ap.add_argument(

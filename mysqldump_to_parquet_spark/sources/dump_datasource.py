@@ -19,9 +19,10 @@ Scale design:
   to the next line boundary, and parses only statements *starting* inside
   its range — the same ownership rule Hadoop text splitting uses, so every
   one-statement-per-line INSERT is parsed exactly once and a 100 GB dump
-  fans out across the cluster with zero driver involvement.  ``.gz``
-  files are not seekable → one partition per file (same behavior as
-  every Hadoop text source; the scale path is many files).
+  fans out across the cluster with zero driver involvement.  Compressed
+  members (.gz/.bz2/.xz/.zst) are not seekable → one partition per file
+  (same behavior as every Hadoop text source; the scale path is many
+  files), decoded Python-side by the converter's shared open helper.
 * **Schema from DDL, driver-side and bounded.** ``schema()`` scans the
   dump head (``DDL_SCAN_BYTES`` cap, loud error past it) for the table's
   CREATE TABLE and reuses :func:`..mysqldump.parse_create_table` — the
@@ -40,7 +41,6 @@ a dump table joins live against the rest of the engine.
 from __future__ import annotations
 
 import glob as globlib
-import gzip
 import math
 import os
 from datetime import date, datetime, timezone
@@ -59,7 +59,9 @@ from pyspark.sql.datasource import (
 
 from .mysqldump import (
     _INSERT_COLS_RE,
+    COMPRESSED_DUMP_EXTS,
     DumpParseError,
+    _open_dump_text,
     _arrow_fast_types,
     _arrow_read_values,
     _values_csv_bytes,
@@ -89,9 +91,11 @@ class _Range(InputPartition):
 
 
 def _open_text(path: str):
-    if path.endswith(".gz"):
-        return gzip.open(path, "rt", encoding="utf-8", errors="replace")
-    return open(path, "r", encoding="utf-8", errors="replace")
+    # extension-dispatched decode (.gz/.bz2/.xz stdlib, .zst via the
+    # zstd CLI) shared with the convert paths — this datasource decodes
+    # members Python-side inside tasks, so it reads every extension the
+    # converter does, including the JVM-undecodable .xz
+    return _open_dump_text(path)
 
 
 def _iter_head_statements(path: str) -> Iterator[str]:
@@ -226,7 +230,7 @@ class MysqldumpReader(DataSourceReader):
     def partitions(self):
         parts: list[_Range] = []
         for p in self._paths:
-            if p.endswith(".gz"):
+            if p.endswith(COMPRESSED_DUMP_EXTS):
                 parts.append(_Range(p, 0, None))  # not seekable
                 continue
             size = os.path.getsize(p)

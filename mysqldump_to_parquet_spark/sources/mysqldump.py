@@ -1277,6 +1277,7 @@ def collect_schemas(
     ``mean_dml_bytes`` (None when the dump has no INSERT lines) sizes the
     Arrow statement-crossing batches downstream — the aggregate rides the
     layout scan for free."""
+    _require_jvm_text_decodable(dump_path)
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes", str(_DDL_SCAN_SPLIT_BYTES)
@@ -1484,14 +1485,148 @@ def _range_owned_lines(path: str, start: int, end: int) -> list[bytes]:
     return lines
 
 
-def _iter_gz_statements(path: str) -> Iterator[str]:
-    """Statements from an unsplittable .gz member, streamed line-by-line
-    (no whole-file string: memory is bounded by one statement, not one
-    file — arbitrarily large members are fine, just single-task)."""
-    import gzip
+#: Compressed dump-member extensions (reference parity is .gz only,
+#: src/main.rs:41–47; ``mysqldump | zstd`` / ``| bzip2`` / ``| xz`` are
+#: the common modern pipes).  All are UNSPLITTABLE on the Python decode
+#: paths — one task per member file, parallelism per file exactly like
+#: the reference's .gz handling.
+COMPRESSED_DUMP_EXTS = (".gz", ".bz2", ".xz", ".zst")
 
-    with gzip.open(path, "rt", encoding="utf-8", errors="replace") as fh:
+#: The subset Spark's JVM text scan decodes transparently (probed r12:
+#: Hadoop's GzipCodec handles concatenated members, BZip2Codec is pure
+#: Java AND splittable, ZStandardCodec rides the bundled zstd-jni).
+#: ``.xz`` has NO Hadoop codec — ``spark.read.text`` would hand the raw
+#: compressed bytes back as garbage "lines", so .xz inputs are routed
+#: through the Python-decoded reassembly path (``convert_dump``) and
+#: fail loudly everywhere else (:func:`_require_jvm_text_decodable`).
+JVM_TEXT_DECODABLE_EXTS = (".gz", ".bz2", ".zst")
+
+
+class _ZstdTextStream:
+    """Streamed text over ``zstd -dc`` (context manager + line iterator).
+
+    There is no zstd module in the Python stdlib (3.11) and executors
+    cannot call into the JVM, so Python-side member decode shells out to
+    the ``zstd`` CLI and streams its stdout — the same one-member-one-
+    task shape as the gzip path, decode running in a separate process
+    (free decode/parse overlap).  Fails loudly if the binary is missing
+    or exits nonzero after a fully-drained stream; an early consumer
+    close (SIGPIPE) is not an input error."""
+
+    def __init__(self, path: str):
+        import io
+        import shutil
+        import subprocess
+
+        exe = shutil.which("zstd") or shutil.which("unzstd")
+        if exe is None:
+            raise DumpParseError(
+                f"{path}: reading .zst dumps on this code path needs the "
+                "zstd CLI on PATH (Python has no stdlib zstd codec); "
+                "install zstd or recompress with gzip/bzip2"
+            )
+        self._path = path
+        self._proc = subprocess.Popen(
+            [exe, "-dc", "-q", "--", path],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        self._text = io.TextIOWrapper(
+            self._proc.stdout, encoding="utf-8", errors="replace"
+        )
+        self._drained = False
+
+    def __iter__(self):
+        for line in self._text:
+            yield line
+        self._drained = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def close(self):
+        self._text.close()
+        err = self._proc.stderr.read() if self._proc.stderr else b""
+        if self._proc.stderr:
+            self._proc.stderr.close()
+        rc = self._proc.wait()
+        if rc != 0 and self._drained:
+            raise DumpParseError(
+                f"{self._path}: zstd decompression failed (exit {rc}): "
+                f"{err.decode(errors='replace').strip()}"
+            )
+
+
+def _open_dump_text(path: str):
+    """Streamed text handle for a possibly-compressed dump member —
+    extension-dispatched, stdlib codecs where they exist (.gz/.bz2/.xz),
+    the zstd CLI for .zst.  Memory stays bounded by one line."""
+    kw = dict(encoding="utf-8", errors="replace")
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", **kw)
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rt", **kw)
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rt", **kw)
+    if path.endswith(".zst"):
+        return _ZstdTextStream(path)
+    return open(path, "r", **kw)
+
+
+def _iter_member_statements(path: str) -> Iterator[str]:
+    """Statements from an unsplittable compressed member, streamed
+    line-by-line (no whole-file string: memory is bounded by one
+    statement, not one file — arbitrarily large members are fine, just
+    single-task)."""
+    with _open_dump_text(path) as fh:
         yield from iter_statements(fh)
+
+
+def _require_jvm_text_decodable(dump_path: str) -> None:
+    """Loud guard for ``spark.read.text`` call sites: .xz has no Hadoop
+    codec, so the JVM scan would hand the raw compressed bytes back as
+    garbage "lines" and the parse would fail confusingly downstream (or
+    worse).  String-level check only (no listing job) — ``convert_dump``
+    additionally routes .xz members found by its file listing through
+    the Python-decoded reassembly path, which handles them fine."""
+    if str(dump_path).endswith(".xz"):
+        raise DumpParseError(
+            f"{dump_path}: .xz is not JVM-decodable (Hadoop has no xz "
+            "codec); use convert_dump (routes .xz through Python-side "
+            "reassembly decode) or recompress with zstd/gzip/bzip2"
+        )
+
+
+def _has_xz_members(spark: SparkSession, dump_path: str) -> bool:
+    """Does ``dump_path`` (path or glob) match any .xz member?  Decided
+    WITHOUT a listing job when the pattern itself is decisive (a glob
+    ending in .sql/.gz/.bz2/.zst cannot match .xz); ambiguous patterns
+    pay one file-status listing."""
+    p = str(dump_path)
+    if p.endswith(".xz"):
+        return True
+    if p.endswith((".sql", ".gz", ".bz2", ".zst")):
+        return False
+    try:
+        files = (
+            spark.read.format("binaryFile")
+            .load(dump_path)
+            .select("path")
+            .collect()
+        )
+    except Exception:
+        return False  # no files: let the caller's own scan raise its error
+    return any(r.path.endswith(".xz") for r in files)
 
 
 def _local_path(uri: str) -> str:
@@ -1513,7 +1648,7 @@ def _multiline_ranges(
     spark: SparkSession, dump_path: str, split_bytes: int | None = None
 ) -> list[tuple[str, int, int]]:
     """(path, start, end) reassembly ranges for a multi-line dump; end=-1
-    marks an unsplittable .gz member streamed whole."""
+    marks an unsplittable compressed member streamed whole."""
     step = split_bytes or MULTILINE_SPLIT_BYTES
     files = (
         spark.read.format("binaryFile")
@@ -1524,7 +1659,7 @@ def _multiline_ranges(
     ranges: list[tuple[str, int, int]] = []
     for r in files:
         p = _local_path(r.path)
-        if p.endswith(".gz"):
+        if p.endswith(COMPRESSED_DUMP_EXTS):
             ranges.append((p, 0, -1))  # -1 → stream whole member
         else:
             for off in range(0, max(int(r.length), 1), step):
@@ -1537,7 +1672,7 @@ def _multiline_ranges(
 def _range_statements(path: str, lo: int, hi: int) -> Iterator[str]:
     """Statements owned by one reassembly range (gz-aware dispatch)."""
     if hi < 0:
-        return _iter_gz_statements(path)
+        return _iter_member_statements(path)
     return _iter_range_statements(path, lo, hi)
 
 
@@ -1553,7 +1688,7 @@ def _range_ddl_statements(path: str, lo: int, hi: int) -> Iterator[str]:
     if hi < 0:
         yield from (
             s
-            for s in _iter_gz_statements(path)
+            for s in _iter_member_statements(path)
             if not s.startswith(DML_PREFIXES)
         )
         return
@@ -1746,6 +1881,7 @@ def _mean_dml_bytes(spark: SparkSession, dump_path: str):
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes", str(_DDL_SCAN_SPLIT_BYTES)
     )
+    _require_jvm_text_decodable(dump_path)
     try:
         return (
             spark.read.text(dump_path)
@@ -1846,6 +1982,7 @@ def insert_rows_df(
     splits relative to the CPU cost of parsing."""
     carrier = T.StructType([carrier_field(f) for f in schema.fields])
     if lines_df is None:
+        _require_jvm_text_decodable(dump_path)
         lines_df = spark.read.text(dump_path).where(_dml_line_pred())
     # JVM-side per-table prefilter: without it, every table's pass would
     # repartition and Python-tokenize ALL tables' INSERT lines (O(tables ×
@@ -1982,6 +2119,40 @@ _ONEPASS_FLUSH_BYTES = 32 * 1024 * 1024
 _ONEPASS_SPLIT_BYTES = 64 * 1024 * 1024
 
 
+#: Orphaned staging directories older than this are swept at the start
+#: of the next one-pass convert into the same output dir.  A hard
+#: driver crash is the only way to orphan one (every in-process failure
+#: removes staging in the ``finally``); readers never see them anyway
+#: (the ``_`` prefix is hidden from Hadoop/Spark listings), so the sweep
+#: is purely a storage-reclaim courtesy.  24 h >> any convert, so a
+#: concurrent live convert's staging is never at risk.  The object-store
+#: analog is a lifecycle rule on the ``_staging_`` prefix —
+#: ARCHITECTURE.md "One-pass commit on object stores".
+_STAGING_GC_AGE_S = 24 * 3600
+
+
+def _gc_orphaned_staging(out_abs: str) -> None:
+    """Remove ``_staging_*`` leftovers from crashed runs (see
+    ``_STAGING_GC_AGE_S``)."""
+    import shutil as _shutil
+    import time as _time
+
+    try:
+        entries = os.listdir(out_abs)
+    except OSError:
+        return
+    cutoff = _time.time() - _STAGING_GC_AGE_S
+    for name in entries:
+        if not name.startswith("_staging_"):
+            continue
+        p = os.path.join(out_abs, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with its own cleanup — fine
+
+
 def _probe_staging_visibility(spark: SparkSession, staging: str) -> None:
     """One executor task writes a marker under ``staging``; the driver
     must be able to stat it, or the one-pass commit protocol (task-side
@@ -2076,6 +2247,8 @@ def convert_dump_onepass(
 
     from .dump_datasource import _carrier_to_target, _pa_schema
 
+    if not multiline:
+        _require_jvm_text_decodable(dump_path)
     if "://" in output_dir:
         # os.path.abspath('s3://bucket/out') would silently mangle the
         # URI into '<cwd>/s3:/bucket/out' and "succeed" locally while
@@ -2122,6 +2295,7 @@ def convert_dump_onepass(
         for t, s in schemas.items()
     }
     out_abs = os.path.abspath(output_dir)
+    _gc_orphaned_staging(out_abs)
     staging = os.path.join(out_abs, f"_staging_{uuid.uuid4().hex}")
     os.makedirs(staging, exist_ok=True)
     # A scheme-less path on a multi-node cluster may still be plain
@@ -2468,6 +2642,22 @@ def convert_dump(
     cached = None  # the persisted multi-table line set, if any
     try:
         try:
+            if _has_xz_members(spark, dump_path):
+                # .xz has no Hadoop codec, so the one-line JVM text scan
+                # cannot decode it — route through the Python-decoded
+                # reassembly path, which handles BOTH layouts (one-line
+                # statements are single lines to it) at one task per
+                # member, exactly like .gz members.
+                if multiline == "never":
+                    raise DumpParseError(
+                        f"{dump_path}: .xz members need Python-side "
+                        "decode (the reassembly path), which "
+                        "multiline='never' forbids; recompress with "
+                        "zstd/gzip/bzip2 for the JVM-decoded layout"
+                    )
+                raise MultilineDumpError(
+                    f"{dump_path}: .xz member routed to Python-side decode"
+                )
             schemas, mean_dml = collect_schemas(
                 spark, dump_path, return_stats=True
             )

