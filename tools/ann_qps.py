@@ -32,13 +32,15 @@ import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOISE_STD = 0.1
 
 
 def _probe_vectors(sf_dir: str, n: int):
-    import numpy as np
     import pyarrow.parquet as pq
 
     t = pq.read_table(
@@ -50,8 +52,6 @@ def _probe_vectors(sf_dir: str, n: int):
 
 
 def _probe_cells_for(centroids, probe):
-    import numpy as np
-
     from mysqldump_to_parquet_spark.llm import similarity as S
 
     nprobe = max(1, int(round(len(centroids) * S.IVF_SCAN_FRACTION)))
@@ -84,8 +84,6 @@ def _rerank(spark, sf_dir, ids, probe):
 
 def probe_ivf(spark, sf_dir, layout_dir, centroids, probe):
     """sim_ann_ivf_partitioned's two phases, probe-parametric."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -115,8 +113,6 @@ def probe_ivf(spark, sf_dir, layout_dir, centroids, probe):
 
 def probe_ivfpq(spark, sf_dir, layout_dir, centroids, books, probe):
     """sim_ann_ivfpq's ADC scan + shared re-rank, probe-parametric."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 

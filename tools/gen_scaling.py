@@ -387,6 +387,14 @@ def run_ann(spark, sf1_dir: str | None, sf10_dir: str | None = None) -> None:
         "data motion — see sim_ann_partitioned's accounting).  Probe",
         "walls across the decades stay far under corpus growth (IVF",
         "~8× for 400× rows), which is the property this table pins.",
+        "",
+        "Companion measurements (r12, recorded in BASELINE.md /",
+        "the QPS section below): the 1M-row fit-sample ablation",
+        "(tools/ann_fit_ablation.py — recall floor holds at n=1M,",
+        "scaled sample ahead at tight nprobe), the IVF_RERANK knee",
+        "sweep (tools/rerank_sweep.py — 4096 stays: the PQ rung needs",
+        "all of it at 1M distinct vectors), and concurrent-probe QPS",
+        "(tools/ann_qps.py).",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -564,7 +572,14 @@ def main() -> None:
     if os.path.exists(path):
         import re
 
-        for header in ("## sf1 spot-run", "## steady-state ANN probes"):
+        # every separately-measured section must be listed here or a
+        # FULL regen silently drops it (r12: sf10 was missing — latent)
+        for header in (
+            "## sf1 spot-run",
+            "## steady-state ANN probes",
+            "## concurrent probes (QPS)",
+            "## sf10 spot-run",
+        ):
             m = re.search(
                 rf"\n{re.escape(header)}.*?(?=\n## |\Z)",
                 open(path).read(),

@@ -84,10 +84,28 @@ def sweep(spark, sf_dir: str) -> None:
     dsub = unit.shape[1] // S.PQ_M
 
     rng = np.random.default_rng(11)
-    probes = unit[:N_PROBES] + rng.normal(
-        0.0, NOISE_STD, size=(N_PROBES, unit.shape[1])
-    )
+    probe_sets = {
+        # near-cluster (realistic) and random-direction (adversarial —
+        # true top-10 scattered, the regime where the approximate
+        # order's job is hardest); see ann_fit_ablation.py
+        "clustered": unit[:N_PROBES]
+        + rng.normal(0.0, NOISE_STD, size=(N_PROBES, unit.shape[1])),
+        "uniform": rng.normal(0.0, 1.0, size=(N_PROBES, unit.shape[1])),
+    }
+    for kind, probes in probe_sets.items():
+        _sweep_probes(
+            sf_dir, kind, probes, ids, unit, assign, cent, cent_sq,
+            codes, code_norm, books, pq_ids, nprobe, dsub,
+        )
 
+
+def _sweep_probes(
+    sf_dir, kind, probes, ids, unit, assign, cent, cent_sq,
+    codes, code_norm, books, pq_ids, nprobe, dsub,
+):
+    import numpy as np  # noqa: F811 (tool-local)
+
+    n = len(ids)
     # recall_sum[(order, cut)] and candidate-count accumulator
     acc = {(o, c): 0 for o in ("int8", "pq") for c in CUTS}
     cand_total = 0
@@ -123,6 +141,7 @@ def sweep(spark, sf_dir: str) -> None:
                     {
                         "sf_dir": sf_dir,
                         "rows": n,
+                        "probe_kind": kind,
                         "order": order,
                         "rerank_cut": cut,
                         "recall_at_10": round(
