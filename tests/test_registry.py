@@ -78,11 +78,21 @@ def test_touched_module_keys_inside_window():
         k for k in qs if k in entrypoint._VERIFIED
         and key_module[k] not in touched
     ]
-    # the generator's own arithmetic, not a hand-synced mirror
-    from tools.gen_window import reservation_takes
+    # the generator's own arithmetic, not a hand-synced mirror — incl.
+    # the r12 cohort-completion rule, which needs the oldest-cohort
+    # size derived from the SAME pinned inputs the generator saw
+    from tools.gen_window import (
+        last_green_round,
+        oldest_cohort_size,
+        reservation_takes,
+    )
 
+    greens = last_green_round(
+        _REPO, max_round=entrypoint._ORDER_BASIS_ROUND
+    )
+    cohort = oldest_cohort_size(greens, tail_keys)
     _, _, tail_take = reservation_takes(
-        len(never), len(touched_keys), len(tail_keys), DRIVER_WINDOW
+        len(never), len(touched_keys), len(tail_keys), DRIVER_WINDOW, cohort
     )
     allowed_ahead = (
         set(never) | set(touched_keys) | set(tail_keys[:tail_take])
@@ -247,6 +257,26 @@ def test_pack_order_reservation_arithmetic():
     # degenerate: never-checked alone overflows the window
     order = pack_order([f"n{i}" for i in range(60)], touched[:2], tail[:2], w)
     assert order[:60] == [f"n{i}" for i in range(60)]
+
+    # r12 cohort-completion rule (VERDICT r11 #1): when the oldest tail
+    # cohort fits the post-never window at all, it rotates ATOMICALLY —
+    # touched keys that no longer fit overflow to first-in-line, they
+    # do not leave a 1-key cohort remnant behind.  The r12 shape:
+    # 0 never, 11 touched, 40-key oldest cohort, window 50.
+    order = pack_order([], touched[:11], tail[:40], 50, oldest_cohort=40)
+    assert order[:10] == touched[:10]  # touched shrank 11 → 10
+    assert order[10:50] == tail[:40]  # the WHOLE cohort inside
+    assert order[50] == touched[10]  # displaced touched: first in line
+    # without the completion hint, the old arithmetic (39 tail) stands
+    order = pack_order([], touched[:11], tail[:40], 50)
+    assert order[:11] == touched[:11] and order[11:50] == tail[:39]
+    # a cohort larger than the window can never displace ALL touched
+    # keys below the arithmetic's own floor of zero — it just fills
+    # whatever the never-checked head leaves
+    order = pack_order([f"n{i}" for i in range(10)], touched[:11],
+                       tail, 50, oldest_cohort=60)
+    assert order[:10] == [f"n{i}" for i in range(10)]
+    assert order[10:50] == tail[:40]  # rest of window all-tail
 
 
 def test_bench_instrumentation_counters():

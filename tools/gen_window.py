@@ -100,17 +100,45 @@ def touched_modules(base: str) -> set[str]:
 
 
 def reservation_takes(
-    n_never: int, n_touched: int, n_tail: int, window: int
+    n_never: int,
+    n_touched: int,
+    n_tail: int,
+    window: int,
+    oldest_cohort: int = 0,
 ) -> tuple[int, int, int]:
     """(reserve, touch_take, tail_take) for :func:`pack_order` — the ONE
     copy of the staleness-reservation arithmetic (main's stderr report
     and tests/test_registry.py's invariant both call it, so a future
-    tweak to the share cannot desynchronize them from the packing)."""
+    tweak to the share cannot desynchronize them from the packing).
+
+    ``oldest_cohort`` (r12, VERDICT r11 #1): the size of the tail's
+    minimum-green-round cohort.  A cohort rotates ATOMICALLY when it
+    fits the post-never window at all — without this, the r7 cohort
+    (40 keys) would have left a 1-key remnant behind 11 touched keys,
+    and a cohort remnant lingers as the oldest special case every
+    round.  Displaced touched keys overflow to first-in-line-next-round
+    exactly like any other touch overflow."""
     rest_slots = max(0, window - n_never)
     reserve = min(n_tail, rest_slots // 2)
     touch_take = min(n_touched, rest_slots - reserve)
     tail_take = min(n_tail, rest_slots - touch_take)
+    need = min(oldest_cohort, n_tail, rest_slots)
+    if tail_take < need:
+        tail_take = need
+        touch_take = min(touch_take, rest_slots - tail_take)
     return reserve, touch_take, tail_take
+
+
+def oldest_cohort_size(greens: dict[str, int], tail: list[str]) -> int:
+    """Size of the tail's minimum-green-round cohort — the unit the
+    completion rule in :func:`reservation_takes` rotates atomically.
+    Shared by main() and tests/test_registry.py so the two cannot
+    disagree about the packed set."""
+    rounds = [greens[k] for k in tail if k in greens]
+    if not rounds:
+        return 0
+    oldest = min(rounds)
+    return sum(1 for r in rounds if r == oldest)
 
 
 def pack_order(
@@ -118,6 +146,7 @@ def pack_order(
     touched: list[str],
     tail: list[str],
     window: int,
+    oldest_cohort: int = 0,
 ) -> list[str]:
     """Pack the three priority buckets into the final check order with a
     STALENESS RESERVATION (VERDICT r9 #2): never-checked keys lead
@@ -130,7 +159,7 @@ def pack_order(
     bucket's internal order (age, then name) is preserved throughout.
     """
     _, touch_take, tail_take = reservation_takes(
-        len(never), len(touched), len(tail), window
+        len(never), len(touched), len(tail), window, oldest_cohort
     )
     return (
         never
@@ -194,14 +223,16 @@ def main() -> None:
         for k in by_prio
         if greens.get(k) is not None and key_module[k] not in touched
     ]
-    order = pack_order(b_never, b_touch, b_tail, args.window)
-    reserve = reservation_takes(
-        len(b_never), len(b_touch), len(b_tail), args.window
-    )[0]
+    cohort = oldest_cohort_size(greens, b_tail)
+    order = pack_order(b_never, b_touch, b_tail, args.window, cohort)
+    reserve, touch_take, tail_take = reservation_takes(
+        len(b_never), len(b_touch), len(b_tail), args.window, cohort
+    )
     print(
         f"# registry: {len(order)} keys — {len(b_never)} never-checked, "
         f"{len(b_touch)} in touched modules, window {args.window} "
-        f"(tail reservation {reserve})",
+        f"(tail reservation {reserve}, oldest cohort {cohort}, "
+        f"takes touch={touch_take} tail={tail_take})",
         file=sys.stderr,
     )
     print(
