@@ -89,10 +89,26 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         # Reference parity (src/main.rs:56 reads stdin): a pipe is one
         # sequential stream, so spool it to a local temp file — one disk
-        # write buys back the splittable parallel parse.
+        # write buys back the splittable parallel parse.  The spool name
+        # carries the stream's REAL format: `cat dump.sql.zst | cli -`
+        # would otherwise land compressed bytes in a .sql file and
+        # garbage-parse — sniff the magic and suffix accordingly so the
+        # normal extension dispatch decodes it (r12).
         spool_dir = tempfile.mkdtemp(prefix="mtps_stdin_")
-        spooled = os.path.join(spool_dir, "stdin.sql")
+        head = sys.stdin.buffer.read(6)
+        ext = ".sql"
+        for magic, suffix in (
+            (b"\x1f\x8b", ".sql.gz"),
+            (b"\x28\xb5\x2f\xfd", ".sql.zst"),
+            (b"BZh", ".sql.bz2"),
+            (b"\xfd7zXZ\x00", ".sql.xz"),
+        ):
+            if head.startswith(magic):
+                ext = suffix
+                break
+        spooled = os.path.join(spool_dir, "stdin" + ext)
         with open(spooled, "wb") as fh:
+            fh.write(head)
             shutil.copyfileobj(sys.stdin.buffer, fh, length=8 * 1024 * 1024)
         print(
             f"[ingest] spooled {os.path.getsize(spooled):,} bytes from stdin",

@@ -2827,7 +2827,7 @@ def convert_dump(
                 # — two convert_dump calls racing on one SparkSession
                 # can no longer cross-apply levels (ADVICE r11; the
                 # override-wins behavior is probed in
-                # tests/test_cli.py).  ONLY zstd has that knob; a
+                # tests/test_ingest.py).  ONLY zstd has that knob; a
                 # gzip/brotli level this path cannot honor fails loudly
                 # instead of silently writing at the default level
                 # (review r11; the pyarrow one-pass path honors those

@@ -51,6 +51,50 @@ def test_cli_stdin_spools_and_converts(spark, tmp_path, capsys, monkeypatch):
     assert not _glob.glob("/tmp/mtps_stdin_*")  # spool cleaned up
 
 
+@pytest.mark.parametrize("codec", ["gzip", "zstd", "bzip2", "xz"])
+def test_cli_stdin_compressed_stream_detected(
+    spark, tmp_path, capsys, monkeypatch, codec
+):
+    """`cat dump.sql.zst | cli -` (r12): the spool sniffs the stream's
+    magic bytes and suffixes the temp file accordingly, so compressed
+    stdin decodes through the normal extension dispatch instead of
+    garbage-parsing as .sql."""
+    import bz2
+    import gzip
+    import io
+    import lzma
+    import shutil as _shutil
+    import subprocess
+    import sys as _sys
+
+    raw = DEMO_DUMP.encode()
+    if codec == "gzip":
+        data = gzip.compress(raw)
+    elif codec == "bzip2":
+        data = bz2.compress(raw)
+    elif codec == "xz":
+        data = lzma.compress(raw)
+    else:
+        if _shutil.which("zstd") is None:
+            pytest.skip("zstd CLI unavailable")
+        data = subprocess.run(
+            ["zstd", "-q", "-c"], input=raw, check=True,
+            stdout=subprocess.PIPE,
+        ).stdout
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: _NoStop(spark))
+
+    class _Stdin:
+        buffer = io.BytesIO(data)
+
+    monkeypatch.setattr(_sys, "stdin", _Stdin())
+    rc = cli.main(["-", "--output", str(tmp_path / "out")])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["tables"] == {"acct": 3}
+    assert spark.read.parquet(str(tmp_path / "out/acct")).count() == 3
+
+
 def test_cli_stdin_export_rejected(capsys):
     assert cli.main(["-", "--output", "/tmp/nowhere", "--export", "t"]) == 2
     assert "dump-only" in capsys.readouterr().err
