@@ -1101,6 +1101,28 @@ def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(root, "cells")
 
 
+#: sf_dir → (fingerprint, applicationId, DataFrame): the probe-side
+#: handle on the written cell layout.  ``spark.read.parquet`` builds a
+#: fresh file index — a listing of EVERY cell directory — per call,
+#: measured at 1.45 s of every sf1 probe (566 dirs, r12 QPS profile);
+#: a deployed probe service holds its index handle open, so the
+#: session cache does the same.  Keyed by corpus fingerprint (a
+#: regenerated corpus rebuilds) AND application id (a new session
+#: cannot reuse another session's plan objects).
+_IVF_LAYOUT_DFS: dict[str, tuple] = {}
+
+
+def _ivf_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _corpus_fingerprint(sf_dir)
+    app = spark.sparkContext.applicationId
+    hit = _IVF_LAYOUT_DFS.get(sf_dir)
+    if hit is not None and hit[0] == fp and hit[1] == app:
+        return hit[2]
+    df = spark.read.parquet(_ivf_layout_dir(spark, sf_dir))
+    _IVF_LAYOUT_DFS[sf_dir] = (fp, app, df)
+    return df
+
+
 def _ivf_probe_cells(centroids) -> list[int]:
     """The ``IVF_SCAN_FRACTION`` of cells nearest the fixed PROBE — same
     squared-L2-on-unit-vectors metric the assignment uses (the ‖p̂‖²
@@ -1146,9 +1168,7 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     cells = _ivf_probe_cells(ivf_centroids(spark, sf_dir))
-    layout = spark.read.parquet(_ivf_layout_dir(spark, sf_dir)).where(
-        F.col("cell").isin(cells)
-    )
+    layout = _ivf_layout_df(spark, sf_dir).where(F.col("cell").isin(cells))
 
     probe = np.array(PROBE, dtype=np.float64)
     probe_hat = probe / np.linalg.norm(probe)
@@ -1176,10 +1196,22 @@ def _exact_rerank(spark: SparkSession, sf_dir: str, ids: list) -> DataFrame:
     """Shared refine stage of the code-index probes: fetch the ≤
     IVF_RERANK survivors' float vectors from the SOURCE corpus (a
     pushed ``vec_id IN`` filter here; an id-keyed point read against
-    the primary store at 100 TB) and rank by exact cosine."""
-    e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id").isin(ids)
-    )
+    the primary store at 100 TB) and rank by exact cosine.
+
+    The IN predicate is built as ONE SQL string, not
+    ``isin(python_list)``: the r12 QPS profile found ~3 s of every
+    probe was py4j constructing 4096 Literal columns one call at a
+    time — the SQL parser builds the IDENTICAL pushed-In plan from a
+    single string crossing in 0.5 s (5.5× measured; a broadcast
+    semi-join is similarly fast but forfeits the parquet row-group
+    skip that makes this a point read on a vec_id-clustered corpus).
+    Ids come from our own layout but are int-coerced anyway, so no
+    text can reach the parser."""
+    e = load_table(spark, sf_dir, "embeddings")
+    if ids:
+        e = e.where(f"vec_id IN ({','.join(str(int(i)) for i in ids)})")
+    else:
+        e = e.where(F.lit(False))  # SQL `IN ()` does not parse
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return (
         e.select(
@@ -1216,9 +1248,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     books = pq_codebooks(spark, sf_dir)
     cells = _ivf_probe_cells(ivf_centroids(spark, sf_dir))
-    layout = spark.read.parquet(_ivf_layout_dir(spark, sf_dir)).where(
-        F.col("cell").isin(cells)
-    )
+    layout = _ivf_layout_df(spark, sf_dir).where(F.col("cell").isin(cells))
 
     probe = np.array(PROBE, dtype=np.float64)
     probe_hat = probe / np.linalg.norm(probe)

@@ -699,6 +699,7 @@ def test_ann_probes_concurrent_equal_serial(spark):
     # cold-cache contention: drop every cache, race 8 threads on the
     # first build — one build, identical results
     S._IVF_LAYOUTS.clear()
+    S._IVF_LAYOUT_DFS.clear()  # r12: the probe-side file-index handle
     S._IVF_CENTROIDS.clear()
     S._PQ_CODEBOOKS.clear()
     with ThreadPoolExecutor(max_workers=8) as pool:

@@ -66,8 +66,13 @@ def _rerank(spark, sf_dir, ids, probe):
     from mysqldump_to_parquet_spark.catalog import load_table
     from mysqldump_to_parquet_spark.llm import similarity as S
 
-    e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id").isin(ids)
+    # ONE SQL string, not isin(list): py4j literal construction cost
+    # ~3 s/probe with 4096 ids (r12 profile; same pushed-In plan)
+    e = load_table(spark, sf_dir, "embeddings")
+    e = (
+        e.where(f"vec_id IN ({','.join(str(int(i)) for i in ids)})")
+        if ids
+        else e.where(F.lit(False))
     )
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     pcol = F.array(*[F.lit(float(x)) for x in probe])
@@ -82,7 +87,7 @@ def _rerank(spark, sf_dir, ids, probe):
     )
 
 
-def probe_ivf(spark, sf_dir, layout_dir, centroids, probe):
+def probe_ivf(spark, sf_dir, layout_df, centroids, probe):
     """sim_ann_ivf_partitioned's two phases, probe-parametric."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
@@ -90,7 +95,7 @@ def probe_ivf(spark, sf_dir, layout_dir, centroids, probe):
     from mysqldump_to_parquet_spark.llm import similarity as S
 
     cells, p_hat = _probe_cells_for(centroids, probe)
-    layout = spark.read.parquet(layout_dir).where(F.col("cell").isin(cells))
+    layout = layout_df.where(F.col("cell").isin(cells))
     dim = len(p_hat)
 
     @pandas_udf("double")
@@ -111,7 +116,7 @@ def probe_ivf(spark, sf_dir, layout_dir, centroids, probe):
     return _rerank(spark, sf_dir, [r.vec_id for r in survivors], probe)
 
 
-def probe_ivfpq(spark, sf_dir, layout_dir, centroids, books, probe):
+def probe_ivfpq(spark, sf_dir, layout_df, centroids, books, probe):
     """sim_ann_ivfpq's ADC scan + shared re-rank, probe-parametric."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
@@ -119,7 +124,7 @@ def probe_ivfpq(spark, sf_dir, layout_dir, centroids, books, probe):
     from mysqldump_to_parquet_spark.llm import similarity as S
 
     cells, p_hat = _probe_cells_for(centroids, probe)
-    layout = spark.read.parquet(layout_dir).where(F.col("cell").isin(cells))
+    layout = layout_df.where(F.col("cell").isin(cells))
     dsub = len(p_hat) // S.PQ_M
     lut = np.einsum("mkd,md->mk", books, p_hat.reshape(S.PQ_M, dsub))
     marange = np.arange(S.PQ_M)
@@ -189,7 +194,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    layout = S._ivf_layout_dir(spark, args.sf_dir)  # build once, warm
+    # build once + hold the file-index handle open (the r12 probe fix)
+    layout = S._ivf_layout_df(spark, args.sf_dir)
     centroids = S.ivf_centroids(spark, args.sf_dir)
     books = S.pq_codebooks(spark, args.sf_dir)
     probes = _probe_vectors(args.sf_dir, args.probes)

@@ -384,9 +384,17 @@ def run_ann(spark, sf1_dir: str | None, sf10_dir: str | None = None) -> None:
         "scale, ~¼ the index bytes at every scale), and the LSH probe",
         "fetches secondary-band candidates from band 0 via a semi-join",
         "(two extra jobs; storage 3× → ~1.2×, same ~0.75-copy total",
-        "data motion — see sim_ann_partitioned's accounting).  Probe",
-        "walls across the decades stay far under corpus growth (IVF",
-        "~8× for 400× rows), which is the property this table pins.",
+        "data motion — see sim_ann_partitioned's accounting).",
+        "",
+        "r12 removed the probe's DRIVER floor, found by the first QPS",
+        "profile: the re-rank's isin(4096 ids) cost ~3 s of py4j",
+        "Literal construction (now ONE SQL string building the same",
+        "pushed-In plan) and every probe re-listed all cell dirs",
+        "(~1.5 s; the file-index DataFrame is now held per corpus —",
+        "similarity.py _ivf_layout_df).  IVF probe walls dropped",
+        "4.30 → 0.77 s at sf1 and 5.11 → 1.03 s at sf10 (~5×); the",
+        "decade growth the table pins is now ~1.8× for 400× rows —",
+        "the pruned-read term barely emerges from the job floor.",
         "",
         "Companion measurements (r12, recorded in BASELINE.md /",
         "the QPS section below): the 1M-row fit-sample ablation",
