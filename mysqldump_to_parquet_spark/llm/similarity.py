@@ -559,14 +559,31 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directories it does not hold
     shift = N_PLANES - meta["prefix_bits"]
 
+    def _band_df(b: int):
+        # held file-index handle per band (same r12 probe fix as
+        # _ivf_layout_df: spark.read.parquet re-lists the whole band
+        # tree per call; a probe service holds its handle open)
+        fp = _corpus_fingerprint(sf_dir)
+        app = spark.sparkContext.applicationId
+        hit = _ANN_BAND_DFS.get((sf_dir, b))
+        if hit is not None and hit[0] == fp and hit[1] == app:
+            return hit[2]
+        df = spark.read.parquet(os.path.join(root, f"band{b}"))
+        _ANN_BAND_DFS[(sf_dir, b)] = (fp, app, df)
+        return df
+
     def _pruned(b: int):
         sigs = _probe_sigs_for_band(b, ANN_LAYOUT_FLIP)
         prefixes = sorted({s >> shift for s in sigs})
         # directory-level pruning on the prefix + the exact pushed
         # signature predicate: candidate set identical at every
-        # layout granularity
-        return spark.read.parquet(os.path.join(root, f"band{b}")).where(
-            F.col("sigp").isin(prefixes) & F.col("sig").isin(sigs)
+        # layout granularity.  ONE SQL string, not isin(list) — the
+        # 2^flip-value sig list through py4j Literals cost ~0.7 s per
+        # band per probe (r12; the parsed predicate is identical,
+        # PartitionFilters included — pytest-asserted)
+        return _band_df(b).where(
+            f"sigp IN ({','.join(str(int(p)) for p in prefixes)}) AND "
+            f"sig IN ({','.join(str(int(s)) for s in sigs)})"
         )
 
     cands = _pruned(0).select("vec_id", "label", "embedding")
@@ -598,8 +615,12 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         if prefixes0:
             fetched = (
-                spark.read.parquet(os.path.join(root, "band0"))
-                .where(F.col("sigp").isin(prefixes0))
+                _band_df(0)
+                .where(
+                    "sigp IN ("
+                    + ",".join(str(int(p)) for p in prefixes0)
+                    + ")"
+                )
                 .join(
                     sec.select("vec_id").distinct(),
                     "vec_id",
@@ -1110,6 +1131,10 @@ def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
 #: regenerated corpus rebuilds) AND application id (a new session
 #: cannot reuse another session's plan objects).
 _IVF_LAYOUT_DFS: dict[str, tuple] = {}
+
+#: (sf_dir, band) → (fingerprint, applicationId, DataFrame) — the LSH
+#: probe's per-band file-index handles, same lifecycle/rationale.
+_ANN_BAND_DFS: dict[tuple, tuple] = {}
 
 
 def _ivf_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -391,10 +391,12 @@ def run_ann(spark, sf1_dir: str | None, sf10_dir: str | None = None) -> None:
         "Literal construction (now ONE SQL string building the same",
         "pushed-In plan) and every probe re-listed all cell dirs",
         "(~1.5 s; the file-index DataFrame is now held per corpus —",
-        "similarity.py _ivf_layout_df).  IVF probe walls dropped",
-        "4.30 → 0.77 s at sf1 and 5.11 → 1.03 s at sf10 (~5×); the",
-        "decade growth the table pins is now ~1.8× for 400× rows —",
-        "the pruned-read term barely emerges from the job floor.",
+        "similarity.py _ivf_layout_df / _ANN_BAND_DFS).  Probe walls",
+        "dropped ~4-5× across every layout: IVF 4.30 → 0.93 s at sf1",
+        "and 5.11 → 1.03 s at sf10, LSH 6.49 → 1.79 s and",
+        "12.90 → 2.38 s; the decade growth the table pins is now",
+        "~2-2.5× for 400× rows — the pruned-read term barely emerges",
+        "from the job floor.",
         "",
         "Companion measurements (r12, recorded in BASELINE.md /",
         "the QPS section below): the 1M-row fit-sample ablation",
