@@ -17,6 +17,7 @@ Two paths, as a real ANN stack is layered:
 from __future__ import annotations
 
 import threading as _threading
+from collections import OrderedDict
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -565,12 +566,11 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tree per call; a probe service holds its handle open)
         fp = _corpus_fingerprint(sf_dir)
         app = spark.sparkContext.applicationId
-        hit = _ANN_BAND_DFS.get((sf_dir, b))
-        if hit is not None and hit[0] == fp and hit[1] == app:
-            return hit[2]
+        hit = _handle_cache_get(_ANN_BAND_DFS, (sf_dir, b), fp, app)
+        if hit is not None:
+            return hit
         df = spark.read.parquet(os.path.join(root, f"band{b}"))
-        _ANN_BAND_DFS[(sf_dir, b)] = (fp, app, df)
-        return df
+        return _handle_cache_put(_ANN_BAND_DFS, (sf_dir, b), fp, app, df)
 
     def _pruned(b: int):
         sigs = _probe_sigs_for_band(b, ANN_LAYOUT_FLIP)
@@ -1130,22 +1130,47 @@ def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
 #: session cache does the same.  Keyed by corpus fingerprint (a
 #: regenerated corpus rebuilds) AND application id (a new session
 #: cannot reuse another session's plan objects).
-_IVF_LAYOUT_DFS: dict[str, tuple] = {}
+_IVF_LAYOUT_DFS: "OrderedDict[str, tuple]" = OrderedDict()
 
 #: (sf_dir, band) → (fingerprint, applicationId, DataFrame) — the LSH
 #: probe's per-band file-index handles, same lifecycle/rationale.
-_ANN_BAND_DFS: dict[tuple, tuple] = {}
+_ANN_BAND_DFS: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+#: LRU bound on the probe-handle caches: per-corpus fingerprint keying
+#: already REPLACES on regeneration, but a long-lived probe service
+#: cycling many distinct corpora would accumulate one plan object per
+#: (corpus[, band]) forever (VERDICT r12 nit #3).  32 comfortably holds
+#: every corpus a session realistically probes (the LSH layout holds
+#: ≤4 bands per corpus) while bounding the leak.
+_PROBE_HANDLE_CACHE_MAX = 32
+
+
+def _handle_cache_get(cache, key, fp, app):
+    """Cached DataFrame handle for ``key`` iff fingerprint+session still
+    match; refreshes LRU recency on hit."""
+    hit = cache.get(key)
+    if hit is not None and hit[0] == fp and hit[1] == app:
+        cache.move_to_end(key)
+        return hit[2]
+    return None
+
+
+def _handle_cache_put(cache, key, fp, app, df):
+    cache[key] = (fp, app, df)
+    cache.move_to_end(key)
+    while len(cache) > _PROBE_HANDLE_CACHE_MAX:
+        cache.popitem(last=False)
+    return df
 
 
 def _ivf_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _corpus_fingerprint(sf_dir)
     app = spark.sparkContext.applicationId
-    hit = _IVF_LAYOUT_DFS.get(sf_dir)
-    if hit is not None and hit[0] == fp and hit[1] == app:
-        return hit[2]
+    hit = _handle_cache_get(_IVF_LAYOUT_DFS, sf_dir, fp, app)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(_ivf_layout_dir(spark, sf_dir))
-    _IVF_LAYOUT_DFS[sf_dir] = (fp, app, df)
-    return df
+    return _handle_cache_put(_IVF_LAYOUT_DFS, sf_dir, fp, app, df)
 
 
 def _ivf_probe_cells(centroids) -> list[int]:

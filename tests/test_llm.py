@@ -789,6 +789,40 @@ def test_ann_caches_invalidate_on_corpus_rewrite(spark, tmp_path):
     assert c2 is not c1, "stale quantizer served after corpus rewrite"
 
 
+def test_probe_handle_caches_are_lru_bounded():
+    """The probe-side file-index handle caches must not grow without
+    bound in a long-lived probe service cycling many corpora (VERDICT
+    r12 nit #3): cycling >MAX keys holds the cache at MAX, evicting
+    least-recently-USED (a get refreshes recency), and a stale
+    fingerprint/session miss still replaces in place."""
+    from collections import OrderedDict
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    cache = OrderedDict()
+    n = S._PROBE_HANDLE_CACHE_MAX
+    for i in range(n + 8):
+        S._handle_cache_put(cache, f"corpus{i}", "fp", "app", f"df{i}")
+        assert len(cache) <= n
+    assert len(cache) == n
+    # the 8 oldest were evicted, the rest survive
+    assert S._handle_cache_get(cache, "corpus0", "fp", "app") is None
+    assert S._handle_cache_get(cache, "corpus7", "fp", "app") is None
+    assert S._handle_cache_get(cache, "corpus8", "fp", "app") == "df8"
+
+    # a hit refreshes recency: corpus8 must now outlive corpus9
+    S._handle_cache_put(cache, "fresh", "fp", "app", "dfx")
+    assert S._handle_cache_get(cache, "corpus8", "fp", "app") == "df8"
+    assert S._handle_cache_get(cache, "corpus9", "fp", "app") is None
+
+    # fingerprint / session mismatches miss (the r12 invalidation rule)
+    assert S._handle_cache_get(cache, "corpus8", "fp2", "app") is None
+    assert S._handle_cache_get(cache, "corpus8", "fp", "app2") is None
+    # and the production caches are bounded OrderedDicts of this shape
+    assert isinstance(S._IVF_LAYOUT_DFS, OrderedDict)
+    assert isinstance(S._ANN_BAND_DFS, OrderedDict)
+
+
 def test_layout_prefix_bits_track_corpus():
     """The written-layout directory count tracks corpus size (the
     FAISS-nlist rule): expected rows per directory stays within 2× of

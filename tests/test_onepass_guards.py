@@ -102,6 +102,9 @@ def test_staging_lifecycle_clean_and_orphan_gc(spark, tmp_path):
         d.mkdir()
         (d / "part-00000-x.parquet").write_bytes(b"junk")
     old = time.time() - M._STAGING_GC_AGE_S - 60
+    # a crashed run's WHOLE tree is stale — age the leaf too (a fresh
+    # leaf under a stale root is the live-convert case, tested below)
+    os.utime(orphan / "part-00000-x.parquet", (old, old))
     os.utime(orphan, (old, old))
 
     counts = M.convert_dump(spark, str(dump), str(out), strategy="onepass")
@@ -112,6 +115,95 @@ def test_staging_lifecycle_clean_and_orphan_gc(spark, tmp_path):
     assert got == {1: "a", 2: "b", 3: "c"}  # junk never surfaced
     # the `_` prefix keeps any leftover invisible to Spark readers
     assert spark.read.parquet(str(out / "t")).count() == 3
+
+
+def test_staging_gc_spares_fresh_leaf_under_stale_root(tmp_path):
+    """Liveness is judged on the staging TREE, not the root dir's mtime
+    (VERDICT r12 nit #2): tasks write into nested per-table subdirs,
+    which never refresh the root — a >24 h convert sharing an output
+    dir with a later convert must NOT have its live staging swept.  A
+    tree whose newest leaf is also stale IS swept."""
+    import os
+    import time
+
+    out = tmp_path / "out"
+    out.mkdir()
+    old = time.time() - M._STAGING_GC_AGE_S - 60
+
+    # long-running convert: stale root, stale intermediate dir, but a
+    # leaf file the writing task touched seconds ago
+    live = out / "_staging_longrun"
+    (live / "t").mkdir(parents=True)
+    leaf = live / "t" / "part-00000-a.parquet"
+    leaf.write_bytes(b"live")
+    os.utime(live / "t", (old, old))
+    os.utime(live, (old, old))
+
+    # crashed convert: every member stale
+    dead = out / "_staging_crashed"
+    (dead / "t").mkdir(parents=True)
+    (dead / "t" / "part-00000-b.parquet").write_bytes(b"junk")
+    for p in (dead / "t" / "part-00000-b.parquet", dead / "t", dead):
+        os.utime(p, (old, old))
+
+    M._gc_orphaned_staging(str(out))
+    assert leaf.exists(), "fresh leaf under stale root must survive GC"
+    assert not dead.exists(), "fully-stale tree must be swept"
+
+
+def test_xz_listing_failure_surfaces_loudly(tmp_path):
+    """`_has_xz_members` must not swallow non-'no files' listing
+    failures (VERDICT r12 nit #1): a transient FS/permission fault
+    during the binaryFile listing re-raises instead of silently routing
+    a glob that may hold .xz onto the JVM text scan.  A genuine
+    path-not-found still answers False (the caller's own scan raises
+    its own, better error)."""
+    from pyspark.errors import AnalysisException
+
+    class _Reader:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def format(self, _):
+            return self
+
+        def load(self, _):
+            raise self._exc
+
+    class _Spark:
+        def __init__(self, exc):
+            self.read = _Reader(exc)
+
+    transient = AnalysisException("Permission denied listing bucket")
+    with pytest.raises(AnalysisException, match="Permission denied"):
+        M._has_xz_members(_Spark(transient), str(tmp_path / "dumps" / "*"))
+
+    missing = AnalysisException(
+        "[PATH_NOT_FOUND] Path does not exist: file:/nope/*"
+    )
+    assert M._has_xz_members(_Spark(missing), "/nope/*") is False
+
+
+def test_xz_guard_covers_globs_at_direct_call_sites(spark, tmp_path):
+    """The string-suffix guard alone lets `dir/*` globs matching .xz
+    members reach the JVM scan (ADVICE r12); direct collect_schemas
+    callers now pay the one-listing check and fail loudly.  The guard
+    must ALSO leave session conf untouched when it raises — the
+    maxPartitionBytes save/set happens after it (ADVICE r12)."""
+    import lzma
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a.sql").write_text(DUMP)
+    (d / "b.sql.xz").write_bytes(
+        lzma.compress(DUMP.encode())
+    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    with pytest.raises(M.DumpParseError, match="not JVM-decodable"):
+        M.collect_schemas(spark, str(d / "*"))
+    with pytest.raises(M.DumpParseError, match="not JVM-decodable"):
+        M._mean_dml_bytes(spark, str(d / "*"))
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prev
 
 
 def test_staging_probe_reports_task_oserror(spark):

@@ -430,6 +430,19 @@ def test_protobuf_shim_wire_format():
     assert len(probe.listStatePut.value) == 0
     assert probe.SerializeToString() == b""
 
+    # the presence-marking container must survive pickle like the plain
+    # list it replaced (ADVICE r12: unpickle append()s saved items
+    # BEFORE restoring the _owner slot, so the mutator used to raise
+    # AttributeError mid-loads) — and a post-unpickle mutation must
+    # still mark presence through the restored owner
+    import pickle
+
+    rep = call.appendList.value
+    clone = pickle.loads(pickle.dumps(rep))
+    assert list(clone) == [b"\x01\x02"]
+    msg2 = pickle.loads(pickle.dumps(call))
+    assert msg2.SerializeToString() == call.SerializeToString()
+
 
 def test_streaming_available_now_backfill(spark, tmp_path):
     """Trigger.AvailableNow: the production backfill pattern — drain the
