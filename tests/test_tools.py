@@ -105,3 +105,39 @@ def test_survey_and_coverage_tables_are_rectangular():
                     f"{doc}:{lineno} has {_cell_count(line)} cells, "
                     f"header has {header_n}: {line[:120]}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# bench.py band verdicts (VERDICT r12 #1): the recorded BENCH total
+# overstated two rounds running because the heavy tail had no confirm
+# merge; the full-set merge plus these verdicts make a contended host
+# self-report in the JSON.  Pure function — no Spark.
+# ---------------------------------------------------------------------------
+
+
+def test_bench_band_verdicts():
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    # every benched query must have an all-time floor entry (a new
+    # bench query without one would silently never be band-checked)
+    missing = [
+        n for n in bench.BENCH_QUERY_NAMES if n not in bench.IDLE_FLOOR_SEC
+    ]
+    assert missing == [], f"bench queries without floor entries: {missing}"
+
+    floors = bench.IDLE_FLOOR_SEC
+    some = list(floors)[:3]
+    # at-floor timings: no verdicts
+    ok = {n: floors[n] for n in some}
+    assert bench.band_verdicts_for(ok, 0.1) == {}
+    # 1.25x is the tolerance edge: just under passes, over flags
+    edge = {some[0]: floors[some[0]] * 1.24, some[1]: floors[some[1]] * 1.5}
+    out = bench.band_verdicts_for(edge, 0.1)
+    assert list(out) == [some[1]]
+    assert out[some[1]]["ratio"] == 1.5
+    assert out[some[1]]["all_time"] == floors[some[1]]
+    # off the table's sf0.1 conditions: never judged
+    assert bench.band_verdicts_for(edge, 0.01) == {}
+    # unknown queries (future additions) are skipped, not KeyErrored
+    assert bench.band_verdicts_for({"q_not_yet_floored": 99.0}, 0.1) == {}
