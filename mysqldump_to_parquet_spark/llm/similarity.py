@@ -1181,9 +1181,17 @@ def _ivf_probe_cells(centroids) -> list[int]:
     grid and self-clamps on tiny corpora."""
     import numpy as np
 
-    nprobe = max(1, int(round(len(centroids) * IVF_SCAN_FRACTION)))
     probe = np.array(PROBE, dtype=float)
-    probe_hat = probe / np.linalg.norm(probe)
+    return _ivf_cells_for_hat(centroids, probe / np.linalg.norm(probe))
+
+
+def _ivf_cells_for_hat(centroids, probe_hat) -> list[int]:
+    """Probe-parametric form of :func:`_ivf_probe_cells` — the cell
+    selection shared by the registry probes (fixed PROBE), the QPS
+    harness, and the batched multi-probe plan."""
+    import numpy as np
+
+    nprobe = max(1, int(round(len(centroids) * IVF_SCAN_FRACTION)))
     d2 = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ probe_hat)
     return [int(c) for c in np.argsort(d2)[:nprobe]]
 
@@ -1214,35 +1222,80 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes) — the returned plan embeds the survivor-id snapshot, the
     correct semantics for a point-in-time probe, but plan-only
     consumers (gen_plans) pay the candidate scan."""
+    return ivf_probe_topk(spark, sf_dir, PROBE, variant="int8")
+
+
+def ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, probe, variant: str = "int8", k: int = 10
+) -> DataFrame:
+    """Probe-parametric serial probe over the written IVF layout — the
+    shared two-phase body of ``sim_ann_ivf_partitioned`` (int8 codes)
+    and ``sim_ann_ivfpq`` (8-byte ADC), with the probe vector as a
+    parameter so the QPS harness and the batch-equality tests drive the
+    REAL code path instead of mirrored copies (r13; tools/ann_qps.py
+    carried the mirror through r12)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cells = _ivf_probe_cells(ivf_centroids(spark, sf_dir))
+    probe = np.asarray(probe, dtype=np.float64)
+    p_hat = probe / np.linalg.norm(probe)
+    cells = _ivf_cells_for_hat(ivf_centroids(spark, sf_dir), p_hat)
     layout = _ivf_layout_df(spark, sf_dir).where(F.col("cell").isin(cells))
 
-    probe = np.array(PROBE, dtype=np.float64)
-    probe_hat = probe / np.linalg.norm(probe)
-    dim = len(PROBE)
+    if variant == "int8":
+        dim = len(probe)
 
-    @pandas_udf("double")
-    def _code_cos(cs: pd.Series) -> pd.Series:
-        valid, mat = _masked_rows(cs, dim)  # int8 codes as float64
-        norm = np.linalg.norm(mat, axis=1)
-        cos = (mat @ probe_hat) / np.where(norm > 0, norm, 1.0)
-        out = np.full(len(cs), -2.0)  # null/zero code: below any cosine
-        out[valid] = np.where(norm > 0, cos, -2.0)
-        return pd.Series(out)
+        @pandas_udf("double")
+        def _score(cs: pd.Series) -> pd.Series:
+            valid, mat = _masked_rows(cs, dim)  # int8 codes as float64
+            norm = np.linalg.norm(mat, axis=1)
+            cos = (mat @ p_hat) / np.where(norm > 0, norm, 1.0)
+            out = np.full(len(cs), -2.0)  # null/zero code: below any cos
+            out[valid] = np.where(norm > 0, cos, -2.0)
+            return pd.Series(out)
+
+        scored = layout.select("vec_id", _score(F.col("code")).alias("acos"))
+    elif variant == "pq":
+        books = pq_codebooks(spark, sf_dir)
+        dsub = len(probe) // PQ_M
+        # lut[m, k] = codebook centroid (m, k) · probe subvector m
+        lut = np.einsum("mkd,md->mk", books, p_hat.reshape(PQ_M, dsub))
+        marange = np.arange(PQ_M)
+
+        @pandas_udf("double")
+        def _score(codes: pd.Series) -> pd.Series:
+            valid = codes.notna().to_numpy()
+            out = np.full(len(codes), -2.0)
+            if valid.any():
+                mat = np.frombuffer(
+                    b"".join(codes[valid]), dtype=np.uint8
+                ).reshape(-1, PQ_M)
+                out[valid] = lut[marange[None, :], mat].sum(axis=1)
+            return pd.Series(out)
+
+        scored = layout.select(
+            "vec_id", _score(F.col("pq_code")).alias("acos")
+        )
+    else:
+        raise ValueError(f"unknown IVF probe variant {variant!r}")
 
     survivors = (
-        layout.select("vec_id", _code_cos(F.col("code")).alias("acos"))
-        .orderBy(F.desc("acos"), F.asc("vec_id"))
+        scored.orderBy(F.desc("acos"), F.asc("vec_id"))
         .limit(IVF_RERANK)
         .collect()
     )
-    return _exact_rerank(spark, sf_dir, [r.vec_id for r in survivors])
+    return _exact_rerank(
+        spark, sf_dir, [r.vec_id for r in survivors], probe=probe, k=k
+    )
 
 
-def _exact_rerank(spark: SparkSession, sf_dir: str, ids: list) -> DataFrame:
+def _exact_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    ids: list,
+    probe=None,
+    k: int = 10,
+) -> DataFrame:
     """Shared refine stage of the code-index probes: fetch the ≤
     IVF_RERANK survivors' float vectors from the SOURCE corpus (a
     pushed ``vec_id IN`` filter here; an id-keyed point read against
@@ -1263,14 +1316,19 @@ def _exact_rerank(spark: SparkSession, sf_dir: str, ids: list) -> DataFrame:
     else:
         e = e.where(F.lit(False))  # SQL `IN ()` does not parse
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pcol = (
+        _probe_col()
+        if probe is None
+        else F.array(*[F.lit(float(x)) for x in probe])
+    )
     return (
         e.select(
             "vec_id",
             "label",
-            F.round(cosine_expr(dbl, _probe_col()), 6).alias("cosine"),
+            F.round(cosine_expr(dbl, pcol), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
+        .limit(k)
     )
 
 
@@ -1293,40 +1351,199 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     to keep the true top-10 inside the top ~4k (measured at sf10:
     recall@10 1.0, same as the int8 path).  Approximate ⇒ rows-only
     driver check."""
+    return ivf_probe_topk(spark, sf_dir, PROBE, variant="pq")
+
+
+#: probes in the registry's deterministic batch key (PROBE + seeded
+#: jitters — distinct cell sets, fixed across runs)
+ANN_BATCH_PROBES = 4
+
+
+def ann_probe_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    probes,
+    variant: str = "int8",
+    k: int = 10,
+) -> DataFrame:
+    """Batched multi-probe ANN over the written IVF layout — M probes
+    composed into ONE lazy plan (VERDICT r12 #2: the serial probe's
+    residual wall is per-probe driver orchestration — two scheduled
+    jobs plus one ≤IVF_RERANK-row collect per probe serialize on the
+    Python driver at ~1 QPS/session no matter the thread count; a
+    deployed pipeline's real shape is M probes at once: eval-set kNN,
+    dedup-against-index).
+
+    Phases, all in one composed DataFrame (no collect anywhere):
+
+    1. **Union cell scan**: one partition-pruned read of the union of
+       all probes' cell sets (``cell IN (…)`` as one SQL string — the
+       r12 py4j-Literal lesson).
+    2. **Per-(probe, candidate) scores in a single vectorized stage**:
+       ``mapInPandas`` groups each Arrow batch by cell and scores it
+       against exactly the probes that probed that cell — per probe the
+       SAME NumPy ops as the serial scorer (a dgemv per probe, not one
+       dgemm over all — matrix-matrix BLAS may round differently and
+       the batch is pytest-pinned bit-identical to serial probes).
+    3. **Per-probe IVF_RERANK cut**: ``row_number() OVER (PARTITION BY
+       probe_id ORDER BY acos DESC, vec_id)`` — Spark pushes the rank
+       predicate into a WindowGroupLimit, so every scan partition
+       pre-prunes to its local top-IVF_RERANK before the one shuffle
+       by probe_id.
+    4. **ONE grouped exact re-rank**: the ≤M·IVF_RERANK survivor
+       (probe_id, vec_id) pairs broadcast against a single source-
+       corpus scan; exact cosine per pair against the probe row joined
+       in from an M-row broadcast; final top-k per probe via the same
+       window shape.
+
+    Scale note: the serial probe's pushed ``vec_id IN`` point read is
+    the right plan for ONE probe; at M probes the grouped fetch
+    amortizes to one shared scan + broadcast semi-join — for M·RERANK
+    ids scattered across a 100 TB corpus the IN list stops skipping
+    row groups anyway, and the broadcast join reads the corpus once
+    for ALL probes instead of M times.  Throughput vs the threaded
+    serial form is measured in SCALING.md (tools/ann_qps.py
+    --batched)."""
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
 
-    books = pq_codebooks(spark, sf_dir)
-    cells = _ivf_probe_cells(ivf_centroids(spark, sf_dir))
-    layout = _ivf_layout_df(spark, sf_dir).where(F.col("cell").isin(cells))
+    probes_arr = np.asarray(probes, dtype=np.float64)
+    m, dim = probes_arr.shape
+    norms = np.linalg.norm(probes_arr, axis=1)
+    hats = probes_arr / norms[:, None]
+    centroids = ivf_centroids(spark, sf_dir)
+    cell_probes: dict[int, list[int]] = {}
+    for p in range(m):
+        for c in _ivf_cells_for_hat(centroids, hats[p]):
+            cell_probes.setdefault(c, []).append(p)
+    c2p = {c: np.asarray(ps, dtype=np.int64) for c, ps in cell_probes.items()}
+    union_cells = sorted(c2p)
 
-    probe = np.array(PROBE, dtype=np.float64)
-    probe_hat = probe / np.linalg.norm(probe)
-    dsub = len(PROBE) // PQ_M
-    # lut[m, k] = codebook centroid (m, k) · probe subvector m
-    lut = np.einsum(
-        "mkd,md->mk", books, probe_hat.reshape(PQ_M, dsub)
-    )  # (PQ_M, PQ_K)
-    marange = np.arange(PQ_M)
-
-    @pandas_udf("double")
-    def _adc(codes: pd.Series) -> pd.Series:
-        valid = codes.notna().to_numpy()
-        out = np.full(len(codes), -2.0)
-        if valid.any():
-            mat = np.frombuffer(
-                b"".join(codes[valid]), dtype=np.uint8
-            ).reshape(-1, PQ_M)
-            out[valid] = lut[marange[None, :], mat].sum(axis=1)
-        return pd.Series(out)
-
-    survivors = (
-        layout.select("vec_id", _adc(F.col("pq_code")).alias("adc"))
-        .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(IVF_RERANK)
-        .collect()
+    layout = _ivf_layout_df(spark, sf_dir).where(
+        f"cell IN ({','.join(str(int(c)) for c in union_cells)})"
     )
-    return _exact_rerank(spark, sf_dir, [r.vec_id for r in survivors])
+    if variant == "pq":
+        books = pq_codebooks(spark, sf_dir)
+        dsub = dim // PQ_M
+        # luts[p] built with the serial scorer's exact einsum call per
+        # probe (a batched 3-operand contraction may take a different
+        # BLAS path and round differently in the last ulp — the batch
+        # is pinned bit-identical to serial, so keep the op identical)
+        luts = np.stack(
+            [
+                np.einsum("mkd,md->mk", books, hats[p].reshape(PQ_M, dsub))
+                for p in range(m)
+            ]
+        )
+        marange = np.arange(PQ_M)
+        code_col = "pq_code"
+    elif variant == "int8":
+        code_col = "code"
+    else:
+        raise ValueError(f"unknown IVF probe variant {variant!r}")
+
+    def _score_batches(pdfs):
+        for pdf in pdfs:
+            outs = []
+            for cell, grp in pdf.groupby("cell", sort=False):
+                pids = c2p.get(int(cell))
+                if pids is None:
+                    continue
+                vids = grp["vec_id"].to_numpy().astype(np.int64)
+                if variant == "int8":
+                    valid, mat = _masked_rows(grp[code_col], dim)
+                    norm = np.linalg.norm(mat, axis=1)
+                    safe = np.where(norm > 0, norm, 1.0)
+                    for p in pids:
+                        cos = (mat @ hats[p]) / safe
+                        out = np.full(len(grp), -2.0)
+                        out[valid] = np.where(norm > 0, cos, -2.0)
+                        outs.append((p, vids, out))
+                else:
+                    codes = grp[code_col]
+                    valid = codes.notna().to_numpy()
+                    mat = (
+                        np.frombuffer(
+                            b"".join(codes[valid]), dtype=np.uint8
+                        ).reshape(-1, PQ_M)
+                        if valid.any()
+                        else np.empty((0, PQ_M), dtype=np.uint8)
+                    )
+                    for p in pids:
+                        out = np.full(len(grp), -2.0)
+                        if len(mat):
+                            out[valid] = luts[p][
+                                marange[None, :], mat
+                            ].sum(axis=1)
+                        outs.append((p, vids, out))
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.concatenate(
+                            [
+                                np.full(len(v), p, dtype=np.int32)
+                                for p, v, _ in outs
+                            ]
+                        ),
+                        "vec_id": np.concatenate([v for _, v, _ in outs]),
+                        "acos": np.concatenate([s for _, _, s in outs]),
+                    }
+                )
+
+    scored = layout.select("cell", "vec_id", code_col).mapInPandas(
+        _score_batches, "probe_id int, vec_id bigint, acos double"
+    )
+    w_cut = Window.partitionBy("probe_id").orderBy(
+        F.desc("acos"), F.asc("vec_id")
+    )
+    surv = (
+        scored.withColumn("rn", F.row_number().over(w_cut))
+        .where(F.col("rn") <= IVF_RERANK)
+        .select("probe_id", "vec_id")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    probes_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in probes_arr[i]]) for i in range(m)],
+        "probe_id int, probe array<double>",
+    )
+    exact = (
+        e.join(F.broadcast(surv), "vec_id")
+        .join(F.broadcast(probes_df), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cosine_expr(dbl, F.col("probe")), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("probe_id", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+def sim_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_ann_ivf_batch: the batched multi-probe plan over a
+    deterministic ANN_BATCH_PROBES-vector set (the fixed PROBE plus
+    seeded jitters — distinct cell sets, fixed across runs).  Output is
+    (probe_id, vec_id, label, cosine) — top-10 per probe; probe 0's
+    rows are pytest-pinned identical to ``sim_ann_ivf_partitioned``'s.
+    Approximate ⇒ rows-only driver check."""
+    import numpy as np
+
+    base = np.array(PROBE, dtype=np.float64)
+    rng = np.random.default_rng(13)
+    jitters = base + rng.normal(0.0, 0.5, size=(ANN_BATCH_PROBES - 1, len(base)))
+    return ann_probe_batch(
+        spark, sf_dir, np.vstack([base, jitters]), variant="int8"
+    )
 
 
 #: Radius search: cosine threshold and the bounded candidate id range
@@ -1390,6 +1607,7 @@ QUERIES = {
     "q_sim_ann_partitioned": sim_ann_partitioned,
     "q_sim_ann_ivf_partitioned": sim_ann_ivf_partitioned,
     "q_sim_ann_ivfpq": sim_ann_ivfpq,
+    "q_sim_ann_ivf_batch": sim_ann_ivf_batch,
 }
 
 ORACLE = {

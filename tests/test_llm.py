@@ -712,6 +712,53 @@ def test_ann_probes_concurrent_equal_serial(spark):
     assert len(S._IVF_LAYOUTS) == 1  # built exactly once
 
 
+def test_ann_batch_equals_serial(spark):
+    """The batched multi-probe plan (VERDICT r12 #2) returns, for every
+    probe and both variants, rows BIT-IDENTICAL to the probe-parametric
+    serial path — same survivor cut (window rank ≡ global limit under
+    the same (acos DESC, vec_id) order), same exact-cosine re-rank
+    (per-probe dgemv, not one dgemm, so the floats match to the last
+    ulp).  Probe 0 is the fixed PROBE, so the registry key's first
+    group also equals sim_ann_ivf_partitioned's output exactly."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    base = np.array(S.PROBE, dtype=np.float64)
+    rng = np.random.default_rng(13)
+    probes = np.vstack(
+        [base, base + rng.normal(0.0, 0.5, size=(2, len(base)))]
+    )
+
+    for variant in ("int8", "pq"):
+        brows = S.ann_probe_batch(
+            spark, SF_RECALL, probes, variant=variant
+        ).collect()
+        assert len(brows) == 10 * len(probes)
+        for p in range(len(probes)):
+            serial = S.ivf_probe_topk(
+                spark, SF_RECALL, probes[p], variant=variant
+            ).collect()
+            got = [
+                (r.vec_id, r.label, r.cosine)
+                for r in brows
+                if r.probe_id == p
+            ]
+            want = [(r.vec_id, r.label, r.cosine) for r in serial]
+            assert got == want, (variant, p)
+
+    # the registry key's probe-0 group is the fixed-PROBE serial result
+    reg = S.sim_ann_ivf_batch(spark, SF_RECALL).collect()
+    reg0 = [
+        (r.vec_id, r.label, r.cosine) for r in reg if r.probe_id == 0
+    ]
+    fixed = [
+        (r.vec_id, r.label, r.cosine)
+        for r in S.sim_ann_ivf_partitioned(spark, SF_RECALL).collect()
+    ]
+    assert reg0 == fixed
+
+
 def test_ivfpq_probe_equals_in_memory_and_adc_is_reconstruction_dot(spark):
     """The IVF-PQ probe (q_sim_ann_ivfpq, r11 — the FAISS IndexIVFPQ
     recipe, 8 B/vector candidate scan): (a) its top-10 EQUALS
