@@ -1058,6 +1058,526 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------- JPEG baseline (SOF0, 4:2:0)
+
+#: MCU-grid fixture dims: width = 16·(1 + n_chars % JPEG_MCUS_W),
+#: height = 16·(1 + n_chars % JPEG_MCUS_H) — whole-MCU images, so the
+#: analytic twin needs no partial-edge terms.
+JPEG_MCUS_W = 3
+JPEG_MCUS_H = 2
+
+#: Flat quantization value.  Each MCU is one constant YCbCr color, so
+#: every block is DC-only: DC = 8·(c−128) and q=8 makes the quantize →
+#: dequantize → IDCT chain EXACT (round(8·(c−128)/8)·8 / 8 = c−128) —
+#: a lossy format pinned to a lossless fixture, which is what lets the
+#: DuckDB oracle hash the decoder's output analytically.
+_JPEG_Q = 8
+
+#: Zigzag index → raster index (ITU T.81 Figure A.6, public spec).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Huffman tables: DC tables are ITU T.81 Annex K.3 (the public spec's
+#: typical tables); AC tables are minimal customs — the fixture emits
+#: only EOB (run/size 0x00), one 1-bit code.  The decoder builds its
+#: trees generally from whatever (bits, vals) the DHT segments carry.
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_EOB = ([1] + [0] * 15, [0x00])
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (a 0xFF data
+    byte is followed by 0x00 so it can never read as a marker)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman (code, length) per value from a DHT-style
+    (bits, vals) pair."""
+    codes, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+def _dc_category(diff: int) -> int:
+    return 0 if diff == 0 else abs(diff).bit_length()
+
+
+def encode_jpeg(
+    width: int, height: int, mcu_colors, restart_interval: int = 0
+) -> bytes:
+    """Minimal-but-conformant baseline JFIF stream: SOI, DQT ×2, SOF0
+    (3 components, 4:2:0), DHT ×4, [DRI,] SOS, entropy-coded constant-
+    color MCUs [with RSTn markers], EOI.  ``mcu_colors[my][mx] =
+    (Y, Cb, Cr)``, dims whole MCUs."""
+    import struct
+
+    mcus_x, mcus_y = width // 16, height // 16
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    for tq in (0, 1):  # DQT: flat tables, luma + chroma
+        seg(0xDB, bytes([tq]) + bytes([_JPEG_Q] * 64))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    seg(  # SOF0: Y 2×2 q0, Cb 1×1 q1, Cr 1×1 q1
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tc_th, (bits, vals) in (
+        (0x00, _JPEG_DC_LUMA),
+        (0x01, _JPEG_DC_CHROMA),
+        (0x10, _JPEG_AC_EOB),
+        (0x11, _JPEG_AC_EOB),
+    ):
+        seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))  # SOS
+
+    dc_l = _huff_codes(*_JPEG_DC_LUMA)
+    dc_c = _huff_codes(*_JPEG_DC_CHROMA)
+    ac = _huff_codes(*_JPEG_AC_EOB)
+    bw = _BitWriter()
+    pred = [0, 0, 0]  # per-component DC prediction
+
+    def block(comp: int, c: int, table) -> None:
+        dc = c - 128  # quantized DC with q=8 (see _JPEG_Q)
+        diff = dc - pred[comp]
+        pred[comp] = dc
+        s = _dc_category(diff)
+        code, length = table[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, length = ac[0x00]  # EOB: all 63 AC coefficients zero
+        bw.write(code, length)
+
+    mcu_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()  # byte-align (1-padded), then a bare marker
+                bw.out.extend(
+                    bytes(
+                        [0xFF, 0xD0 + ((mcu_n // restart_interval - 1) % 8)]
+                    )
+                )
+                pred[0] = pred[1] = pred[2] = 0
+            yy, cb, cr = mcu_colors[my][mx]
+            for _ in range(4):  # 2×2 luma blocks, same constant
+                block(0, yy, dc_l)
+            block(1, cb, dc_c)
+            block(2, cr, dc_c)
+            mcu_n += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    raises ValueError at markers/EOF mid-symbol (truncated stream)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG: entropy data truncated")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    raise ValueError(
+                        f"JPEG: unexpected marker 0xFF{nxt:02X} inside "
+                        "entropy data"
+                    )
+            self._acc, self._n = b, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: "_BitReader", tree: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        v = tree.get((code, length))
+        if v is not None:
+            return v
+    raise ValueError("JPEG: invalid Huffman code (corrupt entropy data)")
+
+
+def _idct_block(coeffs) -> list:
+    """Float separable 8×8 inverse DCT (T.81 A.3.3), rounded + level-
+    shifted + clamped — general, though the fixture's DC-only blocks
+    make it exact (constant (c−128) + 128 = c)."""
+    import math
+
+    out = [0] * 64
+    cu = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
+    cos = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    f = coeffs[v * 8 + u]
+                    if f:
+                        s += cu[u] * cu[v] * f * cos[x][u] * cos[y][v]
+            val = int(round(s / 4.0)) + 128
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def decode_jpeg(data: bytes):
+    """Baseline JPEG decoder: marker walk (APPn/COM skipped, DRI +
+    restart markers honored), DQT/DHT/SOF0/SOS parse, Huffman entropy
+    decode with per-component DC prediction, zigzag dequantization,
+    IDCT, plane assembly.  Supports the two baseline layouts that cover
+    scraped corpora — 4:2:0 (Y 2×2 + two 1×1 chroma) and 4:4:4 / single
+    -component grayscale; anything else (progressive SOF2, arithmetic
+    coding, other samplings) raises ValueError, the same loud contract
+    as the PNG leg.
+
+    Returns ``(width, height, planes)`` where ``planes`` is one list of
+    sample values per component at its NATURAL resolution (chroma at
+    quarter size under 4:2:0 — libjpeg's "raw" output; no upsampling,
+    no color convert, so every downstream stat is integer-exact)."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG payload: {data[:2]!r}")
+    pos = 2
+    qt: dict[int, list] = {}
+    huff: dict[tuple, dict] = {}
+    sof = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("JPEG: truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG: EOI before any scan")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if pos + seglen > len(data):
+            raise ValueError("JPEG: segment length past end of data")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit DQT not baseline")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                codes = _huff_codes(bits, vals)
+                huff[(tc_th >> 4, tc_th & 0x0F)] = {
+                    cl: v for v, cl in codes.items()
+                }
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision")
+            if not w or not h:
+                raise ValueError("JPEG: zero image dimension")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG: SOF{marker - 0xC0} not baseline sequential "
+                "(only SOF0 supported)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG: SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c : 3 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            break
+        # APPn / COM / anything else with a length: skipped
+
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    sampling = sorted((c[1], c[2]) for c in comps)
+    if len(comps) == 3 and not (
+        sampling == [(1, 1), (1, 1), (1, 1)]
+        or sampling == [(1, 1), (1, 1), (2, 2)]
+    ):
+        raise ValueError("JPEG: only 4:2:0 / 4:4:4 sampling supported")
+    if len(comps) not in (1, 3):
+        raise ValueError("JPEG: only 1- or 3-component images")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    planes, pw, ph = [], [], []
+    for _, ch, cv, _tq in comps:
+        cw, chh = mcus_x * ch * 8, mcus_y * cv * 8
+        planes.append([0] * (cw * chh))
+        pw.append(cw)
+        ph.append(chh)
+
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                # byte-align and consume the RSTn marker; DC resets
+                br._n = 0
+                if (
+                    br.pos + 2 > len(data)
+                    or data[br.pos] != 0xFF
+                    or not 0xD0 <= data[br.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("JPEG: missing restart marker")
+                br.pos += 2
+                pred = [0] * len(comps)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                _, td, ta = next(s for s in scan if s[0] == cid)
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                if dct is None or act is None or tq not in qt:
+                    raise ValueError(
+                        "JPEG: scan references undefined DQT/DHT table"
+                    )
+                for by in range(cv):
+                    for bx in range(ch):
+                        s = _huff_decode(br, dct)
+                        diff = 0
+                        if s:
+                            diff = br.bits(s)
+                            if diff < (1 << (s - 1)):
+                                diff -= (1 << s) - 1
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci] * qt[tq][0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, act)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG: AC run past block end"
+                                )
+                            coef = br.bits(size)
+                            if coef < (1 << (size - 1)):
+                                coef -= (1 << size) - 1
+                            zz[k] = coef * qt[tq][k]
+                            k += 1
+                        raster = [0] * 64
+                        for zi, co in enumerate(zz):
+                            raster[_JPEG_ZIGZAG[zi]] = co
+                        px = _idct_block(raster)
+                        ox = (mx * ch + bx) * 8
+                        oy = (my * cv + by) * 8
+                        plane, cw = planes[ci], pw[ci]
+                        for yy in range(8):
+                            row = (oy + yy) * cw + ox
+                            plane[row : row + 8] = px[yy * 8 : yy * 8 + 8]
+            mcu_count += 1
+
+    # crop each plane to its natural (unpadded) size
+    out_planes = []
+    for ci, (_, ch, cv, _tq) in enumerate(comps):
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        full_w = pw[ci]
+        p = planes[ci]
+        out_planes.append(
+            [p[y * full_w + x] for y in range(chh) for x in range(cw)]
+        )
+    return w, h, out_planes
+
+
+_JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+    ]
+)
+
+
+def _synth_jpegs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic baseline JPEG per doc: MCU (mx, my) of doc d is the
+    constant YCbCr color Y=(d+5mx+7my)%256, Cb=(3d+11mx+my)%256,
+    Cr=(7d+mx+13my)%256 — constant MCUs make the lossy pipeline exact
+    (see _JPEG_Q), so the SQL oracle integrates the formula."""
+    for pdf in batches:
+        rows = {"doc_id": [], "payload": []}
+        for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+            d, nc = int(d), int(nc)
+            mw = 1 + nc % JPEG_MCUS_W
+            mh = 1 + nc % JPEG_MCUS_H
+            colors = [
+                [
+                    (
+                        (d + 5 * mx + 7 * my) % 256,
+                        (3 * d + 11 * mx + my) % 256,
+                        (7 * d + mx + 13 * my) % 256,
+                    )
+                    for mx in range(mw)
+                ]
+                for my in range(mh)
+            ]
+            rows["doc_id"].append(d)
+            rows["payload"].append(encode_jpeg(16 * mw, 16 * mh, colors))
+        yield pd.DataFrame(rows)
+
+
+def _jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k.name: [] for k in _JPEG_SCHEMA.fields}
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, (py, pcb, pcr) = decode_jpeg(bytes(payload))
+            rows["doc_id"].append(int(d))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_pixels"].append(w * h)
+            rows["sum_y"].append(sum(py))
+            rows["sum_cb"].append(sum(pcb))
+            rows["sum_cr"].append(sum(pcr))
+        yield pd.DataFrame(rows)
+
+
+def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_multimodal_jpeg: baseline-JPEG encode → Arrow shuffle boundary
+    → full decode (marker walk, Huffman, DC prediction, dequant, IDCT,
+    4:2:0 plane assembly) reduced to exact integer plane sums — the
+    codec family's compressed-photographic leg beside PNG (DEFLATE) and
+    BMP/PPM (raw).  Same two-stage mapInPandas topology as the other
+    decode keys; the constant-MCU fixture makes the lossy format
+    hash-checkable (docstring of _synth_jpegs)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    imgs = d.mapInPandas(_synth_jpegs, _SYNTH_SCHEMA)
+    stats = imgs.repartition("doc_id").mapInPandas(_jpeg_stats, _JPEG_SCHEMA)
+    return stats.orderBy("doc_id")
+
+
+#: Analytic twin: Y contributes 256 full-res samples per MCU, each
+#: chroma 64 quarter-res samples (4:2:0, no upsampling) — any decoder
+#: bug (wrong DC prediction, dequant slip, plane offset) shifts a sum.
+MULTIMODAL_JPEG_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         1 + n_chars % {JPEG_MCUS_W} AS mw,
+         1 + n_chars % {JPEG_MCUS_H} AS mh
+  FROM documents
+), mcu AS (
+  SELECT doc_id, mw, mh,
+         p.i % mw  AS mx,
+         p.i // mw AS my
+  FROM dims, LATERAL (
+    SELECT unnest(generate_series(0, mw * mh - 1)) AS i
+  ) p
+)
+SELECT doc_id,
+       CAST(MIN(mw) * 16 AS INTEGER)        AS width,
+       CAST(MIN(mh) * 16 AS INTEGER)        AS height,
+       CAST(MIN(mw) * MIN(mh) * 256 AS BIGINT) AS n_pixels,
+       CAST(SUM(256 * ((doc_id + 5 * mx + 7 * my) % 256)) AS BIGINT)  AS sum_y,
+       CAST(SUM(64 * ((3 * doc_id + 11 * mx + my) % 256)) AS BIGINT)  AS sum_cb,
+       CAST(SUM(64 * ((7 * doc_id + mx + 13 * my) % 256)) AS BIGINT)  AS sum_cr
+FROM mcu
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": multimodal_features,
     "q_multimodal_frames": multimodal_frames,
@@ -1066,6 +1586,7 @@ QUERIES = {
     "q_multimodal_audio": multimodal_audio,
     "q_multimodal_video": multimodal_video,
     "q_multimodal_resize": multimodal_resize,
+    "q_multimodal_jpeg": multimodal_jpeg,
 }
 ORACLE = {
     "q_multimodal_meta": MULTIMODAL_META_SQL,
@@ -1075,4 +1596,5 @@ ORACLE = {
     "q_multimodal_audio": MULTIMODAL_AUDIO_SQL,
     "q_multimodal_video": MULTIMODAL_VIDEO_SQL,
     "q_multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "q_multimodal_jpeg": MULTIMODAL_JPEG_SQL,
 }

@@ -1518,3 +1518,128 @@ def test_ann_layout_concurrent_cold_build_is_single(spark, tmp_path):
         assert len(builds) == S.ANN_LAYOUT_BANDS
     finally:
         S.write_ann_partitioned = orig
+
+
+def test_jpeg_codec_round_trip_and_all_markers():
+    """Baseline JPEG leg (VERDICT r12 #8): encode → decode is EXACT on
+    the constant-MCU fixture (DC-only blocks × flat q=8 make the lossy
+    chain lossless — the property the oracle hash rests on); DC
+    prediction chains across MCUs and resets at restart markers; the
+    decoder honors DRI/RSTn, crops non-multiple dims, decodes a hand-
+    built grayscale scan, and keeps the ValueError contract for every
+    malformed-input class (the PNG r12 error-contract standard)."""
+    import struct
+
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        _JPEG_DC_LUMA,
+        _JPEG_AC_EOB,
+        _JPEG_Q,
+        _BitWriter,
+        _huff_codes,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # exact round trip over every fixture dimension + varied colors
+    for d in (0, 5, 254):
+        for mw, mh in [(1, 1), (2, 1), (3, 2), (1, 2)]:
+            colors = [
+                [
+                    (
+                        (d + 5 * mx + 7 * my) % 256,
+                        (3 * d + 11 * mx + my) % 256,
+                        (7 * d + mx + 13 * my) % 256,
+                    )
+                    for mx in range(mw)
+                ]
+                for my in range(mh)
+            ]
+            w, h = 16 * mw, 16 * mh
+            gw, gh, (py, pcb, pcr) = decode_jpeg(
+                encode_jpeg(w, h, colors)
+            )
+            assert (gw, gh) == (w, h)
+            assert len(py) == w * h and len(pcb) == (w // 2) * (h // 2)
+            for my in range(mh):
+                for mx in range(mw):
+                    yv, cbv, crv = colors[my][mx]
+                    assert py[(my * 16 + 9) * w + mx * 16 + 11] == yv
+                    assert pcb[(my * 8 + 3) * (w // 2) + mx * 8 + 2] == cbv
+                    assert pcr[(my * 8 + 5) * (w // 2) + mx * 8 + 7] == crv
+
+    # restart markers: same image, DRI=1 → RST between every MCU, DC
+    # prediction resets — decode must be identical
+    colors = [[(40, 80, 120), (200, 10, 90)], [(5, 250, 17), (99, 99, 99)]]
+    plain = decode_jpeg(encode_jpeg(32, 32, colors))
+    rst = decode_jpeg(encode_jpeg(32, 32, colors, restart_interval=1))
+    assert plain == rst
+
+    # crop: patch SOF0 dims to a non-multiple size; planes crop to
+    # 12×10 luma / 6×5 chroma of the constant color
+    one = bytearray(encode_jpeg(16, 16, [[(77, 88, 99)]]))
+    i = one.index(b"\xff\xc0") + 5  # len(2)+prec(1) → height offset
+    one[i : i + 4] = struct.pack(">HH", 10, 12)
+    cw, chh, (py, pcb, pcr) = decode_jpeg(bytes(one))
+    assert (cw, chh) == (12, 10)
+    assert py == [77] * 120 and pcb == [88] * 30 and pcr == [99] * 30
+
+    # hand-built single-component (grayscale) scan
+    bits, vals = _JPEG_DC_LUMA
+    abits, avals = _JPEG_AC_EOB
+    out = bytearray(b"\xff\xd8")
+
+    def seg(m, body):
+        out.extend(struct.pack(">BBH", 0xFF, m, len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes([_JPEG_Q] * 64))
+    seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    seg(0xC4, bytes([0x10]) + bytes(abits) + bytes(avals))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    dc = _huff_codes(bits, vals)
+    diff = 160 - 128
+    s = diff.bit_length()
+    bw.write(*dc[s])
+    bw.write(diff, s)
+    bw.write(*_huff_codes(abits, avals)[0x00])
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    gw, gh, (plane,) = decode_jpeg(bytes(out))
+    assert (gw, gh) == (8, 8) and plane == [160] * 64
+
+    # --- ValueError contract for every malformed-input class ---
+    good = encode_jpeg(16, 16, [[(10, 20, 30)]])
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="truncated|past end"):
+        decode_jpeg(good[:25])
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="not baseline"):
+        decode_jpeg(bytes(prog))
+    # lying segment length past end of data
+    lying = bytearray(good)
+    j = lying.index(b"\xff\xdb") + 2
+    lying[j : j + 2] = struct.pack(">H", 60000)
+    with pytest.raises(ValueError, match="segment length"):
+        decode_jpeg(bytes(lying))
+    # corrupt entropy data → invalid Huffman prefix or truncation, as
+    # a ValueError either way (never IndexError/KeyError)
+    ent = bytearray(good)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(ent[:-4]) + b"\xff\xff\xff\xff")
+    # zero dimension
+    zd = bytearray(good)
+    k = zd.index(b"\xff\xc0") + 5
+    zd[k : k + 4] = struct.pack(">HH", 0, 16)
+    with pytest.raises(ValueError, match="zero image dimension"):
+        decode_jpeg(bytes(zd))
+    # scan referencing an undefined Huffman table id
+    undef = bytearray(good)
+    m = undef.index(b"\xff\xda")
+    undef[m + 6] = 0x55  # Y component now wants DC table 5 / AC table 5
+    with pytest.raises(ValueError, match="undefined"):
+        decode_jpeg(bytes(undef))
