@@ -1469,12 +1469,22 @@ def ann_probe_batch(
                         if valid.any()
                         else np.empty((0, PQ_M), dtype=np.uint8)
                     )
-                    for p in pids:
+                    # one gather for ALL this cell's probes: adc[p, r]
+                    # = Σ_m luts[p, m, mat[r, m]] — the m-axis sum runs
+                    # in the same ascending order as the serial
+                    # scorer's per-probe .sum(axis=1), so values stay
+                    # bit-identical; what changes is 32 Python-loop
+                    # fancy-gathers per batch → 1 (sf10 PQ batch wall
+                    # was gather-bound at 24 s vs int8's 4 s — int8
+                    # rides dgemv, PQ rides indexing)
+                    if len(mat):
+                        adc = luts[pids][:, marange[None, :], mat].sum(
+                            axis=2
+                        )
+                    for j, p in enumerate(pids):
                         out = np.full(len(grp), -2.0)
                         if len(mat):
-                            out[valid] = luts[p][
-                                marange[None, :], mat
-                            ].sum(axis=1)
+                            out[valid] = adc[j]
                         outs.append((p, vids, out))
             if outs:
                 yield pd.DataFrame(
