@@ -112,6 +112,36 @@ def sliding_counts_stream(
     )
 
 
+def session_counts_stream(
+    events: DataFrame, late_allowance: str = "2 hours"
+) -> DataFrame:
+    """Watermarked 30-minute-gap session windows per user — the
+    true-streaming twin of ``windows.stream_session`` (same aggregation
+    expressions).  Session state MERGES as events arrive (unlike fixed
+    windows, a late-but-within-watermark event can fuse two open
+    sessions); append mode emits a session once the watermark passes
+    its end, at which point its state row is evicted — bounded state
+    at any scale.  Soak-measured (per-batch latency + state-store
+    rows/bytes over ~10k events in ~100 micro-batches, stream ≡ batch
+    pinned exactly): tools/stream_soak.py, SCALING.md "stateful
+    streaming soak"."""
+    return (
+        events.withWatermark("ts", late_allowance)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, late_allowance: str = "10 minutes") -> DataFrame:
     """Watermarked stateful dedup: state for (user_id, event_type) pairs is
     evicted once the watermark passes — bounded state at any scale."""

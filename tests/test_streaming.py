@@ -474,3 +474,38 @@ def test_streaming_available_now_backfill(spark, tmp_path):
     for k, (n, total) in batch.items():
         assert got[k][0] == n
         assert abs(got[k][1] - total) < 1e-6
+
+
+def test_stream_session_soak_matches_batch(spark, tmp_path):
+    """Soak pin for the stateful sessionize stream (VERDICT r12 #7):
+    burst-per-session fixture drained one file per micro-batch through
+    session_counts_stream — emitted sessions must equal the batch twin
+    EXACTLY (the sentinel flush event advances the final watermark past
+    every real session, so this is full equality, not
+    modulo-trailing-allowance), and session state must stay bounded
+    (rows evict as the watermark sweeps — peak well under the total
+    session count, end-state ~the sentinel's open session).  The 10k-
+    event measured row lives in SCALING.md (tools/stream_soak.py)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_soak",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools"
+        / "stream_soak.py",
+    )
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+
+    fixture = str(tmp_path / "soak_events")
+    soak.gen_soak_fixture(fixture, 300, 5)
+    rec = soak.run_soak(spark, fixture, "t_soak_sessions")
+    assert rec["stream_equals_batch"], rec
+    assert rec["sessions_emitted"] == rec["sessions_batch"] == 30
+    assert rec["micro_batches"] >= 5  # one per file + flush batches
+    # bounded state: sessions evict as the watermark passes; the peak
+    # must sit far below the 30 total sessions and the end state holds
+    # only the sentinel's never-finalized session
+    assert rec["state_rows_peak"] <= 10, rec
+    assert rec["state_rows_end"] <= 2, rec

@@ -137,6 +137,80 @@ SF10_QUERIES = [
     "q_dedup_semantic",
 ]
 
+#: All 22 TPC-H composite shapes (VERDICT r12 #5: only q21/q9 had any
+#: decade row; multi-join plans are where replication-scaling quietly
+#: breaks — broadcast thresholds flip, AQE skew paths engage).
+TPCH_QUERIES = [f"q_tpch_q{i}" for i in range(1, 23)]
+
+
+def run_tpch_sf1(spark, registry, sf1_dir: str) -> None:
+    """Append/replace the TPC-H sf1 section: min-of-2 at sf0.1 and sf1
+    for every composite, wall × and output × side by side."""
+    rows = []
+    for name in TPCH_QUERIES:
+        pts, nout = {}, {}
+        for label, d in (("0.1", "/root/testdata/sf0.1"), ("1", sf1_dir)):
+            spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            pts[label] = best
+            nout[label] = registry[name](spark, d).count()
+        rows.append((name, pts["0.1"], pts["1"], nout["0.1"], nout["1"]))
+        print(
+            f"{name}: sf0.1 {pts['0.1']:.2f}s ({nout['0.1']} rows)  "
+            f"sf1 {pts['1']:.2f}s ({nout['1']} rows)"
+        )
+
+    lines = [
+        "## TPC-H composites at sf1 — all 22 multi-join shapes",
+        "",
+        "Same synthetic sf1 decade as above (key-shifted replication —",
+        "join selectivity preserved), min-of-2, same session.  Multi-join",
+        "plans are where a scale-up quietly breaks: a dimension outgrows",
+        "the broadcast threshold and a BHJ flips to shuffle, AQE engages",
+        "a skew path, a semi-join's build side stops fitting.  Wall × at",
+        "or below ~10× (or below the output ×) survives the decade;",
+        "materially above both is adjudicated in the note below.",
+        "",
+        "| query | sf0.1 | sf1 (10× data) | ×(10×) | out rows sf0.1→sf1 | out × |",
+        "|---|---|---|---|---|---|",
+    ]
+    over = []
+    for name, a, b, oa, ob in rows:
+        ox = ob / oa if oa else float("nan")
+        wx = b / a if a else float("nan")
+        if wx > 12.0 and wx > ox:
+            over.append((name, wx))
+        lines.append(
+            f"| {name} | {a:.2f}s | {b:.2f}s | {wx:.1f}× "
+            f"| {oa} → {ob} | {ox:.1f}× |"
+        )
+    lines += [
+        "",
+        (
+            "Queries over the ~10× line (wall × > 12 and > out ×): "
+            + (
+                ", ".join(f"{n} ({x:.1f}×)" for n, x in over)
+                if over
+                else "none"
+            )
+            + "."
+        ),
+    ]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    _replace_section(
+        path, "## TPC-H composites at sf1", "\n".join(lines) + "\n"
+    )
+    print(f"wrote TPC-H sf1 section to {path}")
+
 
 def run_sf10(spark, registry, sf10_dir: str) -> None:
     """Append/replace the sf10 spot-run section: min-of-2 at sf1 and
@@ -456,6 +530,15 @@ def parse_args(argv: list[str] | None = None):
         help="run ONLY the sf10 section against DIR (default /tmp/sf10); "
         "with --ann, names the ANN sf10 corpus instead",
     )
+    ap.add_argument(
+        "--tpch",
+        nargs="?",
+        const="/tmp/sf1",
+        default=None,
+        metavar="DIR",
+        help="run ONLY the TPC-H sf1 section (all 22 composites, "
+        "min-of-2 at sf0.1 + DIR; default /tmp/sf1)",
+    )
     return ap.parse_args(argv)
 
 
@@ -494,6 +577,14 @@ def main() -> None:
             spark, "/root/testdata/sf0.01"
         ).write.format("noop").mode("overwrite").save()  # warmup
         run_sf10(spark, registry, args.sf10)
+        spark.stop()
+        return
+
+    if args.tpch is not None:
+        registry[TPCH_QUERIES[0]](
+            spark, "/root/testdata/sf0.01"
+        ).write.format("noop").mode("overwrite").save()  # warmup
+        run_tpch_sf1(spark, registry, args.tpch)
         spark.stop()
         return
 
