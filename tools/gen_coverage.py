@@ -96,6 +96,14 @@ ROWS_ONLY_NOTES = {
         "equality, ADC=reconstruction-dot identity, and codebook "
         "determinism pytest-asserted)"
     ),
+    "q_sim_ann_ivf_batch": (
+        "rows-only (batched multi-probe plan, r13: M probes in ONE "
+        "composed job — union-cell scan, vectorized per-(probe, "
+        "candidate) scores, WindowGroupLimit rank cut, one grouped "
+        "broadcast re-rank; every probe's rows bit-identical to the "
+        "probe-parametric serial path on both variants, pytest-"
+        "asserted; 12–25× threaded-serial QPS at M=32, SCALING.md)"
+    ),
     "q_embed_pca": (
         "rows-only (64×64 driver eigh not SQL-expressible; covariance "
         "input is EXACT fixed-point — q_embed_covariance hash-checked — "

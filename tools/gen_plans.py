@@ -506,6 +506,32 @@ NOTES = {
         "equality with sim_ann_ivf and the ADC=reconstruction-dot "
         "identity."
     ),
+    "q_sim_ann_ivf_batch": (
+        "Batched multi-probe ANN (r13): M probes composed into ONE "
+        "lazy plan — a single cell IN (…) PartitionFilter scan of the "
+        "union of all probes' cells, per-(probe, candidate) int8 "
+        "scores in one mapInPandas stage (each cell's rows scored "
+        "only against the probes that probed it), a per-probe "
+        "IVF_RERANK cut whose row_number predicate Catalyst pushes "
+        "into WindowGroupLimit (every scan partition pre-prunes to "
+        "its local top-4096 before the single probe_id shuffle), and "
+        "one grouped exact re-rank: the ≤M·4096 survivor pairs "
+        "broadcast against ONE source-corpus scan with the M probe "
+        "vectors joined from an M-row broadcast.  No collect in the "
+        "plan; at 100 TB the batch reads the corpus once for ALL "
+        "probes where the serial form pays M point reads — 12-25× "
+        "the threaded per-probe QPS at M=32 (SCALING.md)."
+    ),
+    "q_multimodal_jpeg": (
+        "Baseline JPEG decode (r13): same two-stage mapInPandas "
+        "topology as the other codec legs — synthesize conformant "
+        "SOF0 4:2:0 streams, cross an Arrow/shuffle boundary, then "
+        "the full marker/Huffman/DC-prediction/dequant/IDCT/plane "
+        "walk reduced to integer plane sums.  Per-row Python cost is "
+        "the codec itself (vectorization is per Arrow batch); no "
+        "exchange beyond the one repartition, so the 100 TB decode "
+        "is scan-parallel exactly like production image pipelines."
+    ),
     "q_embed_pca": (
         "PCA transform (r6, plan section added r8): the fit is the "
         "q_embed_covariance one-pass exact Gram (D²+D+1 fixed-width "

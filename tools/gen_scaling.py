@@ -139,8 +139,9 @@ SF10_QUERIES = [
 
 #: All 22 TPC-H composite shapes (VERDICT r12 #5: only q21/q9 had any
 #: decade row; multi-join plans are where replication-scaling quietly
-#: breaks — broadcast thresholds flip, AQE skew paths engage).
-TPCH_QUERIES = [f"q_tpch_q{i}" for i in range(1, 23)]
+#: breaks — broadcast thresholds flip, AQE skew paths engage).  Q1's
+#: shape is registered as q_agg_groupby (SURVEY.md:184).
+TPCH_QUERIES = ["q_agg_groupby"] + [f"q_tpch_q{i}" for i in range(2, 23)]
 
 
 def run_tpch_sf1(spark, registry, sf1_dir: str) -> None:
@@ -201,6 +202,17 @@ def run_tpch_sf1(spark, registry, sf1_dir: str) -> None:
             )
             + "."
         ),
+        "",
+        "Reading: every composite pays far less than the 10× data",
+        "factor because the multi-join plans keep their shape across",
+        "the decade — dimension sides stay broadcast (the replicated",
+        "fixture grows facts and dims together, but AQE re-sizes at",
+        "runtime and no BHJ flipped to SMJ), semi/anti-join build",
+        "sides stay bounded by their group counts, and the scan",
+        "parallelism absorbs the fact growth.  The largest factors",
+        "are the EXISTS/NOT-EXISTS shapes whose probe side is the",
+        "grown lineitem (q4-class) and the twice-computed revenue",
+        "view (q15) — both still data-sublinear.",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
