@@ -126,8 +126,14 @@ IDLE_FLOOR_SEC = {
     "q_win_running_distinct_daily": 0.1973,
 }
 
-#: a session floor above this multiple of the all-time floor is flagged
-BAND_TOLERANCE = 1.25
+#: a session floor above this multiple of the all-time floor is
+#: flagged.  The table holds all-time MINS, which sit ~10–25 % below
+#: the BASELINE.md idle-band UPPERS the ">1.25× its idle band" rule
+#: (VERDICT r12 #1) is phrased against — 1.5× an all-time min ≈ 1.25×
+#: a band upper.  Calibrated on the r13 double-draw: at 1.25 an
+#: ordinary elevated-steal draw flags 10–18 uniformly-inflated rows
+#: (pure noise), at 1.5 only rows genuinely outside their band fire.
+BAND_TOLERANCE = 1.5
 
 
 def band_verdicts_for(timings: dict, sf: float) -> dict:

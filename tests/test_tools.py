@@ -131,11 +131,15 @@ def test_bench_band_verdicts():
     # at-floor timings: no verdicts
     ok = {n: floors[n] for n in some}
     assert bench.band_verdicts_for(ok, 0.1) == {}
-    # 1.25x is the tolerance edge: just under passes, over flags
-    edge = {some[0]: floors[some[0]] * 1.24, some[1]: floors[some[1]] * 1.5}
+    # BAND_TOLERANCE is the edge: just under passes, over flags
+    tol = bench.BAND_TOLERANCE
+    edge = {
+        some[0]: floors[some[0]] * (tol - 0.01),
+        some[1]: floors[some[1]] * (tol + 0.25),
+    }
     out = bench.band_verdicts_for(edge, 0.1)
     assert list(out) == [some[1]]
-    assert out[some[1]]["ratio"] == 1.5
+    assert out[some[1]]["ratio"] == round(tol + 0.25, 2)
     assert out[some[1]]["all_time"] == floors[some[1]]
     # off the table's sf0.1 conditions: never judged
     assert bench.band_verdicts_for(edge, 0.01) == {}
