@@ -92,18 +92,19 @@ REPS = 5
 #: rounds the RECORDED total overstated by ~35 % on untouched code
 #: because the heavy tail had no confirm merge (VERDICT r12 #1); the
 #: confirm now covers every query, and any session floor still landing
-#: >1.25× its all-time floor gets a per-query ``band_verdict`` so a
+#: >BAND_TOLERANCE× its all-time floor gets a per-query ``band_verdict`` so a
 #: contended host reads as "environment" in the JSON itself, not in a
 #: post-hoc BASELINE.md table.  Regenerate after a structural plan
 #: change: min over BENCH_r*.json 'queries' maps (see BASELINE.md idle
 #: sections for the idle-draw provenance of the heavy-tail values).
+# --- BEGIN GENERATED FLOORS (tools/gen_floors.py) ---
 IDLE_FLOOR_SEC = {
     "q_agg_distinct": 0.2772,
     "q_agg_groupby": 0.3551,
     "q_bpe_merges": 3.9208,
     "q_decontaminate": 0.6853,
     "q_dedup_exact": 0.1592,
-    "q_dedup_near": 0.5810,
+    "q_dedup_near": 0.581,
     "q_dedup_near_candidates": 0.3889,
     "q_dedup_semantic": 2.0303,
     "q_dedup_substring": 0.8734,
@@ -114,10 +115,10 @@ IDLE_FLOOR_SEC = {
     "q_join_broadcast": 0.3916,
     "q_join_inner": 0.2954,
     "q_kmeans": 1.7808,
-    "q_pagerank": 0.9100,
+    "q_pagerank": 0.91,
     "q_sim_topk": 0.2277,
     "q_sort_limit": 0.1112,
-    "q_stream_tumbling": 0.2030,
+    "q_stream_tumbling": 0.203,
     "q_text_stats": 0.2276,
     "q_topk_per_group": 0.4104,
     "q_tpch_q21": 0.8599,
@@ -125,6 +126,7 @@ IDLE_FLOOR_SEC = {
     "q_win_rank": 0.3426,
     "q_win_running_distinct_daily": 0.1973,
 }
+# --- END GENERATED FLOORS ---
 
 #: a session floor above this multiple of the all-time floor is
 #: flagged.  The table holds all-time MINS, which sit ~10–25 % below

@@ -268,13 +268,16 @@ def write_ann_partitioned(
     )
 
 
-def _probe_sigs_for_band(band: int, n_flip: int = N_FLIP) -> list[int]:
+def _probe_sigs_for_band(
+    band: int, n_flip: int = N_FLIP, probe=None
+) -> list[int]:
     """The 2^``n_flip`` query-directed probe signatures for one band —
-    the SINGLE flip-set implementation (``_probe_signatures`` and the
-    written layout's pruned read both call it, ADVICE r8)."""
+    the SINGLE flip-set implementation (``_probe_signatures``, the
+    written layout's pruned read, and the batched multi-probe plan all
+    call it, ADVICE r8).  ``probe`` defaults to the module PROBE."""
     import numpy as np
 
-    probe = np.array(PROBE, dtype=np.float64)
+    probe = np.array(PROBE if probe is None else probe, dtype=np.float64)
     planes = _band_planes(band)
     weights = (1 << np.arange(N_PLANES)).astype(np.int64)
     margins = probe @ planes.T
@@ -548,9 +551,22 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-time menu: flip=10 → 0.8/0.9, flip=11 → 1.0/0.9 at
     sf0.01/sf0.1).  Only L (the number of corpus copies) is fixed at
     write time."""
+    return lsh_probe_topk(spark, sf_dir, PROBE)
+
+
+def lsh_probe_topk(
+    spark: SparkSession, sf_dir: str, probe, k: int = 10
+) -> DataFrame:
+    """Probe-parametric serial form of ``sim_ann_partitioned`` (r13 —
+    same refactor as ``ivf_probe_topk``): the QPS harness and the
+    batch-equality tests drive the REAL written-LSH probe body with an
+    arbitrary probe vector."""
     import json
     import os
 
+    import numpy as np
+
+    probe = np.asarray(probe, dtype=np.float64)
     root = _ann_layout_root(spark, sf_dir)
     with open(os.path.join(root, "ann_meta.json")) as f:
         meta = json.load(f)
@@ -573,7 +589,7 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _handle_cache_put(_ANN_BAND_DFS, (sf_dir, b), fp, app, df)
 
     def _pruned(b: int):
-        sigs = _probe_sigs_for_band(b, ANN_LAYOUT_FLIP)
+        sigs = _probe_sigs_for_band(b, ANN_LAYOUT_FLIP, probe)
         prefixes = sorted({s >> shift for s in sigs})
         # directory-level pruning on the prefix + the exact pushed
         # signature predicate: candidate set identical at every
@@ -638,14 +654,15 @@ def sim_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor is exact
     cands = cands.dropDuplicates(["vec_id"])
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pcol = F.array(*[F.lit(float(x)) for x in probe])
     return (
         cands.select(
             "vec_id",
             "label",
-            F.round(cosine_expr(dbl, _probe_col()), 6).alias("cosine"),
+            F.round(cosine_expr(dbl, pcol), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
+        .limit(k)
     )
 
 
@@ -1556,6 +1573,130 @@ def sim_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_probe_batch_lsh(
+    spark: SparkSession, sf_dir: str, probes, k: int = 10
+) -> DataFrame:
+    """Batched multi-probe over the written LSH layout — the LSH
+    sibling of :func:`ann_probe_batch` (r13): M probes, ONE lazy plan.
+
+    1. **Union band scans**: per band, one pruned read covering the
+       UNION of all probes' flip sets (``sigp IN`` PartitionFilter +
+       pushed ``sig IN`` — one SQL string, the r12 lesson).
+    2. **Signature → probe mapping**: a broadcast (band, sig,
+       probe_id) table (≤ M·L·2^flip rows of three ints) joins each
+       candidate row to exactly the probes whose flip set contains its
+       signature — the per-(probe, candidate) pairing is a JOIN, not a
+       Python loop.
+    3. **One grouped exact rank**: distinct (probe_id, vec_id) pairs
+       join the source corpus once; exact cosine against the M-row
+       broadcast probe table; top-k per probe via the WindowGroupLimit
+       rank cut.
+
+    No collect anywhere (the serial probe's secondary-band fetch
+    collects a bounded sigp0 prefix list; the batch replaces that
+    read-narrowing with the one corpus scan all M probes share).  No
+    broadcast hint on the pair join: candidate pairs are corpus-
+    fraction-sized at deploy flip widths, where AQE must choose the
+    shuffle join — same reasoning as the serial probe's semi-join."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    probes_arr = np.asarray(probes, dtype=np.float64)
+    m = len(probes_arr)
+    root = _ann_layout_root(spark, sf_dir)
+    with open(os.path.join(root, "ann_meta.json")) as f:
+        meta = json.load(f)
+    shift = N_PLANES - meta["prefix_bits"]
+    fp = _corpus_fingerprint(sf_dir)
+    app = spark.sparkContext.applicationId
+
+    def _band_df(b: int):
+        hit = _handle_cache_get(_ANN_BAND_DFS, (sf_dir, b), fp, app)
+        if hit is not None:
+            return hit
+        df = spark.read.parquet(os.path.join(root, f"band{b}"))
+        return _handle_cache_put(_ANN_BAND_DFS, (sf_dir, b), fp, app, df)
+
+    map_rows = {"band": [], "sig": [], "probe_id": []}
+    band_sigs: dict[int, set] = {}
+    for b in range(meta["bands"]):
+        for p in range(m):
+            for s in _probe_sigs_for_band(b, ANN_LAYOUT_FLIP, probes_arr[p]):
+                map_rows["band"].append(b)
+                map_rows["sig"].append(int(s))
+                map_rows["probe_id"].append(p)
+                band_sigs.setdefault(b, set()).add(int(s))
+    sig_map = spark.createDataFrame(
+        pd.DataFrame(map_rows), "band int, sig int, probe_id int"
+    )
+
+    cand = None
+    for b in range(meta["bands"]):
+        sigs = sorted(band_sigs[b])
+        prefixes = sorted({s >> shift for s in sigs})
+        part = (
+            _band_df(b)
+            .where(
+                f"sigp IN ({','.join(str(p) for p in prefixes)}) AND "
+                f"sig IN ({','.join(str(s) for s in sigs)})"
+            )
+            .select("vec_id", "sig")
+            .withColumn("band", F.lit(b))
+        )
+        cand = part if cand is None else cand.unionByName(part)
+
+    pairs = (
+        cand.join(F.broadcast(sig_map), ["band", "sig"])
+        .select("probe_id", "vec_id")
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    probes_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in probes_arr[i]]) for i in range(m)],
+        "probe_id int, probe array<double>",
+    )
+    exact = (
+        e.join(pairs, "vec_id")
+        .join(F.broadcast(probes_df), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cosine_expr(dbl, F.col("probe")), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("probe_id", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+def sim_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_ann_lsh_batch: the batched multi-probe plan over the
+    written LSH layout, same deterministic probe set as
+    ``sim_ann_ivf_batch``; probe 0's rows are pytest-pinned identical
+    to ``sim_ann_partitioned``.  Approximate ⇒ rows-only driver
+    check."""
+    import numpy as np
+
+    base = np.array(PROBE, dtype=np.float64)
+    rng = np.random.default_rng(13)
+    jitters = base + rng.normal(
+        0.0, 0.5, size=(ANN_BATCH_PROBES - 1, len(base))
+    )
+    return ann_probe_batch_lsh(spark, sf_dir, np.vstack([base, jitters]))
+
+
 #: Radius search: cosine threshold and the bounded candidate id range
 #: (the verifier role — at scale the candidate set comes from the LSH/IVF
 #: buckets above, exactly as ngram-Jaccard verifies MinHash candidates).
@@ -1618,6 +1759,7 @@ QUERIES = {
     "q_sim_ann_ivf_partitioned": sim_ann_ivf_partitioned,
     "q_sim_ann_ivfpq": sim_ann_ivfpq,
     "q_sim_ann_ivf_batch": sim_ann_ivf_batch,
+    "q_sim_ann_lsh_batch": sim_ann_lsh_batch,
 }
 
 ORACLE = {

@@ -747,16 +747,37 @@ def test_ann_batch_equals_serial(spark):
             want = [(r.vec_id, r.label, r.cosine) for r in serial]
             assert got == want, (variant, p)
 
-    # the registry key's probe-0 group is the fixed-PROBE serial result
-    reg = S.sim_ann_ivf_batch(spark, SF_RECALL).collect()
-    reg0 = [
-        (r.vec_id, r.label, r.cosine) for r in reg if r.probe_id == 0
-    ]
-    fixed = [
-        (r.vec_id, r.label, r.cosine)
-        for r in S.sim_ann_ivf_partitioned(spark, SF_RECALL).collect()
-    ]
-    assert reg0 == fixed
+    # the LSH layout's batch (r13): same contract — every probe's rows
+    # equal the probe-parametric serial path (the signature → probe
+    # pairing is a broadcast join, so candidate sets must agree
+    # band-for-band), both through the written OR-construction
+    lrows = S.ann_probe_batch_lsh(spark, SF_RECALL, probes).collect()
+    assert len(lrows) == 10 * len(probes)
+    for p in range(len(probes)):
+        serial = S.lsh_probe_topk(spark, SF_RECALL, probes[p]).collect()
+        got = [
+            (r.vec_id, r.label, r.cosine)
+            for r in lrows
+            if r.probe_id == p
+        ]
+        want = [(r.vec_id, r.label, r.cosine) for r in serial]
+        assert got == want, ("lsh", p)
+
+    # the registry keys' probe-0 groups are the fixed-PROBE serial
+    # results
+    for batch_fn, serial_fn in (
+        (S.sim_ann_ivf_batch, S.sim_ann_ivf_partitioned),
+        (S.sim_ann_lsh_batch, S.sim_ann_partitioned),
+    ):
+        reg = batch_fn(spark, SF_RECALL).collect()
+        reg0 = [
+            (r.vec_id, r.label, r.cosine) for r in reg if r.probe_id == 0
+        ]
+        fixed = [
+            (r.vec_id, r.label, r.cosine)
+            for r in serial_fn(spark, SF_RECALL).collect()
+        ]
+        assert reg0 == fixed, batch_fn.__name__
 
 
 def test_ivfpq_probe_equals_in_memory_and_adc_is_reconstruction_dot(spark):

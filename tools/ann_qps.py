@@ -42,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOISE_STD = 0.1
 
-VARIANTS = {"ivf_int8": "int8", "ivf_pq": "pq"}
+VARIANTS = {"ivf_int8": "int8", "ivf_pq": "pq", "lsh": "lsh"}
 
 
 def _probe_vectors(sf_dir: str, n: int):
@@ -86,10 +86,17 @@ def run_level(fn, probes, concurrency: int) -> dict:
 def run_batched(spark, sf_dir, probes, variant: str) -> dict:
     from mysqldump_to_parquet_spark.llm import similarity as S
 
+    if variant == "lsh":
+        def batch(ps):
+            return S.ann_probe_batch_lsh(spark, sf_dir, ps)
+    else:
+        def batch(ps):
+            return S.ann_probe_batch(spark, sf_dir, ps, variant=variant)
+
     # warm the code path (codegen, Python worker pool) on a 2-probe batch
-    S.ann_probe_batch(spark, sf_dir, probes[:2], variant=variant).collect()
+    batch(probes[:2]).collect()
     t0 = time.perf_counter()
-    rows = S.ann_probe_batch(spark, sf_dir, probes, variant=variant).collect()
+    rows = batch(probes).collect()
     total = time.perf_counter() - t0
     return {
         "batched": True,
@@ -124,10 +131,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # build once + hold the file-index handle open (the r12 probe fix)
+    # build once + hold the file-index handles open (the r12 probe fix)
     S._ivf_layout_df(spark, args.sf_dir)
     S.ivf_centroids(spark, args.sf_dir)
     S.pq_codebooks(spark, args.sf_dir)
+    S._ann_layout_root(spark, args.sf_dir)
     probes = _probe_vectors(args.sf_dir, args.probes)
 
     for name, variant in VARIANTS.items():
@@ -138,6 +146,8 @@ def main() -> None:
             continue
 
         def fn(p, _v=variant):
+            if _v == "lsh":
+                return S.lsh_probe_topk(spark, args.sf_dir, p).collect()
             return S.ivf_probe_topk(
                 spark, args.sf_dir, p, variant=_v
             ).collect()

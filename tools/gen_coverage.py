@@ -104,6 +104,13 @@ ROWS_ONLY_NOTES = {
         "probe-parametric serial path on both variants, pytest-"
         "asserted; 12–25× threaded-serial QPS at M=32, SCALING.md)"
     ),
+    "q_sim_ann_lsh_batch": (
+        "rows-only (batched multi-probe over the written LSH layout, "
+        "r13: union band scans, broadcast (band, sig, probe_id) pair "
+        "join, one grouped exact rank; bit-identical to the serial "
+        "lsh_probe_topk per probe, pytest-asserted; ~6× serial QPS at "
+        "sf1, candidate-bound at sf10 — SCALING.md)"
+    ),
     "q_embed_pca": (
         "rows-only (64×64 driver eigh not SQL-expressible; covariance "
         "input is EXACT fixed-point — q_embed_covariance hash-checked — "

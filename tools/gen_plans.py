@@ -522,6 +522,21 @@ NOTES = {
         "probes where the serial form pays M point reads — 12-25× "
         "the threaded per-probe QPS at M=32 (SCALING.md)."
     ),
+    "q_sim_ann_lsh_batch": (
+        "Batched multi-probe over the written LSH layout (r13): per "
+        "band, ONE pruned scan covers the union of all probes' flip "
+        "sets (sigp PartitionFilter + pushed sig IN); a broadcast "
+        "(band, sig, probe_id) table joins each candidate row to "
+        "exactly the probes whose flip set contains its signature — "
+        "the per-(probe, candidate) pairing is a join, not Python; "
+        "distinct pairs then rank by exact cosine against one shared "
+        "corpus scan with the WindowGroupLimit top-k cut.  No collect "
+        "(the serial probe's secondary-fetch prefix list is replaced "
+        "by the shared scan).  Gains are orchestration-bound at small "
+        "corpora (~6× at sf1) and candidate-bound at large (1.6× at "
+        "sf10: a ~0.5 candidate fraction × M is exact-cosine work no "
+        "batching removes — why IVF stays the first-choice layout)."
+    ),
     "q_multimodal_jpeg": (
         "Baseline JPEG decode (r13): same two-stage mapInPandas "
         "topology as the other codec legs — synthesize conformant "
