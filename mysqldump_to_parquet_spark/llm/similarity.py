@@ -1681,6 +1681,179 @@ def ann_probe_batch_lsh(
     )
 
 
+def ivf_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Distributed kNN JOIN through the written IVF layout — the
+    dedup-against-index / eval-set-kNN shape where the probe set is a
+    DATAFRAME, not a driver-side vector list (r13; the batched probe
+    removes per-probe orchestration for tens of probes, this removes
+    the driver entirely for millions).
+
+    ``queries``: (qid long, qv array<double>).  Plan, fully lazy:
+
+    1. **Executor-side cell routing**: a vectorized UDF assigns each
+       query its nprobe cells from the broadcast centroid table (a few
+       KB in the closure) — no driver trip per query; explode to
+       (qid, qv, cell).
+    2. **Broadcast hash join on cell** (hinted): the exploded query
+       side builds the hash, so the LAYOUT side — the 100 TB side —
+       streams partition-local and NEVER shuffles.  For query sets too
+       large to broadcast, drop the hint and AQE picks the shuffle
+       join; the layout's code column is ~1/4 the float bytes either
+       way.  (The scan reads all cells under the join — the literal
+       ``cell IN`` pruning of the single/batched probes needs
+       driver-known cells; a large random query batch probes every
+       cell anyway, and the code column keeps the full scan ~4× under
+       a float scan.)
+    3. **Vectorized approx scores**: one Arrow-batched row-wise
+       ``Σ code·q̂ / ‖code‖`` per (query, candidate) pair.
+    4. **Per-query IVF_RERANK cut** (WindowGroupLimit), then **exact
+       re-rank**: survivors join the source corpus on vec_id and their
+       query vector back on qid; exact cosine; top-k per query.
+
+    Approximate (probed cells only) ⇒ rows-only key; the pytest twin
+    pins recall@k against the brute-force join and exactness of every
+    returned cosine."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    centroids = ivf_centroids(spark, sf_dir)
+    nprobe = max(1, int(round(len(centroids) * IVF_SCAN_FRACTION)))
+    cnorm2 = (centroids * centroids).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _route(qs: pd.Series) -> pd.Series:
+        valid, mat = _masked_rows(qs)
+        norms = np.linalg.norm(mat, axis=1)
+        hats = mat / np.where(norms > 0, norms, 1.0)[:, None]
+        d2 = cnorm2[None, :] - 2.0 * (hats @ centroids.T)
+        cells = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        out = [None] * len(qs)
+        vi = 0
+        for i in range(len(qs)):
+            if valid[i]:
+                out[i] = cells[vi].tolist()
+                vi += 1
+        return pd.Series(out)
+
+    q = queries.select(
+        "qid", "qv", F.explode(_route(F.col("qv"))).alias("cell")
+    )
+    layout = _ivf_layout_df(spark, sf_dir).select("cell", "vec_id", "code")
+    pairs = layout.join(F.broadcast(q), "cell")
+
+    dim = len(centroids[0])
+
+    @pandas_udf("double")
+    def _pair_score(codes: pd.Series, qvs: pd.Series) -> pd.Series:
+        cvalid, cmat = _masked_rows(codes, dim)
+        qvalid, qmat = _masked_rows(qvs, dim)
+        valid = cvalid & qvalid
+        out = np.full(len(codes), -2.0)
+        if valid.any():
+            cm = np.vstack(codes[valid].to_numpy()).astype(np.float64)
+            qm = np.vstack(qvs[valid].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(qm, axis=1)
+            qh = qm / np.where(qn > 0, qn, 1.0)[:, None]
+            cn = np.linalg.norm(cm, axis=1)
+            dots = np.einsum("ij,ij->i", cm, qh)
+            out[valid] = np.where(cn > 0, dots / np.where(cn > 0, cn, 1.0), -2.0)
+        return pd.Series(out)
+
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        "qv",
+        _pair_score(F.col("code"), F.col("qv")).alias("acos"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("qid"))
+    w_cut = Window.partitionBy("qid").orderBy(
+        F.desc("acos"), F.asc("vec_id")
+    )
+    surv = (
+        scored.withColumn("rn", F.row_number().over(w_cut))
+        .where(F.col("rn") <= IVF_RERANK)
+        .select("qid", "vec_id")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qside = queries.select("qid", "qv")
+    exact = (
+        e.join(F.broadcast(surv), "vec_id")
+        .join(F.broadcast(qside), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(cosine_expr(dbl, F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("qid", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+#: query rows in the registry kNN-join keys (vec_id < this bound)
+KNN_JOIN_QUERIES = 30
+KNN_JOIN_K = 3
+
+
+def _knn_join_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.where(F.col("vec_id") < KNN_JOIN_QUERIES).select(
+        F.col("vec_id").alias("qid"), dbl.alias("qv")
+    )
+
+
+def sim_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_knn_join_exact: brute-force top-K neighbors per query row
+    (bounded query set × full corpus — the exact ground truth the IVF
+    kNN join is pinned against, and the generalization of
+    ``dedup_embedding``'s top-1 to ranked lists)."""
+    from pyspark.sql.window import Window
+
+    q = _knn_join_queries(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    c = e.select("vec_id", "label", dbl.alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        "label",
+        F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_JOIN_K)
+        .orderBy("qid", "rank")
+    )
+
+
+def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_knn_join_ivf: the distributed index-backed kNN join over
+    the same bounded query set — approximate (probed cells) ⇒
+    rows-only; recall@3 vs the exact twin pytest-pinned."""
+    return ivf_knn_join(
+        spark, sf_dir, _knn_join_queries(spark, sf_dir), k=KNN_JOIN_K
+    )
+
+
 def sim_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_sim_ann_lsh_batch: the batched multi-probe plan over the
     written LSH layout, same deterministic probe set as
@@ -1750,6 +1923,41 @@ ORDER BY cosine DESC, vec_id ASC
 """
 
 
+#: Analytic twin of sim_knn_join_exact — the same sequential-fold
+#: cosine the other oracles use (bit-identical across engines), ranked
+#: per query on the ROUNDED value exactly as the Spark plan does.
+SIM_KNN_JOIN_SQL = f"""
+WITH dbl AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.label,
+         ROUND(
+           list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(q.v)),
+                              i -> c.v[i] * q.v[i])),
+             (s, x) -> s + x)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(c.v, x -> x * x)), (s, x) -> s + x))
+              * sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(q.v, x -> x * x)), (s, x) -> s + x)))
+         , 6) AS cosine
+  FROM dbl q JOIN dbl c
+    ON q.vec_id < {KNN_JOIN_QUERIES} AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, label, cosine, rank
+FROM ranked
+WHERE rank <= {KNN_JOIN_K}
+ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "q_sim_topk": sim_topk,
     "q_sim_radius": sim_radius,
@@ -1760,10 +1968,14 @@ QUERIES = {
     "q_sim_ann_ivfpq": sim_ann_ivfpq,
     "q_sim_ann_ivf_batch": sim_ann_ivf_batch,
     "q_sim_ann_lsh_batch": sim_ann_lsh_batch,
+    "q_sim_knn_join_exact": sim_knn_join_exact,
+    "q_sim_knn_join_ivf": sim_knn_join_ivf,
 }
 
 ORACLE = {
     "q_sim_topk": SIM_TOPK_SQL,
     "q_sim_radius": SIM_RADIUS_SQL,
-    # q_sim_ann_lsh / q_sim_ann_ivf: approximate-recall ANN — rows-only.
+    "q_sim_knn_join_exact": SIM_KNN_JOIN_SQL,
+    # q_sim_ann_lsh / q_sim_ann_ivf / the batch + ivf kNN-join forms:
+    # approximate-recall ANN — rows-only.
 }

@@ -111,6 +111,13 @@ ROWS_ONLY_NOTES = {
         "lsh_probe_topk per probe, pytest-asserted; ~6× serial QPS at "
         "sf1, candidate-bound at sf10 — SCALING.md)"
     ),
+    "q_sim_knn_join_ivf": (
+        "rows-only (distributed index-backed kNN join, r13: executor-"
+        "side cell routing + BroadcastHashJoin on cell — the corpus "
+        "side never shuffles — + exact re-rank; recall@3 ≥0.8 pytest-"
+        "pinned (measured 0.911), returned cosines exact, twin "
+        "q_sim_knn_join_exact hash-checked)"
+    ),
     "q_embed_pca": (
         "rows-only (64×64 driver eigh not SQL-expressible; covariance "
         "input is EXACT fixed-point — q_embed_covariance hash-checked — "

@@ -537,6 +537,19 @@ NOTES = {
         "sf10: a ~0.5 candidate fraction × M is exact-cosine work no "
         "batching removes — why IVF stays the first-choice layout)."
     ),
+    "q_sim_knn_join_ivf": (
+        "Distributed index-backed kNN JOIN (r13): the probe set is a "
+        "DATAFRAME — a vectorized UDF routes each query row to its "
+        "nprobe cells from the broadcast centroid table (executor-"
+        "side, no driver trip), and the routed queries BUILD the "
+        "BroadcastHashJoin hash on cell, so the corpus-sized layout "
+        "side streams partition-local and never shuffles.  Vectorized "
+        "per-pair code scores, per-query IVF_RERANK WindowGroupLimit "
+        "cut, exact re-rank from the source corpus.  This is the "
+        "dedup-against-index / eval-set-kNN plan at any query-set "
+        "size: bounded batches broadcast; huge query sets drop the "
+        "hint and AQE picks the shuffle join."
+    ),
     "q_multimodal_jpeg": (
         "Baseline JPEG decode (r13): same two-stage mapInPandas "
         "topology as the other codec legs — synthesize conformant "
