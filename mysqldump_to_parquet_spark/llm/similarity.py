@@ -1710,8 +1710,10 @@ def ivf_knn_join(
        driver-known cells; a large random query batch probes every
        cell anyway, and the code column keeps the full scan ~4× under
        a float scan.)
-    3. **Vectorized approx scores**: one Arrow-batched row-wise
-       ``Σ code·q̂ / ‖code‖`` per (query, candidate) pair.
+    3. **Codegen approx scores**: whole-stage-codegen ``cosine(code,
+       qv)`` per (query, candidate) pair — per-query ordering is
+       identical to the serial scorer's ``code·q̂/‖code‖`` (the 1/‖qv‖
+       factor is a per-query constant) and nothing crosses to Python.
     4. **Per-query IVF_RERANK cut** (WindowGroupLimit), then **exact
        re-rank**: survivors join the source corpus on vec_id and their
        query vector back on qid; exact cosine; top-k per query.
@@ -1748,29 +1750,23 @@ def ivf_knn_join(
     layout = _ivf_layout_df(spark, sf_dir).select("cell", "vec_id", "code")
     pairs = layout.join(F.broadcast(q), "cell")
 
-    dim = len(centroids[0])
-
-    @pandas_udf("double")
-    def _pair_score(codes: pd.Series, qvs: pd.Series) -> pd.Series:
-        cvalid, cmat = _masked_rows(codes, dim)
-        qvalid, qmat = _masked_rows(qvs, dim)
-        valid = cvalid & qvalid
-        out = np.full(len(codes), -2.0)
-        if valid.any():
-            cm = np.vstack(codes[valid].to_numpy()).astype(np.float64)
-            qm = np.vstack(qvs[valid].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(qm, axis=1)
-            qh = qm / np.where(qn > 0, qn, 1.0)[:, None]
-            cn = np.linalg.norm(cm, axis=1)
-            dots = np.einsum("ij,ij->i", cm, qh)
-            out[valid] = np.where(cn > 0, dots / np.where(cn > 0, cn, 1.0), -2.0)
-        return pd.Series(out)
-
+    # Per-pair approx score stays JVM-side: codegen cosine(code, qv)
+    # ranks each query's candidates IDENTICALLY to the serial scorer's
+    # code·q̂/‖code‖ (the extra 1/‖qv‖ factor is constant per query, so
+    # per-query ordering — all the cut uses — is unchanged), and the
+    # first cut of this function measured the Arrow crossing as the
+    # wall: shipping a 64-double qv per PAIR into a pandas UDF cost
+    # 7.5 s at sf1 where this expression runs in 1.3 s.  nanvl floors
+    # zero-norm codes: NaN sorts ABOVE every double in Spark ordering,
+    # so an unfloored zero vector would top every candidate list.
+    code_dbl = F.transform(F.col("code"), lambda x: x.cast("double"))
     scored = pairs.select(
         "qid",
         "vec_id",
         "qv",
-        _pair_score(F.col("code"), F.col("qv")).alias("acos"),
+        F.nanvl(cosine_expr(code_dbl, F.col("qv")), F.lit(-2.0)).alias(
+            "acos"
+        ),
     )
     if exclude_self:
         scored = scored.where(F.col("vec_id") != F.col("qid"))

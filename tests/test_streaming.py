@@ -509,3 +509,15 @@ def test_stream_session_soak_matches_batch(spark, tmp_path):
     # only the sentinel's never-finalized session
     assert rec["state_rows_peak"] <= 10, rec
     assert rec["state_rows_end"] <= 2, rec
+
+    # the dedup stream on the same fixture (the r12 #7 task names
+    # sessionize AND dedup): every distinct key covered, no key
+    # re-emitted within the watermark allowance (the operator's actual
+    # contract — a key recurring after eviction legitimately
+    # re-emits), state bounded and drained at end
+    drec = soak.run_soak_dedup(spark, fixture, "t_soak_dedup")
+    assert drec["covers_all_keys"], drec
+    assert drec["no_repeat_within_watermark"], drec
+    assert drec["emitted_rows"] >= drec["distinct_keys"]
+    assert drec["state_rows_peak"] <= 60, drec
+    assert drec["state_rows_end"] <= 2, drec

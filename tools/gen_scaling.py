@@ -124,6 +124,11 @@ SF1_QUERIES = [
     # the 2-band write, steady-state probes are pruned reads; sf1 wall is
     # dominated by the one-time layout build at this fixture scale
     "q_sim_ann_partitioned",
+    # round-13: the distributed kNN join (query set fixed at 30 rows, so
+    # the decade measures the corpus side: layout scan + pair scoring
+    # for the IVF form, the broadcast NLJ scan for the exact twin)
+    "q_sim_knn_join_exact",
+    "q_sim_knn_join_ivf",
 ]
 
 

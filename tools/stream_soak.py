@@ -179,6 +179,84 @@ def run_soak(spark, fixture_dir: str, query_name: str) -> dict:
     }
 
 
+def run_soak_dedup(spark, fixture_dir: str, query_name: str) -> dict:
+    """Soak the stateful dedup stream (dropDuplicatesWithinWatermark on
+    (user_id, event_type)): state metrics + the two semantic checks a
+    deployment cares about — the emitted set COVERS every distinct key
+    (nothing lost), and no key repeats within any watermark-length
+    window (the operator's actual contract; a key recurring after its
+    state evicted legitimately re-emits, so global uniqueness is NOT
+    the spec)."""
+    from pyspark.sql import functions as F
+
+    from mysqldump_to_parquet_spark.streaming.stream import (
+        dedup_stream,
+        read_event_stream,
+    )
+
+    events = read_event_stream(spark, fixture_dir)
+    q = (
+        dedup_stream(events, late_allowance="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    _drain(q, spark, query_name)
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    emitted = [
+        (r.user_id, r.event_type, r.ts)
+        for r in spark.table(query_name).collect()
+        if r.user_id != SENTINEL_USER
+    ]
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(fixture_dir)
+        .where(F.col("user_id") != SENTINEL_USER)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    emitted_keys = {(u, t) for u, t, _ in emitted}
+    # no within-watermark repeat: for each key, successive emitted
+    # event times must be > allowance apart
+    allowance_us = 2 * 3600 * 1_000_000
+    ok_spacing = True
+    by_key: dict = {}
+    for u, t, ts in emitted:
+        by_key.setdefault((u, t), []).append(ts)
+    for tss in by_key.values():
+        tss = sorted(
+            int(ts.timestamp() * 1_000_000) for ts in tss
+        )
+        for a, b in zip(tss, tss[1:]):
+            if b - a <= allowance_us:
+                ok_spacing = False
+
+    durations = sorted(
+        p["batchDuration"] for p in progress if p.get("batchDuration")
+    )
+    state_rows = [
+        so["numRowsTotal"]
+        for p in progress
+        for so in p.get("stateOperators", [])
+    ]
+    n = len(durations)
+    return {
+        "emitted_rows": len(emitted),
+        "distinct_keys": len(batch_keys),
+        "covers_all_keys": emitted_keys == batch_keys,
+        "no_repeat_within_watermark": ok_spacing,
+        "micro_batches": n,
+        "batch_ms_p50": durations[n // 2] if n else None,
+        "batch_ms_p95": durations[int(n * 0.95) - 1] if n else None,
+        "state_rows_peak": max(state_rows) if state_rows else None,
+        "state_rows_end": state_rows[-1] if state_rows else None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000)
@@ -198,8 +276,12 @@ def main() -> None:
 
     fixture = args.fixture_dir or tempfile.mkdtemp(prefix="stream_soak_")
     gen_soak_fixture(fixture, args.events, args.files)
-    rec = {"events": args.events, "files": args.files, "fixture": fixture}
+    rec = {"events": args.events, "files": args.files, "fixture": fixture,
+           "op": "sessionize"}
     rec.update(run_soak(spark, fixture, "soak_sessions"))
+    print(json.dumps(rec))
+    rec = {"events": args.events, "files": args.files, "op": "dedup"}
+    rec.update(run_soak_dedup(spark, fixture, "soak_dedup"))
     print(json.dumps(rec))
     spark.stop()
 
