@@ -1850,6 +1850,98 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cosine threshold above which a query document counts as a duplicate
+#: of an indexed one (the fixture's true-neighbor cosines sit at
+#: 0.24–0.38, so 0.2 separates signal from noise there)
+DEDUP_INDEX_TAU = 0.2
+
+
+def sim_dedup_against_index_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_dedup_against_index_exact: for each incoming document (the
+    bounded query set), does the INDEXED corpus already hold a
+    near-duplicate (cosine ≥ DEDUP_INDEX_TAU)?  The admission gate a
+    training pipeline runs on every new batch, in its brute-force
+    ground-truth form: top-1 neighbor per query + threshold flag."""
+    from pyspark.sql.window import Window
+
+    q = _knn_join_queries(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    c = e.select("vec_id", dbl.alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("nearest_id"),
+            "cosine",
+            (F.col("cosine") >= DEDUP_INDEX_TAU).alias("is_dup"),
+        )
+        .orderBy("qid")
+    )
+
+
+def sim_dedup_against_index_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_dedup_against_index_ivf: the same admission gate through the
+    written IVF index — :func:`ivf_knn_join` at k=1 + threshold flag.
+    Approximate (probed cells) ⇒ rows-only; the pytest twin pins flag
+    agreement with the exact gate ≥ 0.9 at fixture scale (a missed
+    neighbor can only flip is_dup toward False — admission errs open,
+    never silently drops)."""
+    top1 = ivf_knn_join(
+        spark, sf_dir, _knn_join_queries(spark, sf_dir), k=1
+    )
+    return top1.select(
+        "qid",
+        F.col("vec_id").alias("nearest_id"),
+        "cosine",
+        (F.col("cosine") >= DEDUP_INDEX_TAU).alias("is_dup"),
+    ).orderBy("qid")
+
+
+#: Analytic twin of the exact admission gate.
+DEDUP_AGAINST_INDEX_SQL = f"""
+WITH dbl AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         ROUND(
+           list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(q.v)),
+                              i -> c.v[i] * q.v[i])),
+             (s, x) -> s + x)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(c.v, x -> x * x)), (s, x) -> s + x))
+              * sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(q.v, x -> x * x)), (s, x) -> s + x)))
+         , 6) AS cosine
+  FROM dbl q JOIN dbl c
+    ON q.vec_id < {KNN_JOIN_QUERIES} AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id AS nearest_id, cosine,
+       cosine >= {DEDUP_INDEX_TAU} AS is_dup
+FROM ranked
+WHERE rn = 1
+ORDER BY qid
+"""
+
+
 def sim_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_sim_ann_lsh_batch: the batched multi-probe plan over the
     written LSH layout, same deterministic probe set as
@@ -1966,12 +2058,15 @@ QUERIES = {
     "q_sim_ann_lsh_batch": sim_ann_lsh_batch,
     "q_sim_knn_join_exact": sim_knn_join_exact,
     "q_sim_knn_join_ivf": sim_knn_join_ivf,
+    "q_dedup_against_index_exact": sim_dedup_against_index_exact,
+    "q_dedup_against_index_ivf": sim_dedup_against_index_ivf,
 }
 
 ORACLE = {
     "q_sim_topk": SIM_TOPK_SQL,
     "q_sim_radius": SIM_RADIUS_SQL,
     "q_sim_knn_join_exact": SIM_KNN_JOIN_SQL,
-    # q_sim_ann_lsh / q_sim_ann_ivf / the batch + ivf kNN-join forms:
-    # approximate-recall ANN — rows-only.
+    "q_dedup_against_index_exact": DEDUP_AGAINST_INDEX_SQL,
+    # q_sim_ann_lsh / q_sim_ann_ivf / the batch + ivf kNN-join and
+    # admission-gate forms: approximate-recall ANN — rows-only.
 }

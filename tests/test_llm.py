@@ -1710,3 +1710,29 @@ def test_knn_join_ivf_recall_and_exact_rerank(spark):
     plan = ivf_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_against_index_gate(spark):
+    """The admission gate (r13): (a) exact and IVF forms return one row
+    per query; (b) the IVF gate NEVER false-positives — a returned
+    cosine is the exact cosine of a real indexed vector, so is_dup=True
+    through the index implies is_dup=True exactly (the only possible
+    error is a missed neighbor flipping a dup toward False — admission
+    errs open); (c) flag agreement >= 0.9 at fixture scale (measured
+    30/30)."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    ex = {r.qid: r for r in
+          S.sim_dedup_against_index_exact(spark, SF_RECALL).collect()}
+    iv = S.sim_dedup_against_index_ivf(spark, SF_RECALL).collect()
+    assert len(ex) == len(iv) == S.KNN_JOIN_QUERIES
+    agree = 0
+    for r in iv:
+        if r.is_dup:
+            # no false positives: the exact gate must agree, and the
+            # exact nearest is at least as close as what we found
+            assert ex[r.qid].is_dup, r
+            assert ex[r.qid].cosine >= r.cosine
+        if r.is_dup == ex[r.qid].is_dup:
+            agree += 1
+    assert agree / len(iv) >= 0.9, f"{agree}/{len(iv)}"

@@ -118,6 +118,13 @@ ROWS_ONLY_NOTES = {
         "pinned (measured 0.911), returned cosines exact, twin "
         "q_sim_knn_join_exact hash-checked)"
     ),
+    "q_dedup_against_index_ivf": (
+        "rows-only (admission gate through the written IVF index, r13: "
+        "ivf_knn_join k=1 + cosine ≥ τ flag; no-false-positive "
+        "invariant (returned cosines are exact) + flag agreement ≥0.9 "
+        "pytest-pinned, measured 30/30; exact twin "
+        "q_dedup_against_index_exact hash-checked)"
+    ),
     "q_embed_pca": (
         "rows-only (64×64 driver eigh not SQL-expressible; covariance "
         "input is EXACT fixed-point — q_embed_covariance hash-checked — "
