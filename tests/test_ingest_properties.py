@@ -304,3 +304,84 @@ def test_glued_introducers_always_fall_back_and_parse(spark=None):
         assert _values_csv_bytes(stmt) is None, stmt
         _, _, rows = parse_insert_full(stmt)
         assert [r[1] for r in rows] == want, stmt
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec properties (r13): Hypothesis explores MCU-grid geometries,
+# color extremes, restart intervals, and truncation points the fixed
+# fixture can't.  Pure Python — no Spark jobs per example.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    mw=st.integers(min_value=1, max_value=4),
+    mh=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ri=st.sampled_from([0, 1, 2, 5]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_property(mw, mh, seed, ri):
+    """encode → decode is EXACT for any constant-MCU image at any grid
+    size, color content, and restart interval — the DC-only × flat-q
+    exactness argument (multimodal._JPEG_Q) holds everywhere, not just
+    on the fixture formula."""
+    import random as _random
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = _random.Random(seed)
+    colors = [
+        [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(mw)
+        ]
+        for _ in range(mh)
+    ]
+    w, h = 16 * mw, 16 * mh
+    gw, gh, (py, pcb, pcr) = decode_jpeg(
+        encode_jpeg(w, h, colors, restart_interval=ri)
+    )
+    assert (gw, gh) == (w, h)
+    for my in range(mh):
+        for mx in range(mw):
+            yv, cbv, crv = colors[my][mx]
+            assert py[(my * 16 + 7) * w + mx * 16 + 7] == yv
+            assert pcb[(my * 8 + 3) * (w // 2) + mx * 8 + 3] == cbv
+            assert pcr[(my * 8 + 4) * (w // 2) + mx * 8 + 4] == crv
+    assert sum(py) == 256 * sum(c[0] for row in colors for c in row)
+
+
+@given(
+    cut=st.integers(min_value=2, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_truncation_never_escapes_valueerror(cut, seed):
+    """Truncating a valid stream at ANY byte offset either still
+    decodes fully and correctly (cut past the entropy data — the
+    decoder does not require trailing EOI) or raises ValueError — never
+    IndexError/KeyError/struct.error (the PNG r12 error-contract
+    standard, fuzzed instead of enumerated)."""
+    import random as _random
+
+    from mysqldump_to_parquet_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = _random.Random(seed)
+    colors = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(2)] for _ in range(1)]
+    data = encode_jpeg(32, 16, colors)
+    cut = min(cut, len(data) - 1)
+    try:
+        w, h, planes = decode_jpeg(data[:cut])
+    except ValueError:
+        return  # the contract
+    # decoded without error: must be the complete, correct image
+    assert (w, h) == (32, 16)
+    assert planes[0][7 * 32 + 7] == colors[0][0][0]
+    assert planes[0][7 * 32 + 16 + 7] == colors[0][1][0]
