@@ -1687,6 +1687,7 @@ def ivf_knn_join(
     queries: DataFrame,
     k: int = 3,
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Distributed kNN JOIN through the written IVF layout — the
     dedup-against-index / eval-set-kNN shape where the probe set is a
@@ -1748,7 +1749,12 @@ def ivf_knn_join(
         "qid", "qv", F.explode(_route(F.col("qv"))).alias("cell")
     )
     layout = _ivf_layout_df(spark, sf_dir).select("cell", "vec_id", "code")
-    pairs = layout.join(F.broadcast(q), "cell")
+    # broadcast_queries=False for query sets too large to broadcast
+    # (the routed side is |queries|·nprobe rows of qid+qv): AQE then
+    # picks the join strategy, at the price of shuffling the layout
+    pairs = layout.join(
+        F.broadcast(q) if broadcast_queries else q, "cell"
+    )
 
     # Per-pair approx score stays JVM-side: codegen cosine(code, qv)
     # ranks each query's candidates IDENTICALLY to the serial scorer's
