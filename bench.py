@@ -87,7 +87,7 @@ LOAD_GATE_WAIT_SEC = 90
 REPS = 5
 
 #: Per-query all-time floors (sec) at the driver's sf0.1 / 32-thread
-#: configuration — the min over every recorded BENCH_r01–r12 draw, i.e.
+#: configuration — the min over every recorded BENCH_r* draw, i.e.
 #: the engine floor each query has demonstrably hit.  Two consecutive
 #: rounds the RECORDED total overstated by ~35 % on untouched code
 #: because the heavy tail had no confirm merge (VERDICT r12 #1); the
@@ -113,7 +113,7 @@ IDLE_FLOOR_SEC = {
     "q_interval_concurrency": 0.4579,
     "q_join_asof": 0.3619,
     "q_join_broadcast": 0.3916,
-    "q_join_inner": 0.2954,
+    "q_join_inner": 0.2939,
     "q_kmeans": 1.7808,
     "q_pagerank": 0.91,
     "q_sim_topk": 0.2277,
@@ -330,10 +330,11 @@ def main() -> None:
                     "delta_pct": delta_pct,
                     "loadavg": round(os.getloadavg()[0], 2),
                 },
-                # queries whose min-of-7 session floor still sits >1.25×
-                # the all-time floor (empty = every query at/near its
-                # known floor; populated = environment or regression —
-                # see IDLE_FLOOR_SEC)
+                # queries whose min-of-7 session floor still sits
+                # >BAND_TOLERANCE× (1.5×, see the calibration note at
+                # its definition) the all-time floor (empty = every
+                # query at/near its known floor; populated =
+                # environment or regression — see IDLE_FLOOR_SEC)
                 "band_verdicts": band_verdicts,
                 "cpus": cpus,
             }

@@ -1318,10 +1318,26 @@ def decode_jpeg(data: bytes):
             raise ValueError("JPEG: truncated before SOS")
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
-        marker = data[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker id — skip them so a conformant external file's fills
+        # don't get read as a marker id (and then a bogus 2-byte
+        # length).  A run of fills to EOF is a truncation.
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise ValueError("JPEG: truncated in marker fill bytes")
+        marker = data[pos]
+        pos += 1
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("JPEG: EOI before any scan")
+        if marker == 0x01:  # TEM — standalone, no length segment
+            continue
+        if 0xD0 <= marker <= 0xD7:  # RSTn outside entropy data
+            raise ValueError(
+                f"JPEG: restart marker RST{marker - 0xD0} before SOS"
+            )
+        if pos + 2 > len(data):
+            raise ValueError("JPEG: truncated before SOS")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         if pos + seglen > len(data):
             raise ValueError("JPEG: segment length past end of data")

@@ -1681,50 +1681,15 @@ def ann_probe_batch_lsh(
     )
 
 
-def ivf_knn_join(
-    spark: SparkSession,
-    sf_dir: str,
-    queries: DataFrame,
-    k: int = 3,
-    exclude_self: bool = True,
-    broadcast_queries: bool = True,
+def _knn_route_queries(
+    spark: SparkSession, sf_dir: str, queries: DataFrame
 ) -> DataFrame:
-    """Distributed kNN JOIN through the written IVF layout — the
-    dedup-against-index / eval-set-kNN shape where the probe set is a
-    DATAFRAME, not a driver-side vector list (r13; the batched probe
-    removes per-probe orchestration for tens of probes, this removes
-    the driver entirely for millions).
-
-    ``queries``: (qid long, qv array<double>).  Plan, fully lazy:
-
-    1. **Executor-side cell routing**: a vectorized UDF assigns each
-       query its nprobe cells from the broadcast centroid table (a few
-       KB in the closure) — no driver trip per query; explode to
-       (qid, qv, cell).
-    2. **Broadcast hash join on cell** (hinted): the exploded query
-       side builds the hash, so the LAYOUT side — the 100 TB side —
-       streams partition-local and NEVER shuffles.  For query sets too
-       large to broadcast, drop the hint and AQE picks the shuffle
-       join; the layout's code column is ~1/4 the float bytes either
-       way.  (The scan reads all cells under the join — the literal
-       ``cell IN`` pruning of the single/batched probes needs
-       driver-known cells; a large random query batch probes every
-       cell anyway, and the code column keeps the full scan ~4× under
-       a float scan.)
-    3. **Codegen approx scores**: whole-stage-codegen ``cosine(code,
-       qv)`` per (query, candidate) pair — per-query ordering is
-       identical to the serial scorer's ``code·q̂/‖code‖`` (the 1/‖qv‖
-       factor is a per-query constant) and nothing crosses to Python.
-    4. **Per-query IVF_RERANK cut** (WindowGroupLimit), then **exact
-       re-rank**: survivors join the source corpus on vec_id and their
-       query vector back on qid; exact cosine; top-k per query.
-
-    Approximate (probed cells only) ⇒ rows-only key; the pytest twin
-    pins recall@k against the brute-force join and exactness of every
-    returned cosine."""
+    """Executor-side cell routing for the kNN join: assign each query
+    row its nprobe nearest cells from the broadcast centroid table (a
+    few KB in the UDF closure — no driver trip per query) and explode
+    to (qid, qv, cell)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.window import Window
 
     centroids = ivf_centroids(spark, sf_dir)
     nprobe = max(1, int(round(len(centroids) * IVF_SCAN_FRACTION)))
@@ -1745,10 +1710,100 @@ def ivf_knn_join(
                 vi += 1
         return pd.Series(out)
 
-    q = queries.select(
+    return queries.select(
         "qid", "qv", F.explode(_route(F.col("qv"))).alias("cell")
     )
+
+
+def _knn_batch_cells(routed: DataFrame) -> list[int]:
+    """The batch's DISTINCT probed cells — bounded by the CELL COUNT
+    (≈√n ints), never by |queries|; the one legitimate tiny collect of
+    the small-batch kNN-join path."""
+    return sorted(
+        int(r[0]) for r in routed.select("cell").distinct().collect()
+    )
+
+
+def _prune_layout_to_cells(layout: DataFrame, cells: list[int]) -> DataFrame:
+    """Literal ``cell IN`` filter (a SQL string — ~5.5× cheaper to build
+    than py4j ``isin`` at thousands of ids, identical pushed-In plan)
+    that reaches the partitioned layout scan as a PartitionFilter."""
+    if not cells:  # SQL `IN ()` does not parse
+        return layout.where(F.lit(False))
+    return layout.where(
+        f"cell IN ({','.join(str(int(c)) for c in cells)})"
+    )
+
+
+def ivf_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+    prune_cells: bool | None = None,
+) -> DataFrame:
+    """Distributed kNN JOIN through the written IVF layout — the
+    dedup-against-index / eval-set-kNN shape where the probe set is a
+    DATAFRAME, not a driver-side vector list (r13; the batched probe
+    removes per-probe orchestration for tens of probes, this removes
+    the driver entirely for millions).
+
+    ``queries``: (qid long, qv array<double>).  Plan (lazy, except the
+    small-batch pre-route of step 2b when ``prune_cells``):
+
+    1. **Executor-side cell routing**: a vectorized UDF assigns each
+       query its nprobe cells from the broadcast centroid table (a few
+       KB in the closure) — no driver trip per query; explode to
+       (qid, qv, cell).
+    2. **Broadcast hash join on cell** (hinted): the exploded query
+       side builds the hash, so the LAYOUT side — the 100 TB side —
+       streams partition-local and NEVER shuffles.  For query sets too
+       large to broadcast, ``broadcast_queries=False`` drops the hint
+       EVERYWHERE (cell join AND both re-rank joins — ADVICE r13: a
+       hinted broadcast bypasses autoBroadcastJoinThreshold, so a huge
+       query set must not carry one through the re-rank either) and
+       AQE picks each join's strategy.
+    2b. **Small-batch cell pruning** (``prune_cells``, default =
+       ``broadcast_queries``; VERDICT r13 #1): the admission-gate
+       deploy shape is a SMALL batch against a HUGE index, where a
+       full-layout scan is a 1/IVF_SCAN_FRACTION (4×) over-read.  The
+       literal ``cell IN`` PartitionFilter the serial/batched probes
+       push needs driver-known cells, so the small-batch path runs the
+       routing once as a tiny pre-job and collects the batch's
+       DISTINCT probed cells — bounded by the CELL COUNT (≈√n ints),
+       never by |queries| — then prunes the layout scan to exactly the
+       directories the join can match.  Results are identical by
+       construction (the cell equi-join discards unprobed cells
+       anyway; pytest-pinned).  A large random batch probes every cell
+       and is too big to pre-route cheaply — there pruning buys
+       nothing, which is why it rides the ``broadcast_queries``
+       small-batch signal by default.
+    3. **Codegen approx scores**: whole-stage-codegen ``cosine(code,
+       qv)`` per (query, candidate) pair — per-query ordering is
+       identical to the serial scorer's ``code·q̂/‖code‖`` (the 1/‖qv‖
+       factor is a per-query constant) and nothing crosses to Python.
+    4. **Per-query IVF_RERANK cut** (WindowGroupLimit), then **exact
+       re-rank**: survivors join the source corpus on vec_id and their
+       query vector back on qid; exact cosine; top-k per query.
+
+    Approximate (probed cells only) ⇒ rows-only key; the pytest twin
+    pins recall@k against the brute-force join and exactness of every
+    returned cosine."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    q = _knn_route_queries(spark, sf_dir, queries)
     layout = _ivf_layout_df(spark, sf_dir).select("cell", "vec_id", "code")
+    if prune_cells is None:
+        prune_cells = broadcast_queries
+    if prune_cells:
+        # tiny pre-job: route the (small) batch once and collect its
+        # distinct probed cells — at most the cell count of ints — so
+        # the layout scan carries the same literal-IN PartitionFilter
+        # as the serial probes instead of reading every cell's codes
+        layout = _prune_layout_to_cells(layout, _knn_batch_cells(q))
     # broadcast_queries=False for query sets too large to broadcast
     # (the routed side is |queries|·nprobe rows of qid+qv): AQE then
     # picks the join strategy, at the price of shuffling the layout
@@ -1788,9 +1843,16 @@ def ivf_knn_join(
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qside = queries.select("qid", "qv")
+    # the re-rank sides scale with |queries| (surv = |queries|·RERANK
+    # ids, qside = every query vector), so the broadcast hints must
+    # honor the same opt-out as the cell join — a forced hint here
+    # would bypass autoBroadcastJoinThreshold at exactly the scale the
+    # flag targets (ADVICE r13); unhinted, AQE picks the strategy
+    if broadcast_queries:
+        surv, qside = F.broadcast(surv), F.broadcast(qside)
     exact = (
-        e.join(F.broadcast(surv), "vec_id")
-        .join(F.broadcast(qside), "qid")
+        e.join(surv, "vec_id")
+        .join(qside, "qid")
         .select(
             "qid",
             "vec_id",

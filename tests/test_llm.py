@@ -1631,8 +1631,25 @@ def test_jpeg_codec_round_trip_and_all_markers():
     gw, gh, (plane,) = decode_jpeg(bytes(out))
     assert (gw, gh) == (8, 8) and plane == [160] * 64
 
-    # --- ValueError contract for every malformed-input class ---
+    # legal constructs a conformant EXTERNAL baseline file may carry
+    # (ADVICE r13): 0xFF fill bytes before a marker id (T.81 B.1.1.2)
+    # and the standalone length-less TEM marker — both must parse, not
+    # misread a fill/TEM as a marker-with-length and skip a wrong span
     good = encode_jpeg(16, 16, [[(10, 20, 30)]])
+    j = good.index(b"\xff\xdb")
+    filled = good[:j] + b"\xff\xff\xff" + good[j:]  # 3 fills before DQT
+    assert decode_jpeg(filled) == decode_jpeg(good)
+    tem = good[:j] + b"\xff\x01" + good[j:]  # standalone TEM pre-SOS
+    assert decode_jpeg(tem) == decode_jpeg(good)
+    # restart marker OUTSIDE entropy data is malformed — loud, not a
+    # bogus 2-byte length read
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(good[:j] + b"\xff\xd3" + good[j:])
+    # a run of fill bytes to EOF is a truncation, not an IndexError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[:j] + b"\xff\xff\xff\xff")
+
+    # --- ValueError contract for every malformed-input class ---
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01\x02")
     with pytest.raises(ValueError, match="truncated|past end"):
@@ -1736,3 +1753,111 @@ def test_dedup_against_index_gate(spark):
         if r.is_dup == ex[r.qid].is_dup:
             agree += 1
     assert agree / len(iv) >= 0.9, f"{agree}/{len(iv)}"
+
+
+def test_knn_join_small_batch_prunes_layout_scan(spark):
+    """VERDICT r13 #1: the kNN join's small-batch path must prune the
+    layout scan to the batch's probed cells.  (a) a bounded batch's
+    layout scan carries a literal-IN PartitionFilter on cell; (b) it
+    reads strictly fewer files than the full layout (the 4× over-read
+    the admission gate paid is gone); (c) the pruned path's result is
+    IDENTICAL to the unpruned path's — the cell equi-join discards
+    unprobed cells anyway; (d) an empty batch returns zero rows without
+    a malformed ``IN ()``."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    # 1-query batch: the probed-cell union is nprobe ≈ 25 % of cells,
+    # so pruning is visible in file counts (the 30-query fixture's
+    # union covers effectively every cell — useless for discrimination)
+    one = S._knn_join_queries(spark, SF_RECALL).where("qid = 0")
+    pruned = S.ivf_knn_join(spark, SF_RECALL, one, k=3, prune_cells=True)
+    full = S.ivf_knn_join(spark, SF_RECALL, one, k=3, prune_cells=False)
+
+    # plan BEFORE executing: AQE's finalized toString elides
+    # already-materialized query stages, hiding the layout scan
+    import re
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN", plan), plan
+
+    assert pruned.collect() == full.collect()
+
+    def _files_read(df) -> int:
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += m.apply("numFiles").value()
+        return total
+
+    # bytes/files-read check on the EXACT layout scan the join builds
+    # (same helpers, same literal-IN): the 1-query batch reads only its
+    # nprobe cells' files, strictly fewer than the full layout — the 4×
+    # over-read the gate paid is gone
+    routed = S._knn_route_queries(spark, SF_RECALL, one)
+    cells = S._knn_batch_cells(routed)
+    n_cells_total = len(S.ivf_centroids(spark, SF_RECALL))
+    assert 0 < len(cells) < n_cells_total
+    layout = S._ivf_layout_df(spark, SF_RECALL)
+    n_all = _files_read(layout)
+    n_pruned = _files_read(S._prune_layout_to_cells(layout, cells))
+    assert 0 < n_pruned < n_all
+
+    # the registry defaults (broadcast_queries=True ⇒ prune_cells=True)
+    # keep the gate/join keys on the pruned path — parity re-pinned
+    # against the explicit opt-out at the fixture batch
+    fixture_q = S._knn_join_queries(spark, SF_RECALL)
+    assert (
+        S.ivf_knn_join(spark, SF_RECALL, fixture_q, k=3).collect()
+        == S.ivf_knn_join(
+            spark, SF_RECALL, fixture_q, k=3, prune_cells=False
+        ).collect()
+    )
+
+    # empty batch: no malformed SQL, zero rows
+    empty = S._knn_join_queries(spark, SF_RECALL).where("qid < 0")
+    assert (
+        S.ivf_knn_join(spark, SF_RECALL, empty, k=3, prune_cells=True)
+        .count()
+        == 0
+    )
+
+
+def test_knn_join_broadcast_opt_out_reaches_rerank(spark):
+    """ADVICE r13 (medium): broadcast_queries=False must drop the
+    broadcast HINT everywhere — cell join AND both exact-re-rank joins.
+    With both broadcast thresholds disabled, a hint is the only thing
+    that could produce a BroadcastHashJoin, so the opted-out plan must
+    contain ZERO of them; results stay identical to the hinted form."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    q = S._knn_join_queries(spark, SF_RECALL)
+    hinted = S.ivf_knn_join(spark, SF_RECALL, q, k=3)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": None,
+    }
+    for key in confs:
+        try:
+            confs[key] = spark.conf.get(key)
+        except Exception:
+            confs[key] = None
+        spark.conf.set(key, "-1")
+    try:
+        unhinted = S.ivf_knn_join(
+            spark, SF_RECALL, q, k=3, broadcast_queries=False
+        )
+        rows = unhinted.collect()
+        plan = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, (
+            "a broadcast hint survived the opt-out"
+        )
+    finally:
+        for key, old in confs.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    assert rows == hinted.collect()
