@@ -1594,6 +1594,203 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------- perceptual image dedup (dHash)
+#
+# The pipeline op a multimodal training corpus needs (VERDICT r13 #5):
+# dedup on IMAGE CONTENT, not payload bytes — re-encoded/perturbed copies
+# of a picture share a perceptual fingerprint even when their files don't
+# share a single byte.  Composition of two existing assets: the codec
+# family above decodes, then Hamming banding EXACTLY like q_dedup_simhash
+# (dedup.py) buckets candidates — banded 16-bit exact-match join, never
+# all-pairs, verify by full Hamming distance on the bucketed pairs only.
+
+#: perturbed-duplicate fixture geometry: docs with the same
+#: ``doc_id % PHASH_GROUPS`` carry noisy copies of one base image
+PHASH_GROUPS = 25
+#: pixels per dHash grid cell (image = 9×8 cells of BLOCK×BLOCK)
+PHASH_BLOCK = 4
+#: luminance step between adjacent dHash cells — must exceed twice the
+#: per-pixel fixture noise bound (±5) so no comparison can flip
+PHASH_STEP = 12
+#: candidate pairs at Hamming distance above this are not duplicates
+PHASH_HAMMING_MAX = 6
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer — a public-domain 64-bit mixer; gives each
+    fixture group a well-separated bit pattern (min cross-group Hamming
+    21 at PHASH_GROUPS=25, pytest-pinned ≥ 16 ≫ PHASH_HAMMING_MAX)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _phash_base_grid(group: int) -> list:
+    """9×8 grid of cell luminances whose ADJACENT-CELL comparisons
+    realize exactly the 64 bits of ``_splitmix64(group)``: walking each
+    row left→right, a set bit steps the value DOWN by PHASH_STEP (so
+    mean[c] > mean[c+1] ⇒ dHash bit set), a clear bit steps UP.  Start
+    128, 8 steps of ±12 ⇒ values stay in [32, 224] — headroom for the
+    ±5 pixel noise on both sides."""
+    pattern = _splitmix64(group)
+    grid = []
+    for r in range(8):
+        row = [128]
+        for c in range(8):
+            bit = (pattern >> (r * 8 + c)) & 1
+            row.append(row[-1] - PHASH_STEP if bit else row[-1] + PHASH_STEP)
+        grid.append(row)
+    return grid
+
+
+def _synth_phash_bmps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Perturbed-duplicate BMP per doc: the base 9×8 cell grid of the
+    doc's group, rendered at PHASH_BLOCK×PHASH_BLOCK px per cell, plus
+    DOC-SPECIFIC pixel noise in [-5, 5] — every group member is a
+    DIFFERENT file (byte-exact dedup finds nothing) with the SAME
+    dHash (no noise can flip a ±12-step comparison)."""
+    import numpy as np
+
+    w, h = 9 * PHASH_BLOCK, 8 * PHASH_BLOCK
+    for pdf in batches:
+        rows = {"doc_id": [], "payload": []}
+        for d in pdf["doc_id"]:
+            d = int(d)
+            grid = np.array(_phash_base_grid(d % PHASH_GROUPS))
+            lum = np.repeat(
+                np.repeat(grid, PHASH_BLOCK, axis=0), PHASH_BLOCK, axis=1
+            )
+            ys, xs = np.mgrid[0:h, 0:w]
+            noise = (d * 31 + xs * 7 + ys * 13) % 11 - 5
+            lum = np.clip(lum + noise, 0, 255).astype(np.uint8)
+            rgb = np.repeat(lum[:, :, None], 3, axis=2).tobytes()
+            rows["doc_id"].append(d)
+            rows["payload"].append(encode_bmp(w, h, rgb))
+        yield pd.DataFrame(rows)
+
+
+def dhash64(width: int, height: int, rgb: bytes) -> int:
+    """64-bit difference hash of a decoded RGB image: average the first
+    channel over a 9×8 cell grid (any dimensions — reduceat bins), set
+    bit r*8+c iff cell (r,c) is brighter than cell (r,c+1).  Returned
+    as a SIGNED 64-bit value so it rides a Spark LongType column."""
+    import numpy as np
+
+    if width < 9 or height < 8:
+        raise ValueError(f"image {width}×{height} too small for dHash")
+    xs = (
+        np.frombuffer(rgb, np.uint8)
+        .reshape(height, width, 3)[:, :, 0]
+        .astype(np.float64)
+    )
+    r_edges = (np.arange(8) * height) // 8
+    c_edges = (np.arange(9) * width) // 9
+    sums = np.add.reduceat(np.add.reduceat(xs, r_edges, axis=0), c_edges, axis=1)
+    r_n = np.diff(np.append(r_edges, height))
+    c_n = np.diff(np.append(c_edges, width))
+    means = sums / (r_n[:, None] * c_n[None, :])
+    bits = means[:, :-1] > means[:, 1:]
+    h64 = int(bits.flatten() @ (1 << np.arange(64, dtype=object)))
+    return h64 - (1 << 64) if h64 >= (1 << 63) else h64
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _phash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {"doc_id": [], "phash": []}
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_image(bytes(payload))
+            rows["doc_id"].append(int(d))
+            rows["phash"].append(dhash64(w, h, rgb))
+        yield pd.DataFrame(rows)
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_phash: perceptual image dedup — decode → dHash → banded
+    candidate join → Hamming verify → duplicate pairs.
+
+    Scale shape (the same discipline as q_dedup_simhash): the ONLY join
+    is an exact-match equi-join on (band, 16-bit value) — 4 banded
+    copies of (doc_id, phash) shuffle on the band key, buckets bound
+    the pair blowup, and the Hamming verify (codegen ``bit_count(a ^
+    b)``) runs on bucketed candidates only.  No all-pairs path at any
+    corpus size; a pair at Hamming ≤ 3 is GUARANTEED a clean band
+    (pigeonhole over 4 bands), deeper perturbations degrade gracefully
+    exactly like SimHash banding.
+
+    The fixture makes the output analytic: group members share a base
+    image (different bytes, identical dHash ⇒ Hamming 0 — found in
+    every band), groups are ≥ 21 bits apart (≫ PHASH_HAMMING_MAX ⇒ no
+    false positive possible), so duplicates = within-group pairs, an
+    oracle DuckDB derives from doc_id arithmetic alone."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = d.mapInPandas(_synth_phash_bmps, _SYNTH_SCHEMA)
+    fp = imgs.repartition("doc_id").mapInPandas(_phash_stage, _PHASH_SCHEMA)
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned("phash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "phash", "band.band_id", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_id",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+#: Analytic-fixture oracle: duplicates are exactly the within-group
+#: pairs at Hamming 0 (identical base grid; noise cannot flip a
+#: comparison; cross-group patterns are ≥ 21 bits apart).
+MULTIMODAL_PHASH_SQL = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % {PHASH_GROUPS} = b.doc_id % {PHASH_GROUPS}
+ AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": multimodal_features,
     "q_multimodal_frames": multimodal_frames,
@@ -1603,6 +1800,7 @@ QUERIES = {
     "q_multimodal_video": multimodal_video,
     "q_multimodal_resize": multimodal_resize,
     "q_multimodal_jpeg": multimodal_jpeg,
+    "q_dedup_phash": multimodal_phash,
 }
 ORACLE = {
     "q_multimodal_meta": MULTIMODAL_META_SQL,
@@ -1613,4 +1811,5 @@ ORACLE = {
     "q_multimodal_video": MULTIMODAL_VIDEO_SQL,
     "q_multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "q_multimodal_jpeg": MULTIMODAL_JPEG_SQL,
+    "q_dedup_phash": MULTIMODAL_PHASH_SQL,
 }

@@ -521,3 +521,20 @@ def test_stream_session_soak_matches_batch(spark, tmp_path):
     assert drec["emitted_rows"] >= drec["distinct_keys"]
     assert drec["state_rows_peak"] <= 60, drec
     assert drec["state_rows_end"] <= 2, drec
+
+    # the transformWithState profile on the same fixture (VERDICT r13
+    # #4 — the one stateful surface without a soak row): last update
+    # per user ≡ the batch count/sum/countDistinct profile exactly;
+    # state rows count every PRIMITIVE row, not users: per user one
+    # ValueState row + one MapState row per seen event_type, and
+    # profiles never evict in timeMode=none — so the bound is
+    # users×(1 + n_types) + sentinel's 2, the documented sizing
+    # contract (measured exactly 127 on this fixture), not a leak
+    pytest.importorskip("google.protobuf")  # vendored shim or real
+    trec = soak.run_soak_tws(spark, fixture, "t_soak_tws")
+    assert trec["stream_equals_batch"], trec
+    assert trec["users_profiled"] == 25, trec
+    assert trec["micro_batches"] >= 5
+    assert trec["state_rows_peak"] is not None
+    n_types = len(soak.EVENT_TYPES)
+    assert trec["state_rows_peak"] <= 25 * (1 + n_types) + 2, trec

@@ -257,6 +257,94 @@ def run_soak_dedup(spark, fixture_dir: str, query_name: str) -> dict:
     }
 
 
+def run_soak_tws(spark, fixture_dir: str, query_name: str) -> dict:
+    """Soak the transformWithState processor (VERDICT r13 #4) — the one
+    stateful surface without a measured row after sessionize and dedup
+    got theirs in r13.  Same burst fixture, REAL cluster wiring:
+    RocksDB state store + the JVM state server + ValueState/MapState
+    socket round-trips per micro-batch.  Update mode emits a row per
+    (user, batch); the LAST update per user (largest cumulative
+    n_events) must equal the batch count/sum/countDistinct profile
+    EXACTLY — plus the state metrics a deployment watches."""
+    from pyspark.sql import functions as F
+
+    from mysqldump_to_parquet_spark.streaming.stateful import (
+        user_profile_tws,
+    )
+    from mysqldump_to_parquet_spark.streaming.stream import (
+        read_event_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    events = read_event_stream(spark, fixture_dir)
+    q = (
+        user_profile_tws(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    # cumulative n_events makes "order by n_events, keep last" = the
+    # final update per user (the same idiom the pytest pins)
+    latest = {
+        r.user_id: (r.n_events, r.total_value, r.n_types)
+        for r in spark.table(query_name).orderBy("n_events").collect()
+        if r.user_id != SENTINEL_USER
+    }
+    batch = {
+        r.user_id: (r.n, r.total, r.nt)
+        for r in spark.read.parquet(fixture_dir)
+        .where(F.col("user_id") != SENTINEL_USER)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    equal = set(latest) == set(batch) and all(
+        latest[u][0] == n
+        and abs(latest[u][1] - t) < 1e-6
+        and latest[u][2] == nt
+        for u, (n, t, nt) in batch.items()
+    )
+
+    durations = sorted(
+        p["batchDuration"] for p in progress if p.get("batchDuration")
+    )
+    state_rows = [
+        so["numRowsTotal"]
+        for p in progress
+        for so in p.get("stateOperators", [])
+    ]
+    state_bytes = [
+        so["memoryUsedBytes"]
+        for p in progress
+        for so in p.get("stateOperators", [])
+    ]
+    n = len(durations)
+    return {
+        "users_profiled": len(latest),
+        "stream_equals_batch": equal,
+        "micro_batches": n,
+        "batch_ms_p50": durations[n // 2] if n else None,
+        "batch_ms_p95": durations[int(n * 0.95) - 1] if n else None,
+        "batch_ms_max": durations[-1] if n else None,
+        "state_rows_peak": max(state_rows) if state_rows else None,
+        "state_rows_end": state_rows[-1] if state_rows else None,
+        "state_bytes_peak": max(state_bytes) if state_bytes else None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000)
@@ -282,6 +370,12 @@ def main() -> None:
     print(json.dumps(rec))
     rec = {"events": args.events, "files": args.files, "op": "dedup"}
     rec.update(run_soak_dedup(spark, fixture, "soak_dedup"))
+    print(json.dumps(rec))
+    from mysqldump_to_parquet_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()  # vendored wire-format shim; real wheel wins
+    rec = {"events": args.events, "files": args.files, "op": "tws_profile"}
+    rec.update(run_soak_tws(spark, fixture, "soak_tws"))
     print(json.dumps(rec))
     spark.stop()
 
