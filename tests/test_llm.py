@@ -1928,6 +1928,74 @@ def test_knn_join_small_batch_prunes_layout_scan(spark):
     )
 
 
+def test_knn_join_recall_at_discriminating_geometry(spark, tmp_path):
+    """VERDICT r13 #2: the kNN join's recall evidence was fixture-scale
+    (500 rows, corpus rows as queries).  This pin runs the join at the
+    geometry where recall DISCRIMINATES — a jittered-distinct corpus
+    (40 hash-noise copies of sf0.01's embeddings, the ann_fit_ablation
+    construction at pytest scale) probed by RANDOM-DIRECTION query
+    batches — and pins recall@3 vs a NumPy exact ground truth.  The
+    1M-corpus measured row lives in BASELINE.md (tools/knn_join_1m.py);
+    this re-pins the same construction per-commit."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    copies, qid_base = 40, 10_000_000_000
+    corpus = str(tmp_path / "knn20k")
+    e = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    base = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    c = spark.range(copies).withColumnRenamed("id", "copy")
+    width = 0.1 * (12.0 ** 0.5)
+
+    def jitter(x, i):
+        h = F.pmod(
+            F.hash(F.col("vec_id"), F.col("copy"), i, F.lit(42)),
+            F.lit(100_000),
+        )
+        return (x + ((h / 100_000.0) - 0.5) * width).cast("float")
+
+    e.crossJoin(c).select(
+        (F.col("vec_id") + F.col("copy") * base).alias("vec_id"),
+        F.transform("embedding", jitter).alias("embedding"),
+        "label",
+    ).repartition(8).write.parquet(f"{corpus}/embeddings.parquet")
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{corpus}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    rng = np.random.default_rng(7)
+    probes = rng.normal(size=(10, unit.shape[1]))
+    probes /= np.linalg.norm(probes, axis=1, keepdims=True)
+    q = spark.createDataFrame(
+        [
+            (qid_base + i, [float(x) for x in p])
+            for i, p in enumerate(probes)
+        ],
+        "qid long, qv array<double>",
+    )
+    got = S.ivf_knn_join(spark, corpus, q, k=3).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.qid - qid_base, []).append(r.vec_id)
+
+    hits = 0
+    for i, p in enumerate(probes):
+        cos = np.round(unit @ p, 6)
+        exact = set(ids[np.lexsort((ids, -cos))[:3]].tolist())
+        hits += len(exact & set(by_q.get(i, [])))
+    recall = hits / (3 * len(probes))
+    # floor informed by the 1M measured row (BASELINE.md r14): the
+    # deployed 25 % nprobe holds ≥ 0.8 at every measured geometry
+    assert recall >= 0.8, f"recall@3 {recall}"
+
+
 def test_knn_join_broadcast_opt_out_reaches_rerank(spark):
     """ADVICE r13 (medium): broadcast_queries=False must drop the
     broadcast HINT everywhere — cell join AND both exact-re-rank joins.

@@ -83,7 +83,9 @@ def run_level(fn, probes, concurrency: int) -> dict:
     }
 
 
-def run_batched(spark, sf_dir, probes, variant: str) -> dict:
+def run_batched(
+    spark, sf_dir, probes, variant: str, with_recall: bool = False
+) -> dict:
     from mysqldump_to_parquet_spark.llm import similarity as S
 
     if variant == "lsh":
@@ -98,13 +100,46 @@ def run_batched(spark, sf_dir, probes, variant: str) -> dict:
     t0 = time.perf_counter()
     rows = batch(probes).collect()
     total = time.perf_counter() - t0
-    return {
+    rec = {
         "batched": True,
         "probes": len(probes),
         "rows": len(rows),
         "total_s": round(total, 2),
         "qps": round(len(probes) / total, 2),
     }
+    if with_recall:  # recall@10 vs NumPy exact (r13 #7: the 1M row)
+        ids, unit = _corpus_numpy(sf_dir)
+        by_p: dict = {}
+        for r in rows:
+            by_p.setdefault(r.probe_id, set()).add(r.vec_id)
+        hits = 0
+        for p in range(len(probes)):
+            cos = np.round(unit @ (probes[p] / np.linalg.norm(probes[p])), 6)
+            exact = set(ids[np.lexsort((ids, -cos))[:10]].tolist())
+            hits += len(exact & by_p.get(p, set()))
+        rec["recall_at_10"] = round(hits / (10 * len(probes)), 4)
+    return rec
+
+
+def _corpus_numpy(sf_dir: str):
+    """(ids, unit rows) via the Arrow fast path — to_pylist costs
+    minutes at 1M rows."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    emb = t["embedding"].combine_chunks()
+    mat = (
+        emb.flatten()
+        .to_numpy()
+        .astype(np.float64)
+        .reshape(-1, len(emb[0]))
+    )
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat / np.where(norms > 0, norms, 1.0)
 
 
 def main() -> None:
@@ -119,6 +154,12 @@ def main() -> None:
         action="store_true",
         help="measure the one-plan M-probe batch instead of threaded "
         "serial probes",
+    )
+    ap.add_argument(
+        "--recall",
+        action="store_true",
+        help="with --batched: also score recall@10 vs a NumPy exact "
+        "ground truth (r13 #7 — the 1M-corpus row)",
     )
     args = ap.parse_args()
 
@@ -141,7 +182,12 @@ def main() -> None:
     for name, variant in VARIANTS.items():
         if args.batched:
             rec = {"layout": f"{name}_batched", "sf_dir": args.sf_dir}
-            rec.update(run_batched(spark, args.sf_dir, probes, variant))
+            rec.update(
+                run_batched(
+                    spark, args.sf_dir, probes, variant,
+                    with_recall=args.recall,
+                )
+            )
             print(json.dumps(rec))
             continue
 

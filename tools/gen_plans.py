@@ -550,6 +550,17 @@ NOTES = {
         "size: bounded batches broadcast; huge query sets drop the "
         "hint and AQE picks the shuffle join."
     ),
+    "q_dedup_phash": (
+        "Perceptual image dedup (r14): decode + 64-bit dHash in one "
+        "vectorized mapInPandas stage, then the q_dedup_simhash "
+        "banding discipline — 4 banded copies of (doc_id, phash) "
+        "equi-join on (band, 16-bit value), so candidates shuffle on "
+        "the band key and the Hamming verify (codegen bit_count of a "
+        "XOR) runs on bucketed pairs only.  NEVER all-pairs at any "
+        "corpus size: the pair blowup is bounded by bucket occupancy, "
+        "and a pair within Hamming 3 is pigeonhole-guaranteed a clean "
+        "band, the same recall contract as SimHash text dedup."
+    ),
     "q_multimodal_jpeg": (
         "Baseline JPEG decode (r13): same two-stage mapInPandas "
         "topology as the other codec legs — synthesize conformant "
