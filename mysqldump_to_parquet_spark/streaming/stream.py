@@ -258,3 +258,79 @@ def run_interval_join_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+# ------------------------------------------------- streaming admission gate
+
+def read_query_stream(spark: SparkSession, queries_dir: str) -> DataFrame:
+    """File-source stream of incoming (qid, qv) batches — the arrival
+    shape of a training-pipeline ingest queue; one file per
+    micro-batch under ``maxFilesPerTrigger=1``."""
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(queries_dir)
+    )
+
+
+def admission_gate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    tau: float | None = None,
+    query_name: str = "admission_gate",
+) -> StreamingQuery:
+    """STREAMING dedup-against-index admission gate (r14): each arriving
+    micro-batch of documents is gated against the WRITTEN IVF index via
+    ``foreachBatch`` → :func:`..llm.similarity.ivf_knn_join` at k=1 —
+    precisely the small-batch shape the r14 cell pruning exists for
+    (every micro-batch pre-routes once and its layout scan carries the
+    literal-IN PartitionFilter; the 100 TB index side is read
+    partition-pruned and never shuffles, per batch).
+
+    ``foreachBatch`` is the sanctioned composition here, not a
+    stateful-operator workaround: the gate's state IS the written
+    index (updated by the ingest path, not the stream), so each batch
+    is an independent bounded join — exactly-once via the checkpointed
+    epoch log, output appended as parquet.  The IVF form errs OPEN by
+    construction (exact cosines ⇒ no false positive — the same pinned
+    invariant as the batch gate), so a streamed admission can reject
+    only documents a brute-force gate would also reject.
+
+    Returns the started query; callers drain/stop it.  Flags land in
+    ``out_dir`` as (qid, nearest_id, cosine, is_dup, batch_id)."""
+    from ..llm.similarity import DEDUP_INDEX_TAU, ivf_knn_join
+
+    tau_v = DEDUP_INDEX_TAU if tau is None else tau
+
+    def gate_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):  # no-data micro-batch
+            return
+        top1 = ivf_knn_join(spark, sf_dir, batch_df, k=1)
+        (
+            top1.select(
+                "qid",
+                F.col("vec_id").alias("nearest_id"),
+                "cosine",
+                (F.col("cosine") >= tau_v).alias("is_dup"),
+                F.lit(epoch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        queries.writeStream.outputMode("append")
+        .foreachBatch(gate_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

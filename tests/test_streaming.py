@@ -538,3 +538,51 @@ def test_stream_session_soak_matches_batch(spark, tmp_path):
     assert trec["state_rows_peak"] is not None
     n_types = len(soak.EVENT_TYPES)
     assert trec["state_rows_peak"] <= 25 * (1 + n_types) + 2, trec
+
+
+def test_admission_gate_stream_equals_batch(spark, tmp_path):
+    """Streaming dedup-against-index gate (r14): micro-batches of
+    incoming documents gated against the written IVF index via
+    foreachBatch must produce, per query, EXACTLY the batch IVF gate's
+    (nearest_id, cosine, is_dup) — per-query routing is independent of
+    batch composition, so stream ≡ batch with no allowance.  Also the
+    exactly-once shape: every input qid appears exactly once across
+    all emitted batches."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+    from mysqldump_to_parquet_spark.streaming.stream import (
+        admission_gate_stream,
+        read_query_stream,
+    )
+
+    sf = SF
+    # 3 arrival files × 10 queries (the fixture query set, split)
+    qdir = str(tmp_path / "queries")
+    all_q = S._knn_join_queries(spark, sf).collect()
+    for i in range(3):
+        chunk = all_q[10 * i : 10 * (i + 1)]
+        spark.createDataFrame(
+            [(r.qid, r.qv) for r in chunk], "qid long, qv array<double>"
+        ).coalesce(1).write.mode("append").parquet(qdir)
+
+    out = str(tmp_path / "admitted")
+    q = admission_gate_stream(
+        spark,
+        sf,
+        read_query_stream(spark, qdir),
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="t_admission",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.qid: (r.nearest_id, r.cosine, r.is_dup)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.qid: (r.nearest_id, r.cosine, r.is_dup)
+        for r in S.sim_dedup_against_index_ivf(spark, sf).collect()
+    }
+    assert len(got) == spark.read.parquet(out).count()  # one row per qid
+    assert got == batch
