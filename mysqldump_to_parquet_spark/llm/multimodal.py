@@ -1644,12 +1644,27 @@ def _phash_base_grid(group: int) -> list:
     return grid
 
 
+def _splitmix64_np(x):
+    """Vectorized SplitMix64 over a uint64 ndarray (wraparound mul)."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _synth_phash_bmps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Perturbed-duplicate BMP per doc: the base 9×8 cell grid of the
     doc's group, rendered at PHASH_BLOCK×PHASH_BLOCK px per cell, plus
     DOC-SPECIFIC pixel noise in [-5, 5] — every group member is a
     DIFFERENT file (byte-exact dedup finds nothing) with the SAME
-    dHash (no noise can flip a ±12-step comparison)."""
+    dHash (no noise can flip a ±12-step comparison).  Noise is
+    SplitMix64 of the global pixel index (doc·H·W + y·W + x), not a
+    small linear congruence — an earlier ``(31d + …) % 11`` had period
+    11 in doc_id, so same-group docs lcm(25, 11)=275 apart produced
+    byte-IDENTICAL files, silently voiding the different-files claim
+    at corpora ≥ 276 docs."""
     import numpy as np
 
     w, h = 9 * PHASH_BLOCK, 8 * PHASH_BLOCK
@@ -1661,8 +1676,10 @@ def _synth_phash_bmps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             lum = np.repeat(
                 np.repeat(grid, PHASH_BLOCK, axis=0), PHASH_BLOCK, axis=1
             )
-            ys, xs = np.mgrid[0:h, 0:w]
-            noise = (d * 31 + xs * 7 + ys * 13) % 11 - 5
+            idx = np.arange(h * w, dtype=np.uint64) + np.uint64(d * h * w)
+            noise = (
+                (_splitmix64_np(idx) % np.uint64(11)).astype(np.int64) - 5
+            ).reshape(h, w)
             lum = np.clip(lum + noise, 0, 255).astype(np.uint8)
             rgb = np.repeat(lum[:, :, None], 3, axis=2).tobytes()
             rows["doc_id"].append(d)

@@ -279,6 +279,41 @@ def read_query_stream(spark: SparkSession, queries_dir: str) -> DataFrame:
     )
 
 
+def _gate_epoch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    tau: float,
+    exclude_self: bool,
+    batch_df: DataFrame,
+    epoch_id: int,
+) -> None:
+    """One admission micro-batch: pruned small-batch kNN join at k=1 +
+    threshold flag, written to a PER-EPOCH partition directory with
+    overwrite — a retried epoch rewrites the same path instead of
+    appending a second copy, which is what makes the foreachBatch leg
+    idempotent (a blind append would be at-least-once: the epoch can
+    re-run after its files landed but before the checkpoint committed).
+    Module-level so the retry semantics are directly testable."""
+    from ..llm.similarity import ivf_knn_join
+
+    if not batch_df.head(1):  # no-data micro-batch
+        return
+    top1 = ivf_knn_join(
+        spark, sf_dir, batch_df, k=1, exclude_self=exclude_self
+    )
+    (
+        top1.select(
+            "qid",
+            F.col("vec_id").alias("nearest_id"),
+            "cosine",
+            (F.col("cosine") >= tau).alias("is_dup"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/batch_id={int(epoch_id)}")
+    )
+
+
 def admission_gate_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -286,6 +321,7 @@ def admission_gate_stream(
     out_dir: str,
     checkpoint_dir: str,
     tau: float | None = None,
+    exclude_self: bool = False,
     query_name: str = "admission_gate",
 ) -> StreamingQuery:
     """STREAMING dedup-against-index admission gate (r14): each arriving
@@ -299,32 +335,32 @@ def admission_gate_stream(
     ``foreachBatch`` is the sanctioned composition here, not a
     stateful-operator workaround: the gate's state IS the written
     index (updated by the ingest path, not the stream), so each batch
-    is an independent bounded join — exactly-once via the checkpointed
-    epoch log, output appended as parquet.  The IVF form errs OPEN by
+    is an independent bounded join.  Exactly-once holds because each
+    epoch writes its own ``batch_id=N`` partition with overwrite — a
+    retried epoch rewrites the same path (idempotence pytest-pinned) —
+    on top of the checkpointed epoch log.  The IVF form errs OPEN by
     construction (exact cosines ⇒ no false positive — the same pinned
     invariant as the batch gate), so a streamed admission can reject
     only documents a brute-force gate would also reject.
 
-    Returns the started query; callers drain/stop it.  Flags land in
-    ``out_dir`` as (qid, nearest_id, cosine, is_dup, batch_id)."""
-    from ..llm.similarity import DEDUP_INDEX_TAU, ivf_knn_join
+    ``exclude_self`` defaults FALSE here, opposite the batch twin: an
+    arriving document's qid comes from an EXTERNAL id space, and an
+    indexed vector that happens to share the integer must still gate
+    it — with the batch default, a qid colliding with a corpus vec_id
+    would silently drop exactly the duplicate the gate exists to
+    catch.  Pass True only when the query batch genuinely IS a slice
+    of the indexed corpus (the registry fixture's shape).
+
+    Returns the started query; callers drain/stop it.  Flags land
+    under ``out_dir`` as (qid, nearest_id, cosine, is_dup) partitioned
+    by batch_id."""
+    from ..llm.similarity import DEDUP_INDEX_TAU
 
     tau_v = DEDUP_INDEX_TAU if tau is None else tau
 
     def gate_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):  # no-data micro-batch
-            return
-        top1 = ivf_knn_join(spark, sf_dir, batch_df, k=1)
-        (
-            top1.select(
-                "qid",
-                F.col("vec_id").alias("nearest_id"),
-                "cosine",
-                (F.col("cosine") >= tau_v).alias("is_dup"),
-                F.lit(epoch_id).alias("batch_id"),
-            )
-            .write.mode("append")
-            .parquet(out_dir)
+        _gate_epoch(
+            spark, sf_dir, out_dir, tau_v, exclude_self, batch_df, epoch_id
         )
 
     return (

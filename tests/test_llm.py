@@ -1754,8 +1754,12 @@ def test_phash_fixture_separation_and_recall(spark):
 
     from mysqldump_to_parquet_spark.llm import multimodal as M
 
-    # (a)+(b) on the fingerprints themselves, via the synth+hash stages
-    docs = pd.DataFrame({"doc_id": list(range(100))})
+    # (a)+(b) on the fingerprints themselves, via the synth+hash
+    # stages, at the FULL driver-fixture size (500 docs — the earlier
+    # 100-doc check missed a period-275 noise collision that made
+    # same-group docs 275 apart byte-identical)
+    n_docs = 500
+    docs = pd.DataFrame({"doc_id": list(range(n_docs))})
     payloads = next(M._synth_phash_bmps(iter([docs])))
     hashes = next(M._phash_stage(iter([payloads])))
     by_group: dict = {}
@@ -1766,7 +1770,10 @@ def test_phash_fixture_separation_and_recall(spark):
         by_group.setdefault(d % M.PHASH_GROUPS, set()).add(int(ph))
         payload_by_group.setdefault(d % M.PHASH_GROUPS, set()).add(bytes(pay))
     assert all(len(v) == 1 for v in by_group.values())  # identical hash
-    assert all(len(v) == 4 for v in payload_by_group.values())  # 4 files
+    per_group = n_docs // M.PHASH_GROUPS
+    assert all(  # every member a distinct FILE
+        len(v) == per_group for v in payload_by_group.values()
+    )
     pats = [next(iter(v)) & ((1 << 64) - 1) for v in by_group.values()]
     min_sep = min(
         bin(a ^ b).count("1")

@@ -543,25 +543,33 @@ def test_stream_session_soak_matches_batch(spark, tmp_path):
 def test_admission_gate_stream_equals_batch(spark, tmp_path):
     """Streaming dedup-against-index gate (r14): micro-batches of
     incoming documents gated against the written IVF index via
-    foreachBatch must produce, per query, EXACTLY the batch IVF gate's
-    (nearest_id, cosine, is_dup) — per-query routing is independent of
-    batch composition, so stream ≡ batch with no allowance.  Also the
-    exactly-once shape: every input qid appears exactly once across
-    all emitted batches."""
+    foreachBatch must produce, per query, EXACTLY the batch gate's
+    (nearest_id, cosine, is_dup) at the gate's own semantics
+    (exclude_self=False, external qid space) — per-query routing is
+    independent of batch composition, so stream ≡ batch with no
+    allowance.  Plus the two r14-review pins: (a) an arriving document
+    whose vector IS an indexed one flags is_dup at cosine 1.0 — the
+    collision the batch default would silently drop; (b) a retried
+    epoch overwrites its own batch_id partition instead of appending a
+    second copy (the exactly-once contract)."""
     from mysqldump_to_parquet_spark.llm import similarity as S
     from mysqldump_to_parquet_spark.streaming.stream import (
+        _gate_epoch,
         admission_gate_stream,
         read_query_stream,
     )
 
     sf = SF
-    # 3 arrival files × 10 queries (the fixture query set, split)
+    # 3 arrival files × 10 queries: the fixture vectors under EXTERNAL
+    # qids (shifted), the gate's real arrival shape
+    shift = 10_000_000_000
     qdir = str(tmp_path / "queries")
     all_q = S._knn_join_queries(spark, sf).collect()
     for i in range(3):
         chunk = all_q[10 * i : 10 * (i + 1)]
         spark.createDataFrame(
-            [(r.qid, r.qv) for r in chunk], "qid long, qv array<double>"
+            [(r.qid + shift, r.qv) for r in chunk],
+            "qid long, qv array<double>",
         ).coalesce(1).write.mode("append").parquet(qdir)
 
     out = str(tmp_path / "admitted")
@@ -580,9 +588,28 @@ def test_admission_gate_stream_equals_batch(spark, tmp_path):
         r.qid: (r.nearest_id, r.cosine, r.is_dup)
         for r in spark.read.parquet(out).collect()
     }
+    qdf = spark.read.parquet(qdir)
+    top1 = S.ivf_knn_join(spark, sf, qdf, k=1, exclude_self=False)
     batch = {
-        r.qid: (r.nearest_id, r.cosine, r.is_dup)
-        for r in S.sim_dedup_against_index_ivf(spark, sf).collect()
+        r.qid: (
+            r.vec_id,
+            r.cosine,
+            bool(r.cosine >= S.DEDUP_INDEX_TAU),
+        )
+        for r in top1.collect()
     }
-    assert len(got) == spark.read.parquet(out).count()  # one row per qid
+    assert len(got) == spark.read.parquet(out).count() == 30
     assert got == batch
+    # (a) every arriving vector IS indexed (it's a corpus slice), so
+    # with self-matching allowed the gate must flag all 30 at 1.0
+    assert all(v[1] == 1.0 and v[2] for v in got.values()), got
+
+    # (b) retry idempotence: re-running an epoch's write must leave
+    # ONE copy (per-epoch overwrite), not append a duplicate
+    replay = spark.createDataFrame(
+        [(r.qid + shift, r.qv) for r in all_q[:10]],
+        "qid long, qv array<double>",
+    )
+    for _ in range(2):
+        _gate_epoch(spark, sf, out, S.DEDUP_INDEX_TAU, False, replay, 0)
+    assert spark.read.parquet(out).count() == 30

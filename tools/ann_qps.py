@@ -39,6 +39,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sibling tools
 
 NOISE_STD = 0.1
 
@@ -108,7 +109,9 @@ def run_batched(
         "qps": round(len(probes) / total, 2),
     }
     if with_recall:  # recall@10 vs NumPy exact (r13 #7: the 1M row)
-        ids, unit = _corpus_numpy(sf_dir)
+        from knn_join_1m import load_numpy  # shared Arrow fast path
+
+        ids, unit = load_numpy(sf_dir)
         by_p: dict = {}
         for r in rows:
             by_p.setdefault(r.probe_id, set()).add(r.vec_id)
@@ -121,25 +124,6 @@ def run_batched(
     return rec
 
 
-def _corpus_numpy(sf_dir: str):
-    """(ids, unit rows) via the Arrow fast path — to_pylist costs
-    minutes at 1M rows."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    ids = t["vec_id"].to_numpy()
-    emb = t["embedding"].combine_chunks()
-    mat = (
-        emb.flatten()
-        .to_numpy()
-        .astype(np.float64)
-        .reshape(-1, len(emb[0]))
-    )
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    return ids, mat / np.where(norms > 0, norms, 1.0)
 
 
 def main() -> None:
