@@ -1764,7 +1764,14 @@ def ivf_knn_join(
        EVERYWHERE (cell join AND both re-rank joins — ADVICE r13: a
        hinted broadcast bypasses autoBroadcastJoinThreshold, so a huge
        query set must not carry one through the re-rank either) and
-       AQE picks each join's strategy.
+       AQE picks each join's strategy.  Measured guidance (SCALING.md
+       "broadcast crossover", 1M corpus): dropping the hint loses
+       NOTHING at any batch size (AQE still picks BHJ while the routed
+       side — M × nprobe × ~530 B — fits its threshold, so the layout
+       still never shuffles) and removes the hinted form's hard 8 GB
+       broadcast cap (M ≈ 15k at this geometry); keep the default for
+       small admission batches where ``prune_cells`` is what pays, use
+       ``broadcast_queries=False`` for bulk eval-set joins.
     2b. **Small-batch cell pruning** (``prune_cells``, default =
        ``broadcast_queries``; VERDICT r13 #1): the admission-gate
        deploy shape is a SMALL batch against a HUGE index, where a
