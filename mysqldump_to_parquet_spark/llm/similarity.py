@@ -906,26 +906,12 @@ def _quantize_codes(mat):
     return codes, np.where(amax > 0, safe, 0.0)
 
 
-def write_ivf_partitioned(
-    df: DataFrame, out_path: str, centroids, codebooks=None
-) -> None:
-    """Materialize the deploy-time IVF layout: **int8 codes**, written
-    ``partitionBy`` the coarse-quantizer cell id (assignment on the
-    L2-normalized vectors, same spherical geometry as the fit), so a
-    probe is a partition-pruned read of nprobe/cells of the data — and
-    of ~¼ the bytes per row the pre-r11 float layout paid (64×1 B codes
-    + one double scale vs 64×4 B raw floats; VERDICT r10 #2).
-
-    The layout stores ``(vec_id, code, scale)`` only — the float
-    vectors stay in the source corpus, which the probe's exact re-rank
-    reads for its ≤IVF_RERANK survivors (at 100 TB that fetch is an
-    id-keyed point read against the primary store, never a scan; the
-    index itself shrinks ~3.7×).  Codes quantize the UNIT vector, so
-    ``code·p̂ / ‖code‖`` approximates the cosine the re-rank finalizes;
-    the per-vector ``scale`` column keeps the layout self-contained for
-    consumers that need approximate reconstruction.  One file per cell
-    via the same repartition-before-partitionBy discipline as
-    :func:`write_ann_partitioned`."""
+def _ivf_encode(df: DataFrame, centroids, codebooks=None) -> DataFrame:
+    """The ONE (vec_id, code, scale[, pq_code], cell) encode plan both
+    the full layout build and the incremental append write through —
+    extracted from :func:`write_ivf_partitioned` (VERDICT r15 task 2)
+    so the appended rows can never drift from the built rows in
+    quantizer, rounding, or column order."""
     from pyspark.sql.functions import pandas_udf
 
     dim = len(PROBE)
@@ -974,9 +960,32 @@ def write_ivf_partitioned(
             "pq_code", _pq_encode_udf(codebooks)(F.col("_v"))
         )
         cols.insert(3, "pq_code")
-    coded = coded.select(*cols)
+    return coded.select(*cols)
+
+
+def write_ivf_partitioned(
+    df: DataFrame, out_path: str, centroids, codebooks=None
+) -> None:
+    """Materialize the deploy-time IVF layout: **int8 codes**, written
+    ``partitionBy`` the coarse-quantizer cell id (assignment on the
+    L2-normalized vectors, same spherical geometry as the fit), so a
+    probe is a partition-pruned read of nprobe/cells of the data — and
+    of ~¼ the bytes per row the pre-r11 float layout paid (64×1 B codes
+    + one double scale vs 64×4 B raw floats; VERDICT r10 #2).
+
+    The layout stores ``(vec_id, code, scale)`` only — the float
+    vectors stay in the source corpus, which the probe's exact re-rank
+    reads for its ≤IVF_RERANK survivors (at 100 TB that fetch is an
+    id-keyed point read against the primary store, never a scan; the
+    index itself shrinks ~3.7×).  Codes quantize the UNIT vector, so
+    ``code·p̂ / ‖code‖`` approximates the cosine the re-rank finalizes;
+    the per-vector ``scale`` column keeps the layout self-contained for
+    consumers that need approximate reconstruction.  One file per cell
+    via the same repartition-before-partitionBy discipline as
+    :func:`write_ann_partitioned`."""
     (
-        coded.repartition("cell")
+        _ivf_encode(df, centroids, codebooks)
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(out_path)
@@ -1123,15 +1132,35 @@ _IVF_LAYOUTS: dict[str, tuple[tuple, str]] = {}
 def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     """The materialized cell layout for ``sf_dir`` (fingerprint-keyed,
     shared ``_cached_layout`` lifecycle); returns the ``cells`` dir."""
+    import json
     import os
 
     def _build(corpus, root):
+        cells = os.path.join(root, "cells")
         write_ivf_partitioned(
             corpus,
-            os.path.join(root, "cells"),
+            cells,
             ivf_centroids(spark, sf_dir),
             pq_codebooks(spark, sf_dir),
         )
+        # Fit-time per-cell row counts, the reference distribution the
+        # append path's staleness signal compares against (VERDICT r15
+        # task 2).  A parquet count is footer metadata — no row scan.
+        sizes = {
+            int(r["cell"]): int(r["count"])
+            for r in spark.read.parquet(cells)
+            .groupBy("cell")
+            .count()
+            .collect()
+        }
+        with open(os.path.join(root, "ivf_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "fit_cell_sizes": sizes,
+                    "fit_total": sum(sizes.values()),
+                },
+                f,
+            )
 
     root = _cached_layout(
         _IVF_LAYOUTS, spark, sf_dir, "ivf_layout_", _build
@@ -1188,6 +1217,194 @@ def _ivf_layout_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     df = spark.read.parquet(_ivf_layout_dir(spark, sf_dir))
     return _handle_cache_put(_IVF_LAYOUT_DFS, sf_dir, fp, app, df)
+
+
+# ------------------------------------------- incremental index maintenance
+
+#: Refit triggers for :func:`ivf_index_staleness` — the quantizer aged
+#: out when appended mass exceeds this fraction of the fit-time corpus
+#: (the k-means fit saw none of it, so the cell geometry no longer
+#: reflects ~1/(1+f) of the data) ...
+IVF_REFIT_APPEND_FRACTION = 0.2
+#: ... or when one cell grew this many times faster than uniform
+#: growth would predict — a drifting arrival distribution piles into
+#: few cells, and a probe of those cells degrades toward a scan long
+#: before the global append fraction trips.
+IVF_REFIT_CELL_SKEW = 4.0
+
+
+def ivf_index_staleness(spark: SparkSession, sf_dir: str) -> dict:
+    """Quantizer-age signal for the written IVF layout: current
+    per-cell row counts (parquet footer metadata — no row scan) vs the
+    fit-time distribution recorded in ``ivf_meta.json`` at build.
+
+    Returns ``{"fit_total", "current_total", "appended_fraction",
+    "max_cell_growth", "refit_due"}``.  ``max_cell_growth`` is the
+    worst cell's growth ratio normalized by the corpus-wide growth, so
+    uniform appends score ~1.0 no matter how much was appended and a
+    drift-skewed cell scores its multiple of fair share.  ``refit_due``
+    is advisory: the caller rebuilds by dropping the session layout
+    cache (or simply opening a fresh session), which refits centroids
+    on the grown corpus."""
+    import json
+    import os
+
+    hit = _IVF_LAYOUTS.get(sf_dir)
+    if hit is None:
+        raise ValueError(
+            f"no written IVF layout for {sf_dir!r} in this session — "
+            "build it first (any IVF probe or kNN join builds it)"
+        )
+    meta_path = os.path.join(hit[1], "ivf_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    fit_sizes = {int(k): int(v) for k, v in meta["fit_cell_sizes"].items()}
+    fit_total = int(meta["fit_total"])
+    cur = {
+        int(r["cell"]): int(r["count"])
+        for r in _ivf_layout_df(spark, sf_dir)
+        .groupBy("cell")
+        .count()
+        .collect()
+    }
+    cur_total = sum(cur.values())
+    growth = cur_total / max(fit_total, 1)
+    max_cell_growth = max(
+        (cur_c / max(fit_sizes.get(c, 0), 1)) / max(growth, 1e-12)
+        for c, cur_c in cur.items()
+    )
+    appended_fraction = (cur_total - fit_total) / max(fit_total, 1)
+    return {
+        "fit_total": fit_total,
+        "current_total": cur_total,
+        "appended_fraction": round(appended_fraction, 6),
+        "max_cell_growth": round(max_cell_growth, 4),
+        "refit_due": bool(
+            appended_fraction > IVF_REFIT_APPEND_FRACTION
+            or max_cell_growth > IVF_REFIT_CELL_SKEW
+        ),
+    }
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    admitted: DataFrame,
+    verify_primary: bool = True,
+) -> dict:
+    """Append an admitted batch INTO the written IVF layout (VERDICT
+    r15 task 2) — the index-maintenance half of the ingest loop the
+    admission gate opens: gate arrivals against the index, land the
+    admitted rows in the primary store (the ``embeddings`` table), then
+    index them incrementally instead of paying the full rebuild a
+    corpus-fingerprint miss would otherwise force.
+
+    ``admitted``: (vec_id long, embedding array<float|double>) rows
+    **already present in ``sf_dir``'s embeddings table** — the probe's
+    exact re-rank joins survivors back to the primary store on vec_id,
+    so an appended id absent there would silently vanish from every
+    result; ``verify_primary`` fail-louds on that contract (an id-keyed
+    anti-join — at deploy scale a point lookup, and the admitted batch
+    is micro-batch-sized).
+
+    Mechanics: the batch rides the SAME encode plan as the build
+    (:func:`_ivf_encode` — existing centroids route, existing PQ
+    codebooks encode, so appended rows are byte-identical to what a
+    rebuild under the same quantizer writes), lands as NEW part files
+    under the existing ``cell=N`` directories (``mode("append")`` +
+    ``partitionBy`` — old files are never rewritten; pytest pins their
+    (path, size, mtime) unchanged), and the session caches are
+    re-stamped with the post-ingest corpus fingerprint so subsequent
+    probes neither refit nor rebuild.  Unroutable rows (null / wrong
+    dim embedding — ``ivf_assign`` yields a null cell) are skipped and
+    counted: they cannot be probed, and the gate already audit-logs
+    them as admitted-unroutable.
+
+    The append reuses the FIT-TIME quantizer by design — cells only
+    stay balanced while arrivals resemble the fit distribution, so the
+    returned ``staleness`` dict (see :func:`ivf_index_staleness`) says
+    when to stop appending and refit.  Returns ``{"appended_rows",
+    "skipped_unroutable", "staleness"}``."""
+    import os
+
+    with _CACHE_LOCK:
+        hit = _IVF_LAYOUTS.get(sf_dir)
+        if hit is None:
+            raise ValueError(
+                f"no written IVF layout for {sf_dir!r} in this session "
+                "— build it first (any IVF probe or kNN join builds "
+                "it), then append batches"
+            )
+        root = hit[1]
+        cells_dir = os.path.join(root, "cells")
+        cent_hit = _IVF_CENTROIDS.get(sf_dir)
+        if cent_hit is None:
+            raise ValueError(
+                f"no fitted centroids for {sf_dir!r} — the layout "
+                "build populates them; cannot route an append without "
+                "the fit-time quantizer"
+            )
+        centroids = cent_hit[1]
+        pq_hit = _PQ_CODEBOOKS.get(sf_dir)
+        codebooks = pq_hit[1] if pq_hit is not None else None
+        has_pq = "pq_code" in spark.read.parquet(cells_dir).schema.names
+        if has_pq and codebooks is None:
+            raise ValueError(
+                f"layout at {cells_dir!r} carries pq_code but no PQ "
+                "codebooks are cached — appending without them would "
+                "fork the layout schema"
+            )
+
+        if verify_primary:
+            e = load_table(spark, sf_dir, "embeddings")
+            missing = (
+                admitted.select("vec_id")
+                .join(e.select("vec_id"), "vec_id", "left_anti")
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    f"{missing} admitted vec_ids are not in the "
+                    "primary embeddings table — land the batch in the "
+                    "primary store before indexing it (the exact "
+                    "re-rank would silently drop them)"
+                )
+
+        coded = _ivf_encode(
+            admitted.select("vec_id", "embedding"),
+            centroids,
+            codebooks if has_pq else None,
+        ).localCheckpoint(eager=True)  # one encode: counts + write
+        n_in = coded.count()
+        writable = coded.where(F.col("cell").isNotNull())
+        (
+            writable.repartition("cell")
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(cells_dir)
+        )
+
+        # Re-stamp every quantizer/layout cache with the POST-ingest
+        # corpus fingerprint: the primary store already grew, so the
+        # next fingerprint check would otherwise evict and full-rebuild
+        # — exactly the cost this function exists to avoid.  The probe
+        # handle cache is EVICTED instead (its file index predates the
+        # new part files).
+        fp_new = _corpus_fingerprint(sf_dir)
+        _IVF_CENTROIDS[sf_dir] = (fp_new, centroids)
+        if codebooks is not None:
+            _PQ_CODEBOOKS[sf_dir] = (fp_new, codebooks)
+        _IVF_LAYOUTS[sf_dir] = (fp_new, root)
+        _IVF_LAYOUT_DFS.pop(sf_dir, None)
+
+        appended = int(writable.count())
+        staleness = ivf_index_staleness(spark, sf_dir)
+        return {
+            "appended_rows": appended,
+            "skipped_unroutable": n_in - appended,
+            "index_rows": staleness["current_total"],
+            "staleness": staleness,
+        }
 
 
 def _ivf_probe_cells(centroids) -> list[int]:
@@ -1781,9 +1998,14 @@ def ivf_knn_join(
        routing once as a tiny pre-job and collects the batch's
        DISTINCT probed cells — bounded by the CELL COUNT (≈√n ints),
        never by |queries| — then prunes the layout scan to exactly the
-       directories the join can match.  Results are identical by
-       construction (the cell equi-join discards unprobed cells
-       anyway; pytest-pinned).  A large random batch probes every cell
+       directories the join can match.  The routed batch is
+       localCheckpoint-ed so the collected IN-list and the join's
+       query side read ONE routing evaluation (ADVICE r14: a re-run
+       UDF could route differently on a non-deterministic source or an
+       argsort tie and probe a pruned cell); results are identical to
+       the unpruned join by construction (the cell equi-join discards
+       unprobed cells anyway; pytest-pinned).  A large random batch
+       probes every cell
        and is too big to pre-route cheaply — there pruning buys
        nothing, which is why it rides the ``broadcast_queries``
        small-batch signal by default.
@@ -1806,10 +2028,20 @@ def ivf_knn_join(
     if prune_cells is None:
         prune_cells = broadcast_queries
     if prune_cells:
-        # tiny pre-job: route the (small) batch once and collect its
-        # distinct probed cells — at most the cell count of ints — so
-        # the layout scan carries the same literal-IN PartitionFilter
-        # as the serial probes instead of reading every cell's codes
+        # Materialize the routing ONCE (ADVICE r14): the pre-job that
+        # collects the batch's distinct probed cells and the join's
+        # query side must see the SAME routing evaluation — if the UDF
+        # re-ran for the join, a non-deterministic queries source (or
+        # an FP/batching difference flipping an argsort tie at the
+        # nprobe boundary) could probe a cell at join time that the
+        # collected IN-list pruned from the layout, silently losing its
+        # candidates.  localCheckpoint (not persist) so a long-running
+        # caller — the admission-gate stream routes a FRESH batch per
+        # epoch — doesn't accumulate cache-manager entries: checkpoint
+        # blocks are freed by the ContextCleaner when the plan is
+        # GC'd.  eager=True runs the routing job here; the collect
+        # below and the join both read the materialized rows.
+        q = q.localCheckpoint(eager=True)
         layout = _prune_layout_to_cells(layout, _knn_batch_cells(q))
     # broadcast_queries=False for query sets too large to broadcast
     # (the routed side is |queries|·nprobe rows of qid+qv): AQE then

@@ -294,21 +294,56 @@ def _gate_epoch(
     appending a second copy, which is what makes the foreachBatch leg
     idempotent (a blind append would be at-least-once: the epoch can
     re-run after its files landed but before the checkpoint committed).
-    Module-level so the retry semantics are directly testable."""
-    from ..llm.similarity import ivf_knn_join
+    Idempotent is NOT atomic (ADVICE r14): a retry deletes then
+    rewrites the directory, so a reader scanning ``out_dir`` DURING a
+    retry can transiently observe ``batch_id=N`` missing or partial.
+    That is acceptable for the pinned semantics (the flags are an
+    audit/admission log consumed after the stream quiesces or per
+    completed epoch); a deployment with genuinely concurrent readers
+    should point ``out_dir`` at a transactional table format, whose
+    commit protocol supplies the atomicity this plain-parquet sink
+    deliberately does not.
+    Module-level so the retry semantics are directly testable.
+
+    Every arrival gets a row (ADVICE r14): the gate is the EXTERNAL
+    arrival surface, so malformed vectors must neither crash the
+    stream nor pass silently.  A null qv is dropped by the routing
+    UDF's validity mask (no join output); a wrong-dim qv would crash
+    the routing batch's ``np.vstack`` (corpus scans keep that
+    fail-loud contract — their inputs are own-written tables); a
+    zero-norm qv ROUTES but scores cosine NaN, and Spark orders NaN
+    above every double, so unguarded it would flag ``is_dup`` true
+    against an arbitrary candidate.  The gate therefore (1) routes
+    only well-formed vectors, (2) nulls out non-finite cosines, and
+    (3) left-joins the flags back to the batch's qids — every
+    unroutable/unscorable arrival emits an explicit (qid,
+    nearest_id=null, cosine=null, is_dup=false) audit row: the gate
+    errs open, but visibly."""
+    from ..llm.similarity import PROBE, ivf_knn_join
 
     if not batch_df.head(1):  # no-data micro-batch
         return
+    routable = batch_df.where(
+        F.col("qv").isNotNull() & (F.size("qv") == len(PROBE))
+    )
     top1 = ivf_knn_join(
-        spark, sf_dir, batch_df, k=1, exclude_self=exclude_self
+        spark, sf_dir, routable, k=1, exclude_self=exclude_self
+    )
+    # "no meaningful score" arrives two ways: NULL (Spark's non-ANSI
+    # divide-by-zero, the zero-norm qv case) and NaN (a NaN-valued qv —
+    # isnan(null) is FALSE, so both legs must be guarded explicitly)
+    finite = F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine"))
+    flags = top1.select(
+        "qid",
+        F.when(finite, F.col("vec_id")).alias("nearest_id"),
+        F.when(finite, F.col("cosine")).alias("cosine"),
+        F.when(finite, F.col("cosine") >= tau).alias("is_dup"),
     )
     (
-        top1.select(
-            "qid",
-            F.col("vec_id").alias("nearest_id"),
-            "cosine",
-            (F.col("cosine") >= tau).alias("is_dup"),
-        )
+        batch_df.select("qid")
+        .distinct()
+        .join(flags, "qid", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
         .write.mode("overwrite")
         .parquet(f"{out_dir}/batch_id={int(epoch_id)}")
     )

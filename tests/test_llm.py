@@ -2065,3 +2065,188 @@ def test_knn_join_broadcast_opt_out_reaches_rerank(spark):
             else:
                 spark.conf.set(key, old)
     assert rows == hinted.collect()
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """VERDICT r15 task 2: admitted batches must actually ENTER the
+    index the gate checks against.  Pins, on a 90 %-corpus build +
+    10 %-slice append: (a) the primary-store contract fail-louds when
+    the admitted ids are not yet in the embeddings table; (b) the
+    append adds NEW part files only — every pre-append file's (path,
+    size, mtime) is byte-for-byte untouched; (c) appended vectors
+    surface from the very next probe (self-top-1 at cosine 1.0);
+    (d) layout contents AND kNN-join results over (build + append) are
+    EXACTLY a from-scratch rebuild on the union corpus under the same
+    quantizer (the rebuild reuses the re-stamped centroids/codebooks —
+    refitting them is what `refit_due` schedules, not what an append
+    does); (e) the staleness signal reads ~1/9 appended mass, no skew,
+    no refit — then flips refit_due when a skewed batch piles 30 %
+    new mass into one cell."""
+    import os
+
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    corpus = str(tmp_path / "grow")
+    e = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    held = e.where(F.col("vec_id") % 10 == 0)
+    spine = e.where(F.col("vec_id") % 10 != 0)
+    spine.write.parquet(f"{corpus}/embeddings.parquet")
+    n_held, n_spine = held.count(), spine.count()
+
+    cells = S._ivf_layout_dir(spark, corpus)
+
+    def listing(d):
+        out = {}
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, d)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = listing(cells)
+
+    # (a) index maintenance BEFORE primary-store ingest is the silent
+    # re-rank-drop hazard — it must refuse
+    batch = held.select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="primary"):
+        S.ivf_index_append(spark, corpus, batch)
+
+    held.write.mode("append").parquet(f"{corpus}/embeddings.parquet")
+    res = S.ivf_index_append(spark, corpus, batch)
+    assert res["appended_rows"] == n_held
+    assert res["skipped_unroutable"] == 0
+    assert res["index_rows"] == n_held + n_spine
+
+    # (e) first half: uniform 1/9 growth — well under both triggers
+    st = res["staleness"]
+    assert abs(st["appended_fraction"] - n_held / n_spine) < 1e-6
+    assert st["max_cell_growth"] < S.IVF_REFIT_CELL_SKEW
+    assert st["refit_due"] is False
+
+    # (b) append-only: old files untouched, new files present
+    after = listing(cells)
+    for p, sig in before.items():
+        assert after.get(p) == sig, f"pre-append file rewritten: {p}"
+    assert len(after) > len(before)
+
+    # (c) appended vectors surface immediately
+    probe_self = held.limit(5).select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    got = S.ivf_knn_join(
+        spark, corpus, probe_self, k=1, exclude_self=False
+    ).collect()
+    assert len(got) == 5
+    assert all(r.vec_id == r.qid and r.cosine == 1.0 for r in got)
+
+    # (d) append == rebuild-on-union under the same quantizer
+    fixture_q = S._knn_join_queries(spark, corpus)
+    got_append = S.ivf_knn_join(spark, corpus, fixture_q, k=3).collect()
+    rows_append = {
+        r.vec_id: (r.cell, bytes(r.pq_code), list(r.code), r.scale)
+        for r in spark.read.parquet(cells).collect()
+    }
+    S._IVF_LAYOUTS.pop(corpus)
+    S._IVF_LAYOUT_DFS.pop(corpus, None)
+    cells2 = S._ivf_layout_dir(spark, corpus)
+    assert cells2 != cells, "rebuild did not produce a fresh layout"
+    rows_rebuild = {
+        r.vec_id: (r.cell, bytes(r.pq_code), list(r.code), r.scale)
+        for r in spark.read.parquet(cells2).collect()
+    }
+    assert rows_append == rows_rebuild
+    got_rebuild = S.ivf_knn_join(spark, corpus, fixture_q, k=3).collect()
+    assert got_append == got_rebuild
+
+    # (e) second half: a drift-skewed batch trips the refit signal —
+    # 150 copies of one held vector (30 % new mass, one cell)
+    one = held.limit(1).collect()[0]
+    skewed = spark.createDataFrame(
+        [(9_000_000 + i, one.embedding) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    skewed.write.mode("append").parquet(f"{corpus}/embeddings.parquet")
+    res2 = S.ivf_index_append(spark, corpus, skewed)
+    assert res2["appended_rows"] == 150
+    assert res2["staleness"]["refit_due"] is True
+    assert res2["staleness"]["max_cell_growth"] > S.IVF_REFIT_CELL_SKEW
+
+
+def test_ivf_index_append_skips_unroutable_and_requires_layout(spark, tmp_path):
+    """Unroutable admitted rows (null embedding — ivf_assign yields a
+    null cell) are skipped AND counted, never written as a
+    default-partition directory; appending without a built layout (or
+    without cached centroids) refuses instead of guessing."""
+    import pytest
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    corpus = str(tmp_path / "nulls")
+    e = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    e.where(F.col("vec_id") >= 100).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+
+    batch = e.where(F.col("vec_id") < 10).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="build it first"):
+        S.ivf_index_append(spark, corpus, batch, verify_primary=False)
+
+    cells = S._ivf_layout_dir(spark, corpus)
+    res = S.ivf_index_append(spark, corpus, batch, verify_primary=False)
+    assert res["appended_rows"] == 5
+    assert res["skipped_unroutable"] == 5
+    import os
+
+    assert not any(
+        "HIVE_DEFAULT" in d for d in os.listdir(cells)
+    ), "null-cell rows leaked into a default partition"
+
+
+def test_phash_corpus_decoded_once(spark, monkeypatch):
+    """VERDICT r15 task 1: the phash fingerprint table feeds BOTH sides
+    of the banded self-join, and exchange reuse only shares the shuffle
+    BELOW the decode stage — so without the persist the image decode +
+    dHash (the dominant cost at corpus scale) ran once per side.  Two
+    pins: (a) an accumulator through the decode stage counts EXACTLY
+    n_docs rows decoded for a full run of the operator; (b) the
+    executed join plan reads the fingerprints from the cache (an
+    InMemoryTableScan per side, no MapInPandas decode above them)."""
+    from mysqldump_to_parquet_spark.llm import multimodal as M
+
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    decoded = spark.sparkContext.accumulator(0)
+    orig = M._phash_stage
+
+    def counting(batches):
+        def tap():
+            for pdf in batches:
+                decoded.add(len(pdf))
+                yield pdf
+
+        yield from orig(tap())
+
+    monkeypatch.setattr(M, "_phash_stage", counting)
+    df = M.multimodal_phash(spark, SF)
+    try:
+        df.count()  # executes the banded self-join end to end
+        assert decoded.value == n_docs, (
+            f"decoded {decoded.value} rows for {n_docs} docs — the "
+            "fingerprint pass is recomputing"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        # drop this test's cache entry (the monkeypatched stage makes
+        # its plan unique, so it would linger for the session)
+        spark.catalog.clearCache()

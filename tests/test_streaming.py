@@ -613,3 +613,40 @@ def test_admission_gate_stream_equals_batch(spark, tmp_path):
     for _ in range(2):
         _gate_epoch(spark, sf, out, S.DEDUP_INDEX_TAU, False, replay, 0)
     assert spark.read.parquet(out).count() == 30
+
+
+def test_admission_gate_audits_unroutable_arrivals(spark, tmp_path):
+    """ADVICE r14: a query whose qv is null / wrong-dim is dropped by
+    the routing UDF's validity mask, so the kNN join emits nothing for
+    it — the gate must still emit an explicit (is_dup=false,
+    cosine=null) row so every arrival has an audit record instead of
+    silently passing with none."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+    from mysqldump_to_parquet_spark.streaming.stream import _gate_epoch
+
+    valid = S._knn_join_queries(spark, SF).limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [
+            (1_000_001, valid.qv),           # routable
+            (1_000_002, None),               # null vector
+            (1_000_003, [1.0, 2.0]),         # wrong dimension
+            (1_000_004, [0.0] * len(valid.qv)),  # zero norm → NULL cosine
+            (1_000_005, [float("nan")] * len(valid.qv)),  # NaN cosine
+        ],
+        "qid long, qv array<double>",
+    )
+    out = str(tmp_path / "gate_out")
+    _gate_epoch(spark, SF, out, S.DEDUP_INDEX_TAU, False, batch, 0)
+    rows = {r.qid: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {
+        1_000_001, 1_000_002, 1_000_003, 1_000_004, 1_000_005
+    }, "every arrival must be accounted for"
+    ok = rows[1_000_001]
+    assert ok.nearest_id is not None and ok.cosine == 1.0 and ok.is_dup
+    # null and wrong-dim never route; zero-norm routes but scores a
+    # NULL cosine (non-ANSI divide-by-zero) and a NaN-valued vector a
+    # NaN one — every leg must yield the explicit err-open audit row
+    for qid in (1_000_002, 1_000_003, 1_000_004, 1_000_005):
+        r = rows[qid]
+        assert r.nearest_id is None and r.cosine is None
+        assert r.is_dup is False, "unroutable arrivals err OPEN, visibly"

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import tempfile
@@ -91,6 +92,16 @@ def gen_soak_fixture(out_dir: str, n_events: int, n_files: int) -> None:
             schema=schema,
         )
         pq.write_table(tbl, os.path.join(out_dir, f"part-{f:07d}.parquet"))
+
+
+def _p95(durations: list) -> float | None:
+    """Ceiling-rank p95 (ADVICE r14): the old ``int(n*0.95)-1`` floor
+    rank reported the p80 element at n=5 and index -1 (the MAX) at n=1
+    — understating at exactly this soak's typical micro-batch counts."""
+    n = len(durations)
+    if not n:
+        return None
+    return durations[min(n - 1, math.ceil(0.95 * n) - 1)]
 
 
 def _drain(q, spark, table: str, settle_s: float = 15.0):
@@ -171,7 +182,7 @@ def run_soak(spark, fixture_dir: str, query_name: str) -> dict:
         "stream_equals_batch": got == batch,
         "micro_batches": n,
         "batch_ms_p50": durations[n // 2] if n else None,
-        "batch_ms_p95": durations[int(n * 0.95) - 1] if n else None,
+        "batch_ms_p95": _p95(durations),
         "batch_ms_max": durations[-1] if n else None,
         "state_rows_peak": max(state_rows) if state_rows else None,
         "state_rows_end": state_rows[-1] if state_rows else None,
@@ -251,7 +262,7 @@ def run_soak_dedup(spark, fixture_dir: str, query_name: str) -> dict:
         "no_repeat_within_watermark": ok_spacing,
         "micro_batches": n,
         "batch_ms_p50": durations[n // 2] if n else None,
-        "batch_ms_p95": durations[int(n * 0.95) - 1] if n else None,
+        "batch_ms_p95": _p95(durations),
         "state_rows_peak": max(state_rows) if state_rows else None,
         "state_rows_end": state_rows[-1] if state_rows else None,
     }
@@ -337,7 +348,7 @@ def run_soak_tws(spark, fixture_dir: str, query_name: str) -> dict:
         "stream_equals_batch": equal,
         "micro_batches": n,
         "batch_ms_p50": durations[n // 2] if n else None,
-        "batch_ms_p95": durations[int(n * 0.95) - 1] if n else None,
+        "batch_ms_p95": _p95(durations),
         "batch_ms_max": durations[-1] if n else None,
         "state_rows_peak": max(state_rows) if state_rows else None,
         "state_rows_end": state_rows[-1] if state_rows else None,
