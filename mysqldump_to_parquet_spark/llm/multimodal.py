@@ -1143,14 +1143,27 @@ def _dc_category(diff: int) -> int:
 
 
 def encode_jpeg(
-    width: int, height: int, mcu_colors, restart_interval: int = 0
+    width: int, height: int, mcu_colors, restart_interval: int = 0,
+    quant: int = _JPEG_Q,
 ) -> bytes:
     """Minimal-but-conformant baseline JFIF stream: SOI, DQT ×2, SOF0
     (3 components, 4:2:0), DHT ×4, [DRI,] SOS, entropy-coded constant-
     color MCUs [with RSTn markers], EOI.  ``mcu_colors[my][mx] =
-    (Y, Cb, Cr)``, dims whole MCUs."""
+    (Y, Cb, Cr)``, dims whole MCUs.
+
+    ``quant`` is the flat DQT value.  At the default ``_JPEG_Q`` (8)
+    the DC quantization is the IDENTITY on constant blocks (the raw
+    DC of a constant-c block is 8·(c−128), so quantized DC = c−128
+    exactly — the property every hash-exact JPEG fixture rests on) and
+    the emitted stream is byte-identical to the pre-``quant`` encoder.
+    Larger values perform REAL lossy quantization (round-half-away of
+    8·(c−128)/quant, reconstruction error ≤ quant/16 per pixel) — the
+    knob the dHash lossy-chain measurement (VERDICT r15 task 4)
+    turns."""
     import struct
 
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant {quant} outside the 8-bit DQT range")
     mcus_x, mcus_y = width // 16, height // 16
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -1158,7 +1171,7 @@ def encode_jpeg(
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
 
     for tq in (0, 1):  # DQT: flat tables, luma + chroma
-        seg(0xDB, bytes([tq]) + bytes([_JPEG_Q] * 64))
+        seg(0xDB, bytes([tq]) + bytes([quant] * 64))
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     seg(  # SOF0: Y 2×2 q0, Cb 1×1 q1, Cr 1×1 q1
@@ -1182,7 +1195,15 @@ def encode_jpeg(
     pred = [0, 0, 0]  # per-component DC prediction
 
     def block(comp: int, c: int, table) -> None:
-        dc = c - 128  # quantized DC with q=8 (see _JPEG_Q)
+        # raw DC of a constant-c 8×8 block is 8·(c−128); quantized
+        # round-half-away (matches _quantize_codes' convention).  At
+        # quant=8 this is exactly c−128 — the historic identity path.
+        raw = 8 * (c - 128)
+        dc = (
+            (2 * raw + quant) // (2 * quant)
+            if raw >= 0
+            else -((2 * -raw + quant) // (2 * quant))
+        )
         diff = dc - pred[comp]
         pred[comp] = dc
         s = _dc_category(diff)
@@ -1612,8 +1633,19 @@ PHASH_BLOCK = 4
 #: luminance step between adjacent dHash cells — must exceed twice the
 #: per-pixel fixture noise bound (±5) so no comparison can flip
 PHASH_STEP = 12
-#: candidate pairs at Hamming distance above this are not duplicates
-PHASH_HAMMING_MAX = 6
+#: candidate pairs at Hamming distance above this are not duplicates.
+#: MEASURED, not chosen (VERDICT r15 task 4, tools/phash_lossy.py):
+#: through the repo's own lossy chains, true re-encoded duplicates
+#: reach Hamming 10 (two group members BOTH JPEG-re-encoded at a flat
+#: q=48 table; one-sided re-encode drift maxes at 7 through q=72, and
+#: nearest-neighbor resize down to 18×16 drifts ≤ 1 even at ±8 pixel
+#: noise), while the closest cross-pattern pair across every measured
+#: chain is 14 — so 10 captures every supported lossy chain with zero
+#: false positives and a 4-bit margin.  The old 6 left the q48
+#: both-sides case at 0.977 recall for no FP benefit.  Beyond q≈112
+#: (reconstruction error ≥ 7 luma levels vs the fixture's 12-step
+#: cells) the hash itself degrades — no threshold fixes that regime.
+PHASH_HAMMING_MAX = 10
 
 
 def _splitmix64(x: int) -> int:
