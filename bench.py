@@ -65,6 +65,16 @@ BENCH_QUERY_NAMES = [
     "q_embed_covariance",
     "q_interval_concurrency",
     "q_dedup_semantic",
+    # round-15 (VERDICT r14 #7): the r13/r14 similarity surface —
+    # distributed kNN join through the written IVF layout (fixture
+    # batch, pruned small-batch path), batched multi-probe ANN, and
+    # perceptual image dedup — had no round-over-round wall tracking;
+    # exactly the operators most likely to regress silently next.
+    # First reps pay the per-session layout build; min-of-7 records
+    # the warm probe wall, which is the deploy-shape number.
+    "q_sim_knn_join_ivf",
+    "q_sim_ann_ivf_batch",
+    "q_dedup_phash",
 ]
 
 
@@ -106,6 +116,7 @@ IDLE_FLOOR_SEC = {
     "q_dedup_exact": 0.1592,
     "q_dedup_near": 0.581,
     "q_dedup_near_candidates": 0.3889,
+    "q_dedup_phash": 0.9282,
     "q_dedup_semantic": 2.0303,
     "q_dedup_substring": 0.8734,
     "q_embed_covariance": 0.5279,
@@ -116,6 +127,8 @@ IDLE_FLOOR_SEC = {
     "q_join_inner": 0.2939,
     "q_kmeans": 1.7808,
     "q_pagerank": 0.91,
+    "q_sim_ann_ivf_batch": 1.1879,
+    "q_sim_knn_join_ivf": 1.8002,
     "q_sim_topk": 0.2277,
     "q_sort_limit": 0.1112,
     "q_stream_tumbling": 0.203,

@@ -2353,6 +2353,64 @@ ORDER BY qid, rank
 """
 
 
+def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ivf_index_append: the ingest-loop index-maintenance cycle as a
+    driver-checkable query (VERDICT r15 task 2).  Builds a tempdir
+    corpus = embeddings minus the ``vec_id % 10`` slice, builds its IVF
+    layout, lands the slice in the temp primary store (the contract:
+    primary first, index second), APPENDS it via
+    :func:`ivf_index_append`, and returns the maintenance summary.
+
+    Every output column is derivable from corpus arithmetic — appended
+    = |slice| (the fixture has no null embeddings), skipped = 0,
+    index_rows = |corpus|, refit_due = false (a uniform 1/9 append is
+    far under both refit triggers; the skew bound is pytest-pinned at
+    this exact construction) — so this side-effecting maintenance op
+    gets a full ORACLE hash check, same discipline as the ingest keys.
+    The temp corpus lives in a mkdtemp with atexit cleanup (the layout
+    cache's own lifecycle rules)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ivf_append_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    held = e.where(F.col("vec_id") % 10 == 0)
+    spine = e.where(F.col("vec_id") % 10 != 0)
+    spine.write.parquet(f"{root}/embeddings.parquet")
+    _ivf_layout_dir(spark, root)  # build on the 90 % corpus
+    held.write.mode("append").parquet(f"{root}/embeddings.parquet")
+    res = ivf_index_append(
+        spark, root, held.select("vec_id", "embedding")
+    )
+    return spark.createDataFrame(
+        [
+            (
+                res["appended_rows"],
+                res["skipped_unroutable"],
+                res["index_rows"],
+                res["staleness"]["refit_due"],
+            )
+        ],
+        "appended_rows long, skipped_unroutable long, "
+        "index_rows long, refit_due boolean",
+    )
+
+
+#: corpus-arithmetic twin of the maintenance summary: the fixture has
+#: no null embeddings, the slice is exactly the %10 ids, and a uniform
+#: 1/9 append sits far under both refit triggers (pytest-pinned).
+IVF_INDEX_APPEND_SQL = """
+SELECT CAST(count(*) FILTER (WHERE vec_id % 10 = 0) AS BIGINT)
+           AS appended_rows,
+       CAST(0 AS BIGINT) AS skipped_unroutable,
+       CAST(count(*) AS BIGINT) AS index_rows,
+       false AS refit_due
+FROM embeddings
+"""
+
+
 QUERIES = {
     "q_sim_topk": sim_topk,
     "q_sim_radius": sim_radius,
@@ -2367,6 +2425,7 @@ QUERIES = {
     "q_sim_knn_join_ivf": sim_knn_join_ivf,
     "q_dedup_against_index_exact": sim_dedup_against_index_exact,
     "q_dedup_against_index_ivf": sim_dedup_against_index_ivf,
+    "q_ivf_index_append": sim_ivf_index_append,
 }
 
 ORACLE = {
@@ -2374,6 +2433,7 @@ ORACLE = {
     "q_sim_radius": SIM_RADIUS_SQL,
     "q_sim_knn_join_exact": SIM_KNN_JOIN_SQL,
     "q_dedup_against_index_exact": DEDUP_AGAINST_INDEX_SQL,
+    "q_ivf_index_append": IVF_INDEX_APPEND_SQL,
     # q_sim_ann_lsh / q_sim_ann_ivf / the batch + ivf kNN-join and
     # admission-gate forms: approximate-recall ANN — rows-only.
 }

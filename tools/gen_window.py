@@ -183,6 +183,23 @@ def main() -> None:
     )
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument(
+        "--pin",
+        action="append",
+        default=[],
+        metavar="KEY",
+        help="hoist KEY to the front of the touched bucket (repeatable)."
+        "  Module granularity cannot see WHICH keys inside a touched "
+        "module the diff actually hit — r14 left q_sim_knn_join_ivf "
+        "(whose code materially changed) outside the window behind six "
+        "same-module keys the diff never touched, purely on the "
+        "alphabetical tie-break (VERDICT r14 'window-rotation nit').  "
+        "A pin is the sub-module annotation: it reorders WITHIN the "
+        "touched bucket only (never steals a tail/never slot, so the "
+        "staleness reservation is untouched), and it is REJECTED for "
+        "keys whose module did not change — you cannot resurrect an "
+        "arbitrary key with it.",
+    )
+    ap.add_argument(
         "--write",
         action="store_true",
         help="splice the generated blocks into __spark_entry__.py "
@@ -223,6 +240,20 @@ def main() -> None:
         for k in by_prio
         if greens.get(k) is not None and key_module[k] not in touched
     ]
+    for key in args.pin:
+        if key not in key_module:
+            raise SystemExit(f"--pin {key}: not a registry key")
+        if key not in b_touch:
+            raise SystemExit(
+                f"--pin {key}: its module ({key_module.get(key)}) is "
+                "not touched this round — a pin reorders the touched "
+                "bucket only"
+            )
+    # pinned keys lead the touched bucket (stable order of the pins,
+    # then the usual age/name order for the rest)
+    if args.pin:
+        pinned = [k for k in args.pin if k in b_touch]
+        b_touch = pinned + [k for k in b_touch if k not in pinned]
     cohort = oldest_cohort_size(greens, b_tail)
     order = pack_order(b_never, b_touch, b_tail, args.window, cohort)
     reserve, touch_take, tail_take = reservation_takes(
@@ -254,11 +285,18 @@ def main() -> None:
         )
 
     basis = newest_round(REPO)
+    pins_line = (
+        "#: touched-bucket pins this round (sub-module change "
+        f"annotations): {', '.join(args.pin)}\n"
+        if args.pin
+        else ""
+    )
     text = (
         f"#: inputs this ordering was generated from — tests re-derive\n"
         f"#: the generator's view through these pins, so a newer\n"
         f"#: CORRECTNESS file landing later cannot invert the invariants\n"
-        f'_ORDER_BASE_COMMIT = "{args.base}"\n'
+        + pins_line
+        + f'_ORDER_BASE_COMMIT = "{args.base}"\n'
         f"_ORDER_BASIS_ROUND = {basis}\n\n"
         + block("_CHECK_ORDER", order, "tuple")
         + "\n\n"

@@ -42,8 +42,21 @@ BASE_US = 1_767_225_600_000_000
 SENTINEL_USER = 999_999
 
 
-def gen_soak_fixture(out_dir: str, n_events: int, n_files: int) -> None:
-    """Deterministic burst-per-session event files (see module doc)."""
+def gen_soak_fixture(
+    out_dir: str,
+    n_events: int,
+    n_files: int,
+    n_users: int = N_USERS,
+    burst_len: int = BURST,
+) -> None:
+    """Deterministic burst-per-session event files (see module doc).
+
+    ``n_users``/``burst_len`` widen the key space (VERDICT r15 task 6):
+    the r14 TWS soak adjudicated its ~3 s/batch p50 as per-key socket
+    round-trips on a 25-user toy and PREDICTED amortization at real
+    cardinality — ``--users 10000 --burst 1`` makes every event its own
+    burst/user, so a micro-batch touches ~100 distinct keys instead of
+    ~10 and the prediction becomes measurable."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -51,14 +64,14 @@ def gen_soak_fixture(out_dir: str, n_events: int, n_files: int) -> None:
     per_file = max(1, n_events // n_files)
     rows_ts, last_ts = [], BASE_US
     for i in range(n_events):
-        burst, off = divmod(i, BURST)
+        burst, off = divmod(i, burst_len)
         ts = BASE_US + burst * 3_600_000_000 + off * 60_000_000
         last_ts = max(last_ts, ts)
         rows_ts.append(
             (
                 i,
                 ts,
-                burst % N_USERS,
+                burst % n_users,
                 EVENT_TYPES[i % len(EVENT_TYPES)],
                 float(i % 100) / 4.0,
                 "{}",
@@ -360,11 +373,26 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000)
     ap.add_argument("--files", type=int, default=100)
+    ap.add_argument("--users", type=int, default=N_USERS)
+    ap.add_argument("--burst", type=int, default=BURST)
+    ap.add_argument(
+        "--ops",
+        default="sessionize,dedup,tws",
+        help="comma list of soaks to run (the 10k-user TWS re-run "
+        "doesn't need to drag the session/dedup soaks along)",
+    )
     ap.add_argument("--fixture-dir", default=None)
     args = ap.parse_args()
 
+    from mysqldump_to_parquet_spark.protoshim import ensure_protobuf
     from mysqldump_to_parquet_spark.session import get_spark
 
+    # BEFORE the SparkSession (the conftest.py discipline): the TWS
+    # protocol client runs in Python worker processes, which inherit
+    # PYTHONPATH at JVM launch — activating the vendored shim after
+    # get_spark() crashes the TWS driver worker on a protobuf-less
+    # container ("driver worker exited unexpectedly")
+    ensure_protobuf()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(
         app_name="stream-soak",
@@ -373,21 +401,30 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    ops = {o.strip() for o in args.ops.split(",") if o.strip()}
     fixture = args.fixture_dir or tempfile.mkdtemp(prefix="stream_soak_")
-    gen_soak_fixture(fixture, args.events, args.files)
-    rec = {"events": args.events, "files": args.files, "fixture": fixture,
-           "op": "sessionize"}
-    rec.update(run_soak(spark, fixture, "soak_sessions"))
-    print(json.dumps(rec))
-    rec = {"events": args.events, "files": args.files, "op": "dedup"}
-    rec.update(run_soak_dedup(spark, fixture, "soak_dedup"))
-    print(json.dumps(rec))
-    from mysqldump_to_parquet_spark.protoshim import ensure_protobuf
-
-    ensure_protobuf()  # vendored wire-format shim; real wheel wins
-    rec = {"events": args.events, "files": args.files, "op": "tws_profile"}
-    rec.update(run_soak_tws(spark, fixture, "soak_tws"))
-    print(json.dumps(rec))
+    gen_soak_fixture(
+        fixture, args.events, args.files, args.users, args.burst
+    )
+    base = {
+        "events": args.events,
+        "files": args.files,
+        "users": args.users,
+        "burst": args.burst,
+        "fixture": fixture,
+    }
+    if "sessionize" in ops:
+        rec = dict(base, op="sessionize")
+        rec.update(run_soak(spark, fixture, "soak_sessions"))
+        print(json.dumps(rec))
+    if "dedup" in ops:
+        rec = dict(base, op="dedup")
+        rec.update(run_soak_dedup(spark, fixture, "soak_dedup"))
+        print(json.dumps(rec))
+    if "tws" in ops:
+        rec = dict(base, op="tws_profile")
+        rec.update(run_soak_tws(spark, fixture, "soak_tws"))
+        print(json.dumps(rec))
     spark.stop()
 
 
