@@ -125,19 +125,33 @@ def _probe_signatures():
 
 def _masked_rows(vs: pd.Series, dim: int = 64):
     """(valid_mask, (n_valid, dim) float64 matrix) for one Arrow batch of
-    embedding arrays — NULL rows are masked out before ``np.vstack``
-    (which raises on None) so a corpus with null embeddings degrades to
-    "null is never a candidate / has no signature" instead of crashing
-    the scan (ADVICE r8: the pre-r8 expression-based filter evaluated
-    NULL → filtered-out; this preserves that semantics)."""
+    embedding arrays — NULL rows AND wrong-length rows are masked out
+    before ``np.vstack`` (None raises, mixed lengths raise) so a corpus
+    with degraded embeddings degrades to "never a candidate / no
+    signature" instead of crashing the scan (ADVICE r8 for nulls;
+    review r15 extended the same contract to wrong-dim rows — every
+    consumer already treats the mask as "unroutable")."""
     import numpy as np
 
-    valid = vs.notna().to_numpy()
+    # len() per element; NaN for None → False under == dim
+    valid = (vs.str.len() == dim).to_numpy(dtype=bool, na_value=False)
     if valid.any():
         mat = np.vstack(vs[valid].to_numpy()).astype(np.float64)
     else:
         mat = np.empty((0, dim), dtype=np.float64)
     return valid, mat
+
+
+def _well_formed(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Rows the index can route: non-null, exactly len(PROBE)-dim.
+    The ONE definition of "index mass" — the quantizer fits, the
+    layout write, and the incremental append all filter through this,
+    so a degraded corpus row is consistently a non-event (never a
+    candidate, never a crash, never a ``__HIVE_DEFAULT_PARTITION__``
+    directory) at every stage of the index lifecycle (review r15)."""
+    return df.where(
+        F.col(col).isNotNull() & (F.size(col) == len(PROBE))
+    )
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,7 +790,11 @@ def ivf_centroids(spark: SparkSession, sf_dir: str):
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector
 
-            e = load_table(spark, sf_dir, "embeddings")
+            # Fit on index mass only: a null embedding NPEs MLlib's
+            # array_to_vector and a wrong-dim row would skew the fit —
+            # the same _well_formed filter the layout write applies, so
+            # the quantizer and the index agree on the corpus (r15).
+            e = _well_formed(load_table(spark, sf_dir, "embeddings"))
             # Seeded UNIFORM sample, never limit(N): first-N rows of a
             # corpus written sorted/clustered by any correlate of the
             # embedding (timestamp, source, label) fit the quantizer on
@@ -982,9 +1000,16 @@ def write_ivf_partitioned(
     the per-vector ``scale`` column keeps the layout self-contained for
     consumers that need approximate reconstruction.  One file per cell
     via the same repartition-before-partitionBy discipline as
-    :func:`write_ann_partitioned`."""
+    :func:`write_ann_partitioned`.
+
+    Degraded rows (null / wrong-dim embedding) are filtered OUT here —
+    the layout never carries a ``__HIVE_DEFAULT_PARTITION__``
+    directory, its footer counts ARE the index mass the staleness
+    signal compares against, and the incremental append (which applies
+    the same :func:`_well_formed` filter) stays exactly symmetric with
+    a from-scratch rebuild on such corpora (review r15)."""
     (
-        _ivf_encode(df, centroids, codebooks)
+        _ivf_encode(_well_formed(df), centroids, codebooks)
         .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
@@ -1057,7 +1082,7 @@ def pq_codebooks(spark: SparkSession, sf_dir: str):
     with _CACHE_LOCK:
         hit = _PQ_CODEBOOKS.get(sf_dir)
         if hit is None or hit[0] != fp:
-            e = load_table(spark, sf_dir, "embeddings")
+            e = _well_formed(load_table(spark, sf_dir, "embeddings"))
             n = e.count()
             target = _ivf_fit_sample_target(PQ_K)
             frac = min(1.0, 1.05 * float(target) / max(n, 1))
@@ -1146,12 +1171,18 @@ def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
         # Fit-time per-cell row counts, the reference distribution the
         # append path's staleness signal compares against (VERDICT r15
         # task 2).  A parquet count is footer metadata — no row scan.
+        # Null-embedding rows land under the default partition (cell
+        # null) — excluded here, as everywhere: they are never probe
+        # candidates, so they are not index mass (review r15: int(None)
+        # crashed the build on exactly the corpora _masked_rows exists
+        # to support).
         sizes = {
             int(r["cell"]): int(r["count"])
             for r in spark.read.parquet(cells)
             .groupBy("cell")
             .count()
             .collect()
+            if r["cell"] is not None
         }
         with open(os.path.join(root, "ivf_meta.json"), "w") as f:
             json.dump(
@@ -1266,6 +1297,7 @@ def ivf_index_staleness(spark: SparkSession, sf_dir: str) -> dict:
         .groupBy("cell")
         .count()
         .collect()
+        if r["cell"] is not None  # null-embedding rows are not index mass
     }
     cur_total = sum(cur.values())
     growth = cur_total / max(fit_total, 1)
@@ -1315,19 +1347,30 @@ def ivf_index_append(
     ``partitionBy`` — old files are never rewritten; pytest pins their
     (path, size, mtime) unchanged), and the session caches are
     re-stamped with the post-ingest corpus fingerprint so subsequent
-    probes neither refit nor rebuild.  Unroutable rows (null / wrong
-    dim embedding — ``ivf_assign`` yields a null cell) are skipped and
-    counted: they cannot be probed, and the gate already audit-logs
-    them as admitted-unroutable.
+    probes neither refit nor rebuild.  Unroutable rows (null or
+    wrong-dim embedding, pre-filtered by ``F.size`` — the streaming
+    gate's discipline) are skipped and counted: they cannot be probed,
+    and the gate already audit-logs them as admitted-unroutable.
 
     The append reuses the FIT-TIME quantizer by design — cells only
     stay balanced while arrivals resemble the fit distribution, so the
     returned ``staleness`` dict (see :func:`ivf_index_staleness`) says
     when to stop appending and refit.  Returns ``{"appended_rows",
-    "skipped_unroutable", "staleness"}``."""
+    "skipped_unroutable", "staleness"}``.
+
+    Locking (review r15): ``_CACHE_LOCK`` is held only for the cache
+    LOOKUPS and the final re-stamp — the Spark jobs between (verify
+    anti-join, encode, write, counts) run outside it, so a
+    minutes-long deploy-scale append never blocks another thread's
+    cold layout build on an unrelated corpus.  If a concurrent probe
+    of the SAME corpus fingerprint-misses mid-append (the primary
+    store already grew), it rebuilds from the union — wasteful but
+    correct — and the re-stamp below restores this append's root; the
+    orphaned rebuild tree is reclaimed by its atexit hook, the same
+    bounded leak the eviction path already documents."""
     import os
 
-    with _CACHE_LOCK:
+    with _CACHE_LOCK:  # fast lookups only — no Spark jobs under it
         hit = _IVF_LAYOUTS.get(sf_dir)
         if hit is None:
             raise ValueError(
@@ -1347,43 +1390,50 @@ def ivf_index_append(
         centroids = cent_hit[1]
         pq_hit = _PQ_CODEBOOKS.get(sf_dir)
         codebooks = pq_hit[1] if pq_hit is not None else None
-        has_pq = "pq_code" in spark.read.parquet(cells_dir).schema.names
-        if has_pq and codebooks is None:
-            raise ValueError(
-                f"layout at {cells_dir!r} carries pq_code but no PQ "
-                "codebooks are cached — appending without them would "
-                "fork the layout schema"
-            )
 
-        if verify_primary:
-            e = load_table(spark, sf_dir, "embeddings")
-            missing = (
-                admitted.select("vec_id")
-                .join(e.select("vec_id"), "vec_id", "left_anti")
-                .count()
-            )
-            if missing:
-                raise ValueError(
-                    f"{missing} admitted vec_ids are not in the "
-                    "primary embeddings table — land the batch in the "
-                    "primary store before indexing it (the exact "
-                    "re-rank would silently drop them)"
-                )
-
-        coded = _ivf_encode(
-            admitted.select("vec_id", "embedding"),
-            centroids,
-            codebooks if has_pq else None,
-        ).localCheckpoint(eager=True)  # one encode: counts + write
-        n_in = coded.count()
-        writable = coded.where(F.col("cell").isNotNull())
-        (
-            writable.repartition("cell")
-            .write.partitionBy("cell")
-            .mode("append")
-            .parquet(cells_dir)
+    has_pq = "pq_code" in spark.read.parquet(cells_dir).schema.names
+    if has_pq and codebooks is None:
+        raise ValueError(
+            f"layout at {cells_dir!r} carries pq_code but no PQ "
+            "codebooks are cached — appending without them would "
+            "fork the layout schema"
         )
 
+    if verify_primary:
+        e = load_table(spark, sf_dir, "embeddings")
+        missing = (
+            admitted.select("vec_id")
+            .join(e.select("vec_id"), "vec_id", "left_anti")
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"{missing} admitted vec_ids are not in the "
+                "primary embeddings table — land the batch in the "
+                "primary store before indexing it (the exact "
+                "re-rank would silently drop them)"
+            )
+
+    # unroutable = null OR wrong-dim, filtered by the SAME predicate
+    # the layout build uses (_well_formed) so append ≡ rebuild on
+    # degraded corpora — and so a wrong-dim vector never reaches the
+    # routing batch (review r15; the streaming gate's F.size
+    # discipline, now shared)
+    n_in = admitted.count()
+    well_formed = _well_formed(admitted.select("vec_id", "embedding"))
+    coded = _ivf_encode(
+        well_formed, centroids, codebooks if has_pq else None
+    ).localCheckpoint(eager=True)  # one encode: counts + write
+    writable = coded.where(F.col("cell").isNotNull())
+    (
+        writable.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(cells_dir)
+    )
+    appended = int(writable.count())
+
+    with _CACHE_LOCK:
         # Re-stamp every quantizer/layout cache with the POST-ingest
         # corpus fingerprint: the primary store already grew, so the
         # next fingerprint check would otherwise evict and full-rebuild
@@ -1397,14 +1447,13 @@ def ivf_index_append(
         _IVF_LAYOUTS[sf_dir] = (fp_new, root)
         _IVF_LAYOUT_DFS.pop(sf_dir, None)
 
-        appended = int(writable.count())
-        staleness = ivf_index_staleness(spark, sf_dir)
-        return {
-            "appended_rows": appended,
-            "skipped_unroutable": n_in - appended,
-            "index_rows": staleness["current_total"],
-            "staleness": staleness,
-        }
+    staleness = ivf_index_staleness(spark, sf_dir)
+    return {
+        "appended_rows": appended,
+        "skipped_unroutable": n_in - appended,
+        "index_rows": staleness["current_total"],
+        "staleness": staleness,
+    }
 
 
 def _ivf_probe_cells(centroids) -> list[int]:

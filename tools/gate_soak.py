@@ -123,10 +123,13 @@ def main() -> None:
         ).alias("qv"),
     )
     rows = src.collect()
-    for i in range(args.files):
-        chunk = rows[per_file * i : per_file * (i + 1)]
+    # chunk over ALL rows (review r15: range(files)*per_file silently
+    # dropped the docs % files remainder, overstating docs_per_sec) —
+    # the actual row count is also what docs_per_sec divides by below
+    n_docs = len(rows)
+    for i in range(0, n_docs, per_file):
         spark.createDataFrame(
-            chunk, "qid long, qv array<double>"
+            rows[i : i + per_file], "qid long, qv array<double>"
         ).coalesce(1).write.mode("append").parquet(qdir)
 
     # ---- build the index BEFORE the stream (deploy shape: the index
@@ -182,7 +185,7 @@ def main() -> None:
             {
                 "metric": "admission_gate_soak",
                 "sf_dir": SF_DIR,
-                "docs": args.docs,
+                "docs": n_docs,
                 "files": args.files,
                 "index_build_s": build_s,
                 "drain_s": drain_s,
@@ -190,7 +193,7 @@ def main() -> None:
                 "batch_ms_p50": durations[n // 2] if n else None,
                 "batch_ms_p95": _p95(durations),
                 "batch_ms_max": durations[-1] if n else None,
-                "docs_per_sec": round(args.docs / drain_s, 1),
+                "docs_per_sec": round(n_docs / drain_s, 1),
                 "audited_rows": audited,
                 "flagged_dup": dups,
                 "cells_probed_per_batch": len(cells),

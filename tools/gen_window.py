@@ -250,9 +250,10 @@ def main() -> None:
                 "bucket only"
             )
     # pinned keys lead the touched bucket (stable order of the pins,
+    # deduped — a repeated --pin must not burn a second window slot —
     # then the usual age/name order for the rest)
     if args.pin:
-        pinned = [k for k in args.pin if k in b_touch]
+        pinned = list(dict.fromkeys(k for k in args.pin if k in b_touch))
         b_touch = pinned + [k for k in b_touch if k not in pinned]
     cohort = oldest_cohort_size(greens, b_tail)
     order = pack_order(b_never, b_touch, b_tail, args.window, cohort)
