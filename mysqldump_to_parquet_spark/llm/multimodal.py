@@ -1647,6 +1647,40 @@ PHASH_STEP = 12
 #: cells) the hash itself degrades — no threshold fixes that regime.
 PHASH_HAMMING_MAX = 10
 
+#: band-probe radius for the candidate join (multi-index hashing,
+#: Norouzi et al.'s public MIH recipe): side A's 16-bit band values are
+#: expanded by every XOR mask of popcount ≤ r before the equi-join, so
+#: ANY pair with some band within Hamming r becomes a candidate.
+#: Pigeonhole: a pair at total Hamming ≤ 4·(r+1)−1 = 11 MUST have a
+#: band at ≤ r=2 (4 bands all ≥ 3 ⇒ total ≥ 12) — so the candidate
+#: stage is COMPLETE for the verify threshold above (r=0's guarantee
+#: stopped at 3: measured operator recall was 0.93 at both-sides q48
+#: and 0.76 at q72, tools/phash_lossy.py, review r15).  Cost knob,
+#: measured: expansion is LINEAR (137 variants × 4 bands ≈ 548 rows
+#: per doc on one join side — ~13 KB/doc, dwarfed by the decode the
+#: operator exists to amortize) while the alternative 8×8-bit banding
+#: with r=1 would be 7.6× cheaper to expand but makes ~25 % of CROSS
+#: pairs candidates (9/256 per band over 8 bands) vs ~0.8 % here
+#: (137/65536 over 4) — and the verify join is the quadratic-ish
+#: stage, so 4×16 with r=2 is the right side of the trade.
+PHASH_BAND_PROBE_R = 2
+
+
+def _hamming_ball_masks(bits: int, radius: int) -> list:
+    """All XOR masks of ``bits``-bit values with popcount ≤ radius
+    (the Hamming ball around 0): 1 + C(16,1) + C(16,2) = 137 at the
+    default geometry."""
+    import itertools
+
+    out = [0]
+    for r in range(1, radius + 1):
+        for pos in itertools.combinations(range(bits), r):
+            m = 0
+            for p in pos:
+                m |= 1 << p
+            out.append(m)
+    return out
+
 
 def _splitmix64(x: int) -> int:
     """SplitMix64 finalizer — a public-domain 64-bit mixer; gives each
@@ -1771,9 +1805,14 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies of (doc_id, phash) shuffle on the band key, buckets bound
     the pair blowup, and the Hamming verify (codegen ``bit_count(a ^
     b)``) runs on bucketed candidates only.  No all-pairs path at any
-    corpus size; a pair at Hamming ≤ 3 is GUARANTEED a clean band
-    (pigeonhole over 4 bands), deeper perturbations degrade gracefully
-    exactly like SimHash banding.
+    corpus size.  Side A's band values are additionally expanded by the
+    radius-``PHASH_BAND_PROBE_R`` Hamming ball (137 XOR masks — see the
+    constant's cost math), so every pair at Hamming ≤ 4·(r+1)−1 = 11 ≥
+    PHASH_HAMMING_MAX is GUARANTEED a candidate: the banded stage is
+    complete for the verify threshold, and operator recall ≡ the
+    measured hash-level recall of tools/phash_lossy.py (review r15 —
+    plain exact-band matching guaranteed only Hamming ≤ 3 and measured
+    0.93/0.76 operator recall at q48/q72).
 
     The fixture makes the output analytic: group members share a base
     image (different bytes, identical dHash ⇒ Hamming 0 — found in
@@ -1797,6 +1836,16 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    return _phash_banded_pairs(fp)
+
+
+def _phash_banded_pairs(fp: DataFrame) -> DataFrame:
+    """Banded multi-probe candidate join + Hamming verify over a
+    ``(doc_id, phash)`` fingerprint table — factored out of
+    :func:`multimodal_phash` so the completeness guarantee (every pair
+    at Hamming ≤ PHASH_HAMMING_MAX is a candidate, review r15) is
+    testable on hand-built adversarial fingerprints, not just the
+    analytic fixture's Hamming-0 duplicates."""
     bands = fp.select(
         "doc_id",
         "phash",
@@ -1814,11 +1863,24 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "phash", "band.band_id", "band.band_val")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("ph_a"),
-        "band_id",
-        "band_val",
+    # multi-probe expansion, side A only: one exact variant of A's
+    # band value per ball mask, so a pair within band-Hamming r
+    # matches exactly once in that band (the cross-band duplicates the
+    # .distinct() below already folds).  One generator per select —
+    # the mask array is a 137-int literal, built once into the plan.
+    masks = F.lit(_hamming_ball_masks(16, PHASH_BAND_PROBE_R))
+    a = (
+        bands.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("phash").alias("ph_a"),
+            "band_id",
+            "band_val",
+            F.explode(masks).alias("_mask"),
+        )
+        .withColumn(
+            "band_val", F.col("band_val").bitwiseXOR(F.col("_mask"))
+        )
+        .drop("_mask")
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"),

@@ -1819,6 +1819,59 @@ def test_phash_fixture_separation_and_recall(spark):
     )
 
 
+def test_phash_band_multiprobe_completeness(spark):
+    """Review r15: plain exact-band candidates guarantee only Hamming
+    ≤ 3, yet the verify threshold is 10 — measured 7 % of true q48
+    pairs straddled all 4 bands and were silently missed.  The
+    radius-2 band multi-probe closes that: (a) the mask ball is the
+    exact 1+16+C(16,2)=137 set; (b) pigeonhole — EVERY pattern of
+    popcount ≤ 4·(r+1)−1 = 11 has a band at ≤ 2, checked exhaustively
+    at the boundary split and on a random sweep; (c) end-to-end, an
+    adversarial pair at Hamming 10 split 3/3/2/2 across bands (zero
+    clean bands — invisible to the r=0 join) IS returned by the banded
+    operator join, and a 3/3/3/3 pair at Hamming 12 > threshold is
+    not."""
+    import random
+
+    from mysqldump_to_parquet_spark.llm import multimodal as M
+
+    masks = M._hamming_ball_masks(16, M.PHASH_BAND_PROBE_R)
+    assert len(masks) == len(set(masks)) == 137
+    assert all(bin(m).count("1") <= 2 for m in masks)
+
+    def band_min(x):
+        return min(bin((x >> (16 * i)) & 0xFFFF).count("1") for i in range(4))
+
+    rng = random.Random(42)
+    for _ in range(2000):
+        k = rng.randint(0, 11)
+        pat = 0
+        for p in rng.sample(range(64), k):
+            pat |= 1 << p
+        assert band_min(pat) <= M.PHASH_BAND_PROBE_R, hex(pat)
+
+    # (c) hand-built fingerprints through the operator's own join:
+    # 3/3/2/2 split ⇒ Hamming 10, min band distance 2 (caught only by
+    # the probe); 3/3/3/3 ⇒ Hamming 12 > threshold (verify rejects)
+    h0 = 0x0123456789ABCDEF - (1 << 63)  # arbitrary signed base
+    split_3322 = (0b111 << 0) | (0b111 << 16) | (0b11 << 32) | (0b11 << 48)
+    split_3333 = (0b111 << 0) | (0b111 << 16) | (0b111 << 32) | (0b111 << 48)
+    fp = spark.createDataFrame(
+        [
+            (0, h0),
+            (1, h0 ^ split_3322),
+            (2, h0 ^ split_3333),
+        ],
+        "doc_id long, phash long",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M._phash_banded_pairs(fp).collect()
+    }
+    assert (0, 1, 10) in got, got
+    assert all(not (a == 0 and b == 2) for a, b, _ in got), got
+
+
 def test_knn_join_ivf_recall_and_exact_rerank(spark):
     """The distributed kNN JOIN (r13): (a) recall@3 of the index-backed
     join vs the brute-force twin >= 0.8 (measured 0.911 at sf0.01 —
@@ -2179,10 +2232,13 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
 
 
 def test_ivf_index_append_skips_unroutable_and_requires_layout(spark, tmp_path):
-    """Unroutable admitted rows (null embedding — ivf_assign yields a
-    null cell) are skipped AND counted, never written as a
-    default-partition directory; appending without a built layout (or
-    without cached centroids) refuses instead of guessing."""
+    """Unroutable admitted rows — null embedding AND wrong-dim
+    embedding (review r15: an unfiltered wrong-dim vector crashes the
+    routing batch's np.vstack, so the append pre-filters by F.size
+    exactly like the streaming gate) — are skipped AND counted, never
+    written as a default-partition directory; appending without a
+    built layout (or without cached centroids) refuses instead of
+    guessing."""
     import pytest
 
     from mysqldump_to_parquet_spark.llm import similarity as S
@@ -2193,24 +2249,65 @@ def test_ivf_index_append_skips_unroutable_and_requires_layout(spark, tmp_path):
         f"{corpus}/embeddings.parquet"
     )
 
+    # ids 0..9: %3==0 routable (0,3,6,9), %3==1 null (1,4,7),
+    # %3==2 wrong-dim (2,5,8)
     batch = e.where(F.col("vec_id") < 10).select(
         "vec_id",
-        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")).alias(
-            "embedding"
-        ),
+        F.when(F.col("vec_id") % 3 == 0, F.col("embedding"))
+        .when(
+            F.col("vec_id") % 3 == 2,
+            F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>"),
+        )
+        .alias("embedding"),
     )
     with pytest.raises(ValueError, match="build it first"):
         S.ivf_index_append(spark, corpus, batch, verify_primary=False)
 
     cells = S._ivf_layout_dir(spark, corpus)
     res = S.ivf_index_append(spark, corpus, batch, verify_primary=False)
-    assert res["appended_rows"] == 5
-    assert res["skipped_unroutable"] == 5
+    assert res["appended_rows"] == 4
+    assert res["skipped_unroutable"] == 6
     import os
 
     assert not any(
         "HIVE_DEFAULT" in d for d in os.listdir(cells)
     ), "null-cell rows leaked into a default partition"
+
+
+def test_ivf_layout_build_tolerates_degraded_embeddings(spark, tmp_path):
+    """Review r15: a degraded corpus row (null OR wrong-dim embedding)
+    must be a non-event at every stage of the index lifecycle — the
+    quantizer fit previously NPE'd MLlib's array_to_vector on nulls
+    and the ivf_meta.json block int()-crashed on the null cell.  Build
+    + staleness must work on such a corpus, with degraded rows
+    excluded from index mass (the one _well_formed definition) and no
+    default-partition directory in the layout."""
+    import os
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    corpus = str(tmp_path / "degraded")
+    e = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None))  # null rows
+        .when(  # wrong-dim rows
+            F.col("vec_id") % 7 == 1,
+            F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    ).write.parquet(f"{corpus}/embeddings.parquet")
+
+    cells = S._ivf_layout_dir(spark, corpus)  # must not raise
+    assert not any(
+        "HIVE_DEFAULT" in d for d in os.listdir(cells)
+    ), "degraded rows leaked into a default partition"
+    st = S.ivf_index_staleness(spark, corpus)
+    n_well = e.where(F.col("vec_id") % 7 >= 2).count()
+    assert st["fit_total"] == n_well  # degraded rows are not index mass
+    assert st["refit_due"] is False
 
 
 def test_phash_corpus_decoded_once(spark, monkeypatch):
@@ -2264,12 +2361,12 @@ def test_phash_survives_measured_lossy_chains():
     q48/q72 stay within threshold on every leg measured, resize at the
     production ±5 noise is EXACT (provably — two cells differ by ≤ 10
     < the 12-luma step), and no cross pair anywhere near threshold."""
-    import sys
-
     import numpy as np
 
-    sys.path.insert(0, "tools")
+    # conftest puts the repo root on sys.path; 'tools' resolves as a
+    # namespace package from there (the test_registry precedent)
     from tools.phash_lossy import (
+        band_min_dist,
         bmp_hash,
         doc_cells,
         doc_pixel_bmp,
@@ -2278,6 +2375,7 @@ def test_phash_survives_measured_lossy_chains():
     )
 
     from mysqldump_to_parquet_spark.llm.multimodal import (
+        PHASH_BAND_PROBE_R,
         PHASH_HAMMING_MAX,
         resize_image_batch,
     )
@@ -2309,6 +2407,15 @@ def test_phash_survives_measured_lossy_chains():
         assert c.min() > PHASH_HAMMING_MAX, (
             "a cross pair fell inside the threshold — FP"
         )
+        # OPERATOR recall == hash recall (review r15): with the
+        # radius-2 band probe, every within-threshold pair is a
+        # candidate (measured r2 == hash-level on every chain; the
+        # plain r=0 join left q48 at 0.93 and q72 at 0.76)
+        bmd = band_min_dist(h[ii], h[jj])[true_m]
+        assert (
+            ((t <= PHASH_HAMMING_MAX) & (bmd <= PHASH_BAND_PROBE_R)).mean()
+            == (t <= PHASH_HAMMING_MAX).mean()
+        ), "a within-threshold pair straddled all bands past the probe"
 
     # resize legs: production ±5 noise is exact at any supported size;
     # ±8 noise drifts ≤ 1 at 18×16 (the measured knee is 9×8)

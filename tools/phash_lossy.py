@@ -119,6 +119,34 @@ def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
 
 
+_POP16 = np.unpackbits(
+    np.arange(65536, dtype=np.uint16).view(np.uint8)
+).reshape(-1, 16).sum(axis=1).astype(np.uint8)
+
+
+def band_min_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-pair MINIMUM Hamming distance across the 4 16-bit bands —
+    the operator's candidate condition is ``band_min_dist <= r`` where
+    r is the band-probe radius (r=0 is the plain exact-band join; the
+    verify threshold only sees BUCKETED pairs, so hash-level recall
+    AND this condition together are the OPERATOR's recall).  Pigeonhole
+    guarantees candidacy for every pair at Hamming ≤ 4·(r+1)−1."""
+    au = np.ascontiguousarray(a).view(np.uint64)
+    bu = np.ascontiguousarray(b).view(np.uint64)
+    out = np.full(len(au), 255, dtype=np.uint8)
+    for i in range(4):
+        sh = np.uint64(16 * i)
+        mask = np.uint64(0xFFFF)
+        x = (((au >> sh) ^ (bu >> sh)) & mask).astype(np.uint16)
+        np.minimum(out, _POP16[x], out=out)
+    return out
+
+
+def shares_band(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """True where a pair shares ≥1 band exactly (probe radius 0)."""
+    return band_min_dist(a, b) == 0
+
+
 def _jpeg_hash_task(arg) -> int:
     cells, quant = arg
     return jpeg_hash(cells, quant)
@@ -141,8 +169,10 @@ def chain_stats(hashes: np.ndarray, docs: np.ndarray, groups: int,
     n = len(hashes)
     ii, jj = np.triu_indices(n, k=1)
     ham = hamming(hashes[ii], hashes[jj])
+    bmd = band_min_dist(hashes[ii], hashes[jj])
     true_m = (docs[ii] % groups) == (docs[jj] % groups)
     t, c = ham[true_m], ham[~true_m]
+    tb, cb = bmd[true_m], bmd[~true_m]
     thr = PHASH_HAMMING_MAX
     out = {
         "true_pairs": int(true_m.sum()),
@@ -154,13 +184,29 @@ def chain_stats(hashes: np.ndarray, docs: np.ndarray, groups: int,
         "min_thr_full_recall": int(t.max()),
         "max_thr_zero_fp": int(c.min()) - 1,
     }
+    # the OPERATOR's recall at band-probe radius r: a pair must ALSO
+    # have some band within Hamming r to ever be a candidate (r=0 is
+    # the plain exact-band join, guaranteed complete only ≤ Hamming 3;
+    # pigeonhole guarantees ≤ 4·(r+1)−1).  cand_rate_cross is the cost
+    # side of the same knob: the fraction of CROSS pairs the probe
+    # radius turns into candidates the bit_count verify must reject.
+    for r in (0, 1, 2):
+        out[f"operator_recall_r{r}"] = round(
+            float(((t <= thr) & (tb <= r)).mean()), 4
+        )
+        out[f"cand_rate_cross_r{r}"] = round(float((cb <= r).mean()), 6)
     if control is not None:
         drift = hamming(hashes, control)
+        dbmd = band_min_dist(hashes, control)
         out["reencode_drift_max"] = int(drift.max())
         out["reencode_drift_mean"] = round(float(drift.mean()), 3)
         out["reencode_recall_at_thr"] = round(
             float((drift <= thr).mean()), 4
         )
+        for r in (0, 1, 2):
+            out[f"reencode_operator_recall_r{r}"] = round(
+                float(((drift <= thr) & (dbmd <= r)).mean()), 4
+            )
     return out
 
 
