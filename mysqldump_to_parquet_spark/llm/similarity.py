@@ -1299,10 +1299,31 @@ def ivf_index_staleness(spark: SparkSession, sf_dir: str) -> dict:
         .collect()
         if r["cell"] is not None  # null-embedding rows are not index mass
     }
+    return _staleness_from_counts(fit_sizes, fit_total, cur)
+
+
+def _staleness_from_counts(
+    fit_sizes: dict, fit_total: int, cur: dict
+) -> dict:
+    """Pure staleness math over (fit-time cell sizes, current cell
+    sizes) — split from :func:`ivf_index_staleness` so the small-cell
+    edge cases are unit-testable without a layout on disk.
+
+    The skew ratio's denominator is floored at ¼ of the AVERAGE
+    fit-time cell mass: the 1M measurement (tools/ivf_append_1m.py,
+    r15) showed a strictly uniform 1 % append scoring 26.7× because a
+    near-empty-at-fit cell received its fair ~20 rows against a
+    denominator of max(fit≈0, 1) — a false refit_due on exactly the
+    append the signal must call healthy.  A sub-¼-average cell is not
+    a probe-cost concern; with the floor it trips the 4× skew bar only
+    once it accumulates ~an average cell's mass, which is when it
+    genuinely starts to matter."""
     cur_total = sum(cur.values())
     growth = cur_total / max(fit_total, 1)
+    fit_floor = max(1.0, 0.25 * fit_total / max(len(fit_sizes), 1))
     max_cell_growth = max(
-        (cur_c / max(fit_sizes.get(c, 0), 1)) / max(growth, 1e-12)
+        (cur_c / max(fit_sizes.get(c, 0), fit_floor))
+        / max(growth, 1e-12)
         for c, cur_c in cur.items()
     )
     appended_fraction = (cur_total - fit_total) / max(fit_total, 1)

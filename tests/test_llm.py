@@ -2231,6 +2231,41 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     assert res2["staleness"]["max_cell_growth"] > S.IVF_REFIT_CELL_SKEW
 
 
+def test_ivf_staleness_small_cell_floor():
+    """The 1M append measurement (r15) caught the skew signal
+    false-positiving on a strictly UNIFORM append: a near-empty-at-fit
+    cell receiving its fair ~20 rows scored 26.7× against a
+    max(fit, 1) denominator.  The ¼-average-cell floor must (a) keep a
+    uniform append quiet even with empty-at-fit cells, and (b) still
+    trip on genuine drift — one cell absorbing the whole batch."""
+    from mysqldump_to_parquet_spark.llm.similarity import (
+        _staleness_from_counts,
+    )
+
+    # 100 cells of 1000 + one empty-at-fit cell; uniform 1 % append
+    # spreads 1010 rows evenly, the empty cell gets its fair 10
+    fit = {c: 1000 for c in range(100)}
+    fit[100] = 0
+    cur = {c: 1010 for c in range(100)}
+    cur[100] = 10
+    st = _staleness_from_counts(fit, 100_000, cur)
+    assert st["max_cell_growth"] < 1.5, st
+    assert st["refit_due"] is False
+
+    # genuine drift: the whole 10 % batch lands in ONE average cell
+    cur2 = dict(fit)
+    cur2[7] = fit[7] + 10_000
+    st2 = _staleness_from_counts(fit, 100_000, cur2)
+    assert st2["max_cell_growth"] > 4.0, st2
+    assert st2["refit_due"] is True
+
+    # drift into the EMPTY cell also trips once it reaches ~avg mass
+    cur3 = dict(fit)
+    cur3[100] = 10_000
+    st3 = _staleness_from_counts(fit, 100_000, cur3)
+    assert st3["refit_due"] is True, st3
+
+
 def test_ivf_index_append_skips_unroutable_and_requires_layout(spark, tmp_path):
     """Unroutable admitted rows — null embedding AND wrong-dim
     embedding (review r15: an unfiltered wrong-dim vector crashes the
