@@ -1477,6 +1477,33 @@ def ivf_index_append(
     }
 
 
+def ivf_index_refit(spark: SparkSession, sf_dir: str) -> dict:
+    """The action ``refit_due`` schedules, as one explicit call — the
+    last piece of the index lifecycle (build → probe → gate → append →
+    staleness → REFIT): drop the session quantizer/layout caches for
+    ``sf_dir`` and rebuild from the current primary store, so the
+    centroids and PQ codebooks are REFIT on the grown corpus (the
+    opposite contract to :func:`ivf_index_append`, which deliberately
+    reuses the fit-time quantizer and so accumulates the drift this
+    call clears).
+
+    Eviction follows `_cached_layout`'s lifecycle exactly: cache
+    entries are popped, the stale tree is NOT deleted eagerly
+    (outstanding lazy handles may still read it — ADVICE r9) and is
+    reclaimed by its atexit hook.  At deploy scale this is the
+    expensive full-rebuild path — the staleness triggers exist to make
+    it RARE (appended_fraction > 20 % or cell skew > 4×), amortizing
+    one rebuild over many cheap appends.  Returns the fresh layout's
+    staleness dict (growth ratios reset to ~1 by construction)."""
+    with _CACHE_LOCK:
+        _IVF_LAYOUTS.pop(sf_dir, None)
+        _IVF_LAYOUT_DFS.pop(sf_dir, None)
+        _IVF_CENTROIDS.pop(sf_dir, None)
+        _PQ_CODEBOOKS.pop(sf_dir, None)
+    _ivf_layout_dir(spark, sf_dir)  # rebuild = refit + rewrite
+    return ivf_index_staleness(spark, sf_dir)
+
+
 def _ivf_probe_cells(centroids) -> list[int]:
     """The ``IVF_SCAN_FRACTION`` of cells nearest the fixed PROBE — same
     squared-L2-on-unit-vectors metric the assignment uses (the ‖p̂‖²

@@ -2230,6 +2230,18 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     assert res2["staleness"]["refit_due"] is True
     assert res2["staleness"]["max_cell_growth"] > S.IVF_REFIT_CELL_SKEW
 
+    # (f) ivf_index_refit is the action the trigger schedules: fresh
+    # quantizer fit on the grown corpus, growth ratios reset to 1,
+    # and probes keep working against the rebuilt layout
+    st3 = S.ivf_index_refit(spark, corpus)
+    assert st3["refit_due"] is False
+    assert abs(st3["max_cell_growth"] - 1.0) < 1e-6
+    got3 = S.ivf_knn_join(
+        spark, corpus, probe_self, k=1, exclude_self=False
+    ).collect()
+    assert len(got3) == 5
+    assert all(r.vec_id == r.qid and r.cosine == 1.0 for r in got3)
+
 
 def test_ivf_staleness_small_cell_floor():
     """The 1M append measurement (r15) caught the skew signal
