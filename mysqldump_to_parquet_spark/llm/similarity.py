@@ -1344,6 +1344,7 @@ def ivf_index_append(
     sf_dir: str,
     admitted: DataFrame,
     verify_primary: bool = True,
+    idempotent: bool = False,
 ) -> dict:
     """Append an admitted batch INTO the written IVF layout (VERDICT
     r15 task 2) — the index-maintenance half of the ingest loop the
@@ -1376,8 +1377,14 @@ def ivf_index_append(
     The append reuses the FIT-TIME quantizer by design — cells only
     stay balanced while arrivals resemble the fit distribution, so the
     returned ``staleness`` dict (see :func:`ivf_index_staleness`) says
-    when to stop appending and refit.  Returns ``{"appended_rows",
-    "skipped_unroutable", "staleness"}``.
+    when to stop appending and refit.  ``idempotent=True`` makes the
+    call safe under at-least-once delivery (a retried streaming epoch
+    replaying the same batch): rows whose vec_id already sits in the
+    batch's cells are anti-joined out against a partition-pruned id
+    read, so a replay appends nothing and reports the batch under
+    ``already_indexed``.  Returns ``{"appended_rows",
+    "skipped_unroutable", "already_indexed", "index_rows",
+    "staleness"}``.
 
     Locking (review r15): ``_CACHE_LOCK`` is held only for the cache
     LOOKUPS and the final re-stamp — the Spark jobs between (verify
@@ -1446,6 +1453,26 @@ def ivf_index_append(
         well_formed, centroids, codebooks if has_pq else None
     ).localCheckpoint(eager=True)  # one encode: counts + write
     writable = coded.where(F.col("cell").isNotNull())
+    n_routable = writable.count()
+    if idempotent:
+        # At-least-once callers (a retried streaming epoch replays the
+        # SAME batch after a crash anywhere around this call): drop
+        # rows whose vec_id already sits in the batch's own cells.
+        # The existing-id scan is partition-pruned to exactly those
+        # cells (bounded by the grid size — the same literal-IN
+        # PartitionFilter as the kNN join's small-batch path), so the
+        # guard costs one pruned id read per batch, never a layout
+        # scan.  Routing is deterministic (same centroids), so a
+        # replayed row always lands in the cell where its first copy
+        # already is.
+        cells = [
+            int(r["cell"])
+            for r in writable.select("cell").distinct().collect()
+        ]
+        existing = _prune_layout_to_cells(
+            spark.read.parquet(cells_dir), cells
+        ).select("vec_id")
+        writable = writable.join(existing, "vec_id", "left_anti")
     (
         writable.repartition("cell")
         .write.partitionBy("cell")
@@ -1471,7 +1498,10 @@ def ivf_index_append(
     staleness = ivf_index_staleness(spark, sf_dir)
     return {
         "appended_rows": appended,
-        "skipped_unroutable": n_in - appended,
+        "skipped_unroutable": n_in - n_routable,
+        # rows the idempotent guard found already present (a replayed
+        # epoch reports its whole batch here and appends nothing)
+        "already_indexed": n_routable - appended,
         "index_rows": staleness["current_total"],
         "staleness": staleness,
     }

@@ -287,7 +287,7 @@ def _gate_epoch(
     exclude_self: bool,
     batch_df: DataFrame,
     epoch_id: int,
-) -> None:
+) -> DataFrame | None:
     """One admission micro-batch: pruned small-batch kNN join at k=1 +
     threshold flag, written to a PER-EPOCH partition directory with
     overwrite — a retried epoch rewrites the same path instead of
@@ -322,7 +322,7 @@ def _gate_epoch(
     from ..llm.similarity import PROBE, ivf_knn_join
 
     if not batch_df.head(1):  # no-data micro-batch
-        return
+        return None
     routable = batch_df.where(
         F.col("qv").isNotNull() & (F.size("qv") == len(PROBE))
     )
@@ -339,14 +339,19 @@ def _gate_epoch(
         F.when(finite, F.col("cosine")).alias("cosine"),
         F.when(finite, F.col("cosine") >= tau).alias("is_dup"),
     )
+    epoch_path = f"{out_dir}/batch_id={int(epoch_id)}"
     (
         batch_df.select("qid")
         .distinct()
         .join(flags, "qid", "left")
         .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
         .write.mode("overwrite")
-        .parquet(f"{out_dir}/batch_id={int(epoch_id)}")
+        .parquet(epoch_path)
     )
+    # The WRITTEN flags are the epoch's source of truth (a retried
+    # epoch must act on what the audit log says, not on a fresh
+    # evaluation that could diverge) — the ingest epoch reads them back
+    return spark.read.parquet(epoch_path)
 
 
 def admission_gate_stream(
@@ -401,6 +406,142 @@ def admission_gate_stream(
     return (
         queries.writeStream.outputMode("append")
         .foreachBatch(gate_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def _ingest_epoch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    tau: float,
+    exclude_self: bool,
+    batch_df: DataFrame,
+    epoch_id: int,
+) -> None:
+    """One GATED-INGEST micro-batch — the full ingest loop the gate
+    opens, inside a single epoch: gate → audit flags → land admitted
+    arrivals in the primary store → append them into the IVF index.
+    The NEXT epoch's gate therefore runs against an index that already
+    learned this epoch's admissions — the stream strengthens its own
+    dedup as it drains.
+
+    Every stage is idempotent under epoch replay (foreachBatch is
+    at-least-once around the checkpoint commit), each by a vec_id-keyed
+    guard rather than by transactions:
+
+    1. the audit flags are the per-epoch overwrite of `_gate_epoch`,
+       and the WRITTEN flags drive admission (a replay acts on the
+       recorded verdicts, not a re-evaluation);
+    2. the primary append anti-joins the admitted qids against the
+       embeddings table's vec_ids — at deploy scale an id-keyed point
+       lookup against the primary store, the same shape as
+       ``verify_primary``;
+    3. the index append runs ``ivf_index_append(idempotent=True)`` —
+       a partition-pruned id read of the batch's own cells drops
+       already-indexed rows, which also covers the crash window
+       BETWEEN primary and index appends (replay: primary anti-join
+       drops everything, the index guard still appends the missing
+       rows).
+
+    Degraded arrivals follow the corpus-wide contract: a null or
+    wrong-dim vector is audited (is_dup=false, cosine=null — the gate
+    errs open, visibly), ADMITTED to the primary store (it is still a
+    document), and skipped by the index append (`_well_formed` defines
+    index mass; it can never be probed).
+
+    Known bound, by design: two near-duplicates arriving in the SAME
+    micro-batch both gate against the pre-batch index and are both
+    admitted — batch-granularity gating trades intra-batch dedup for
+    a single index read per epoch.  A smaller ``maxFilesPerTrigger``
+    tightens the window; exact intra-batch dedup would be one more
+    kNN self-join per epoch if a deployment needs it."""
+    from ..catalog import load_table
+    from ..llm.similarity import ivf_index_append
+
+    flags = _gate_epoch(
+        spark, sf_dir, out_dir, tau, exclude_self, batch_df, epoch_id
+    )
+    if flags is None:  # no-data micro-batch
+        return
+    admitted = batch_df.join(
+        flags.where(~F.col("is_dup")).select("qid"), "qid", "semi"
+    )
+
+    # primary FIRST (the ivf_index_append contract): arrivals not
+    # already landed, schema-aligned to the embeddings table by name
+    # (absent columns land as typed nulls)
+    e = load_table(spark, sf_dir, "embeddings")
+    new_rows = admitted.join(
+        e.select(F.col("vec_id").alias("qid")), "qid", "left_anti"
+    )
+    aligned = new_rows.select(
+        *[
+            F.col("qid").cast(f.dataType).alias("vec_id")
+            if f.name == "vec_id"
+            else F.col("qv").cast(f.dataType).alias("embedding")
+            if f.name == "embedding"
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in e.schema.fields
+        ]
+    ).localCheckpoint(eager=True)  # the anti-join READS the table this
+    # write appends to — materialize first so the scan's file listing
+    # finishes before new files land under it
+    aligned.write.mode("append").parquet(f"{sf_dir}/embeddings.parquet")
+
+    # index second; verify_primary=False because the ordering the
+    # check exists to enforce is internal to this function
+    ivf_index_append(
+        spark,
+        sf_dir,
+        admitted.select(
+            F.col("qid").alias("vec_id"), F.col("qv").alias("embedding")
+        ),
+        verify_primary=False,
+        idempotent=True,
+    )
+
+
+def gated_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    tau: float | None = None,
+    exclude_self: bool = False,
+    query_name: str = "gated_ingest",
+) -> StreamingQuery:
+    """The deploy-shape ingest loop as ONE streaming job (r15): each
+    arriving micro-batch is gated against the written IVF index
+    (:func:`admission_gate_stream`'s pruned k=1 kNN join), audited to
+    ``out_dir``, and its ADMITTED documents are landed in the primary
+    embeddings table and appended into the index before the epoch
+    commits — so a duplicate arriving ANY time after its original is
+    flagged by an index entry this same stream wrote.  Completes the
+    lifecycle the batch APIs expose piecemeal (gate → admit → append →
+    staleness → refit) with the retry story handled per stage (see
+    :func:`_ingest_epoch`).
+
+    ``sf_dir`` must be a CALLER-OWNED corpus root: this stream WRITES
+    to ``{sf_dir}/embeddings.parquet`` and to the session's written
+    layout for it.  The staleness signal still governs refit cadence —
+    a caller drains, checks ``ivf_index_staleness``, and calls
+    ``ivf_index_refit`` between runs when the quantizer aged out."""
+    from ..llm.similarity import DEDUP_INDEX_TAU
+
+    tau_v = DEDUP_INDEX_TAU if tau is None else tau
+
+    def ingest_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _ingest_epoch(
+            spark, sf_dir, out_dir, tau_v, exclude_self, batch_df, epoch_id
+        )
+
+    return (
+        queries.writeStream.outputMode("append")
+        .foreachBatch(ingest_epoch)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()

@@ -2220,12 +2220,18 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     # (e) second half: a drift-skewed batch trips the refit signal —
     # 150 copies of one held vector (30 % new mass, one cell)
     one = held.limit(1).collect()[0]
+    # full primary schema (incl. a null label): appending a
+    # label-less file would leave a mixed-schema directory whose
+    # nondeterministic inference flakes every later corpus read —
+    # exactly why _ingest_epoch aligns arrivals to the table schema
     skewed = spark.createDataFrame(
-        [(9_000_000 + i, one.embedding) for i in range(150)],
-        "vec_id long, embedding array<float>",
+        [(9_000_000 + i, one.embedding, None) for i in range(150)],
+        "vec_id long, embedding array<float>, label int",
     )
     skewed.write.mode("append").parquet(f"{corpus}/embeddings.parquet")
-    res2 = S.ivf_index_append(spark, corpus, skewed)
+    res2 = S.ivf_index_append(
+        spark, corpus, skewed.select("vec_id", "embedding")
+    )
     assert res2["appended_rows"] == 150
     assert res2["staleness"]["refit_due"] is True
     assert res2["staleness"]["max_cell_growth"] > S.IVF_REFIT_CELL_SKEW

@@ -650,3 +650,211 @@ def test_admission_gate_audits_unroutable_arrivals(spark, tmp_path):
         r = rows[qid]
         assert r.nearest_id is None and r.cosine is None
         assert r.is_dup is False, "unroutable arrivals err OPEN, visibly"
+
+
+def test_gated_ingest_stream_learns_and_replays(spark, tmp_path):
+    """The r15 gated-ingest loop: gate → admit → primary append →
+    idempotent index append, all inside one epoch.  Pins:
+    (a) an admitted NEW document enters primary AND index within its
+    epoch; (b) the same content arriving in a LATER epoch is flagged
+    dup by the index entry the stream itself wrote (the
+    self-strengthening property — nearest_id is the earlier arrival's
+    id, cosine 1.0); (c) a full epoch REPLAY (the foreachBatch
+    at-least-once case) changes nothing: primary row set, index row
+    set, and audit flags all identical, and the append reports the
+    batch as already_indexed; (d) a degraded arrival (null qv) is
+    audited, admitted to primary with a null embedding, and absent
+    from the index; (e) a crash BETWEEN primary and index appends is
+    healed by the replay (the index guard appends the missing rows)."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+    from mysqldump_to_parquet_spark.streaming.stream import _ingest_epoch
+
+    # caller-owned corpus copy (the ingest loop WRITES to it)
+    corpus = str(tmp_path / "corpus")
+    spark.read.parquet(f"{SF}/embeddings.parquet").write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    S._ivf_layout_dir(spark, corpus)  # deploy shape: index pre-exists
+    n0 = spark.read.parquet(f"{corpus}/embeddings.parquet").count()
+    tau = 0.9
+
+    rng = np.random.default_rng(7)
+    new_a = (rng.normal(size=64) / 8).tolist()
+    new_b = (rng.normal(size=64) / 8).tolist()
+    dup_of_corpus = [
+        float(x)
+        for x in spark.read.parquet(f"{corpus}/embeddings.parquet")
+        .where(F.col("vec_id") == 3)
+        .collect()[0]
+        .embedding
+    ]
+    out = str(tmp_path / "audit")
+
+    # ---- epoch 0: two new docs, one corpus dup, one degraded
+    batch0 = spark.createDataFrame(
+        [
+            (5_000_001, new_a),
+            (5_000_002, new_b),
+            (5_000_003, dup_of_corpus),
+            (5_000_004, None),
+        ],
+        "qid long, qv array<double>",
+    )
+    _ingest_epoch(spark, corpus, out, tau, False, batch0, 0)
+
+    flags0 = {r.qid: r for r in spark.read.parquet(f"{out}/batch_id=0").collect()}
+    assert flags0[5_000_003].is_dup and flags0[5_000_003].cosine == 1.0
+    assert not flags0[5_000_001].is_dup and not flags0[5_000_002].is_dup
+    assert not flags0[5_000_004].is_dup  # degraded: audited, errs open
+
+    prim = spark.read.parquet(f"{corpus}/embeddings.parquet")
+    # (a)+(d): admitted rows landed (incl. the degraded one), dup did not
+    assert prim.count() == n0 + 3
+    assert prim.where(F.col("vec_id") == 5_000_004).collect()[0].embedding is None
+    assert prim.where(F.col("vec_id") == 5_000_003).count() == 0
+    cells_dir = S._IVF_LAYOUTS[corpus][1] + "/cells"
+    idx_ids = {
+        r.vec_id
+        for r in spark.read.parquet(cells_dir).select("vec_id").collect()
+    }
+    assert 5_000_001 in idx_ids and 5_000_002 in idx_ids
+    assert 5_000_004 not in idx_ids  # degraded is not index mass
+
+    # ---- epoch 1: the SAME content as new_a arrives again (b)
+    batch1 = spark.createDataFrame(
+        [(6_000_001, new_a)], "qid long, qv array<double>"
+    )
+    _ingest_epoch(spark, corpus, out, tau, False, batch1, 1)
+    f1 = spark.read.parquet(f"{out}/batch_id=1").collect()[0]
+    assert f1.is_dup and f1.nearest_id == 5_000_001 and f1.cosine == 1.0
+    assert (
+        spark.read.parquet(f"{corpus}/embeddings.parquet").count() == n0 + 3
+    )
+
+    # ---- (c) replay epoch 0 wholesale: nothing may change
+    before_prim = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{corpus}/embeddings.parquet").collect()
+    )
+    before_idx = sorted(
+        r.vec_id for r in spark.read.parquet(cells_dir).collect()
+    )
+    _ingest_epoch(spark, corpus, out, tau, False, batch0, 0)
+    after_prim = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{corpus}/embeddings.parquet").collect()
+    )
+    after_idx = sorted(
+        r.vec_id for r in spark.read.parquet(cells_dir).collect()
+    )
+    assert after_prim == before_prim, "primary duplicated on replay"
+    assert after_idx == before_idx, "index duplicated on replay"
+
+    # replayed append reports already_indexed, appends nothing
+    res = S.ivf_index_append(
+        spark,
+        corpus,
+        batch0.where(F.col("qid") != 5_000_003).select(
+            F.col("qid").alias("vec_id"), F.col("qv").alias("embedding")
+        ),
+        verify_primary=False,
+        idempotent=True,
+    )
+    assert res["appended_rows"] == 0
+    assert res["already_indexed"] == 2
+    assert res["skipped_unroutable"] == 1
+
+    # ---- (e) crash between primary and index appends: simulate by
+    # deleting the index's epoch-0 rows, then replaying the epoch —
+    # the primary anti-join drops everything but the index guard
+    # must append the missing rows back
+    import glob
+    import os
+
+    removed = 0
+    for p in glob.glob(f"{cells_dir}/cell=*/*.parquet"):
+        ids = {r.vec_id for r in spark.read.parquet(p).collect()}
+        if ids & {5_000_001, 5_000_002}:
+            os.remove(p)
+            removed += 1
+    assert removed >= 1
+    S._IVF_LAYOUT_DFS.pop(corpus, None)  # stale file index
+    _ingest_epoch(spark, corpus, out, tau, False, batch0, 0)
+    idx_ids2 = {
+        r.vec_id
+        for r in spark.read.parquet(cells_dir).select("vec_id").collect()
+    }
+    assert 5_000_001 in idx_ids2 and 5_000_002 in idx_ids2
+    assert (
+        spark.read.parquet(f"{corpus}/embeddings.parquet").count() == n0 + 3
+    )
+
+
+def test_gated_ingest_stream_end_to_end(spark, tmp_path):
+    """gated_ingest_stream through a REAL file-source stream: three
+    arrival files drain to a final state identical to what the epochs
+    pin — every arrival audited exactly once, admitted documents in
+    primary and index exactly once, and the post-drain staleness
+    signal healthy (a small uniform ingest must not demand a refit)."""
+    import numpy as np
+
+    from mysqldump_to_parquet_spark.llm import similarity as S
+    from mysqldump_to_parquet_spark.streaming.stream import (
+        gated_ingest_stream,
+        read_query_stream,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    spark.read.parquet(f"{SF}/embeddings.parquet").write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    S._ivf_layout_dir(spark, corpus)
+    n0 = spark.read.parquet(f"{corpus}/embeddings.parquet").count()
+
+    rng = np.random.default_rng(11)
+    qdir = str(tmp_path / "arrivals")
+    vecs = [(7_000_000 + i, (rng.normal(size=64) / 8).tolist()) for i in range(9)]
+    for i in range(3):
+        spark.createDataFrame(
+            vecs[3 * i : 3 * (i + 1)], "qid long, qv array<double>"
+        ).coalesce(1).write.mode("append").parquet(qdir)
+
+    out = str(tmp_path / "audit")
+    q = gated_ingest_stream(
+        spark,
+        corpus,
+        read_query_stream(spark, qdir),
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tau=0.9,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    audit = spark.read.parquet(out)
+    assert audit.count() == 9
+    assert audit.select("qid").distinct().count() == 9
+    admitted = {r.qid for r in audit.where(~F.col("is_dup")).collect()}
+    prim_new = {
+        r.vec_id
+        for r in spark.read.parquet(f"{corpus}/embeddings.parquet")
+        .where(F.col("vec_id") >= 7_000_000)
+        .collect()
+    }
+    assert prim_new == admitted
+    assert (
+        spark.read.parquet(f"{corpus}/embeddings.parquet").count()
+        == n0 + len(admitted)
+    )
+    cells_dir = S._IVF_LAYOUTS[corpus][1] + "/cells"
+    idx_new = [
+        r.vec_id
+        for r in spark.read.parquet(cells_dir)
+        .where(F.col("vec_id") >= 7_000_000)
+        .collect()
+    ]
+    assert sorted(idx_new) == sorted(admitted), "index ≠ admitted set"
+    st = S.ivf_index_staleness(spark, corpus)
+    assert st["refit_due"] is False
