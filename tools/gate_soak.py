@@ -20,6 +20,16 @@ micro-batch — against the WRITTEN sf0.1 IVF index, and records:
 Usage: python tools/gate_soak.py [--docs 1000] [--files 20]
 Prints one JSON line; paste into SCALING.md beside the other soaks.
 Timing row — run on an idle host (steal < 0.5 %).
+
+``--ingest`` (r15) measures the FULL gated-ingest loop instead
+(``gated_ingest_stream``): the corpus is COPIED to a tempdir (the
+ingest loop writes to its primary store), τ=0.9 so the far-jitter half
+is actually admitted, and each epoch lands its admissions in the
+primary table and appends them into the index.  Extra fields report
+primary/index growth, the post-drain staleness signal, and the same
+per-batch latency percentiles for a direct gate-only vs gate+ingest
+comparison (the pruning A/B is skipped — identical machinery either
+way).
 """
 
 from __future__ import annotations
@@ -70,6 +80,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1000)
     ap.add_argument("--files", type=int, default=20)
+    ap.add_argument("--ingest", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -78,6 +89,7 @@ def main() -> None:
     from mysqldump_to_parquet_spark.session import get_spark
     from mysqldump_to_parquet_spark.streaming.stream import (
         admission_gate_stream,
+        gated_ingest_stream,
         read_query_stream,
     )
 
@@ -94,7 +106,14 @@ def main() -> None:
     # realistic mixed arrival the gate exists to split
     base = str(tempfile.mkdtemp(prefix="gate_soak_"))
     qdir, out, ckpt = f"{base}/arrivals", f"{base}/flags", f"{base}/ckpt"
-    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = SF_DIR
+    if args.ingest:
+        # the ingest loop WRITES to its corpus — soak a private copy
+        corpus = f"{base}/corpus"
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").write.parquet(
+            f"{corpus}/embeddings.parquet"
+        )
+    e = spark.read.parquet(f"{corpus}/embeddings.parquet")
     per_file = args.docs // args.files
     shift = 20_000_000_000
 
@@ -135,15 +154,24 @@ def main() -> None:
     # ---- build the index BEFORE the stream (deploy shape: the index
     # exists; batch latency must not absorb the one-time build) ----
     t0 = time.perf_counter()
-    S._ivf_layout_dir(spark, SF_DIR)
+    cells_dir = S._ivf_layout_dir(spark, corpus)
     build_s = round(time.perf_counter() - t0, 2)
+    prim_before = e.count()
+    idx_before = _dir_stats(cells_dir)
 
     # ---- drain ----
     t0 = time.perf_counter()
-    q = admission_gate_stream(
-        spark, SF_DIR, read_query_stream(spark, qdir),
-        out_dir=out, checkpoint_dir=ckpt, query_name="gate_soak",
-    )
+    if args.ingest:
+        q = gated_ingest_stream(
+            spark, corpus, read_query_stream(spark, qdir),
+            out_dir=out, checkpoint_dir=ckpt, tau=0.9,
+            query_name="ingest_soak",
+        )
+    else:
+        q = admission_gate_stream(
+            spark, corpus, read_query_stream(spark, qdir),
+            out_dir=out, checkpoint_dir=ckpt, query_name="gate_soak",
+        )
     q.processAllAvailable()
     drain_s = round(time.perf_counter() - t0, 2)
     progress = [json.loads(p.json) for p in q.recentProgress]
@@ -159,55 +187,78 @@ def main() -> None:
     audited = flags.count()
     dups = flags.where("is_dup").count()
 
-    # ---- pruning on/off on one representative arrival batch ----
-    batch = spark.read.parquet(qdir).limit(per_file)
-    routed = S._knn_route_queries(spark, SF_DIR, batch)
-    cells = S._knn_batch_cells(routed)
-    layout = S._ivf_layout_df(spark, SF_DIR).select(
-        "cell", "vec_id", "code"
-    )
-    read_full = _scan_read(layout)
-    read_pruned = _scan_read(S._prune_layout_to_cells(layout, cells))
+    report = {
+        "metric": (
+            "gated_ingest_soak" if args.ingest else "admission_gate_soak"
+        ),
+        "sf_dir": SF_DIR,
+        "docs": n_docs,
+        "files": args.files,
+        "index_build_s": build_s,
+        "drain_s": drain_s,
+        "micro_batches": n,
+        "batch_ms_p50": durations[n // 2] if n else None,
+        "batch_ms_p95": _p95(durations),
+        "batch_ms_max": durations[-1] if n else None,
+        "docs_per_sec": round(n_docs / drain_s, 1),
+        "audited_rows": audited,
+        "flagged_dup": dups,
+        "checkpoint": _dir_stats(ckpt),
+        "sink": _dir_stats(out),
+        "cpus": cpus,
+    }
 
-    def join_wall(prune: bool) -> float:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            S.ivf_knn_join(
-                spark, SF_DIR, batch, k=1, exclude_self=False,
-                prune_cells=prune,
-            ).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
-
-    print(
-        json.dumps(
+    if args.ingest:
+        prim_after = spark.read.parquet(
+            f"{corpus}/embeddings.parquet"
+        ).count()
+        idx_after = _dir_stats(cells_dir)
+        st = S.ivf_index_staleness(spark, corpus)
+        report.update(
             {
-                "metric": "admission_gate_soak",
-                "sf_dir": SF_DIR,
-                "docs": n_docs,
-                "files": args.files,
-                "index_build_s": build_s,
-                "drain_s": drain_s,
-                "micro_batches": n,
-                "batch_ms_p50": durations[n // 2] if n else None,
-                "batch_ms_p95": _p95(durations),
-                "batch_ms_max": durations[-1] if n else None,
-                "docs_per_sec": round(n_docs / drain_s, 1),
-                "audited_rows": audited,
-                "flagged_dup": dups,
+                "admitted": audited - dups,
+                "primary_rows_added": prim_after - prim_before,
+                "index_files_added": idx_after["files"]
+                - idx_before["files"],
+                "index_bytes_added": idx_after["bytes"]
+                - idx_before["bytes"],
+                "staleness": st,
+            }
+        )
+    else:
+        # ---- pruning on/off on one representative arrival batch ----
+        batch = spark.read.parquet(qdir).limit(per_file)
+        routed = S._knn_route_queries(spark, corpus, batch)
+        cells = S._knn_batch_cells(routed)
+        layout = S._ivf_layout_df(spark, corpus).select(
+            "cell", "vec_id", "code"
+        )
+        read_full = _scan_read(layout)
+        read_pruned = _scan_read(S._prune_layout_to_cells(layout, cells))
+
+        def join_wall(prune: bool) -> float:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                S.ivf_knn_join(
+                    spark, corpus, batch, k=1, exclude_self=False,
+                    prune_cells=prune,
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 4)
+
+        report.update(
+            {
                 "cells_probed_per_batch": len(cells),
-                "cells_total": len(S.ivf_centroids(spark, SF_DIR)),
+                "cells_total": len(S.ivf_centroids(spark, corpus)),
                 "layout_read_full": read_full,
                 "layout_read_pruned": read_pruned,
                 "join_wall_pruned_s": join_wall(True),
                 "join_wall_unpruned_s": join_wall(False),
-                "checkpoint": _dir_stats(ckpt),
-                "sink": _dir_stats(out),
-                "cpus": cpus,
             }
         )
-    )
+
+    print(json.dumps(report))
     spark.stop()
 
 
