@@ -300,6 +300,33 @@ def main() -> None:
     dt = max(1, cpu1["total"] - cpu0["total"])
     steal_pct = round(100.0 * (cpu1["steal"] - cpu0["steal"]) / dt, 3)
 
+    # Settle-and-redraw on a contended window (VERDICT r14 perf note:
+    # every recorded-margin scare so far was hypervisor steal, and the
+    # floors under it were fine).  When the draw's own steal% exceeds
+    # 1.5 — the level at which r12/r14 recorded 10–30 % uniform
+    # inflation — wait out the neighbour and take one more min-of-2
+    # pass, merging floors.  The JSON records both steal readings, so
+    # the adjudication ("the redraw window was cleaner and the floors
+    # dropped") is in the instrument, not a post-hoc story.
+    redraw = None
+    if steal_pct > 1.5:
+        time.sleep(45)
+        r_cpu0 = _cpu_counters()
+        re_t = _time_queries(registry, names, spark, sf_dir, 2)
+        r_cpu1 = _cpu_counters()
+        r_dt = max(1, r_cpu1["total"] - r_cpu0["total"])
+        redraw = {
+            "steal_pct": round(
+                100.0 * (r_cpu1["steal"] - r_cpu0["steal"]) / r_dt, 3
+            ),
+            "common_14_redraw": round(sum(re_t[n] for n in common), 4),
+        }
+        for n in names:
+            timings[n] = min(timings[n], re_t[n])
+        total = round(sum(timings.values()), 4)
+        common_total = round(sum(timings[n] for n in common), 4)
+        band_verdicts = band_verdicts_for(timings, sf)
+
     print(
         json.dumps(
             {
@@ -349,6 +376,9 @@ def main() -> None:
                 # query at/near its known floor; populated =
                 # environment or regression — see IDLE_FLOOR_SEC)
                 "band_verdicts": band_verdicts,
+                # present only when steal_pct > 1.5 forced a
+                # settle-and-redraw pass (floors above already merged)
+                "redraw": redraw,
                 "cpus": cpus,
             }
         )
