@@ -243,6 +243,12 @@ def main() -> None:
     for key in args.pin:
         if key not in key_module:
             raise SystemExit(f"--pin {key}: not a registry key")
+        if key in b_never:
+            raise SystemExit(
+                f"--pin {key}: never driver-checked — it already leads "
+                "the window unconditionally; a pin is only for keys "
+                "with stale green evidence"
+            )
         if key not in b_touch:
             raise SystemExit(
                 f"--pin {key}: its module ({key_module.get(key)}) is "
