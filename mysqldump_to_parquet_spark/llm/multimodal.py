@@ -1898,8 +1898,14 @@ def _phash_banded_pairs(fp: DataFrame) -> DataFrame:
                 "hamming"
             ),
         )
-        .distinct()
+        # verify BEFORE the dedup shuffle: hamming is a function of the
+        # pair, so filtering first is result-identical and the distinct
+        # (the candidate stage's one exchange) sees only surviving
+        # pairs — on a real corpus the probe-radius candidates are
+        # mostly rejects, so this keeps the multi-probe's extra
+        # candidates out of the shuffle entirely
         .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
