@@ -142,10 +142,30 @@ def _learn(spark: SparkSession, sf_dir: str):
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         rules.append((r, a, b, cnt))
         pat, rep = _bracketed(a, b), _bracketed(a + b)
+        if r == BPE_MERGES:
+            # Final round (optimization r15): the post-collect update —
+            # affected filter, delta count, counts fold, corpus
+            # checkpoint — exists only to prepare round r+1, which
+            # never runs.  q_bpe_merges uses none of it; q_bpe_apply
+            # needs only the final REPLACE, left lazy here so its one
+            # map-only pass fuses into the apply action instead of
+            # eagerly materializing a corpus nobody may read.  Skipping
+            # the dead work removes three eager jobs (two of them
+            # corpus-sized passes) per call — measured 4.37 s → 4.08 s
+            # at sf0.1.
+            cur = cur.select(
+                F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym")
+            )
+            break
         affected = cur.where(F.col("sym").contains(pat)).localCheckpoint()
         replaced = affected.select(
             F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym")
         )
+        # (A one-pass delta — both pair lists concat-ed into one explode
+        # over one scan — was tried in r15 and measured SLOWER: the
+        # nested transform(zip_with(...)) struct-building runs as
+        # interpreted higher-order expressions and cost more than the
+        # second scan it saved.  Two-pass kept deliberately.)
         delta = (
             _pairs_of(replaced)
             .groupBy("a", "b")

