@@ -552,24 +552,24 @@ NOTES = {
     ),
     "q_dedup_phash": (
         "Perceptual image dedup (r14): decode + 64-bit dHash in one "
-        "vectorized mapInPandas stage, then the q_dedup_simhash "
-        "banding discipline — 4 banded copies of (doc_id, phash) "
-        "equi-join on (band, 16-bit value), so candidates shuffle on "
-        "the band key and the Hamming verify (codegen bit_count of a "
-        "XOR) runs on bucketed pairs only.  NEVER all-pairs at any "
-        "corpus size: the pair blowup is bounded by bucket occupancy.  "
-        "r15 ×2: (1) the fingerprint table is PERSISTED (VERDICT r14 "
-        "#1) — both join sides read an InMemoryTableScan over ONE "
-        "decode+dHash pass (visible below), pinned by a decode-count "
-        "accumulator and a plan assertion; (2) radius-2 band "
-        "multi-probe (the MIH recipe) — side A's band values expand by "
-        "the 137-mask Hamming ball (the explode over the literal mask "
-        "array below), so EVERY pair at Hamming ≤ 11 ≥ the verify "
-        "threshold 10 is a guaranteed candidate and operator recall ≡ "
-        "measured hash recall (plain exact-band matching guaranteed "
-        "only ≤ 3 and measured 0.93/0.76 at q48/q72); expansion is "
-        "linear (~548 rows/doc one side), the quadratic-ish verify "
-        "sees ~0.8 % of cross pairs."
+        "vectorized mapInPandas stage, PERSISTED so every branch reads "
+        "an InMemoryTableScan over ONE decode pass (VERDICT r14 #1, "
+        "pinned by a decode-count accumulator).  Candidates (r15 "
+        "rewrite, guide §8 — decide with small rows): equal "
+        "fingerprints pair via one equi-join on the 64-bit hash "
+        "(Hamming-0 by construction, no banding); the radius-2 "
+        "137-mask multi-probe (the MIH recipe, recall ≡ hash recall "
+        "at verify threshold 10) runs over DISTINCT hash values only "
+        "— the Generate below explodes [phash] alone, no doc_id — so "
+        "the exploded join side shrinks by the corpus duplication "
+        "factor and never exceeds 548 rows per distinct image.  The "
+        "Hamming verify (codegen bit_count of a XOR) runs BEFORE the "
+        "pair .distinct(), keeping the multi-probe's mostly-reject "
+        "candidates out of the exchange; doc ids re-attach with two "
+        "hash-keyed joins after the decision, and there is no final "
+        "global sort (the driver's value-hash is order-insensitive). "
+        "NEVER all-pairs at any corpus size: bounded by bucket "
+        "occupancy over distinct fingerprints."
     ),
     "q_multimodal_jpeg": (
         "Baseline JPEG decode (r13): same two-stage mapInPandas "
