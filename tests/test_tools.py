@@ -145,3 +145,140 @@ def test_bench_band_verdicts():
     assert bench.band_verdicts_for(edge, 0.01) == {}
     # unknown queries (future additions) are skipped, not KeyErrored
     assert bench.band_verdicts_for({"q_not_yet_floored": 99.0}, 0.1) == {}
+
+
+# ---------------------------------------------------------------------------
+# bench.py settle-and-redraw contract (VERDICT r15 #7): the redraw is a
+# one-directional floor merge, so its guard rails must be pinned — it may
+# fire ONLY when the draw's own steal exceeds 1.5 %, it must record BOTH
+# steal readings in the JSON, and it must never suppress the primary
+# draw's numbers (idle_confirm and the one-line schema stay intact).
+# Drives bench.main() end-to-end with the Spark surface and the timing
+# passes stubbed, so the assertions cover the real assembly code.
+# ---------------------------------------------------------------------------
+
+
+def _drive_bench_main(monkeypatch, capsys, steal_deltas):
+    """Run bench.main() with synthetic timing passes and /proc/stat
+    readings; returns (parsed JSON, sleep calls).  ``steal_deltas`` is
+    the sequence of (steal, total) counter readings main() will see."""
+    import json
+
+    sys.path.insert(0, str(REPO))
+    import bench
+    import __spark_entry__ as entrypoint
+
+    class _Sink:
+        def format(self, *_a):
+            return self
+
+        def mode(self, *_a):
+            return self
+
+        def save(self):
+            return None
+
+    class _FakeDF:
+        write = _Sink()
+
+    class _FakeSpark:
+        def stop(self):
+            return None
+
+    names = list(bench.BENCH_QUERY_NAMES)
+    registry = {n: (lambda spark, sf: _FakeDF()) for n in names}
+
+    # main/confirm/redraw passes, in call order: the merged floor must
+    # be the min across whichever passes ran
+    passes = iter(
+        [
+            {n: 1.0 for n in names},  # main (min-of-REPS)
+            {n: 0.9 for n in names},  # confirm (min-of-2)
+            {n: 0.5 for n in names},  # redraw (min-of-2, if it fires)
+        ]
+    )
+    counters = iter(steal_deltas)
+    sleeps: list[float] = []
+
+    monkeypatch.setattr(bench, "get_spark", lambda **_kw: _FakeSpark())
+    monkeypatch.setattr(entrypoint, "queries", lambda: registry)
+    monkeypatch.setattr(
+        bench, "_time_queries", lambda *_a, **_kw: next(passes)
+    )
+    monkeypatch.setattr(bench, "_cpu_counters", lambda: next(counters))
+    monkeypatch.setattr(
+        bench,
+        "_load_gate",
+        lambda: {
+            "threshold": bench.LOAD_GATE,
+            "waited_sec": 0.0,
+            "loadavg_at_gate": 0.0,
+            "verdict": "ok",
+        },
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
+
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(line), sleeps
+
+
+def test_bench_redraw_fires_only_above_steal_bar(monkeypatch, capsys):
+    """steal 3 % across the draw → the redraw fires, records its OWN
+    steal reading alongside the primary one, and floors merge min."""
+    out, sleeps = _drive_bench_main(
+        monkeypatch,
+        capsys,
+        [
+            {"steal": 0, "total": 1_000_000},  # draw start
+            {"steal": 30_000, "total": 2_000_000},  # draw end → 3 %
+            {"steal": 30_000, "total": 2_000_000},  # redraw start
+            {"steal": 30_010, "total": 3_000_000},  # redraw end → 0.001 %
+        ],
+    )
+    assert out["steal_pct"] == 3.0  # the PRIMARY reading is recorded
+    assert out["redraw"] is not None
+    assert out["redraw"]["steal_pct"] == 0.001  # ...and the redraw's own
+    # floors are the min across all three passes
+    assert all(v == 0.5 for v in out["queries"].values())
+    assert out["value"] == round(0.5 * len(out["queries"]), 4)
+    # the primary draw's numbers are NOT suppressed: idle_confirm still
+    # reports the main-vs-confirm comparison (pre-merge), and the
+    # redraw's own common-14 is recorded separately
+    assert out["idle_confirm"]["common_14_recheck"] == round(0.9 * 14, 4)
+    assert out["redraw"]["common_14_redraw"] == round(0.5 * 14, 4)
+    assert sleeps == [45]  # the settle wait ran
+
+
+def test_bench_redraw_stays_inert_below_steal_bar(monkeypatch, capsys):
+    """steal ≤ 1.5 % → no redraw pass, no settle sleep, floors are the
+    main/confirm min and the schema still carries redraw: null."""
+    out, sleeps = _drive_bench_main(
+        monkeypatch,
+        capsys,
+        [
+            {"steal": 0, "total": 1_000_000},
+            {"steal": 10_000, "total": 2_000_000},  # 1 % — below the bar
+        ],
+    )
+    assert out["steal_pct"] == 1.0
+    assert out["redraw"] is None
+    assert sleeps == []
+    assert all(v == 0.9 for v in out["queries"].values())
+    # one-line JSON schema: the consumer-read keys are all present
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "sf",
+        "common_14_total",
+        "steal_pct",
+        "idle_confirm",
+        "band_verdicts",
+        "redraw",
+        "cpus",
+    ):
+        assert key in out
