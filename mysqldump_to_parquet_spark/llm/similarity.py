@@ -1176,12 +1176,10 @@ def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
         # candidates, so they are not index mass (review r15: int(None)
         # crashed the build on exactly the corpora _masked_rows exists
         # to support).
+        reader = spark.read.parquet(cells)
         sizes = {
             int(r["cell"]): int(r["count"])
-            for r in spark.read.parquet(cells)
-            .groupBy("cell")
-            .count()
-            .collect()
+            for r in reader.groupBy("cell").count().collect()
             if r["cell"] is not None
         }
         with open(os.path.join(root, "ivf_meta.json"), "w") as f:
@@ -1189,6 +1187,10 @@ def _ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
                 {
                     "fit_cell_sizes": sizes,
                     "fit_total": sum(sizes.values()),
+                    # recorded so the append path never has to infer
+                    # the layout schema by re-listing every cell dir
+                    # (r16, guide §6)
+                    "pq": "pq_code" in reader.schema.names,
                 },
                 f,
             )
@@ -1212,6 +1214,17 @@ _IVF_LAYOUT_DFS: "OrderedDict[str, tuple]" = OrderedDict()
 #: (sf_dir, band) → (fingerprint, applicationId, DataFrame) — the LSH
 #: probe's per-band file-index handles, same lifecycle/rationale.
 _ANN_BAND_DFS: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+#: sf_dir → (corpus fingerprint, {cell: rows}) — the written layout's
+#: CURRENT per-cell row counts, maintained incrementally (r16, guide
+#: §6): seeded by the first staleness scan, advanced by each append's
+#: own per-cell counts (one groupBy over the already-materialized
+#: batch), re-stamped in the same critical section as the other
+#: caches.  Valid iff the stamp matches ``_IVF_LAYOUTS[sf_dir][0]``.
+#: This turns the per-append staleness signal from a footer scan of
+#: EVERY cell directory (O(total index files), the r15 ingest soak's
+#: growing tail) into pure driver arithmetic.
+_IVF_CELL_COUNTS: dict[str, tuple] = {}
 
 #: LRU bound on the probe-handle caches: per-corpus fingerprint keying
 #: already REPLACES on regeneration, but a long-lived probe service
@@ -1291,14 +1304,25 @@ def ivf_index_staleness(spark: SparkSession, sf_dir: str) -> dict:
         meta = json.load(f)
     fit_sizes = {int(k): int(v) for k, v in meta["fit_cell_sizes"].items()}
     fit_total = int(meta["fit_total"])
-    cur = {
-        int(r["cell"]): int(r["count"])
-        for r in _ivf_layout_df(spark, sf_dir)
-        .groupBy("cell")
-        .count()
-        .collect()
-        if r["cell"] is not None  # null-embedding rows are not index mass
-    }
+    # Current counts come from the incrementally-maintained session
+    # cache when its stamp matches the layout's (r16, guide §6): each
+    # append already knows exactly what it wrote per cell, so the
+    # signal is driver arithmetic, not a footer scan that grows with
+    # every appended file.  A cold cache (first call for this layout)
+    # pays the scan once and seeds it.
+    counts_hit = _IVF_CELL_COUNTS.get(sf_dir)
+    if counts_hit is not None and counts_hit[0] == hit[0]:
+        cur = dict(counts_hit[1])
+    else:
+        cur = {
+            int(r["cell"]): int(r["count"])
+            for r in _ivf_layout_df(spark, sf_dir)
+            .groupBy("cell")
+            .count()
+            .collect()
+            if r["cell"] is not None  # null rows are not index mass
+        }
+        _IVF_CELL_COUNTS[sf_dir] = (hit[0], dict(cur))
     return _staleness_from_counts(fit_sizes, fit_total, cur)
 
 
@@ -1398,6 +1422,8 @@ def ivf_index_append(
     bounded leak the eviction path already documents."""
     import os
 
+    import json
+
     with _CACHE_LOCK:  # fast lookups only — no Spark jobs under it
         hit = _IVF_LAYOUTS.get(sf_dir)
         if hit is None:
@@ -1406,7 +1432,7 @@ def ivf_index_append(
                 "— build it first (any IVF probe or kNN join builds "
                 "it), then append batches"
             )
-        root = hit[1]
+        fp_old, root = hit
         cells_dir = os.path.join(root, "cells")
         cent_hit = _IVF_CENTROIDS.get(sf_dir)
         if cent_hit is None:
@@ -1419,7 +1445,18 @@ def ivf_index_append(
         pq_hit = _PQ_CODEBOOKS.get(sf_dir)
         codebooks = pq_hit[1] if pq_hit is not None else None
 
-    has_pq = "pq_code" in spark.read.parquet(cells_dir).schema.names
+    # "does this layout carry PQ codes" comes from the build's own
+    # metadata (one local json read, r16 guide §6) instead of
+    # spark.read.parquet(cells_dir) schema inference, which eagerly
+    # LISTS every cell directory — at streaming-epoch cadence that
+    # listing grows with every appended file (the r15 soak's p95
+    # tail).  Fallback covers a layout whose meta predates the key.
+    with open(os.path.join(root, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    if "pq" in meta:
+        has_pq = bool(meta["pq"])
+    else:
+        has_pq = "pq_code" in spark.read.parquet(cells_dir).schema.names
     if has_pq and codebooks is None:
         raise ValueError(
             f"layout at {cells_dir!r} carries pq_code but no PQ "
@@ -1453,33 +1490,56 @@ def ivf_index_append(
         well_formed, centroids, codebooks if has_pq else None
     ).localCheckpoint(eager=True)  # one encode: counts + write
     writable = coded.where(F.col("cell").isNotNull())
-    n_routable = writable.count()
-    if idempotent:
+    # ONE job over the checkpointed batch yields both the routable
+    # count and the batch's distinct cells with their sizes (r16 —
+    # was a count plus a separate distinct-collect); the per-cell
+    # sizes also advance the incremental staleness counts below.
+    cell_rows = {
+        int(r["cell"]): int(r["count"])
+        for r in writable.groupBy("cell").count().collect()
+    }
+    n_routable = sum(cell_rows.values())
+    appended_by_cell = cell_rows
+    if idempotent and cell_rows:
         # At-least-once callers (a retried streaming epoch replays the
         # SAME batch after a crash anywhere around this call): drop
         # rows whose vec_id already sits in the batch's own cells.
-        # The existing-id scan is partition-pruned to exactly those
-        # cells (bounded by the grid size — the same literal-IN
-        # PartitionFilter as the kNN join's small-batch path), so the
-        # guard costs one pruned id read per batch, never a layout
-        # scan.  Routing is deterministic (same centroids), so a
-        # replayed row always lands in the cell where its first copy
-        # already is.
-        cells = [
-            int(r["cell"])
-            for r in writable.select("cell").distinct().collect()
-        ]
-        existing = _prune_layout_to_cells(
-            spark.read.parquet(cells_dir), cells
-        ).select("vec_id")
-        writable = writable.join(existing, "vec_id", "left_anti")
+        # The existing-id read is pruned at the LISTING (r16,
+        # _pruned_cells_reader — only the batch's cell directories are
+        # walked), not just at the scan, so the guard's cost follows
+        # the batch's cells, never the layout's total file count.
+        # Routing is deterministic (same centroids), so a replayed row
+        # always lands in the cell where its first copy already is.
+        cells = sorted(cell_rows)
+        if "://" in cells_dir:
+            existing = _prune_layout_to_cells(
+                spark.read.parquet(cells_dir), cells
+            )
+        else:
+            existing = _pruned_cells_reader(spark, cells_dir, cells)
+        if existing is not None:
+            # Materialized BEFORE the write — localCheckpoint, not
+            # persist: the write's refreshByPath makes the
+            # CacheManager RECACHE any cached plan reading cells_dir,
+            # re-executing the anti-join against a fresh listing that
+            # now contains this very write's output, which silently
+            # zeroes the appended counts (caught by the r16 soak's
+            # staleness probe).  A checkpoint's lineage is already
+            # cut, so nothing re-executes.
+            writable = writable.join(
+                existing.select("vec_id"), "vec_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            appended_by_cell = {
+                int(r["cell"]): int(r["count"])
+                for r in writable.groupBy("cell").count().collect()
+            }
     (
         writable.repartition("cell")
         .write.partitionBy("cell")
         .mode("append")
         .parquet(cells_dir)
     )
-    appended = int(writable.count())
+    appended = int(sum(appended_by_cell.values()))
 
     with _CACHE_LOCK:
         # Re-stamp every quantizer/layout cache with the POST-ingest
@@ -1494,6 +1554,18 @@ def ivf_index_append(
             _PQ_CODEBOOKS[sf_dir] = (fp_new, codebooks)
         _IVF_LAYOUTS[sf_dir] = (fp_new, root)
         _IVF_LAYOUT_DFS.pop(sf_dir, None)
+        # advance the incremental staleness counts with this append's
+        # own per-cell sizes (valid only if they were current for the
+        # PRE-append layout; otherwise drop them and let the next
+        # staleness call re-seed from a scan)
+        counts_hit = _IVF_CELL_COUNTS.get(sf_dir)
+        if counts_hit is not None and counts_hit[0] == fp_old:
+            merged = dict(counts_hit[1])
+            for c, n in appended_by_cell.items():
+                merged[c] = merged.get(c, 0) + n
+            _IVF_CELL_COUNTS[sf_dir] = (fp_new, merged)
+        else:
+            _IVF_CELL_COUNTS.pop(sf_dir, None)
 
     staleness = ivf_index_staleness(spark, sf_dir)
     return {
@@ -1530,6 +1602,7 @@ def ivf_index_refit(spark: SparkSession, sf_dir: str) -> dict:
         _IVF_LAYOUT_DFS.pop(sf_dir, None)
         _IVF_CENTROIDS.pop(sf_dir, None)
         _PQ_CODEBOOKS.pop(sf_dir, None)
+        _IVF_CELL_COUNTS.pop(sf_dir, None)
     _ivf_layout_dir(spark, sf_dir)  # rebuild = refit + rewrite
     return ivf_index_staleness(spark, sf_dir)
 
@@ -2079,6 +2152,75 @@ def _prune_layout_to_cells(layout: DataFrame, cells: list[int]) -> DataFrame:
     )
 
 
+def _pruned_cells_reader(
+    spark: SparkSession, cells_dir: str, cells: list[int]
+) -> DataFrame | None:
+    """Listing-pruned layout reader (r16, guide §6): a ``cell IN``
+    PartitionFilter prunes the DATA read, but ``spark.read.parquet``
+    over the layout ROOT still eagerly lists EVERY cell directory to
+    build its file index — per streaming epoch that listing grows with
+    every appended file (the r15 ingest soak's p95 tail).  Reading the
+    named cell directories directly (``basePath`` keeps the partition
+    column) bounds the listing by the batch's own cells.  Returns None
+    when none of the directories exist yet (nothing indexed there —
+    callers treat it as an empty relation).  LOCAL-FS paths only (the
+    ``os.path.isdir`` probe), which the session-tempdir layouts always
+    are — callers must route a remote layout root to the full reader
+    BEFORE calling this, since its directories would probe as
+    all-missing here and None would wrongly read as empty."""
+    import os
+
+    if "://" in cells_dir:
+        raise ValueError(
+            f"_pruned_cells_reader is local-FS only, got {cells_dir!r}"
+        )
+    paths = [
+        p
+        for c in cells
+        if os.path.isdir(p := f"{cells_dir}/cell={int(c)}")
+    ]
+    if not paths:
+        return None
+    return spark.read.option("basePath", cells_dir).parquet(*paths)
+
+
+def _layout_for_cells(
+    spark: SparkSession, sf_dir: str, cells: list[int]
+) -> DataFrame:
+    """The layout relation a small batch's cell-pruned join should
+    read, picking the cheapest correct file index (r16, guide §6):
+
+    1. the session's cached full handle + ``cell IN`` filter when the
+       handle is warm — no listing at all (the repeated-probe shape);
+    2. a listing-pruned read of just the batch's cell directories when
+       the handle is cold and the batch touches a minority of cells —
+       the streaming-gate shape, where each epoch's index append
+       evicts the handle and a full re-list would grow with every
+       appended file (the r15 soak's p95 tail);
+    3. the full reader (which also re-warms the handle cache for the
+       next caller) otherwise — bulk batches that touch most cells,
+       remote layout roots, or cells not yet on disk.
+
+    Result-identical in every arm: the ``cell`` equi-join discards
+    unprobed cells anyway, and the IN filter stays on top of the
+    pruned read as belt-and-braces."""
+    with _CACHE_LOCK:
+        fp = _corpus_fingerprint(sf_dir)
+        app = spark.sparkContext.applicationId
+        hit = _handle_cache_get(_IVF_LAYOUT_DFS, sf_dir, fp, app)
+        cent_hit = _IVF_CENTROIDS.get(sf_dir)
+    if hit is not None:
+        return _prune_layout_to_cells(hit, cells)
+    n_cells_total = len(cent_hit[1]) if cent_hit is not None else 0
+    if cells and n_cells_total and len(cells) <= n_cells_total // 2:
+        cells_dir = _ivf_layout_dir(spark, sf_dir)
+        if "://" not in cells_dir:
+            pruned = _pruned_cells_reader(spark, cells_dir, cells)
+            if pruned is not None:
+                return _prune_layout_to_cells(pruned, cells)
+    return _prune_layout_to_cells(_ivf_layout_df(spark, sf_dir), cells)
+
+
 def ivf_knn_join(
     spark: SparkSession,
     sf_dir: str,
@@ -2151,7 +2293,6 @@ def ivf_knn_join(
     from pyspark.sql.window import Window
 
     q = _knn_route_queries(spark, sf_dir, queries)
-    layout = _ivf_layout_df(spark, sf_dir).select("cell", "vec_id", "code")
     if prune_cells is None:
         prune_cells = broadcast_queries
     if prune_cells:
@@ -2169,7 +2310,10 @@ def ivf_knn_join(
         # GC'd.  eager=True runs the routing job here; the collect
         # below and the join both read the materialized rows.
         q = q.localCheckpoint(eager=True)
-        layout = _prune_layout_to_cells(layout, _knn_batch_cells(q))
+        layout = _layout_for_cells(spark, sf_dir, _knn_batch_cells(q))
+    else:
+        layout = _ivf_layout_df(spark, sf_dir)
+    layout = layout.select("cell", "vec_id", "code")
     # broadcast_queries=False for query sets too large to broadcast
     # (the routed side is |queries|·nprobe rows of qid+qv): AQE then
     # picks the join strategy, at the price of shuffling the layout

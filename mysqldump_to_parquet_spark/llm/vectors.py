@@ -143,48 +143,98 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def _assign_udf(centroids):
-    """Vectorized nearest-centroid assignment: one NumPy broadcast per
-    Arrow batch ((n×1×D − 1×K×D)² summed over D → n×K, argmin over K).
+#: mapInPandas output schema of :func:`_assign_fold_udf` — per-batch
+#: partial sums, merged JVM-side into the exact per-cluster means.
+_FOLD_SCHEMA = "cluster int, pos int, s double, c long"
 
-    Why a pandas UDF and not JVM expressions: K×D per-centroid
-    ``aggregate``/``zip_with`` folds don't participate in whole-stage
-    codegen — they evaluate as interpreted per-element lambdas (measured
-    21 s at sf0.1 for K=8, D=64 vs <2 s vectorized).  Determinism: the
-    assignment is an *argmin*, robust to the ~1e-15 relative summation-
-    order drift between NumPy's pairwise sums and the oracle's
-    sequential fold — two different centroids are never that close, and
-    exact ties (identical centroids) break to the lowest cluster id in
-    both (``np.argmin`` first-index = the oracle's min-struct cid
-    tiebreak)."""
-    from pyspark.sql.functions import pandas_udf
 
+def _assign_fold_udf(centroids):
+    """Fused nearest-centroid assignment + per-batch partial sums
+    (r16, guide §4): one NumPy broadcast per Arrow batch computes the
+    argmin assignment ((n×1×D − 1×K×D)² summed over D → n×K), then the
+    same batch folds straight into per-(cluster, pos) partial
+    ``(sum, count)`` rows — K×D rows per batch instead of handing n
+    assignments back for a JVM posexplode into n×D rows per pass.
+    The update shuffle's input shrinks from |vectors|×D scalars to
+    K×D×batches, and the JVM-side Generate+partial-HashAggregate over
+    the exploded corpus disappears; the FINAL aggregation (merge of
+    partials, the division, the round) stays in Spark, so the
+    per-iteration driver contract is unchanged.
+
+    Why a Python UDF at all: K×D per-centroid ``aggregate``/``zip_with``
+    folds don't participate in whole-stage codegen — they evaluate as
+    interpreted per-element lambdas (measured 21 s at sf0.1 for K=8,
+    D=64 vs <2 s vectorized).  Determinism: the assignment is an
+    *argmin*, robust to the ~1e-15 relative summation-order drift
+    between NumPy's pairwise sums and the oracle's sequential fold —
+    two different centroids are never that close, and exact ties
+    (identical centroids) break to the lowest cluster id in both
+    (``np.argmin`` first-index = the oracle's min-struct cid
+    tiebreak).  The partial sums sit inside the same tolerance
+    umbrella as the engine split itself: both twins round every
+    iteration-boundary mean to 6 decimals, which is what absorbs
+    summation-order ulps between ANY two evaluation orders
+    (oracle-hash-verified at every fixture SF)."""
     cids = np.array([cid for cid, _ in centroids], dtype=np.int32)
     C = np.array([c for _, c in centroids], dtype=np.float64)  # K×D
+    K, D = C.shape
 
-    @pandas_udf("int")
-    def assign(emb: pd.Series) -> pd.Series:
-        X = np.array(emb.tolist(), dtype=np.float64)  # n×D
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # n×K
-        return pd.Series(cids[np.argmin(d2, axis=1)])
+    def fold(batches):
+        pos = np.tile(np.arange(D, dtype=np.int32), K)
+        cluster = np.repeat(cids, D)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # n — index into cids
+            counts = np.bincount(a, minlength=K)
+            sums = np.zeros((K, D))
+            for k in np.flatnonzero(counts):
+                sums[k] = X[a == k].sum(axis=0)
+            live = counts > 0
+            mask = np.repeat(live, D)
+            yield pd.DataFrame(
+                {
+                    "cluster": cluster[mask],
+                    "pos": pos[mask],
+                    "s": sums.ravel()[mask],
+                    "c": np.repeat(counts, D)[mask].astype(np.int64),
+                }
+            )
 
-    return assign
+    return fold
+
+
+def _fold_means(e: DataFrame, centroids) -> DataFrame:
+    """One k-means pass: fused assign+fold over the embeddings, merged
+    JVM-side into exact ``(cluster, pos, n_vecs, mean)`` rows — the
+    identical arithmetic as the former posexplode + avg (avg IS
+    sum/count), means rounded to 6 decimals at the boundary as both
+    twins require."""
+    parts = e.select("embedding").mapInPandas(
+        _assign_fold_udf(centroids), _FOLD_SCHEMA
+    )
+    return parts.groupBy("cluster", "pos").agg(
+        F.sum("c").alias("n_vecs"),
+        F.round(F.sum("s") / F.sum("c"), 6).alias("mean"),
+    )
 
 
 def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_kmeans: Lloyd k-means over the embeddings table, the MLlib
-    shape hand-built on DataFrames: per iteration, (1) assignment is a
+    shape hand-built on DataFrames: per iteration, ONE fused
+    assign+fold pass (:func:`_assign_fold_udf`, r16) computes the
     zero-shuffle vectorized NumPy argmin against the K broadcast
-    centroids (one Arrow batch matmul-shaped pass — see
-    :func:`_assign_udf` for why this beats K·DIM interpreted JVM folds),
-    (2) the update is ONE (cluster, pos) partial-agg shuffle of
-    posexploded scalars, and the K×DIM rounded means come back to the
-    driver (4 KB — the same legitimate driver-side scalar traffic as
-    MLlib's ``KMeans.fit`` pays every iteration; the *data* never
-    moves).
+    centroids AND the per-batch (cluster, pos, sum, count) partials in
+    the same Arrow batch; the update shuffle then merges K×D×batches
+    partial rows (not |vectors|×D posexploded scalars), and the K×DIM
+    rounded means come back to the driver (4 KB — the same legitimate
+    driver-side scalar traffic as MLlib's ``KMeans.fit`` pays every
+    iteration; the *data* never moves).
 
     Determinism contract: init = K lowest vec_ids; the argmin assignment
-    is drift-robust (see :func:`_assign_udf`) with the same lowest-cid
+    is drift-robust (see :func:`_assign_fold_udf`) with the same lowest-cid
     tiebreak as the oracle's min-struct; means are rounded to 6 decimals
     at every iteration boundary in both twins, so the trajectory is
     cross-engine exact.  Output: final centroids as scalar (cluster,
@@ -204,43 +254,15 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(cid, list(r.v)) for cid, r in enumerate(seed_rows)]
 
     for _ in range(KMEANS_ITERS):
-        assign = _assign_udf(centroids)
-        assigned = e.select(
-            assign("embedding").alias("cluster"),
-            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-                "pos", "v"
-            ),
-        )
-        upd = (
-            assigned.groupBy("cluster", "pos")
-            .agg(
-                F.count(F.lit(1)).alias("n_vecs"),
-                F.round(F.avg("v"), 6).alias("mean"),
-            )
-        )
         # K×DIM rounded scalars — the per-iteration driver traffic every
         # distributed k-means pays (MLlib collects the same); never rows.
-        rows = upd.collect()
+        rows = _fold_means(e, centroids).collect()
         by_cid: dict[int, list[float]] = {}
         for r in rows:
             by_cid.setdefault(r.cluster, [0.0] * DIM)[r.pos] = r.mean
         centroids = sorted(by_cid.items())
 
-    assign = _assign_udf(centroids)
-    final = e.select(
-        assign("embedding").alias("cluster"),
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "pos", "v"
-        ),
-    )
-    return (
-        final.groupBy("cluster", "pos")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("v"), 6).alias("mean"),
-        )
-        .orderBy("cluster", "pos")
-    )
+    return _fold_means(e, centroids).orderBy("cluster", "pos")
 
 
 def _duck_d2(v: str, c: str) -> str:

@@ -420,6 +420,7 @@ def _ingest_epoch(
     exclude_self: bool,
     batch_df: DataFrame,
     epoch_id: int,
+    refit_on_due: bool = False,
 ) -> None:
     """One GATED-INGEST micro-batch — the full ingest loop the gate
     opens, inside a single epoch: gate → audit flags → land admitted
@@ -486,14 +487,20 @@ def _ingest_epoch(
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in e.schema.fields
         ]
-    ).localCheckpoint(eager=True)  # the anti-join READS the table this
-    # write appends to — materialize first so the scan's file listing
-    # finishes before new files land under it
+    )
+    # The anti-join READS the table this write appends to, fused into
+    # the ONE write action (r16 — this used to pay an extra eager
+    # localCheckpoint job per epoch): safe because the scan's file
+    # listing is snapshotted when `e`'s relation is resolved, before
+    # any output commits, and append-mode output lands under
+    # _temporary until the job-end commit — a task can never list or
+    # read this epoch's own files mid-job.  (Overwrite-into-read-path
+    # is what Spark rejects; append is supported.)
     aligned.write.mode("append").parquet(f"{sf_dir}/embeddings.parquet")
 
     # index second; verify_primary=False because the ordering the
     # check exists to enforce is internal to this function
-    ivf_index_append(
+    res = ivf_index_append(
         spark,
         sf_dir,
         admitted.select(
@@ -502,6 +509,17 @@ def _ingest_epoch(
         verify_primary=False,
         idempotent=True,
     )
+    # Staleness-triggered refit (VERDICT r15 #5 wiring): the append's
+    # own signal says when the fit-time quantizer aged out; acting on
+    # it HERE is also what resets the per-epoch file-count growth (a
+    # refit compacts the layout to one fresh write).  Opt-in: a refit
+    # re-buckets cells, so probes after it may see different approx
+    # candidates — the default keeps the caller-drains-then-refits
+    # contract unchanged.
+    if refit_on_due and res["staleness"]["refit_due"]:
+        from ..llm.similarity import ivf_index_refit
+
+        ivf_index_refit(spark, sf_dir)
 
 
 def gated_ingest_stream(
@@ -513,6 +531,7 @@ def gated_ingest_stream(
     tau: float | None = None,
     exclude_self: bool = False,
     query_name: str = "gated_ingest",
+    refit_on_due: bool = False,
 ) -> StreamingQuery:
     """The deploy-shape ingest loop as ONE streaming job (r15): each
     arriving micro-batch is gated against the written IVF index
@@ -529,14 +548,25 @@ def gated_ingest_stream(
     to ``{sf_dir}/embeddings.parquet`` and to the session's written
     layout for it.  The staleness signal still governs refit cadence —
     a caller drains, checks ``ivf_index_staleness``, and calls
-    ``ivf_index_refit`` between runs when the quantizer aged out."""
+    ``ivf_index_refit`` between runs when the quantizer aged out; or
+    pass ``refit_on_due=True`` to act on the append's own signal
+    inside the epoch (r16), which also compacts the layout's
+    accumulated per-epoch part files — see :func:`_ingest_epoch` for
+    the approx-candidate caveat that keeps it opt-in."""
     from ..llm.similarity import DEDUP_INDEX_TAU
 
     tau_v = DEDUP_INDEX_TAU if tau is None else tau
 
     def ingest_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _ingest_epoch(
-            spark, sf_dir, out_dir, tau_v, exclude_self, batch_df, epoch_id
+            spark,
+            sf_dir,
+            out_dir,
+            tau_v,
+            exclude_self,
+            batch_df,
+            epoch_id,
+            refit_on_due=refit_on_due,
         )
 
     return (

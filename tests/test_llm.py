@@ -2330,6 +2330,55 @@ def test_ivf_index_append_skips_unroutable_and_requires_layout(spark, tmp_path):
     ), "null-cell rows leaked into a default partition"
 
 
+def test_ivf_incremental_staleness_matches_scan(spark, tmp_path):
+    """r16: the staleness signal is maintained INCREMENTALLY (each
+    append advances a cached per-cell count; the footer scan runs only
+    to seed a cold cache) — so its numbers must stay EXACTLY the
+    scan's through a sequence of idempotent appends and a replay.
+    Also pins the recache trap the r16 soak caught: the post-guard
+    appended counts are taken from a localCheckpoint BEFORE the write
+    — a persist()-based count was silently zeroed when the write's
+    refreshByPath made the CacheManager re-execute the anti-join
+    against a listing that already contained the write's own output."""
+    from mysqldump_to_parquet_spark.llm import similarity as S
+
+    corpus = str(tmp_path / "inc")
+    e = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    e.write.parquet(f"{corpus}/embeddings.parquet")
+    S._ivf_layout_dir(spark, corpus)
+
+    for k in range(3):
+        batch = e.limit(10).select(
+            (F.col("vec_id") + 10_000_000 + k * 1000).alias("vec_id"),
+            "embedding",
+        )
+        batch.write.mode("append").parquet(f"{corpus}/embeddings.parquet")
+        res = S.ivf_index_append(
+            spark, corpus, batch, verify_primary=False, idempotent=True
+        )
+        # exact appended accounting (the recache trap zeroed these)
+        assert res["appended_rows"] == 10
+        assert res["already_indexed"] == 0
+
+    # replay of the last batch: nothing appended, everything reported
+    batch = e.limit(10).select(
+        (F.col("vec_id") + 10_002_000).alias("vec_id"), "embedding"
+    )
+    res = S.ivf_index_append(
+        spark, corpus, batch, verify_primary=False, idempotent=True
+    )
+    assert res["appended_rows"] == 0
+    assert res["already_indexed"] == 10
+
+    incremental = S.ivf_index_staleness(spark, corpus)
+    assert corpus in S._IVF_CELL_COUNTS  # served from the cache
+    S._IVF_CELL_COUNTS.pop(corpus)  # force the ground-truth scan
+    scanned = S.ivf_index_staleness(spark, corpus)
+    assert incremental == scanned
+    # the scan re-seeds the cache for the next caller
+    assert corpus in S._IVF_CELL_COUNTS
+
+
 def test_ivf_layout_build_tolerates_degraded_embeddings(spark, tmp_path):
     """Review r15: a degraded corpus row (null OR wrong-dim embedding)
     must be a non-event at every stage of the index lifecycle — the
