@@ -59,6 +59,21 @@ BPE_MERGES = 4
 BPE_OPEN = "\x01"
 BPE_CLOSE = "\x02"
 
+#: Corpus re-checkpoint cadence in merge rounds (r16, guide §5).  The
+#: corpus replace is a map-only codegen pass, so letting a few rounds'
+#: replaces STACK lazily and re-evaluating the stack inside the next
+#: round's ``affected`` filter is cheaper than eagerly materializing
+#: the full corpus every round: tools/bpe_k_sweep.py at sf1, K=89
+#: rounds, measured total 114.3 s at cadence 1 → 56.6 s at 4 → 47.1 s
+#: at 8, with per-round wall FLAT across rounds at every cadence
+#: (first-decile ≈ last-decile mean), i.e. lineage depth stays bounded
+#: by the cadence and never leaks round-over-round.  8 keeps the
+#: re-evaluated stack shallow (≤7 replaces — string codegen, no
+#: shuffle) while cutting ~7/8 of the corpus materializations; the
+#: learned rules are cadence-independent by construction (the counts
+#: path never reads the corpus checkpoint).
+BPE_CORPUS_CHECKPOINT_EVERY = 8
+
 
 def _pairs_of(df: DataFrame) -> DataFrame:
     """Adjacent symbol pairs of every word (one row per occurrence).
@@ -193,7 +208,14 @@ def _learn(spark: SparkSession, sf_dir: str):
         )
         cur = cur.select(
             F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym")
-        ).localCheckpoint()  # truncate lineage: next round is O(corpus)
+        )
+        if r % BPE_CORPUS_CHECKPOINT_EVERY == 0:
+            # truncate lineage at the sweep-measured cadence; between
+            # checkpoints the next round's `affected` filter
+            # re-evaluates the (shallow) replace stack, which the
+            # K-sweep measured cheaper than a corpus materialization
+            # per round
+            cur = cur.localCheckpoint()
     return rules, cur
 
 
