@@ -23,7 +23,7 @@ Scale notes (the reason each query is shaped the way it is):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
@@ -1292,9 +1292,12 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own).  That turns three |lineitem|-sized join shuffles into two
     partial-aggregated exchanges on keys the data is naturally grouped
     by (the second one order-grain, already tiny) — measured 12 % faster
-    at sf0.1 and strictly fewer full-table shuffles at any scale.  The
-    DuckDB twin keeps the EXISTS formulation, so the rewrite itself is
-    what the hash check proves correct.
+    at sf0.1 and strictly fewer full-table shuffles at any scale.  r16
+    then collapsed the order-grain aggregate + join-back into a WINDOW
+    over the (order, supplier) aggregate (see inline comment): one
+    lineitem scan instead of two, 3 exchanges instead of 5, no
+    SortMergeJoin.  The DuckDB twin keeps the EXISTS formulation, so
+    the rewrite itself is what the hash check proves correct.
     """
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
@@ -1311,17 +1314,25 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("is_late").cast("int")).alias("supp_late"),
         F.sum(F.col("is_late").cast("int")).alias("n_late_lines"),
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("supp_late").alias("n_late_supp"),
-    )
+    # The order-grain counts (suppliers per order, late suppliers per
+    # order) are functions of per_os ALONE — computing them as a second
+    # groupBy and joining back re-evaluates the whole lineitem⋈orders
+    # subtree (DataFrame reuse is not plan reuse: the r16 'before' plan
+    # shows TWO lineitem scans, two broadcast joins, four exchanges and
+    # a SortMergeJoin).  A window over l_orderkey gets the same two
+    # integers from the one aggregate: one lineitem scan, one
+    # (okey,skey) exchange, one okey exchange — at 100 TB the fact
+    # table is read HALF as often and two exchanges disappear (r16,
+    # guide §2.1/§3).  All-integer arithmetic, so the fold is exact and
+    # the EXISTS-formulated oracle hash is unchanged.
+    w = Window.partitionBy("l_orderkey")
     culprit = (
-        per_os.where(F.col("supp_late") == 1)
-        .join(
-            per_o.where(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ),
-            "l_orderkey",
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("supp_late").over(w))
+        .where(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
         .select("l_suppkey", "n_late_lines")
     )

@@ -210,6 +210,13 @@ _WINDOW_GROUP_AGG_ALLOWED = {
     # cumulative-weight window already forces — join-back would add a
     # shuffle to an operator whose scale primary is the approx variant
     "q_agg_weighted_median", "q_agg_weighted_median_approx",
+    # order-grain supplier counts over the POST-AGGREGATE
+    # (l_orderkey, l_suppkey) table: high-cardinality key, group size =
+    # suppliers per order (bounded ~7 by TPC-H construction); the
+    # groupBy + join-back alternative re-evaluated the whole
+    # lineitem⋈orders subtree — two fact scans, 5 exchanges, a
+    # SortMergeJoin (r16 C5, plans/r16/q_tpch_q21_{before,after}.txt)
+    "q_tpch_q21",
 }
 
 
